@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Test-table access. Mirrors the reference's "Salesforce object" concept
+  * (a named table fetched from a source — ref: `/root/reference/operators/
+  * salesforce_to_s3_operator.py:30,121` `sf_obj`/`object_type` params):
+  * here each object is a parquet dataset under the scale-factor dir.
+  *
+  * Scale note: `spark.read.parquet` is a partitioned `FileSourceScanExec` —
+  * many executor tasks read row-groups in parallel. This *is* the Spark
+  * equivalent of the reference's Bulk API extract (ref:
+  * `salesforce_to_s3_operator.py:50`), and it scales linearly with input
+  * splits; nothing is ever materialized on the driver.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The events table carries a TIMESTAMP(NANOS) column, which Spark 4's
+    // parquet reader rejects unless nanos are surfaced as long; we convert
+    // back to TimestampType (microsecond precision — Spark's native
+    // resolution) right at the scan so downstream operators see a timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+
+  /** Register every table as a temp view named after the object, so that
+    * translated SOQL / SQL strings resolve. Cheap (metadata only). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

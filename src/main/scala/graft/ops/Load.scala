@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.model.SfColumn
+
+/** Sink-side operators (SURVEY.md §2.4). The reference spools the whole
+  * result through driver memory (one NDJSON string / one tmpfile —
+  * `/root/reference/operators/salesforce_to_s3_operator.py:54-55,173`);
+  * Spark writes one file per task in parallel, which is the scalable
+  * equivalent of the Redshift-COPY-from-S3 parallel load the reference
+  * delegates to (`salesforce_schema_to_redshift_operator.py:276-286`).
+  */
+object Load {
+
+  /** K1 — NDJSON sink with overwrite (`replace=True`) semantics (ref:
+    * `salesforce_to_s3_operator.py:53-57`). Spark's json output *is*
+    * one-object-per-line. */
+  def ndjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** K2 — csv sink (contrib `write_object_to_file` fmt="csv", the default —
+    * ref `salesforce_to_s3_operator.py:89,126`): header row, newline-safe
+    * via [[Shape.sanitizeCsv]]. */
+  def csv(df: DataFrame, path: String): Unit =
+    Shape.sanitizeCsv(df).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+
+  /** K2 — fmt="json": the reference writes a single JSON array. Spark has no
+    * array-JSON writer (it would serialize the world on one node); we write
+    * NDJSON instead — documented deviation (SURVEY.md §7.4), lossless and
+    * scalable. */
+  def json(df: DataFrame, path: String): Unit = ndjson(df, path)
+
+  /** TRUNCATECOLUMNS fidelity (ref COPY option,
+    * `salesforce_schema_to_redshift_operator.py:283`): clamp string columns
+    * to their declared varchar length. Narrow map — no shuffle. */
+  def varcharClamp(df: DataFrame, lengths: Map[String, Int]): DataFrame = {
+    val cols = df.columns.map { c =>
+      lengths.get(c.toLowerCase) match {
+        case Some(n) => substring(col(c), 1, n).as(c)
+        case None    => col(c)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** K3 — column-aligned table load: select destination columns in
+    * destination ordinal order (P9 intersection,
+    * `salesforce_schema_to_redshift_operator.py:322-326`), clamping
+    * varchars. This is the engine-native COPY: the actual parallel load is
+    * Spark's partitioned write. */
+  def alignForLoad(df: DataFrame, rsColsOrdered: Seq[String],
+                   sfCols: Seq[SfColumn]): DataFrame = {
+    val present = df.columns.map(_.toLowerCase).toSet
+    val selected = graft.model.SfSchema.copyColumnFilter(rsColsOrdered, sfCols)
+      .filter(c => present.contains(c.toLowerCase))
+    val lengths = sfCols.filter(c => Set("string", "textarea", "picklist", "email", "phone", "url")
+        .contains(c.soapType))
+      .map(c => c.rsName -> (if (c.length > 0) c.length else 65535)).toMap
+    varcharClamp(df.select(selected.map(col): _*), lengths)
+  }
+}
