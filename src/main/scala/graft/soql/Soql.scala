@@ -45,14 +45,18 @@ object Soql {
   def translate(soql: String): String = {
     require(!soql.toUpperCase.contains("TYPEOF"),
       "SOQL TYPEOF is not supported; use CASE WHEN over a discriminator column")
-    // Split into quoted string literals and code segments so rewrites never
-    // touch literal text.
+    // Mask quoted string literals with placeholders so rewrites never touch
+    // literal text, yet patterns spanning literals (e.g. INCLUDES ('a','b'))
+    // still match across the whole statement.
     val segments = splitQuoted(soql)
-    val out = segments.map {
-      case Left(code) => rewrite(code)
-      case Right(lit) => lit
-    }
-    out.mkString
+    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = segments.map {
+      case Left(code) => code
+      case Right(lit) => lits += lit; s"${lits.size - 1}"
+    }.mkString
+    val rewritten = rewrite(masked)
+    "(\\d+)".r.replaceAllIn(rewritten, m =>
+      java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
   }
 
   /** Left = code to rewrite, Right = quoted literal (verbatim, incl quotes) */
