@@ -1,11 +1,240 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
-  * search, text analysis, event windows. Populated incrementally. */
+  * search, text analysis, event windows, multimodal plumbing. Every entry
+  * except the HLL one carries a DuckDB oracle; the oracle recomputes the
+  * same deterministic arithmetic (exact-integer cores + IEEE divisions), so
+  * results hash-match bit-for-bit. */
 object ExtQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracles: Map[String, String] = Map()
-  def benchQueries: Seq[String] = Seq()
+
+  private def docs(s: SparkSession, dir: String)   = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String)   = Tables.load(s, dir, "embeddings")
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E3 — text analysis
+    "text_quality"     -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "text_tokens"      -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    // E1 — dedup
+    "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    "dedup_minhash_lsh"      -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
+    // E2 — similarity search
+    "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
+    "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
+    // E4/E5 — event analytics
+    "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
+    "events_tumbling"        -> ((s, dir) => Events.tumblingHourly(events(s, dir))),
+    "events_json_props"      -> ((s, dir) => Events.jsonProps(events(s, dir))),
+    "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
+    // multimodal plumbing
+    "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
+  )
+
+  /** Shared oracle fragments. */
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |       FROM toks WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+      |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+      |          GROUP BY s1.doc_id, s2.doc_id)""".stripMargin
+
+  private def jaccardPairsSql(threshold: String): String =
+    s"""$shingleCte
+       |SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+       |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+       |WHERE c / (sa.n_sh + sb.n_sh - c) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  private val quantCte =
+    """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
+      |           FROM embeddings),
+      |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n FROM q GROUP BY vec_id)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) AS INT) AS n_stopwords,
+        |  round(length(text) / len(string_split(text, ' ')), 6) AS chars_per_word,
+        |  round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS type_token_ratio,
+        |  round(len(list_filter(string_split(text, ' '), t -> t = 'a' OR t = 'the')) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+        |  round(100e0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+        |    * least(1e0, len(string_split(text, ' ')) / 30e0), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens,
+        |  round(length(text) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6) AS chars_per_bpe_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |train AS (SELECT * FROM bg WHERE doc_id % 5 != 0),
+        |per_lang AS (SELECT lang, bigram, count(*) AS cnt FROM train GROUP BY lang, bigram),
+        |lang_tot AS (SELECT lang, count(*) AS n_l FROM train GROUP BY lang),
+        |per_bg AS (SELECT bigram, count(*) AS cnt_all FROM train GROUP BY bigram),
+        |tot_row AS (SELECT count(*) AS tot FROM train),
+        |weights AS (
+        |  SELECT per_bg.bigram, lang_tot.lang,
+        |    CAST(round(1000 * (1000000.0 * coalesce(per_lang.cnt, 0) / n_l - 1000000.0 * cnt_all / tot)
+        |      / (1000000.0 * coalesce(per_lang.cnt, 0) / n_l + 1000000.0 * cnt_all / tot + 1)) AS BIGINT) AS w
+        |  FROM per_bg CROSS JOIN lang_tot
+        |  LEFT JOIN per_lang ON per_lang.bigram = per_bg.bigram AND per_lang.lang = lang_tot.lang
+        |  CROSS JOIN tot_row),
+        |test_bg AS (SELECT DISTINCT doc_id, lang AS actual, bigram FROM bg WHERE doc_id % 5 = 0),
+        |scores AS (
+        |  SELECT test_bg.doc_id, test_bg.actual, weights.lang AS cand, sum(w) AS score
+        |  FROM test_bg JOIN weights ON test_bg.bigram = weights.bigram
+        |  GROUP BY test_bg.doc_id, test_bg.actual, weights.lang),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+        |           FROM scores)
+        |SELECT doc_id, cand AS pred_lang, actual,
+        |       CASE WHEN cand = actual THEN 1 ELSE 0 END AS correct
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars, n_copies FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY md5(substr(text, 1, 80))) AS n_copies,
+        |         min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 80))) AS keeper
+        |  FROM documents) WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardPairsSql("0.5"),
+
+    // MinHash-LSH's oracle is the exact-Jaccard pair set: with 128 perms in
+    // 32 bands × 4 rows, P[a J≥0.8 pair misses every band] ≈ 5e-8, and all
+    // candidates are verified with exact Jaccard — so the approximate
+    // pipeline equals the exact answer with near-certainty.
+    "dedup_minhash_lsh" -> jaccardPairsSql("0.8"),
+
+    "dedup_simhash" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 63), j ->
+        |    CASE WHEN list_sum(list_transform(
+        |           list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)),
+        |           h -> 2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+        |                      // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1))
+        |         > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""$quantCte,
+         |dots AS (SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+         |         FROM q q1 JOIN q q2 ON q1.i = q2.i AND q1.vec_id < q2.vec_id
+         |         GROUP BY q1.vec_id, q2.vec_id)
+         |SELECT a, b, round(dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))), 6) AS cosine
+         |FROM dots JOIN nrm na ON dots.a = na.vec_id JOIN nrm nb ON dots.b = nb.vec_id
+         |WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4
+         |ORDER BY a, b""".stripMargin,
+
+    "similarity_topk" ->
+      s"""$quantCte,
+         |dots AS (SELECT qq.vec_id AS query_id, qv.vec_id AS vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |         FROM q qq JOIN q qv ON qq.i = qv.i AND qq.vec_id < 10 AND qv.vec_id != qq.vec_id
+         |         GROUP BY qq.vec_id, qv.vec_id),
+         |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+         |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "similarity_lsh" ->
+      s"""$quantCte,
+         |planes AS (SELECT p, i, (1103515245 * (p * 64 + i + 1) + 12345) % 2147483648 - 1073741824 AS v
+         |           FROM range(4) t1(p), range(64) t2(i)),
+         |pdots AS (SELECT q.vec_id, planes.p, CAST(sum(q.x * planes.v) AS BIGINT) AS dot_p
+         |          FROM q JOIN planes ON q.i = planes.i + 1
+         |          GROUP BY q.vec_id, planes.p),
+         |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot_p > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |            FROM pdots GROUP BY vec_id),
+         |dots AS (SELECT bq.vec_id AS query_id, bv.vec_id AS vec_id, bq.bucket,
+         |                CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |         FROM buckets bq JOIN buckets bv ON bq.bucket = bv.bucket
+         |              AND bq.vec_id < 10 AND bv.vec_id != bq.vec_id
+         |         JOIN q qq ON qq.vec_id = bq.vec_id JOIN q qv ON qv.vec_id = bv.vec_id AND qq.i = qv.i
+         |         GROUP BY bq.vec_id, bv.vec_id, bq.bucket),
+         |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.bucket AS bucket,
+         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+         |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         |       round(cosine, 6) AS cosine, bucket
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |                     THEN 1 ELSE 0 END AS new_session FROM l),
+        |c AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+        |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // events_approx_distinct: HLL sketch — engine-specific, rows-only check.
+
+    "multimodal_features" ->
+      """SELECT doc_id, media_type, byte_len, content_md5,
+        |  CAST(16 + byte_len % 241 AS INT) AS width,
+        |  CAST(16 + (byte_len * 31) % 239 AS INT) AS height,
+        |  CAST((byte_len + 255) // 256 AS INT) AS n_frames
+        |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, 'image/fake' AS media_type,
+        |             CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS content_md5
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+
+  def benchQueries: Seq[String] = Seq(
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "similarity_topk",
+    "events_sessionize", "text_langid", "events_tumbling")
 }

@@ -28,7 +28,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer div — a double division of epoch-nanos (~2^60) loses ulps
+      // and can flip the microsecond at the boundary
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

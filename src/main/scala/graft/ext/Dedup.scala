@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.8 E1):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+  * near-dup, over the `documents` / `embeddings` tables.
+  *
+  * Scale shapes:
+  *  - exact: one hash-shuffle on the content key (map-side partial agg);
+  *  - ngramJaccard: inverted-index self-join on shingle — the standard
+  *    all-pairs similarity join; shuffle is on shingle, never a cross join;
+  *  - minhashLsh: signature is computed per row with array ops (no row
+  *    blowup), candidate generation shuffles on (band, signature) — at
+  *    100 TB only same-bucket pairs are ever materialized;
+  *  - simhash: narrow per-row fingerprint;
+  *  - embeddingCosine: quantized-integer cosine; the sf-scale path is the
+  *    pair join below, the 100 TB path is LSH bucketing (see
+  *    [[Similarity.lshTopK]]) — documented, same scoring core.
+  *
+  * Determinism: shingle hashing goes through md5 (identical in DuckDB);
+  * similarity arithmetic is exact-integer (quantized) with final IEEE
+  * divisions, bit-identical across engines.
+  */
+object Dedup {
+
+  /** Word n-gram shingles as a column expression (empty array when the doc
+    * has fewer than n tokens — sequence() would run descending otherwise). */
+  def shinglesExpr(n: Int): String =
+    s"""CASE WHEN size(split(text, ' ')) >= $n
+       |  THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+       |         i -> array_join(slice(split(text, ' '), i, $n), ' '))
+       |  ELSE array() END""".stripMargin
+
+  /** (doc_id, shingle) inverted-index relation, distinct. */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(expr(shinglesExpr(n))).as("shingle")).distinct()
+
+  /** Exact dedup on a normalized content key (here: the first 80 chars —
+    * the synthetic corpus has no full-text dups but does have shared
+    * prefixes). Keeps the min doc_id per key, reports the group size.
+    * One shuffle on md5(key); survivors stay distributed. */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(expr("md5(substring(text, 1, 80))"))
+    docs
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index
+    * self-join: |A∩B| from the shingle join, |A| and |B| from per-doc
+    * shingle counts; J = c / (na + nb - c) as an exact-int division. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleIndex(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("a", "shingle")
+      .join(sh.toDF("b", "shingle"), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+      .withColumn("jaccard", expr("c / (na + nb - c)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), expr("round(jaccard, 6)").as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.
+    *
+    *  - shingle → 60-bit integer via md5 (conv of the first 15 hex digits);
+    *  - 128 permutations h_i(x) = (a_i·x + b_i) mod p (p = 1e9+7, a_i/b_i
+    *    from an LCG on i) — computed with array ops over the per-doc
+    *    shingle-hash array, so the row count never multiplies by 128;
+    *  - 32 bands × 4 rows: band signature = md5 of the 4 values; docs
+    *    sharing any (band, signature) bucket become candidates
+    *    (P[miss | J=0.8] = (1-0.8⁴)³² ≈ 5e-8 — the oracle can therefore be
+    *    the exact-Jaccard pair set);
+    *  - candidates are verified with exact Jaccard from the shingle sets
+    *    (array_intersect on the two docs' arrays — candidate count is tiny
+    *    relative to the corpus, so the array join is cheap).
+    */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleIndex(docs, 3)
+      .withColumn("h", expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
+    val docSh = sh.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), collect_set(col("shingle")).as("shset"))
+    // 128-wide signature; a_i odd and nonzero, b_i arbitrary, both mod p
+    val sig = docSh.withColumn("sig", expr(
+      """transform(sequence(0, 127), i ->
+        |  array_min(transform(hs, x ->
+        |    (((1103515245 * CAST(i AS BIGINT) + 12345) % 1000000007 + 1) * x
+        |     + (69069 * CAST(i AS BIGINT) + 362437) % 1000000007) % 1000000007)))""".stripMargin))
+    val bands = sig.select(col("doc_id"), col("shset"),
+      posexplode(expr(
+        "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
+        .as(Seq("band", "bsig")))
+    val cands = bands.select(col("band"), col("bsig"), col("doc_id").as("a"), col("shset").as("sa"))
+      .join(bands.select(col("band"), col("bsig"), col("doc_id").as("b"), col("shset").as("sb")),
+        Seq("band", "bsig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sa", "sb").distinct()
+    cands
+      .withColumn("c", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jaccard", expr("c / (size(sa) + size(sb) - c)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), expr("round(jaccard, 6)").as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** 63-bit SimHash fingerprint per document over distinct tokens, bits
+    * derived from each token's md5 (hex digit → int via instr on the hex
+    * alphabet — portable to the oracle without conv()). Bit j of the
+    * fingerprint is the sign of Σ_tokens (2·bit_j(md5(token)) − 1).
+    * Narrow per-row compute, no shuffle. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(
+        """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) ->
+          |  acc + CASE WHEN
+          |    aggregate(transform(array_distinct(split(text, ' ')), t -> md5(t)),
+          |      CAST(0 AS BIGINT), (s, h) ->
+          |        s + 2 * (((instr('0123456789abcdef', substring(h, (j div 4) + 1, 1)) - 1)
+          |                  div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)
+          |    > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+        .as("simhash"))
+      .orderBy("doc_id")
+
+  /** Embedding-cosine near-dup pairs: vectors quantized to integers
+    * (round(x·10⁴)), dot/norms as exact BIGINT sums, cosine as one IEEE
+    * division — bit-identical across engines. The pair enumeration here is
+    * the O(n²) sf-scale formulation; at 100 TB the identical scoring core
+    * runs behind the LSH bucketing of [[Similarity]] (bounded buckets →
+    * linear shuffle). */
+  def embeddingCosine(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    val a = q.toDF("a", "qa", "na")
+    val b = q.toDF("b", "qb", "nb")
+    a.join(b, col("a") < col("b"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("cosine", expr("dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), expr("round(cosine, 6)").as("cosine"))
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.8 E4/E5):
+  * gap sessionization, tumbling windows, JSON-prop extraction, approximate
+  * distinct. The batch formulations here share semantics with the
+  * Structured Streaming versions in [[graft.streaming.EventStreams]].
+  *
+  * Determinism: timestamps are compared/emitted as epoch milliseconds;
+  * double sums go through exact decimals; window orderings carry event_id
+  * as the total-order tiebreaker.
+  */
+object Events {
+
+  /** Order-insensitive exact sum of the double `value` column. */
+  private def vsum = sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")
+
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative-sum of
+    * session starts over (user_id, ts) — two window passes over one
+    * shuffle-by-user, the canonical distributed formulation. At scale this
+    * is a single hash partition by user_id; no state lives on the driver. */
+  def sessionize(events: DataFrame, gapMillis: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMillis, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        vsum)
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Tumbling 1-hour windows per event_type via the native `window()`
+    * grouping (maps to a single hash-shuffle on (window, type); at stream
+    * time the identical expression runs under a watermark). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"), vsum)
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
+        col("n"), col("n_users"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+
+  /** JSON property extraction (`props` is a JSON string — the reference's
+    * records are JSON dicts; SURVEY.md §1.4): pull `$.k`, aggregate per
+    * event type. get_json_object is a codegen'd expression — no UDF. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", expr("CAST(get_json_object(props, '$.k') AS INT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k").cast("bigint")).as("sum_k"))
+      .orderBy("event_type")
+
+  /** Approximate distinct users per event type: HLL++ (SURVEY.md §2.8 E5).
+    * Approximation is engine-specific → rows-only check, no DuckDB oracle;
+    * the exact twin is `soql_count_distinct`. */
+  def approxDistinct(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A media blob: opaque binary content + typed metadata. The multimodal
+  * data model for LLM pipelines — image/audio/video payloads ride as
+  * `binary` columns next to structured metadata, exactly how parquet
+  * carries them at 100 TB (the binary column chunks are only read when the
+  * projection asks for them — column pruning applies to blobs too). */
+case class MediaBlob(doc_id: Long, media_type: String, content: Array[Byte],
+                     byte_len: Long, lang: String)
+
+/** Extracted per-blob features. `width`/`height`/`n_frames` come from the
+  * (stubbed) decoder; `content_md5` from the real bytes. */
+case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
+                         content_md5: String, width: Int, height: Int, n_frames: Int)
+
+/** Multimodal-column plumbing (builder-prompt extension): ingest bytes as a
+  * typed Dataset, run per-partition batch "decode"/feature-extraction, and
+  * keep everything columnar on the way in and out.
+  *
+  * The decode step is a STUB — image/audio codecs are not available in this
+  * environment — implemented as a deterministic arithmetic fake over the
+  * real byte length. The Spark-side plumbing is real: schema, Encoders,
+  * partition-batched iteration (`mapPartitions` so a production decoder
+  * could amortize model/codec initialization per partition, the same shape
+  * as a Pandas-UDF batch), and a pure-column fast path for the oracle. */
+object Multimodal {
+
+  /** Ingest: documents → typed media blobs (UTF-8 bytes of the text stand
+    * in for an opaque payload). Narrow projection. */
+  def ingest(docs: DataFrame): Dataset[MediaBlob] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      lit("image/fake").as("media_type"),
+      expr("encode(text, 'UTF-8')").as("content"),
+      expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").as("byte_len"),
+      col("lang"))
+      .as[MediaBlob]
+  }
+
+  /** STUB decoder: deterministic fake dimensions derived from the payload
+    * size (a real implementation would parse the codec header here). */
+  def decodeStub(byteLen: Long): (Int, Int, Int) = {
+    val width  = 16 + (byteLen % 241).toInt
+    val height = 16 + ((byteLen * 31) % 239).toInt
+    val frames = ((byteLen + 255) / 256).toInt // fake 256-byte "frames"
+    (width, height, frames)
+  }
+
+  /** Typed per-partition feature extraction. The iterator shape lets a real
+    * decoder batch its work per partition (load codec once, stream blobs
+    * through); state stays on executors. */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init would go here (codec/model handle)
+      val md = () => java.security.MessageDigest.getInstance("MD5")
+      it.map { b =>
+        val (w, h, f) = decodeStub(b.byte_len)
+        val digest = md().digest(b.content).map("%02x".format(_)).mkString
+        MediaFeatures(b.doc_id, b.media_type, b.byte_len, digest, w, h, f)
+      }
+    }
+  }
+
+  /** Column-expression twin of ingest+extract — the whole-stage-codegen
+    * fast path used by the oracle-checked query (the typed path above is
+    * spec-tested for equality against this). */
+  def featuresSql(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      lit("image/fake").as("media_type"),
+      expr("CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT)").as("byte_len"),
+      expr("md5(encode(text, 'UTF-8'))").as("content_md5"))
+      .withColumn("width", expr("CAST(16 + byte_len % 241 AS INT)"))
+      .withColumn("height", expr("CAST(16 + (byte_len * 31) % 239 AS INT)"))
+      .withColumn("n_frames", expr("CAST((byte_len + 255) div 256 AS INT)"))
+      .orderBy("doc_id")
+
+  /** Frame sampling over an opaque payload: split the blob into fixed-size
+    * frames and keep every `stride`-th — the video-frame-sample shape
+    * (posexplode keeps it distributed; no driver materialization). */
+  def sampleFrames(blobs: Dataset[MediaBlob], frameBytes: Int = 256, stride: Int = 4): DataFrame =
+    blobs.toDF()
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((byte_len - 1) div $frameBytes AS INT)),
+             |  f -> substring(content, f * $frameBytes + 1, $frameBytes))""".stripMargin))
+          .as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % stride === 0)
+      .select(col("doc_id"), col("frame_no"), expr("octet_length(frame)").as("frame_bytes"),
+        expr("md5(frame)").as("frame_md5"))
+}
