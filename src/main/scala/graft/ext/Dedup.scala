@@ -86,16 +86,15 @@ object Dedup {
     *    relative to the corpus, so the array join is cheap).
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = shingleIndex(docs, 3)
       .withColumn("h", expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
     val docSh = sh.groupBy("doc_id")
       .agg(collect_list(col("h")).as("hs"), collect_set(col("shingle")).as("shset"))
-    // 128-wide signature; a_i odd and nonzero, b_i arbitrary, both mod p
-    val sig = docSh.withColumn("sig", expr(
-      """transform(sequence(0, 127), i ->
-        |  array_min(transform(hs, x ->
-        |    (((1103515245 * CAST(i AS BIGINT) + 12345) % 1000000007 + 1) * x
-        |     + (69069 * CAST(i AS BIGINT) + 362437) % 1000000007) % 1000000007)))""".stripMargin))
+    // 128-wide signature via the native codegen'd expression (one compiled
+    // loop per row — graft.functions.MinHashSig; same arithmetic as the
+    // transform/array_min HOF formulation it replaces)
+    val sig = docSh.withColumn("sig", expr("minhash_sig(hs)"))
     val bands = sig.select(col("doc_id"), col("shset"),
       posexplode(expr(
         "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
@@ -138,13 +137,13 @@ object Dedup {
     * runs behind the LSH bucketing of [[Similarity]] (bounded buckets →
     * linear shuffle). */
   def embeddingCosine(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val q = embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
-      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", expr("vec_normq(embedding)"))
     val a = q.toDF("a", "qa", "na")
     val b = q.toDF("b", "qb", "nb")
     a.join(b, col("a") < col("b"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("vec_dotq(qa, qb)"))
       .withColumn("cosine", expr("dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), expr("round(cosine, 6)").as("cosine"))

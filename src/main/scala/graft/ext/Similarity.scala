@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def quantized(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))").as("q"))
-      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+  /** (vec_id, raw embedding, quantized squared norm) — the dot products are
+    * computed pairwise by the native vec_dotq expression. */
+  private def quantized(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), col("embedding").as("q"))
+      .withColumn("nrm", expr("vec_normq(q)"))
+  }
 
   /** Brute-force cosine top-k: the exact baseline. The (small) query set is
     * broadcast against the full corpus — one scan of the big side, no
@@ -32,7 +35,7 @@ object Similarity {
     val scored = vecs.toDF("vec_id", "qv", "nv")
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qq, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("vec_dotq(qq, qv)"))
       .withColumn("cosine", expr("dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(rk))
@@ -63,7 +66,9 @@ object Similarity {
     val spark = embeddings.sparkSession
     val dim = 64
     val flat = quantized(embeddings)
-      .select(col("vec_id"), col("nrm"), posexplode(col("q")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("nrm"),
+        posexplode(expr("transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"))
+          .as(Seq("i", "x")))
     val dots = flat.join(broadcast(hyperplanes(spark, planes, dim)), "i")
       .groupBy("vec_id", "p").agg(sum(expr("x * v")).as("dot_p"))
     val buckets = dots.groupBy("vec_id")
@@ -75,7 +80,7 @@ object Similarity {
     vecs.toDF("vec_id", "qv", "nv", "bucket")
       .join(queries, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qq, qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("dot", expr("vec_dotq(qq, qv)"))
       .withColumn("cosine", expr("dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
       .withColumn("rank", row_number().over(rk))
       .filter(col("rank") <= k)

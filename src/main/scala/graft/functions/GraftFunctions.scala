@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the hot loops of the LLM-pipeline
+  * operators (SURVEY.md §2.8). The higher-order-function formulations
+  * (transform/aggregate lambdas) evaluate one boxed lambda call per array
+  * element per row; these expressions run one compiled primitive loop per
+  * row instead — same arithmetic to the bit, so the DuckDB oracles are
+  * unchanged.
+  *
+  * Codegen: each doGenCode emits a single static call into the compiled
+  * loop below, keeping the enclosing operator inside whole-stage codegen
+  * (no CodegenFallback row-by-row interpretation).
+  */
+object MinHashOps {
+  final val P = 1000000007L
+  final val NPerms = 128
+
+  // a_i = (1103515245·i + 12345) mod p + 1, b_i = (69069·i + 362437) mod p —
+  // identical to the SQL formulation they replace.
+  val as: Array[Long] = Array.tabulate(NPerms)(i => (1103515245L * i + 12345L) % P + 1)
+  val bs: Array[Long] = Array.tabulate(NPerms)(i => (69069L * i + 362437L) % P)
+
+  /** 128-value MinHash signature of a shingle-hash array. */
+  def signature(input: ArrayData): ArrayData = {
+    val xs = input.toLongArray()
+    val out = new Array[Long](NPerms)
+    var i = 0
+    while (i < NPerms) {
+      val a = as(i); val b = bs(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < xs.length) {
+        val v = (a * xs(j) + b) % P
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** round-half-away-from-zero — SQL round() semantics in both Spark
+    * (BigDecimal HALF_UP) and DuckDB. Math.round is floor(x+0.5) which
+    * differs on negative exact halves, and float·10⁴ is exact in double so
+    * such halves can genuinely occur. */
+  @inline private def qRound(d: Double): Long =
+    if (d >= 0) math.floor(d + 0.5).toLong else math.ceil(d - 0.5).toLong
+
+  /** Σ q(a_i)·q(b_i) with q(x) = round(x·10⁴) as BIGINT — the quantized
+    * dot product, bit-identical to the zip_with/aggregate formulation. */
+  def dotQ(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toFloatArray(); val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += qRound(xs(i).toDouble * 10000) * qRound(ys(i).toDouble * 10000)
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ q(x_i)² — the quantized squared norm. */
+  def normQ(a: ArrayData): Long = {
+    val xs = a.toFloatArray()
+    var acc = 0L
+    var i = 0
+    while (i < xs.length) {
+      val q = qRound(xs(i).toDouble * 10000)
+      acc += q * q
+      i += 1
+    }
+    acc
+  }
+}
+
+/** minhash_sig(array<bigint>) → array<bigint>[128] */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.signature(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.signature($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** vec_dotq(array<float>, array<float>) → bigint */
+case class VecDotQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHashOps.dotQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashOps$$.MODULE$$.dotQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotQ =
+    copy(left = l, right = r)
+}
+
+/** vec_normq(array<float>) → bigint */
+case class VecNormQ(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.normQ(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.normQ($c)")
+  override protected def withNewChildInternal(newChild: Expression): VecNormQ =
+    copy(child = newChild)
+}
+
+/** Registration — on a live session (idempotent) or via
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+object GraftFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> { es => MinHashSig(es.head) },
+    "vec_dotq"    -> { es => VecDotQ(es.head, es(1)) },
+    "vec_normq"   -> { es => VecNormQ(es.head) })
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    fns.foreach { case (name, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.registerFunction(id, new ExpressionInfo("graft.functions", name), builder)
+    }
+  }
+}
+
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo("graft.functions", "minhash_sig"),
+      (es: Seq[Expression]) => MinHashSig(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_dotq"),
+      new ExpressionInfo("graft.functions", "vec_dotq"),
+      (es: Seq[Expression]) => VecDotQ(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_normq"),
+      new ExpressionInfo("graft.functions", "vec_normq"),
+      (es: Seq[Expression]) => VecNormQ(es.head)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+class ExtDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup keeps min doc_id per 80-char-prefix key and counts copies") {
+    val pad = "x" * 90
+    val df = docsDf(1L -> s"$pad tail-one", 2L -> s"$pad tail-two", 3L -> "different")
+    val out = Dedup.exact(df).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    assert(out.find(_.getLong(0) == 1L).get.getAs[Long]("n_copies") === 2L)
+  }
+
+  test("ngramJaccard: identical docs pair at 1.0, disjoint docs absent") {
+    val df = docsDf(
+      1L -> "one two three four five six",
+      2L -> "one two three four five six",
+      3L -> "alpha beta gamma delta epsilon zeta")
+    val out = Dedup.ngramJaccard(df).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(1) === 2L)
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("ngramJaccard: 4-of-5-shared-shingles doc pair scores 4/6") {
+    // texts of 7 tokens share tokens 1..6 → shingle sets of size 5 overlap in 4
+    val df = docsDf(
+      1L -> "a b c d e f g",
+      2L -> "a b c d e f h")
+    val out = Dedup.ngramJaccard(df, threshold = 0.5).collect()
+    assert(out.length === 1)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 4.0 / 6.0) < 1e-6) // output is round(·, 6)
+  }
+
+  test("minhashLsh equals exact ngramJaccard at threshold 0.8 on real docs") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val lsh = Dedup.minhashLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Dedup.ngramJaccard(docs, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.toSeq === exact.toSeq)
+    assert(lsh.nonEmpty) // sf0.001 does contain near-dup pairs
+  }
+
+  test("simhash is deterministic and token-order-independent") {
+    val a = docsDf(1L -> "spark fast table join query")
+    val b = docsDf(1L -> "query join table fast spark")
+    val ha = Dedup.simhash(a).head().getLong(1)
+    val hb = Dedup.simhash(b).head().getLong(1)
+    assert(ha === hb) // built from the distinct-token set
+    val hc = Dedup.simhash(docsDf(1L -> "entirely different words here now")).head().getLong(1)
+    assert(ha !== hc)
+  }
+
+  test("embeddingCosine flags parallel vectors, not orthogonal ones") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 1 → cos 1.0
+      (3L, Array(0.0f, 5.0f, 0.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingCosine(df, threshold = 0.9).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
+    assert(out.head.getAs[Double]("cosine") === 1.0)
+  }
+}

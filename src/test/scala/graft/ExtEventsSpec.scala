@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.Events
+
+class ExtEventsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def eventsDf(rows: (Long, Long, String, Double)*) = // (event_id, epochMs, type, value)
+    rows.toDF("event_id", "ms", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("user_id", lit(42L))
+      .withColumn("props", format_string("{\"k\": %d}", col("event_id")))
+      .drop("ms")
+
+  test("sessionize splits on >30min gaps and aggregates per session") {
+    val h = 3600000L
+    val df = eventsDf(
+      (1L, 0L, "click", 1.0), (2L, 1000L, "click", 2.0),          // session 1
+      (3L, 2 * h, "view", 3.0),                                   // session 2 (2h gap)
+      (4L, 2 * h + 1800000L, "view", 4.0),                        // exactly 30min later → same session
+      (5L, 2 * h + 1800000L + 1800001L, "click", 5.0))            // 30min+1ms → session 3
+    val out = Events.sessionize(df).collect()
+    assert(out.map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"))).toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+    assert(out.head.getAs[Long]("start_ms") === 0L)
+    assert(out.head.getAs[Long]("end_ms") === 1000L)
+    assert(out.head.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("tumblingHourly groups on epoch-aligned hours per type") {
+    val h = 3600000L
+    val df = eventsDf(
+      (1L, 100L, "click", 1.0), (2L, h - 1, "click", 2.0), // hour 0
+      (3L, h + 5, "click", 4.0),                           // hour 1
+      (4L, h + 6, "view", 8.0))                            // hour 1, other type
+    val out = Events.tumblingHourly(df).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("n"))).toSeq ===
+      Seq((0L, "click", 2L), (h, "click", 1L), (h, "view", 1L)))
+    assert(out.head.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("jsonProps extracts $.k and aggregates per type") {
+    val df = eventsDf((1L, 0L, "click", 0.0), (2L, 1L, "click", 0.0), (7L, 2L, "view", 0.0))
+    val out = Events.jsonProps(df).collect()
+    val click = out.find(_.getString(0) == "click").get
+    assert(click.getAs[Long]("n") === 2L)
+    assert(click.getAs[Int]("min_k") === 1 && click.getAs[Int]("max_k") === 2)
+    assert(click.getAs[Long]("sum_k") === 3L)
+  }
+
+  test("approxDistinct is within rsd of the exact count on real data") {
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val approx = Events.approxDistinct(events).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+    val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("u")).toMap
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e).toDouble / e < 0.1, s"type $t: approx ${approx(t)} vs exact $e")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.TextAnalysis
+
+class ExtTextSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("quality metrics on a known document") {
+    val out = TextAnalysis.quality(docsDf(1L -> "the cat sat on the mat")).head()
+    assert(out.getAs[Int]("n_chars") === 22)
+    assert(out.getAs[Int]("n_words") === 6)
+    assert(out.getAs[Int]("n_distinct_words") === 5)   // 'the' twice
+    assert(out.getAs[Int]("n_stopwords") === 2)
+    assert(math.abs(out.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-6)
+    // 6 words < 30 → saturating length factor = 6/30
+    val expected = 100.0 * 5 / 6 * (6 / 30.0)
+    assert(math.abs(out.getAs[Double]("quality_score") - expected) < 1e-4)
+  }
+
+  test("token counts: ws vs BPE-ish regex") {
+    val out = TextAnalysis.tokenCounts(docsDf(1L -> "abc 123 x-y")).head()
+    assert(out.getAs[Int]("ws_tokens") === 3)
+    // abc | 123 | x | - | y
+    assert(out.getAs[Int]("bpe_tokens") === 5)
+    assert(out.getAs[Int]("distinct_tokens") === 3)
+  }
+
+  test("rolling fingerprint matches a reference computation and md5 is content hash") {
+    val text = "ab c"
+    val expected = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val out = TextAnalysis.fingerprint(docsDf(1L -> text)).head()
+    assert(out.getAs[Long]("fp_rolling") === expected)
+    assert(out.getAs[String]("fp_md5") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("langId classifies every held-out doc exactly once with a known language") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = TextAnalysis.langId(docs).collect()
+    val heldOut = docs.filter(col("doc_id") % 5 === 0).count()
+    assert(out.length.toLong === heldOut)
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(out.forall(r => langs.contains(r.getAs[String]("pred_lang"))))
+    assert(out.forall(r => Set(0, 1).contains(r.getAs[Int]("correct"))))
+  }
+}

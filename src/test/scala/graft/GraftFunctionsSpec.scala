@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkTestSession.spark; GraftFunctions.register(s); s }
+  import spark.implicits._
+
+  test("minhash_sig equals the HOF transform/array_min formulation") {
+    val df = Seq(Seq(5L, 99L, 1234567L), Seq(42L)).toDF("hs")
+    val out = df.select(
+      expr("minhash_sig(hs)").as("native"),
+      expr("""transform(sequence(0, 127), i ->
+             |  array_min(transform(hs, x ->
+             |    (((1103515245 * CAST(i AS BIGINT) + 12345) % 1000000007 + 1) * x
+             |     + (69069 * CAST(i AS BIGINT) + 362437) % 1000000007) % 1000000007)))""".stripMargin)
+        .as("hof")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    assert(out.head.getSeq[Long](0).length === 128)
+  }
+
+  test("vec_dotq / vec_normq equal the quantize+zip_with formulation on real embeddings") {
+    val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(50)
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b")).limit(200)
+    val out = pairs.select(
+      expr("vec_dotq(ea, eb)").as("native"),
+      expr("""aggregate(zip_with(
+             |  transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+             |  transform(eb, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+             |  (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("hof"),
+      expr("vec_normq(ea)").as("nnative"),
+      expr("""aggregate(transform(ea, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (acc, x) -> acc + x * x)""".stripMargin).as("nhof")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
+  test("quantization rounds half away from zero (SQL round semantics)") {
+    // -3/32 is exactly representable in float; ·10⁴ = -937.5 exactly
+    val df = Seq((Array(-0.09375f), Array(0.09375f))).toDF("a", "b")
+    val out = df.select(expr("vec_normq(a)"), expr("vec_dotq(a, b)")).head()
+    assert(out.getLong(0) === 938L * 938L)
+    assert(out.getLong(1) === -938L * 938L)
+    // and matches Spark's own round()
+    val sqlQ = df.select(expr("CAST(round(CAST(a[0] AS DOUBLE) * 10000) AS BIGINT)")).head().getLong(0)
+    assert(sqlQ === -938L)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
+    val plan = e.select(expr("vec_normq(embedding)").as("n"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [vecnormq"), plan)
+  }
+}

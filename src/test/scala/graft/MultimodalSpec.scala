@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("typed mapPartitions path equals the columnar SQL path on real docs") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val typed = Multimodal.extractFeatures(Multimodal.ingest(docs))
+      .toDF().orderBy("doc_id").collect()
+    val sql = Multimodal.featuresSql(docs)
+      .select("doc_id", "media_type", "byte_len", "content_md5", "width", "height", "n_frames")
+      .collect()
+    assert(typed.length === sql.length && typed.length > 0)
+    typed.zip(sql).foreach { case (t, s) => assert(t.toSeq === s.toSeq) }
+  }
+
+  test("decode stub is deterministic arithmetic on byte length") {
+    assert(Multimodal.decodeStub(1000L) === (16 + 1000 % 241, 16 + (1000 * 31) % 239, 4))
+    assert(Multimodal.decodeStub(256L)._3 === 1)
+    assert(Multimodal.decodeStub(257L)._3 === 2)
+  }
+
+  test("sampleFrames keeps every stride-th fixed-size frame") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(5)
+    val blobs = Multimodal.ingest(docs)
+    val frames = Multimodal.sampleFrames(blobs, frameBytes = 100, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_no") % 2 === 0))
+    assert(frames.forall(_.getAs[Int]("frame_bytes") <= 100))
+    // per-doc frame count = ceil(len/100) sampled at stride 2
+    val byDoc = frames.groupBy(_.getLong(0))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, fs) =>
+      val total = (lens(id) + 99) / 100
+      val expected = (0L until total).count(_ % 2 == 0)
+      assert(fs.length === expected, s"doc $id")
+    }
+  }
+}
