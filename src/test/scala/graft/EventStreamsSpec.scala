@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Event, EventStreams}
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, ms: Long, user: Long = 42L, value: Double = 1.0) =
+    Event(id, new Timestamp(ms), user, "click", value)
+
+  test("streaming sessionize closes sessions on gap and matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: two events 1s apart, then a 2h-later event → first session
+      // closes. Times start at 1000ms: an event at exactly the initial
+      // watermark (0) is dropped by the stateful late-record filter.
+      input.addData(ev(1, 1000), ev(2, 2000))
+      q.processAllAvailable()
+      input.addData(ev(3, 2 * h))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions_out").collect()
+      assert(afterGap.length === 1)
+      val s1 = afterGap.head
+      assert(s1.getAs[Long]("session_id") === 1L)
+      assert(s1.getAs[Long]("n_events") === 2L)
+      assert(s1.getAs[Long]("start_ms") === 1000L && s1.getAs[Long]("end_ms") === 2000L)
+      assert(s1.getAs[Double]("sum_value") === 2.0)
+
+      // advancing the watermark far ahead times out and closes the open session
+      input.addData(ev(4, 10 * h, user = 7L))
+      q.processAllAvailable()
+      input.addData(ev(5, 20 * h, user = 7L))
+      q.processAllAvailable()
+      input.addData(ev(6, 30 * h, user = 7L))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").collect()
+      assert(out.count(_.getAs[Long]("user_id") == 42L) === 2,
+        out.map(_.toSeq.mkString(",")).mkString("; "))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window emits finalized hourly windows matching batch expressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingHourly(input.toDS().toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tumbling_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000), ev(2, h - 1))
+      q.processAllAvailable()
+      // watermark (max ts) must pass the window end before hour-0 is emitted
+      input.addData(ev(3, 2 * h + 1))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out").collect()
+      val hour0 = rows.find(_.getAs[Long]("window_start_ms") == 0L)
+      assert(hour0.isDefined)
+      assert(hour0.get.getAs[Long]("n") === 2L)
+      assert(hour0.get.getAs[Double]("sum_value") === 2.0)
+    } finally q.stop()
+  }
+}
