@@ -191,6 +191,19 @@ object ParityQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    // §2.6 parent-to-child nested subselect through the SOQL front-end:
+    // translator rewrites the subselect to a pre-aggregated left join
+    // (Soql.rewriteChildSubqueries), then the reference's special_query
+    // flattening consumes the nested records (inner semantics).
+    "soql_parent_child_subquery" -> ((s, dir) => {
+      val nested = Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM Lineitems)
+          |FROM Orders WHERE o_totalprice >= 400000""".stripMargin)
+      Shape.flattenRelationship(nested, "lineitems")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
     // §2.6 child-to-parent dot path (`Account.Name`) ≡ dimension join;
     // customer is small → broadcast (no shuffle of the fact side).
     "soql_child_to_parent" -> ((s, dir) => {
@@ -349,6 +362,12 @@ object ParityQueries {
       "relationship_flatten" ->
         """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice""".stripMargin,
+
+      "soql_parent_child_subquery" ->
+        """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice >= 400000
           |ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice""".stripMargin,
 
       "soql_child_to_parent" ->

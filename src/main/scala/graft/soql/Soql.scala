@@ -54,9 +54,65 @@ object Soql {
       case Left(code) => code
       case Right(lit) => lits += lit; s"${lits.size - 1}"
     }.mkString
-    val rewritten = rewrite(masked)
+    val rewritten = rewrite(rewriteChildSubqueries(masked))
     "(\\d+)".r.replaceAllIn(rewritten, m =>
       java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
+  }
+
+  /** Parent-to-child relationship metadata for the test schema -- the engine
+    * analogue of Salesforce's childRelationships in describe() (relationship
+    * name -> child object + join keys). */
+  final case class Relationship(childTable: String, parentKey: String, childKey: String)
+  val relationships: Map[(String, String), Relationship] = Map(
+    ("orders", "lineitems")   -> Relationship("lineitem", "o_orderkey", "l_orderkey"),
+    ("customer", "orders")    -> Relationship("orders", "c_custkey", "o_custkey"),
+    ("nation", "customers")   -> Relationship("customer", "n_nationkey", "c_nationkey"),
+    ("nation", "suppliers")   -> Relationship("supplier", "n_nationkey", "s_nationkey"),
+    ("region", "nations")     -> Relationship("nation", "r_regionkey", "n_regionkey"),
+    ("part", "lineitems")     -> Relationship("lineitem", "p_partkey", "l_partkey"),
+    ("supplier", "lineitems") -> Relationship("lineitem", "s_suppkey", "l_suppkey"))
+
+  /** SOQL parent-to-child nested subselect:
+    * `SELECT p1, (SELECT c1, c2 FROM Children) FROM Parent ...`
+    * becomes a left join against a pre-aggregated child relation producing
+    * the reference's nested `{relationship: {records: [...]}}` shape
+    * (`special_query`, salesforce_to_s3_operator.py:155-160) as an
+    * ArrayType(StructType) under `.records`, ready for
+    * [[graft.ops.Shape.flattenRelationship]]. Parents without children get a
+    * NULL struct, which the inner-semantics explode then drops -- the
+    * reference's `if r.get(relationship)` guard (line 158).
+    * Scale: the child side pre-aggregates per key and joins -- one shuffle
+    * each side, no row explosion, no correlated per-parent execution. */
+  private def rewriteChildSubqueries(code0: String): String = {
+    val sub = "(?is)\\(\\s*SELECT\\s+([^()]*?)\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
+    val found = sub.findAllMatchIn(code0).toList
+    if (found.isEmpty) return code0
+    // outer FROM = first FROM once subselects are blanked out
+    val stripped = sub.replaceAllIn(code0, "@SUB@")
+    val parent = "(?i)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+      .findFirstMatchIn(stripped)
+      .map(_.group(1).toLowerCase)
+      .getOrElse(throw new IllegalArgumentException(s"no outer FROM in: $code0"))
+    var code = code0
+    val joins = new StringBuilder
+    found.zipWithIndex.foreach { case (m, i) =>
+      val cols = m.group(1).trim
+      val relName = m.group(2).toLowerCase
+      val rel = relationships.getOrElse((parent, relName),
+        throw new IllegalArgumentException(
+          s"unknown relationship $relName under $parent -- register it in Soql.relationships"))
+      code = code.replace(m.matched,
+        s"named_struct('records', __rel$i.__records) AS $relName")
+      joins.append(
+        s" LEFT JOIN (SELECT ${rel.childKey} AS __jk$i, collect_list(struct($cols)) AS __records" +
+        s" FROM ${rel.childTable} GROUP BY ${rel.childKey}) __rel$i" +
+        s" ON ${rel.parentKey} = __rel$i.__jk$i")
+    }
+    // splice the joins right after the outer `FROM <table>`
+    val outerFrom = "(?i)\\bFROM\\s+[A-Za-z_][A-Za-z0-9_]*".r
+    val fromText = outerFrom.findFirstIn(code).get
+    val idx = code.indexOf(fromText) + fromText.length
+    code.substring(0, idx) + joins.toString + code.substring(idx)
   }
 
   /** Left = code to rewrite, Right = quoted literal (verbatim, incl quotes) */

@@ -10,6 +10,22 @@ class SoqlSpec extends AnyFunSuite {
       "SELECT count(DISTINCT x) FROM t")
   }
 
+  test("parent-to-child subselect becomes a pre-aggregated left join") {
+    val t = Soql.translate(
+      "SELECT o_orderkey, (SELECT l_linenumber FROM Lineitems) FROM Orders WHERE o_orderkey < 5")
+    assert(t.contains("named_struct('records', __rel0.__records) AS lineitems"), t)
+    assert(t.contains("LEFT JOIN (SELECT l_orderkey AS __jk0, collect_list(struct(l_linenumber)) AS __records"), t)
+    assert(t.contains("FROM orders LEFT JOIN"), t)
+    assert(t.contains("ON o_orderkey = __rel0.__jk0 WHERE o_orderkey < 5"), t)
+  }
+
+  test("unknown child relationship is rejected with guidance") {
+    val e = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT a, (SELECT b FROM Widgets) FROM Orders")
+    }
+    assert(e.getMessage.contains("Soql.relationships"))
+  }
+
   test("date function renames") {
     val t = Soql.translate(
       "SELECT CALENDAR_YEAR(d), CALENDAR_MONTH(d), DAY_ONLY(d), HOUR_IN_DAY(d) FROM t")
