@@ -34,9 +34,15 @@ object Dedup {
        |         i -> array_join(slice(split(text, ' '), i, $n), ' '))
        |  ELSE array() END""".stripMargin
 
-  /** (doc_id, shingle) inverted-index relation, distinct. */
-  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(expr(shinglesExpr(n))).as("shingle")).distinct()
+  /** (doc_id, shingle-hash) inverted-index relation. shingle_hash60 emits
+    * the per-doc DISTINCT 60-bit md5 shingle hashes in one narrow pass, so
+    * no distinct() shuffle is needed and the index carries 8-byte longs
+    * instead of shingle strings (same counts as the string index —
+    * 60-bit collision odds ≈ 1e-14). */
+  def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr(s"shingle_hash60(text, $n)")).as("shingle"))
+  }
 
   /** Exact dedup on a normalized content key (here: the first 80 chars —
     * the synthetic corpus has no full-text dups but does have shared
@@ -87,20 +93,19 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = shingleIndex(docs, 3)
-      .withColumn("h", expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 1000000007"))
-    val docSh = sh.groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"), collect_set(col("shingle")).as("shset"))
-    // 128-wide signature via the native codegen'd expression (one compiled
-    // loop per row — graft.functions.MinHashSig; same arithmetic as the
-    // transform/array_min HOF formulation it replaces)
-    val sig = docSh.withColumn("sig", expr("minhash_sig(hs)"))
-    val bands = sig.select(col("doc_id"), col("shset"),
+    // One narrow pass per doc: distinct 60-bit shingle hashes → 128-wide
+    // signature (both native codegen'd expressions). No shuffle at all
+    // until the band bucket join — the exploded formulation paid an
+    // explode+distinct shuffle AND a collect_list shuffle here.
+    val sig = docs
+      .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+      .withColumn("sig", expr("minhash_sig(h60)"))
+    val bands = sig.select(col("doc_id"), col("h60"),
       posexplode(expr(
         "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
         .as(Seq("band", "bsig")))
-    val cands = bands.select(col("band"), col("bsig"), col("doc_id").as("a"), col("shset").as("sa"))
-      .join(bands.select(col("band"), col("bsig"), col("doc_id").as("b"), col("shset").as("sb")),
+    val cands = bands.select(col("band"), col("bsig"), col("doc_id").as("a"), col("h60").as("sa"))
+      .join(bands.select(col("band"), col("bsig"), col("doc_id").as("b"), col("h60").as("sb")),
         Seq("band", "bsig"))
       .filter(col("a") < col("b"))
       .select("a", "b", "sa", "sb").distinct()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for the hot loops of the LLM-pipeline
@@ -28,7 +29,9 @@ object MinHashOps {
   val as: Array[Long] = Array.tabulate(NPerms)(i => (1103515245L * i + 12345L) % P + 1)
   val bs: Array[Long] = Array.tabulate(NPerms)(i => (69069L * i + 362437L) % P)
 
-  /** 128-value MinHash signature of a shingle-hash array. */
+  /** 128-value MinHash signature of a shingle-hash array. Inputs are
+    * reduced mod p first, so 60-bit raw hashes and already-reduced values
+    * give identical signatures (x % p is a no-op when x < p). */
   def signature(input: ArrayData): ArrayData = {
     val xs = input.toLongArray()
     val out = new Array[Long](NPerms)
@@ -38,7 +41,7 @@ object MinHashOps {
       var m = Long.MaxValue
       var j = 0
       while (j < xs.length) {
-        val v = (a * xs(j) + b) % P
+        val v = (a * (xs(j) % P) + b) % P
         if (v < m) m = v
         j += 1
       }
@@ -46,6 +49,41 @@ object MinHashOps {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Distinct 60-bit word-n-gram shingle hashes of a document, in one
+    * narrow pass — value-identical to the SQL pipeline it replaces
+    * (split(' ') → slice/array_join shingles → distinct →
+    * conv(substring(md5(s),1,15),16,10)): same tokenization (Java split,
+    * limit -1), same md5-prefix integer. Eliminates the explode+distinct
+    * and collect_list shuffles of the exploded formulation. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](words.length)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = high 60 bits: 7 full bytes + high nibble of the 8th
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** round-half-away-from-zero — SQL round() semantics in both Spark
@@ -116,13 +154,27 @@ case class VecNormQ(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** shingle_hash60(text, n) -> array<bigint> of distinct 60-bit md5 word
+  * n-gram hashes (one narrow pass; see MinHashOps.shingleHashes). */
+case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
 /** Registration — on a live session (idempotent) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> { es => MinHashSig(es.head) },
     "vec_dotq"    -> { es => VecDotQ(es.head, es(1)) },
-    "vec_normq"   -> { es => VecNormQ(es.head) })
+    "vec_normq"   -> { es => VecNormQ(es.head) },
+    "shingle_hash60" -> { es =>
+      ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -53,6 +53,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(sqlQ === -938L)
   }
 
+  test("shingle_hash60 equals the SQL md5-conv formulation on real docs") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(50)
+    val out = docs.select(
+      expr("shingle_hash60(text, 3)").as("native"),
+      expr(s"""transform(array_distinct(${graft.ext.Dedup.shinglesExpr(3)}),
+              |  s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))""".stripMargin)
+        .as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getSeq[Long](0).sorted === r.getSeq[Long](1).sorted)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
     val plan = e.select(expr("vec_normq(embedding)").as("n"))
