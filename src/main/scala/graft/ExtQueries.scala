@@ -31,7 +31,9 @@ object ExtQueries {
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
+    "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
     "events_tumbling"        -> ((s, dir) => Events.tumblingHourly(events(s, dir))),
+    "events_sliding"         -> ((s, dir) => Events.slidingHourly(events(s, dir))),
     "events_json_props"      -> ((s, dir) => Events.jsonProps(events(s, dir))),
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     // multimodal plumbing
@@ -208,6 +210,32 @@ object ExtQueries {
         |       min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
         |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
         |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    // native session_window semantics: a gap of exactly 30min starts a new
+    // session (end-exclusive window merge), end = last event + gap
+    "events_session_window" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms >= 1800000
+        |                     THEN 1 ELSE 0 END AS new_session FROM l),
+        |c AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, min(epoch_ms(ts)) AS start_ms,
+        |       max(epoch_ms(ts)) + 1800000 AS end_ms, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        |FROM c GROUP BY user_id, session_id ORDER BY user_id, start_ms""".stripMargin,
+
+    "events_sliding" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |w AS (SELECT ms, event_type, value,
+        |        (ms // 1800000 - k.k) * 1800000 AS ws
+        |      FROM e, (VALUES (0), (1)) k(k)
+        |      WHERE (ms // 1800000 - k.k) * 1800000 + 3600000 > ms
+        |        AND (ms // 1800000 - k.k) * 1800000 <= ms)
+        |SELECT ws AS window_start_ms, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws, event_type ORDER BY window_start_ms, event_type""".stripMargin,
 
     "events_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,

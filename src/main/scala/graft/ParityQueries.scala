@@ -18,8 +18,14 @@ object ParityQueries {
 
   /** Order-insensitive exact sum of a 2-decimal money column. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
-  /** Exact sum for derived products (more fractional digits). */
-  private def psum(c: Column): Column = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
+  /** Exact discounted-revenue sum: cast the FACTORS to 2-decimal decimals
+    * before multiplying — the inputs are 2-decimal money/rate values, so the
+    * product is exact and the sum order-independent. Casting the double
+    * product instead leaves a half-digit rounding that Spark (HALF_UP) and
+    * DuckDB (half-even) resolve differently about once per 10⁵ rows. */
+  private def revSum(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) * (lit(1) - discount.cast(DecimalType(18, 2))))
+      .cast(DoubleType)
 
   // ---- schema-reconciliation fixture: a synthetic Salesforce-shaped
   // describe() result (SURVEY.md §5 "Salesforce-shaped record/describe
@@ -89,7 +95,7 @@ object ParityQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          psum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          revSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
           count(lit(1)).as("count_order"))
@@ -214,6 +220,35 @@ object ParityQueries {
         .orderBy("o_orderkey")
     }),
 
+    // §2.6 semi-join subquery (SOQL `WHERE Id IN (SELECT ...)`) — passes
+    // through the translator untouched (valid Spark SQL); Catalyst plans a
+    // LeftSemi with the small side broadcast.
+    "soql_semi_join" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM Orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM Customer WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.6 anti-join subquery (`NOT IN (SELECT ...)`) — LeftAnti plan
+    "soql_anti_join" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, o_custkey FROM Orders
+          |WHERE o_custkey NOT IN (SELECT c_custkey FROM Customer WHERE c_acctbal < 0)
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // big-big fact join: lineitem ⋈ orders on the order key, then aggregate —
+    // the sort-merge/shuffle-join shape (both sides large; AQE may convert
+    // post-shuffle). Revenue per order priority.
+    "soql_fact_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // P9 + K3 — COPY column alignment + TRUNCATECOLUMNS varchar clamp
     "copy_column_align" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -306,7 +341,7 @@ object ParityQueries {
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
           |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -374,6 +409,22 @@ object ParityQueries {
         """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |ORDER BY o_orderkey""".stripMargin,
+
+      "soql_semi_join" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "soql_anti_join" ->
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "soql_fact_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
       "copy_column_align" ->
         """SELECT doc_id, lang, substr(text, 1, 100) AS text, source

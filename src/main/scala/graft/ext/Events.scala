@@ -51,6 +51,29 @@ object Events {
         col("n"), col("n_users"), col("sum_value"))
       .orderBy("window_start_ms", "event_type")
 
+  /** Sliding 1-hour windows every 30 minutes per event_type — each event
+    * contributes to duration/slide = 2 windows (the native `window()` with a
+    * slide emits both assignments before the hash-shuffle). */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), vsum)
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+
+  /** Native session windows: `session_window(ts, gap)` — Spark merges events
+    * whose window [ts, ts+gap) overlaps, i.e. a gap of exactly `gap` starts
+    * a NEW session (end-exclusive), unlike [[sessionize]]'s strict->. The
+    * window end is last_ts + gap. One shuffle on (user, merged-window). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), vsum)
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_ms")
+
   /** JSON property extraction (`props` is a JSON string — the reference's
     * records are JSON dicts; SURVEY.md §1.4): pull `$.k`, aggregate per
     * event type. get_json_object is a codegen'd expression — no UDF. */

@@ -85,7 +85,12 @@ object Soql {
     * each side, no row explosion, no correlated per-parent execution. */
   private def rewriteChildSubqueries(code0: String): String = {
     val sub = "(?is)\\(\\s*SELECT\\s+([^()]*?)\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
-    val found = sub.findAllMatchIn(code0).toList
+    // SOQL semi/anti-join subqueries (`WHERE f IN (SELECT ...)`) are valid
+    // Spark SQL as-is -- only rewrite subselects in the SELECT list, i.e.
+    // those NOT preceded by IN.
+    def isInSubquery(m: scala.util.matching.Regex.Match): Boolean =
+      "(?is).*\\bIN\\s*$".r.matches(code0.substring(0, m.start))
+    val found = sub.findAllMatchIn(code0).toList.filterNot(isInSubquery)
     if (found.isEmpty) return code0
     // outer FROM = first FROM once subselects are blanked out
     val stripped = sub.replaceAllIn(code0, "@SUB@")
