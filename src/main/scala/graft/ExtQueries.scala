@@ -263,6 +263,7 @@ object ExtQueries {
   )
 
   def benchQueries: Seq[String] = Seq(
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "similarity_topk",
-    "events_sessionize", "text_langid", "events_tumbling")
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "similarity_topk", "similarity_lsh",
+    "events_sessionize", "events_session_window", "text_langid", "events_tumbling")
 }

@@ -143,12 +143,14 @@ object Dedup {
     * linear shuffle). */
   def embeddingCosine(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val q = embeddings.select(col("vec_id"), col("embedding"))
-      .withColumn("nrm", expr("vec_normq(embedding)"))
+    // quantize ONCE per row — the O(n²) pair scan then runs a plain long
+    // dot (vec_dotq would re-round both vectors for every pair)
+    val q = embeddings.select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
+      .withColumn("nrm", expr("vec_dotl(q, q)"))
     val a = q.toDF("a", "qa", "na")
     val b = q.toDF("b", "qb", "nb")
     a.join(b, col("a") < col("b"))
-      .withColumn("dot", expr("vec_dotq(qa, qb)"))
+      .withColumn("dot", expr("vec_dotl(qa, qb)"))
       .withColumn("cosine", expr("dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), expr("round(cosine, 6)").as("cosine"))

@@ -86,6 +86,26 @@ object MinHashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** q(x) = round(x*1e4) per element -- quantize once per row so pair
+    * scans don't re-round per pair. */
+  def quantize(a: ArrayData): ArrayData = {
+    val xs = a.toFloatArray()
+    val out = new Array[Long](xs.length)
+    var i = 0
+    while (i < xs.length) { out(i) = qRound(xs(i).toDouble * 10000); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Plain long-array dot product (pre-quantized inputs). */
+  def dotL(a: ArrayData, b: ArrayData): Long = {
+    val xs = a.toLongArray(); val ys = b.toLongArray()
+    val n = math.min(xs.length, ys.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    acc
+  }
+
   /** round-half-away-from-zero — SQL round() semantics in both Spark
     * (BigDecimal HALF_UP) and DuckDB. Math.round is floor(x+0.5) which
     * differs on negative exact halves, and float·10⁴ is exact in double so
@@ -166,6 +186,28 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** vec_quantize(array<float>) -> array<bigint>: round(x*1e4) per element */
+case class VecQuantize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.quantize(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.quantize($c)")
+  override protected def withNewChildInternal(newChild: Expression): VecQuantize =
+    copy(child = newChild)
+}
+
+/** vec_dotl(array<bigint>, array<bigint>) -> bigint */
+case class VecDotL(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHashOps.dotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashOps$$.MODULE$$.dotL($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotL =
+    copy(left = l, right = r)
+}
+
 /** Registration — on a live session (idempotent) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
 object GraftFunctions {
@@ -173,6 +215,8 @@ object GraftFunctions {
     "minhash_sig" -> { es => MinHashSig(es.head) },
     "vec_dotq"    -> { es => VecDotQ(es.head, es(1)) },
     "vec_normq"   -> { es => VecNormQ(es.head) },
+    "vec_quantize" -> { es => VecQuantize(es.head) },
+    "vec_dotl"     -> { es => VecDotL(es.head, es(1)) },
     "shingle_hash60" -> { es =>
       ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) })
 

@@ -150,6 +150,10 @@ object Soql {
   private def rewrite(code0: String): String = {
     var code = code0
 
+    // FIELDS(ALL|STANDARD|CUSTOM) → * (the test schema has no custom-field
+    // tier split; all fields are "standard")
+    code = code.replaceAll("(?i)\\bFIELDS\\s*\\(\\s*(ALL|STANDARD|CUSTOM)\\s*\\)", "*")
+
     // COUNT_DISTINCT(f) → count(DISTINCT f)
     code = code.replaceAll("(?i)\\bCOUNT_DISTINCT\\s*\\(", "count(DISTINCT ")
 

@@ -26,6 +26,11 @@ class SoqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Soql.relationships"))
   }
 
+  test("FIELDS(ALL) becomes star") {
+    assert(Soql.translate("SELECT FIELDS(ALL) FROM Part LIMIT 5") ===
+      "SELECT * FROM part LIMIT 5")
+  }
+
   test("date function renames") {
     val t = Soql.translate(
       "SELECT CALENDAR_YEAR(d), CALENDAR_MONTH(d), DAY_ONLY(d), HOUR_IN_DAY(d) FROM t")
