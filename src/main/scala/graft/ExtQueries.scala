@@ -25,6 +25,7 @@ object ExtQueries {
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_minhash_lsh"      -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
@@ -147,6 +148,25 @@ object ExtQueries {
         |         > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
         |    AS BIGINT) AS simhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // banded index has guaranteed recall at hd<=3 (pigeonhole over 4 bands),
+    // so the oracle is the exact all-pairs Hamming join
+    "dedup_simhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 63), j ->
+        |      CASE WHEN list_sum(list_transform(
+        |             list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)),
+        |             h -> 2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+        |                        // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1))
+        |           > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+        |      AS BIGINT) AS simhash
+        |  FROM documents)
+        |SELECT s1.doc_id AS a, s2.doc_id AS b,
+        |       CAST(bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) AS INT) AS hamming
+        |FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+        |WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3
+        |ORDER BY a, b""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""$quantCte,

@@ -122,18 +122,41 @@ object Dedup {
     * alphabet — portable to the oracle without conv()). Bit j of the
     * fingerprint is the sign of Σ_tokens (2·bit_j(md5(token)) − 1).
     * Narrow per-row compute, no shuffle. */
+  private val simhashExprSql =
+    """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) ->
+      |  acc + CASE WHEN
+      |    aggregate(transform(array_distinct(split(text, ' ')), t -> md5(t)),
+      |      CAST(0 AS BIGINT), (s, h) ->
+      |        s + 2 * (((instr('0123456789abcdef', substring(h, (j div 4) + 1, 1)) - 1)
+      |                  div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)
+      |    > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr(
-        """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + CASE WHEN
-          |    aggregate(transform(array_distinct(split(text, ' ')), t -> md5(t)),
-          |      CAST(0 AS BIGINT), (s, h) ->
-          |        s + 2 * (((instr('0123456789abcdef', substring(h, (j div 4) + 1, 1)) - 1)
-          |                  div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)
-          |    > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-        .as("simhash"))
+    docs.select(col("doc_id"), expr(simhashExprSql).as("simhash"))
       .orderBy("doc_id")
+
+  /** SimHash near-dup PAIRS with guaranteed recall: candidates come from a
+    * 4×16-bit band index — ≤3 bit flips can touch at most 3 of the 4 bands,
+    * so every pair at Hamming distance ≤ 3 shares at least one exact band
+    * key (pigeonhole; the classic Manku-Jarvelin-Sarma web-dedup layout) —
+    * then verified with bit_count(xor). Shuffle is on the band key only;
+    * never an all-pairs scan. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), expr(simhashExprSql).as("simhash"))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  concat(b, ':', shiftright(simhash, CAST(b * 16 AS INT)) & 65535))""".stripMargin))
+        .as("bkey"))
+    bands.select(col("bkey"), col("doc_id").as("a"), col("simhash").as("sa"))
+      .join(bands.select(col("bkey"), col("doc_id").as("b"), col("simhash").as("sb")), "bkey")
+      .filter(col("a") < col("b"))
+      .select("a", "b", "sa", "sb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
 
   /** Embedding-cosine near-dup pairs: vectors quantized to integers
     * (round(x·10⁴)), dot/norms as exact BIGINT sums, cosine as one IEEE

@@ -61,6 +61,19 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(ha !== hc)
   }
 
+  test("simhashPairs banded index equals exact all-pairs Hamming join") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val banded = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val exact = for {
+      (a, ha) <- sh; (b, hb) <- sh
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))
+    assert(banded.toSeq.sorted === exact.toSeq.sorted)
+    assert(banded.nonEmpty)
+  }
+
   test("embeddingCosine flags parallel vectors, not orthogonal ones") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
