@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
@@ -38,7 +39,21 @@ object ExtQueries {
     "events_json_props"      -> ((s, dir) => Events.jsonProps(events(s, dir))),
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     // multimodal plumbing
-    "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir)))
+    "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
+    "multimodal_frames"   -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.ingest(docs(s, dir)))
+        .orderBy("doc_id", "frame_no")),
+
+    // composite training-data pipeline: quality gate + exact-dedup keepers —
+    // the filter→dedup→retain shape every corpus build runs
+    "pipeline_filter_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quality = TextAnalysis.quality(d).select("doc_id", "quality_score")
+      val keepers = Dedup.exact(d).select("doc_id")
+      quality.join(keepers, "doc_id")
+        .filter(col("quality_score") >= 50.0)
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared oracle fragments. */
@@ -270,6 +285,32 @@ object ExtQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // events_approx_distinct: HLL sketch — engine-specific, rows-only check.
+
+    // text is pure ASCII in the test corpus, so char-based substr equals
+    // byte slicing and the frame md5s line up with Spark's binary substrings
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, k.k AS frame_no, substr(text, k.k * 256 + 1, 256) AS frame
+        |  FROM documents, (SELECT unnest(range(0, 64)) AS k) k
+        |  WHERE k.k * 256 < strlen(text) AND k.k % 4 = 0)
+        |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+        |       CAST(strlen(frame) AS INT) AS frame_bytes, md5(frame) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
+    "pipeline_filter_dedup" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    round(100e0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+        |      * least(1e0, len(string_split(text, ' ')) / 30e0), 6) AS quality_score
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 80))) AS keeper
+        |    FROM documents) WHERE doc_id = keeper)
+        |SELECT q.doc_id AS doc_id, q.quality_score
+        |FROM q JOIN keepers ON q.doc_id = keepers.doc_id
+        |WHERE q.quality_score >= 50.0
+        |ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id, media_type, byte_len, content_md5,

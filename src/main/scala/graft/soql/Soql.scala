@@ -185,6 +185,8 @@ object Soql {
     replaceLit("\\bTOMORROW\\b", _ => "date_add(current_date(), 1)", _ => "date_add(current_date(), 2)")
     // LAST_N_DAYS:n — starts midnight n days ago, ends end of *yesterday*
     replaceLit("\\bLAST_N_DAYS\\s*:\\s*(\\d+)", n => s"date_sub(current_date(), $n)", _ => "current_date()")
+    replaceLit("\\bLAST_90_DAYS\\b", _ => "date_sub(current_date(), 90)", _ => "current_date()")
+    replaceLit("\\bNEXT_90_DAYS\\b", _ => "date_add(current_date(), 1)", _ => "date_add(current_date(), 91)")
     // NEXT_N_DAYS:n — starts tomorrow, ends n days from today (inclusive)
     replaceLit("\\bNEXT_N_DAYS\\s*:\\s*(\\d+)", _ => "date_add(current_date(), 1)", n => s"date_add(current_date(), ${n.toInt + 1})")
     replaceLit("\\bTHIS_MONTH\\b",

@@ -26,6 +26,11 @@ class SoqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Soql.relationships"))
   }
 
+  test("LAST_90_DAYS literal range") {
+    val t = Soql.translate("SELECT a FROM t WHERE d >= LAST_90_DAYS")
+    assert(t.contains("d >= date_sub(current_date(), 90)"), t)
+  }
+
   test("FIELDS(ALL) becomes star") {
     assert(Soql.translate("SELECT FIELDS(ALL) FROM Part LIMIT 5") ===
       "SELECT * FROM part LIMIT 5")
