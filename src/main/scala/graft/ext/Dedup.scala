@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Fan a small-file scan out to all cores: a few-MB parquet table is one
+    * input split, which would run the compute-heavy narrow passes below on
+    * a single core. The shuffle moves only the raw rows (cheap) and AQE
+    * re-coalesces downstream. At real scale the file splits provide the
+    * parallelism and this is a no-op cost. */
+  private[ext] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Word n-gram shingles as a column expression (empty array when the doc
     * has fewer than n tokens — sequence() would run descending otherwise). */
   def shinglesExpr(n: Int): String =
@@ -41,7 +49,7 @@ object Dedup {
     * 60-bit collision odds ≈ 1e-14). */
   def shingleIndex(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), explode(expr(s"shingle_hash60(text, $n)")).as("shingle"))
+    spread(docs).select(col("doc_id"), explode(expr(s"shingle_hash60(text, $n)")).as("shingle"))
   }
 
   /** Exact dedup on a normalized content key (here: the first 80 chars —
@@ -97,7 +105,7 @@ object Dedup {
     // signature (both native codegen'd expressions). No shuffle at all
     // until the band bucket join — the exploded formulation paid an
     // explode+distinct shuffle AND a collect_list shuffle here.
-    val sig = docs
+    val sig = spread(docs)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
       .withColumn("sig", expr("minhash_sig(h60)"))
     val bands = sig.select(col("doc_id"), col("h60"),
@@ -132,7 +140,7 @@ object Dedup {
       |    > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
 
   def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(simhashExprSql).as("simhash"))
+    spread(docs).select(col("doc_id"), expr(simhashExprSql).as("simhash"))
       .orderBy("doc_id")
 
   /** SimHash near-dup PAIRS with guaranteed recall: candidates come from a
@@ -142,7 +150,7 @@ object Dedup {
     * then verified with bit_count(xor). Shuffle is on the band key only;
     * never an all-pairs scan. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), expr(simhashExprSql).as("simhash"))
+    val sh = spread(docs).select(col("doc_id"), expr(simhashExprSql).as("simhash"))
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3), b ->
@@ -168,7 +176,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // quantize ONCE per row — the O(n²) pair scan then runs a plain long
     // dot (vec_dotq would re-round both vectors for every pair)
-    val q = embeddings.select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
+    val q = spread(embeddings).select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
       .withColumn("nrm", expr("vec_dotl(q, q)"))
     val a = q.toDF("a", "qa", "na")
     val b = q.toDF("b", "qb", "nb")

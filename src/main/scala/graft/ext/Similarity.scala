@@ -20,7 +20,11 @@ object Similarity {
     * computed pairwise by the native vec_dotq expression. */
   private def quantized(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    embeddings.select(col("vec_id"), col("embedding").as("q"))
+    // small-file scan = one split; spread the corpus across cores (the
+    // shuffle moves a few MB; at real scale file splits already parallelize)
+    embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("q"))
       .withColumn("nrm", expr("vec_normq(q)"))
   }
 
