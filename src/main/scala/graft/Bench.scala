@@ -22,20 +22,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest sf so per-query numbers measure
-    // the plan, not JIT compilation of Spark itself
-    SparkEntry.queries("extract_shape_lineitem")(spark, "/root/testdata/sf0.001")
+    // JVM/codegen warmup on the measured sfDir itself (no hardcoded fixture
+    // path), guarded so a missing/odd fixture can't crash before measurement
+    try SparkEntry.queries("extract_shape_lineitem")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are excluded from totals and flagged in "errors" so the
+    // JSON can never pass off a failure as a timing
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,24 +56,33 @@ object ExtQueries {
     })
   )
 
-  /** Shared oracle fragments. */
-  private val shingleCte =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, len(w) - 1),
-      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
-      |       FROM toks WHERE len(w) >= 3),
-      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
-      |          FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-      |          GROUP BY s1.doc_id, s2.doc_id)""".stripMargin
-
-  private def jaccardPairsSql(threshold: String): String =
-    s"""$shingleCte
+  /** Shared oracle fragments. `maxDocFreq` mirrors [[Dedup.ngramJaccard]]'s
+    * hot-shingle cap: shingles above the document-frequency cap leave the
+    * shingle space before sizes AND intersections (Jaccard over the
+    * filtered space). */
+  private def jaccardPairsSql(threshold: String, maxDocFreq: Option[Int] = None): String = {
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        s"""dfc AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle),
+           |shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc ON sh.shingle = dfc.shingle
+           |        WHERE dfc.dfreq <= $cap),""".stripMargin
+      case None => "shf AS (SELECT doc_id, shingle FROM sh),"
+    }
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, len(w) - 1),
+       |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+       |       FROM toks WHERE len(w) >= 3),
+       |$filtered
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+       |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+       |          FROM shf s1 JOIN shf s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+       |          GROUP BY s1.doc_id, s2.doc_id)
        |SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
        |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
        |WHERE c / (sa.n_sh + sb.n_sh - c) >= $threshold
        |ORDER BY a, b""".stripMargin
+  }
 
   private val quantCte =
     """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -145,7 +154,10 @@ object ExtQueries {
         |         min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 80))) AS keeper
         |  FROM documents) WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
 
-    "dedup_ngram_jaccard" -> jaccardPairsSql("0.5"),
+    // cap 50 never binds at sf0.01 (max observed shingle DF = 7/500 docs),
+    // so the rule is verified as a no-op here while bounding the self-join
+    // skew at scale
+    "dedup_ngram_jaccard" -> jaccardPairsSql("0.5", maxDocFreq = Some(50)),
 
     // MinHash-LSH's oracle is the exact-Jaccard pair set: with 128 perms in
     // 32 bands × 4 rows, P[a J≥0.8 pair misses every band] ≈ 5e-8, and all
@@ -207,6 +219,10 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // planes = planesFor(500, 32) = 4 at the oracle's sf0.01 corpus — the
+    // Spark side derives the same count from embeddings.count(). Candidates
+    // are the multi-probe ring: buckets within Hamming distance 1 of the
+    // query's bucket (the query bucket + every single-bit flip).
     "similarity_lsh" ->
       s"""$quantCte,
          |planes AS (SELECT p, i, (1103515245 * (p * 64 + i + 1) + 12345) % 2147483648 - 1073741824 AS v
@@ -217,12 +233,15 @@ object ExtQueries {
          |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot_p > 0
          |              THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
          |            FROM pdots GROUP BY vec_id),
-         |dots AS (SELECT bq.vec_id AS query_id, bv.vec_id AS vec_id, bq.bucket,
+         |cand AS (SELECT bq.vec_id AS query_id, bv.vec_id AS vec_id, bv.bucket AS bucket
+         |         FROM buckets bq JOIN buckets bv
+         |           ON bit_count(xor(CAST(bq.bucket AS BIT), CAST(bv.bucket AS BIT))) <= 1
+         |          AND bq.vec_id < 10 AND bv.vec_id != bq.vec_id),
+         |dots AS (SELECT cand.query_id, cand.vec_id, cand.bucket,
          |                CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
-         |         FROM buckets bq JOIN buckets bv ON bq.bucket = bv.bucket
-         |              AND bq.vec_id < 10 AND bv.vec_id != bq.vec_id
-         |         JOIN q qq ON qq.vec_id = bq.vec_id JOIN q qv ON qv.vec_id = bv.vec_id AND qq.i = qv.i
-         |         GROUP BY bq.vec_id, bv.vec_id, bq.bucket),
+         |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+         |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
+         |         GROUP BY cand.query_id, cand.vec_id, cand.bucket),
          |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.bucket AS bucket,
          |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
          |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
@@ -325,6 +344,7 @@ object ExtQueries {
 
   def benchQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "similarity_topk", "similarity_lsh",
-    "events_sessionize", "events_session_window", "text_langid", "events_tumbling")
+    "dedup_simhash_pairs", "similarity_topk", "similarity_lsh",
+    "events_sessionize", "events_session_window", "text_langid", "events_tumbling",
+    "multimodal_frames", "pipeline_filter_dedup")
 }

@@ -9,23 +9,22 @@ import org.apache.spark.sql.functions._
   *
   * Scoring core (shared by both variants, and by
   * [[Dedup.embeddingCosine]]): vectors are quantized to integers
-  * (round(x·10⁴)); dot products and norms are exact BIGINT sums; cosine is
-  * a single IEEE division of exact integers — bit-identical across Spark
-  * and the DuckDB oracle, so top-k ranking is fully deterministic (ties
-  * broken by vec_id).
+  * (round(x·10⁴)) ONCE per row; dot products and norms are exact BIGINT
+  * sums over the quantized arrays; cosine is a single IEEE division of
+  * exact integers — bit-identical across Spark and the DuckDB oracle, so
+  * top-k ranking is fully deterministic (ties broken by vec_id).
   */
 object Similarity {
 
-  /** (vec_id, raw embedding, quantized squared norm) — the dot products are
-    * computed pairwise by the native vec_dotq expression. */
+  /** (vec_id, quantized vector, squared norm) in ONE narrow pass — both
+    * query and corpus branches derive from this relation; the corpus side
+    * is scanned exactly once per consumer (the query branch reads with a
+    * pushed vec_id filter). */
   private def quantized(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    // small-file scan = one split; spread the corpus across cores (the
-    // shuffle moves a few MB; at real scale file splits already parallelize)
-    embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding").as("q"))
-      .withColumn("nrm", expr("vec_normq(q)"))
+    Dedup.spread(embeddings)
+      .select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
+      .withColumn("nrm", expr("vec_dotl(q, q)"))
   }
 
   /** Brute-force cosine top-k: the exact baseline. The (small) query set is
@@ -39,7 +38,7 @@ object Similarity {
     val scored = vecs.toDF("vec_id", "qv", "nv")
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr("vec_dotq(qq, qv)"))
+      .withColumn("dot", expr("vec_dotl(qq, qv)"))
       .withColumn("cosine", expr("dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(rk))
@@ -49,42 +48,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane table: `planes` rows of `dim`
-    * integer coefficients in [-2³⁰, 2³⁰), from an LCG on the flat index.
-    * Tiny (planes × dim rows) — always broadcast. */
-  def hyperplanes(spark: SparkSession, planes: Int, dim: Int): DataFrame =
-    spark.range(planes.toLong).toDF("p")
-      .crossJoin(spark.range(dim.toLong).toDF("i"))
-      .select(col("p"), col("i"),
-        expr(s"(1103515245 * (p * $dim + i + 1) + 12345) % 2147483648 - 1073741824").as("v"))
+  /** Hyperplane count scaled to the corpus: enough sign bits that the
+    * expected bucket occupancy stays ≈ `bucketTarget` regardless of n
+    * (2^planes ≈ n / bucketTarget). n = 500 → 4 planes; n = 10⁹ → 25 —
+    * per-query candidate work stays bounded as the corpus grows, which is
+    * what makes the pipeline sub-linear (a fixed plane count degrades to
+    * n/2^b per bucket: linear). */
+  def planesFor(n: Long, bucketTarget: Int = 32): Int =
+    math.max(4, math.ceil(math.log(n.toDouble / bucketTarget) / math.log(2)).toInt)
 
   /** Sign-random-projection (SimHash-for-vectors) bucketed ANN — the scale
-    * path. Each vector gets a `planes`-bit bucket id (sign of the exact
-    * integer dot with each hyperplane); queries are compared only against
-    * their own bucket, then reranked by exact cosine. With b planes the
-    * expected bucket occupancy is n/2^b — the per-query work is bounded and
-    * the whole pipeline is two hash-shuffles (bucket build, bucket join),
-    * never a cross join. Recall is tunable via b and multi-probe; this is
-    * the IVF-style tradeoff surface. */
-  def lshTopK(embeddings: DataFrame, planes: Int = 4, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val spark = embeddings.sparkSession
-    val dim = 64
-    val flat = quantized(embeddings)
-      .select(col("vec_id"), col("nrm"),
-        posexplode(expr("transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"))
-          .as(Seq("i", "x")))
-    val dots = flat.join(broadcast(hyperplanes(spark, planes, dim)), "i")
-      .groupBy("vec_id", "p").agg(sum(expr("x * v")).as("dot_p"))
-    val buckets = dots.groupBy("vec_id")
-      .agg(sum(expr("CASE WHEN dot_p > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)) ELSE 0 END"))
-        .as("bucket"))
-    val vecs = quantized(embeddings).join(buckets, "vec_id")
-    val queries = vecs.filter(col("vec_id") < nQueries).toDF("query_id", "qq", "nq", "bucket")
+    * path. One narrow codegen'd pass computes each vector's `planes`-bit
+    * bucket (sign of the exact integer dot with each LCG-derived
+    * hyperplane — see [[graft.functions.MinHashOps.srpBucket]]); the tiny
+    * query set is exploded into its multi-probe bucket ring (exact bucket
+    * plus all Hamming-1 neighbors — the standard recall recovery for SRP)
+    * and broadcast, so the corpus is scanned ONCE, never shuffled, and
+    * only bucket-ring candidates are scored and reranked by exact cosine.
+    * With planes ≈ log2(n/32), candidates per query ≈ 32·(planes+1):
+    * sub-linear in n. No corpus shuffle, no cross join, one broadcast. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+              bucketTarget: Int = 32): DataFrame = {
+    val planes = planesFor(embeddings.count(), bucketTarget)
+    val vecs = quantized(embeddings)
+      .withColumn("bucket", expr(s"srp_bucket(q, $planes)"))
+    // multi-probe ring: the query's own bucket + every single-bit flip.
+    // Probe values are distinct, so a corpus vector (one bucket) matches at
+    // most one probe — no duplicate candidates to dedupe.
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "qq", "nq", "qbucket")
+      .select(col("query_id"), col("qq"), col("nq"),
+        explode(expr(
+          s"concat(array(qbucket), transform(sequence(0, ${planes - 1}), p -> qbucket ^ shiftleft(CAST(1 AS BIGINT), p)))"))
+          .as("bucket"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     vecs.toDF("vec_id", "qv", "nv", "bucket")
-      .join(queries, "bucket")
+      .join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr("vec_dotq(qq, qv)"))
+      .withColumn("dot", expr("vec_dotl(qq, qv)"))
       .withColumn("cosine", expr("dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
       .withColumn("rank", row_number().over(rk))
       .filter(col("rank") <= k)

@@ -127,6 +127,32 @@ object MinHashOps {
     acc
   }
 
+  /** Sign-random-projection bucket id: bit p of the result is the sign of
+    * the exact integer dot of the (pre-quantized) vector with hyperplane p,
+    * whose coefficients come from an LCG on the flat index —
+    * v(p,i) = (1103515245·(p·dim + i + 1) + 12345) mod 2³¹ − 2³⁰, identical
+    * to the oracle's `planes` CTE. |x| ≤ ~2¹⁵ (quantized unit-ish floats)
+    * and |v| < 2³⁰, so the 64-term sum stays ≤ 2⁵¹: exact in a long. */
+  def srpBucket(a: ArrayData, planes: Int): Long = {
+    val xs = a.toLongArray()
+    val dim = xs.length
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var acc = 0L
+      var i = 0
+      val base = p.toLong * dim
+      while (i < dim) {
+        val v = (1103515245L * (base + i + 1) + 12345L) % 2147483648L - 1073741824L
+        acc += xs(i) * v
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Σ q(x_i)² — the quantized squared norm. */
   def normQ(a: ArrayData): Long = {
     val xs = a.toFloatArray()
@@ -208,17 +234,32 @@ case class VecDotL(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** srp_bucket(array<bigint>, planes) -> bigint sign-random-projection
+  * bucket id (see MinHashOps.srpBucket). */
+case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.srpBucket(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.srpBucket($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
 /** Registration — on a live session (idempotent) or via
-  * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. Both paths
+  * are driven by the same `fns` sequence so they can never diverge. */
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[functions] val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "minhash_sig" -> { es => MinHashSig(es.head) },
     "vec_dotq"    -> { es => VecDotQ(es.head, es(1)) },
     "vec_normq"   -> { es => VecNormQ(es.head) },
     "vec_quantize" -> { es => VecQuantize(es.head) },
     "vec_dotl"     -> { es => VecDotL(es.head, es(1)) },
     "shingle_hash60" -> { es =>
-      ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) })
+      ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) },
+    "srp_bucket" -> { es =>
+      SrpBucket(es.head, es(1).eval().asInstanceOf[Int]) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -231,15 +272,9 @@ object GraftFunctions {
 }
 
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo("graft.functions", "minhash_sig"),
-      (es: Seq[Expression]) => MinHashSig(es.head)))
-    ext.injectFunction((FunctionIdentifier("vec_dotq"),
-      new ExpressionInfo("graft.functions", "vec_dotq"),
-      (es: Seq[Expression]) => VecDotQ(es.head, es(1))))
-    ext.injectFunction((FunctionIdentifier("vec_normq"),
-      new ExpressionInfo("graft.functions", "vec_normq"),
-      (es: Seq[Expression]) => VecNormQ(es.head)))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
 }

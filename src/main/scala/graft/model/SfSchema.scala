@@ -169,6 +169,7 @@ object SfSchema {
        |FROM 's3://$s3Bucket/$s3Key'
        |CREDENTIALS 'aws_access_key_id={{ access_key }};aws_secret_access_key={{ secret_key }}'
        |JSON 's3://$s3Bucket/$jsonPathKey'
+       |REGION as 'us-east-1'
        |TIMEFORMAT 'epochmillisecs'
        |TRUNCATECOLUMNS
        |COMPUPDATE OFF

@@ -78,7 +78,13 @@ object EventStreams {
           out += SessionOut(userId, st.sessionSeq, st.nEvents, st.startMs, st.lastMs, st.sumValue)
           st = SessionState(st.sessionSeq + 1, ms, ms, 1L, e.value)
         } else {
-          st = st.copy(lastMs = ms, nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+          // late-but-within-watermark events (ms ≤ lastMs, possible across
+          // micro-batches) extend the session bounds monotonically: the gap
+          // above is always decided against the session's true max event
+          // time, and end can never regress below start
+          st = st.copy(startMs = math.min(st.startMs, ms),
+            lastMs = math.max(st.lastMs, ms),
+            nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
         }
       }
       state.update(st)

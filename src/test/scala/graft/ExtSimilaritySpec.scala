@@ -23,12 +23,13 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
-  test("lshTopK only pairs vectors within the same bucket and reranks exactly") {
+  test("lshTopK pairs vectors within the multi-probe bucket ring and reranks exactly") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
-    val out = Similarity.lshTopK(embs, planes = 4, nQueries = 5, k = 5)
+    val out = Similarity.lshTopK(embs, nQueries = 5, k = 5)
     val rows = out.collect()
     assert(rows.nonEmpty)
-    // bucket ids fit in 4 bits and every returned neighbor differs from its query
+    // small-corpus planes floor is 4 → bucket ids fit in 4 bits, and every
+    // returned neighbor differs from its query
     assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") < 16))
     assert(rows.forall(r => r.getLong(0) !== r.getAs[Long]("neighbor_id")))
     // ranks are 1..n contiguous per query
@@ -37,11 +38,26 @@ class ExtSimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("hyperplanes are deterministic and broadcast-sized") {
-    val h1 = Similarity.hyperplanes(spark, 4, 64).collect()
-    val h2 = Similarity.hyperplanes(spark, 4, 64).collect()
-    assert(h1.map(_.toSeq).toSeq === h2.map(_.toSeq).toSeq)
-    assert(h1.length === 256)
-    assert(h1.forall(r => math.abs(r.getLong(2)) <= (1L << 30)))
+  test("planesFor scales with corpus size and floors at 4") {
+    assert(Similarity.planesFor(500) === 4)
+    assert(Similarity.planesFor(2000) === 6)
+    assert(Similarity.planesFor(1000000000L) === 25)
+    assert(Similarity.planesFor(10) === 4)
+  }
+
+  test("srp_bucket matches the oracle's LCG hyperplane signs and is deterministic") {
+    graft.functions.GraftFunctions.register(spark)
+    // manual reference: bit p = sign of Σ_i x_i · ((1103515245·(p·dim+i+1)+12345) mod 2³¹ − 2³⁰)
+    val xs = Array.tabulate(64)(i => ((i * 37) % 101 - 50).toLong)
+    def planeV(p: Int, i: Int, dim: Int): Long =
+      (1103515245L * (p.toLong * dim + i + 1) + 12345L) % 2147483648L - 1073741824L
+    val expected = (0 until 4).map { p =>
+      val dot = xs.indices.map(i => xs(i) * planeV(p, i, 64)).sum
+      if (dot > 0) 1L << p else 0L
+    }.sum
+    val got = spark.sql(
+      s"SELECT srp_bucket(CAST(array(${xs.mkString(",")}) AS ARRAY<BIGINT>), 4) AS b")
+      .collect().head.getLong(0)
+    assert(got === expected)
   }
 }

@@ -51,4 +51,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("text_langid")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("embedding-cosine pair enumeration is a hash equi-join, never a nested loop") {
+    val p = plan("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("similarity_lsh broadcasts the probe ring against one un-shuffled corpus scan") {
+    val p = plan("similarity_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
