@@ -298,7 +298,14 @@ object ParityQueries {
       val rsOrder = Seq("id", "lastname", "email", "createddate", "street")
       val content = SfSchema.jsonPathsFile(rsOrder, sfCols)
       s.createDataFrame(Seq((0, content))).toDF("i", "jsonpaths").orderBy("i")
-    })
+    }),
+
+    // K4 + S6 + D1-D3 executed end-to-end: CREATE from describe v1 → load
+    // half the rows → describe grows to v2 → ALTERs run against the live
+    // catalog (destination columns fetched back via spark.catalog) → load
+    // the rest column-aligned → read the evolved table back. Pre-evolution
+    // rows carry NULL in the added columns.
+    "schema_evolution_roundtrip" -> ((s, dir) => ops.Evolution.roundtrip(s, dir))
   )
 
   // ---------------------------------------------------------------------
@@ -448,7 +455,15 @@ object ParityQueries {
            |AS t(i, ddl) ORDER BY i""".stripMargin,
 
       "schema_jsonpaths" ->
-        s"SELECT 0 AS i, '${sqlQuote(jsonPaths)}' AS jsonpaths"
+        s"SELECT 0 AS i, '${sqlQuote(jsonPaths)}' AS jsonpaths",
+
+      // the evolved table: odd keys loaded pre-ALTER (NULL in added cols),
+      // even keys post-ALTER; int soapType + varchar(25) clamp applied
+      "schema_evolution_roundtrip" ->
+        """SELECT CAST(s_suppkey AS INTEGER) AS s_suppkey, substr(s_name, 1, 25) AS s_name,
+          |  CASE WHEN s_suppkey % 2 = 0 THEN CAST(s_nationkey AS INTEGER) END AS s_nationkey,
+          |  CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END AS s_acctbal
+          |FROM supplier ORDER BY s_suppkey""".stripMargin
     )
   }
 }

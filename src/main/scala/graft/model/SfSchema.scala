@@ -179,4 +179,10 @@ object SfSchema {
     * (SURVEY.md §2.5 "StructType.toDDL"). */
   def sparkCreateTableDdl(db: String, table: String, st: StructType): String =
     s"CREATE TABLE IF NOT EXISTS $db.$table (${st.toDDL})"
+
+  /** Spark-side ALTER DDL — the engine-native analogue of D2, executable by
+    * `spark.sql` against the session catalog (see [[graft.ops.Evolution]]). */
+  def sparkAlterTableDdl(db: String, table: String, missing: Seq[SfColumn]): Seq[String] =
+    missing.map(c =>
+      s"ALTER TABLE $db.$table ADD COLUMNS (${c.rsName} ${toSparkType(c.soapType).sql})")
 }

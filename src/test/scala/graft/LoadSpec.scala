@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.ops.Load
+
+/** K1/K2 — file-sink write→read-back coverage (ref behavior:
+  * `salesforce_to_s3_operator.py:53-57,204-228`): overwrite semantics,
+  * NDJSON one-object-per-line framing, csv header + CR/LF sanitization. */
+class LoadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpdir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-load-$tag")
+    d.toFile.deleteOnExit()
+    d.toString + "/out"
+  }
+
+  private val fixture = Seq(
+    (1L, "plain value", 10.5),
+    (2L, "embedded\nnewline and\rcarriage", 20.0),
+    (3L, "comma, \"quote\" ; semi", -1.25),
+    (4L, null.asInstanceOf[String], 0.0)
+  ).toDF("id", "payload", "amount")
+
+  test("ndjson sink writes one JSON object per line and reads back exactly") {
+    val path = tmpdir("ndjson")
+    Load.ndjson(fixture, path)
+    // framing: every non-empty line of every part file is one JSON object
+    val lines = java.nio.file.Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.nonEmpty)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // read-back equality (null payload row drops the field in JSON — supply schema)
+    val back = spark.read.schema(fixture.schema).json(path)
+    assert(back.orderBy("id").collect().toSeq === fixture.orderBy("id").collect().toSeq)
+  }
+
+  test("ndjson sink honors replace=True overwrite semantics") {
+    val path = tmpdir("overwrite")
+    Load.ndjson(fixture.filter($"id" <= 2), path)
+    Load.ndjson(fixture.filter($"id" > 2), path)
+    val back = spark.read.schema(fixture.schema).json(path)
+    assert(back.select("id").as[Long].collect().sorted.toSeq === Seq(3L, 4L))
+  }
+
+  test("csv sink writes headers, strips CR/LF, and round-trips values") {
+    val path = tmpdir("csv")
+    Load.csv(fixture, path)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+    // every part file leads with the header row
+    parts.foreach { f =>
+      val first = scala.io.Source.fromFile(f).getLines().nextOption()
+      assert(first.contains("id,payload,amount"), s"missing header in $f")
+    }
+    val back = spark.read.option("header", "true").schema(fixture.schema).csv(path)
+      .orderBy("id").collect()
+    // CR/LF were sanitized before the write — the multiline doc comes back
+    // as one single-line record
+    assert(back(1).getString(1) === "embeddednewline andcarriage")
+    // quoting round-trips commas/quotes; numerics survive typed
+    assert(back(2).getString(1) === "comma, \"quote\" ; semi")
+    assert(back.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(back.map(_.getDouble(2)).toSeq === Seq(10.5, 20.0, -1.25, 0.0))
+  }
+
+  test("csv records stay one-per-line (no raw CR/LF survives sanitization)") {
+    val path = tmpdir("csvlines")
+    Load.csv(fixture, path)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".csv"))
+    val dataLines = parts.flatMap(f => scala.io.Source.fromFile(f).getLines().drop(1).toSeq)
+      .filter(_.nonEmpty)
+    assert(dataLines.length === 4, dataLines.mkString("|"))
+  }
+
+  test("json sink is the documented NDJSON deviation (lossless, scalable)") {
+    val path = tmpdir("json")
+    Load.json(fixture, path)
+    val back = spark.read.schema(fixture.schema).json(path)
+    assert(back.count() === 4)
+  }
+
+  test("varcharClamp truncates only mapped string columns to declared length") {
+    val df = Seq(("abcdefgh", "untouched", 7L)).toDF("short", "free", "n")
+    val out = Load.varcharClamp(df, Map("short" -> 3)).collect().head
+    assert(out.getString(0) === "abc")
+    assert(out.getString(1) === "untouched")
+    assert(out.getLong(2) === 7L)
+  }
+}

@@ -82,6 +82,24 @@ class SfSchemaSpec extends AnyFunSuite {
     assert(SfSchema.renderPath(Seq(Left("a,b"))) === "$['a,b']")
   }
 
+  test("copyCommand golden string matches the reference template (K3)") {
+    // ref: salesforce_schema_to_redshift_operator.py:271-294 — JSON +
+    // jsonpaths load, REGION, epoch-millis timestamps, TRUNCATECOLUMNS,
+    // stats updates off, double-braced credential placeholders untouched
+    val got = SfSchema.copyCommand("sf_schema", "lead", Seq("id", "email"),
+      "my-bucket", "lead/2024/01/01.json", "lead/jsonpaths.json")
+    assert(got ===
+      """COPY sf_schema.lead (id, email)
+        |FROM 's3://my-bucket/lead/2024/01/01.json'
+        |CREDENTIALS 'aws_access_key_id={{ access_key }};aws_secret_access_key={{ secret_key }}'
+        |JSON 's3://my-bucket/lead/jsonpaths.json'
+        |REGION as 'us-east-1'
+        |TIMEFORMAT 'epochmillisecs'
+        |TRUNCATECOLUMNS
+        |COMPUPDATE OFF
+        |STATUPDATE OFF""".stripMargin)
+  }
+
   test("property: reconcile is idempotent — applying missing columns leaves nothing missing") {
     val nameGen = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString.take(12))
     val fieldGen = nameGen.map(n => SfField(n, "xsd:string", 10))
