@@ -220,6 +220,21 @@ object ParityQueries {
         .orderBy("o_orderkey")
     }),
 
+    // §2.6 the same dot path translated from raw SOQL text: the parser
+    // resolves `Customer.*` via Soql.parentRelationships into a dimension
+    // left join (Catalyst auto-broadcasts the small side).
+    "soql_dot_path" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, Customer.c_name, Customer.c_mktsegment, o_totalprice
+          |FROM Orders ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.6 two-level dot path (`Customer.Nation.n_name`) → chained
+    // dimension joins, one alias per path prefix.
+    "soql_dot_path_nested" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, Customer.Nation.n_name, o_totalprice
+          |FROM Orders WHERE o_totalprice >= 400000 ORDER BY o_orderkey""".stripMargin)),
+
     // §2.6 semi-join subquery (SOQL `WHERE Id IN (SELECT ...)`) — passes
     // through the translator untouched (valid Spark SQL); Catalyst plans a
     // LeftSemi with the small side broadcast.
@@ -415,6 +430,20 @@ object ParityQueries {
       "soql_child_to_parent" ->
         """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
           |FROM orders JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      // FK integrity holds in the fixture, so the translator's LEFT JOIN
+      // equals this inner join row-for-row
+      "soql_dot_path" ->
+        """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "soql_dot_path_nested" ->
+        """SELECT o_orderkey, n_name, o_totalprice
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |             JOIN nation ON c_nationkey = n_nationkey
+          |WHERE o_totalprice >= 400000
           |ORDER BY o_orderkey""".stripMargin,
 
       "soql_semi_join" ->

@@ -10,11 +10,18 @@ package graft.soql
   * text and let `spark.sql` do the rest (parse → analyze → optimize →
   * physical, with pushdown for free).
   *
+  * Front-end: a real tokenizer + recursive-descent parser (not regexes) —
+  * string literals are atomic tokens (rewrites can never touch literal
+  * text), parenthesis nesting is tracked by the grammar (nested functions
+  * inside subselects work), and `IN (SELECT …)` vs select-list subselects
+  * are distinguished structurally, not by lookbehind.
+  *
   * Supported dialect surface (public Salesforce SOQL spec):
   *   - SELECT / WHERE (=, !=, <>, <, <=, >, >=, LIKE, IN, NOT IN, AND/OR/NOT)
   *   - GROUP BY [ROLLUP|CUBE] / HAVING / ORDER BY ... NULLS FIRST|LAST
   *   - LIMIT n / OFFSET n
-  *   - agg fns COUNT/SUM/AVG/MIN/MAX, COUNT_DISTINCT(f) → count(DISTINCT f)
+  *   - agg fns COUNT/SUM/AVG/MIN/MAX, COUNT_DISTINCT(f) → count(DISTINCT f),
+  *     COUNT() → count(*)
   *   - date fns CALENDAR_YEAR/MONTH/QUARTER, DAY_ONLY, HOUR_IN_DAY,
   *     DAY_IN_MONTH/WEEK/YEAR, WEEK_IN_YEAR
   *   - date literals TODAY/YESTERDAY/TOMORROW, LAST_N_DAYS:n / NEXT_N_DAYS:n,
@@ -22,46 +29,24 @@ package graft.soql
   *     SOQL spec: `f = TODAY` means "within today", so it becomes a
   *     half-open range — dates and datetimes both handled)
   *   - multipicklist INCLUDES/EXCLUDES → split(';') + arrays_overlap
+  *   - parent-to-child nested subselect in the SELECT list → pre-aggregated
+  *     left join (one shuffle per side, no correlated execution)
+  *   - child-to-parent dot paths (`Customer.c_name`,
+  *     `Customer.Nation.n_name`) → dimension joins via [[parentRelationships]]
   *
   * NOT supported (documented): TYPEOF (polymorphic fields — no analogue in
-  * the test schema), parent-to-child nested subselects in the SELECT list
-  * (use `graft.ops.Shape.flattenRelationship` / a join + collect_list —
-  * SURVEY.md §2.3), WITH / USING SCOPE / FOR VIEW|UPDATE (CRM-specific).
+  * the test schema; rejected with CASE WHEN guidance), WITH / USING SCOPE /
+  * FOR VIEW|UPDATE (CRM-specific).
   */
 object Soql {
 
-  private val fnRenames: Seq[(String, String)] = Seq(
-    "CALENDAR_YEAR" -> "year",
-    "CALENDAR_MONTH" -> "month",
-    "CALENDAR_QUARTER" -> "quarter",
-    "DAY_ONLY" -> "to_date",
-    "HOUR_IN_DAY" -> "hour",
-    "DAY_IN_MONTH" -> "day",
-    "DAY_IN_WEEK" -> "dayofweek",
-    "DAY_IN_YEAR" -> "dayofyear",
-    "WEEK_IN_YEAR" -> "weekofyear"
-  )
+  // ------------------------------------------------------------------
+  // Relationship metadata (the engine analogue of describe()'s
+  // childRelationships / lookup fields)
+  // ------------------------------------------------------------------
 
-  def translate(soql: String): String = {
-    require(!soql.toUpperCase.contains("TYPEOF"),
-      "SOQL TYPEOF is not supported; use CASE WHEN over a discriminator column")
-    // Mask quoted string literals with placeholders so rewrites never touch
-    // literal text, yet patterns spanning literals (e.g. INCLUDES ('a','b'))
-    // still match across the whole statement.
-    val segments = splitQuoted(soql)
-    val lits = scala.collection.mutable.ArrayBuffer.empty[String]
-    val masked = segments.map {
-      case Left(code) => code
-      case Right(lit) => lits += lit; s"${lits.size - 1}"
-    }.mkString
-    val rewritten = rewrite(rewriteChildSubqueries(masked))
-    "(\\d+)".r.replaceAllIn(rewritten, m =>
-      java.util.regex.Matcher.quoteReplacement(lits(m.group(1).toInt)))
-  }
-
-  /** Parent-to-child relationship metadata for the test schema -- the engine
-    * analogue of Salesforce's childRelationships in describe() (relationship
-    * name -> child object + join keys). */
+  /** Parent-to-child relationship metadata for the test schema (relationship
+    * name → child object + join keys). */
   final case class Relationship(childTable: String, parentKey: String, childKey: String)
   val relationships: Map[(String, String), Relationship] = Map(
     ("orders", "lineitems")   -> Relationship("lineitem", "o_orderkey", "l_orderkey"),
@@ -72,150 +57,546 @@ object Soql {
     ("part", "lineitems")     -> Relationship("lineitem", "p_partkey", "l_partkey"),
     ("supplier", "lineitems") -> Relationship("lineitem", "s_suppkey", "l_suppkey"))
 
-  /** SOQL parent-to-child nested subselect:
-    * `SELECT p1, (SELECT c1, c2 FROM Children) FROM Parent ...`
-    * becomes a left join against a pre-aggregated child relation producing
-    * the reference's nested `{relationship: {records: [...]}}` shape
+  /** Child-to-parent (lookup) metadata for dot paths: (child table,
+    * relationship name) → parent table + join keys. */
+  final case class ParentRel(parentTable: String, childKey: String, parentKey: String)
+  val parentRelationships: Map[(String, String), ParentRel] = Map(
+    ("orders", "customer")   -> ParentRel("customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders")   -> ParentRel("orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part")     -> ParentRel("part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier") -> ParentRel("supplier", "l_suppkey", "s_suppkey"),
+    ("customer", "nation")   -> ParentRel("nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation")   -> ParentRel("nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region")     -> ParentRel("region", "n_regionkey", "r_regionkey"))
+
+  private val fnRenames: Map[String, String] = Map(
+    "CALENDAR_YEAR" -> "year",
+    "CALENDAR_MONTH" -> "month",
+    "CALENDAR_QUARTER" -> "quarter",
+    "DAY_ONLY" -> "to_date",
+    "HOUR_IN_DAY" -> "hour",
+    "DAY_IN_MONTH" -> "day",
+    "DAY_IN_WEEK" -> "dayofweek",
+    "DAY_IN_YEAR" -> "dayofyear",
+    "WEEK_IN_YEAR" -> "weekofyear")
+
+  def translate(soql: String): String =
+    new Parser(Lexer.tokenize(soql)).parseQuery(top = true).emit
+
+  // ------------------------------------------------------------------
+  // Tokenizer
+  // ------------------------------------------------------------------
+
+  private[soql] sealed trait Tok
+  private[soql] final case class TIdent(s: String) extends Tok
+  private[soql] final case class TNum(s: String) extends Tok
+  /** String literal, quotes included; SOQL \' already normalized to SQL ''. */
+  private[soql] final case class TStr(s: String) extends Tok
+  private[soql] final case class TOp(s: String) extends Tok
+  private[soql] case object TEnd extends Tok
+
+  private[soql] object Lexer {
+    def tokenize(s: String): Vector[Tok] = {
+      val out = Vector.newBuilder[Tok]
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '\'') {
+          val sb = new StringBuilder("'")
+          i += 1
+          var closed = false
+          while (i < s.length && !closed) {
+            val d = s.charAt(i)
+            if (d == '\\' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              sb.append("''"); i += 2 // SOQL \' → SQL ''
+            } else if (d == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+              sb.append("''"); i += 2 // already-doubled quote stays
+            } else if (d == '\'') {
+              sb.append('\''); i += 1; closed = true
+            } else { sb.append(d); i += 1 }
+          }
+          require(closed, s"unterminated string literal in SOQL: $s")
+          out += TStr(sb.toString)
+        } else if (c.isLetter || c == '_') {
+          val start = i
+          while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          out += TIdent(s.substring(start, i))
+        } else if (c.isDigit) {
+          val start = i
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          if (i < s.length && s.charAt(i) == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit) {
+            i += 1
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+          }
+          out += TNum(s.substring(start, i))
+        } else {
+          val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+          if (two == ">=" || two == "<=" || two == "!=" || two == "<>") {
+            out += TOp(two); i += 2
+          } else {
+            require("()=<>,.:*+-/%".indexOf(c) >= 0, s"unexpected character '$c' in SOQL: $s")
+            out += TOp(c.toString); i += 1
+          }
+        }
+      }
+      out += TEnd
+      out.result()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // AST
+  // ------------------------------------------------------------------
+
+  /** Resolution context accumulated while emitting one query level: child
+    * subselect joins and dot-path parent joins. */
+  private final class Ctx(val fromTable: String) {
+    val childJoins = new StringBuilder
+    var childIx = 0
+    /** path prefix (lowercased, dot-joined) → join alias */
+    val parentAliases = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val parentJoins = new StringBuilder
+
+    /** Resolve a multi-segment dot path to a joined column reference,
+      * registering LEFT JOINs for each unvisited prefix. */
+    def resolvePath(path: Seq[String]): String = {
+      // `Orders.o_orderkey` — a base-table qualifier is just the column
+      val segs = if (path.head.toLowerCase == fromTable && path.length > 1) path.tail else path
+      if (segs.length == 1) return segs.head
+      var curTable = fromTable
+      var curAlias = "" // empty = base table (unqualified keys)
+      val prefix = new StringBuilder
+      for (seg <- segs.dropRight(1)) {
+        val rel = parentRelationships.getOrElse((curTable, seg.toLowerCase),
+          throw new IllegalArgumentException(
+            s"unknown parent relationship $seg under $curTable -- register it in Soql.parentRelationships"))
+        if (prefix.nonEmpty) prefix.append('.')
+        prefix.append(seg.toLowerCase)
+        val key = prefix.toString
+        val alias = parentAliases.getOrElseUpdate(key, {
+          val a = s"__p${parentAliases.size}"
+          val childRef = if (curAlias.isEmpty) rel.childKey else s"$curAlias.${rel.childKey}"
+          parentJoins.append(s" LEFT JOIN ${rel.parentTable} $a ON $childRef = $a.${rel.parentKey}")
+          a
+        })
+        curTable = rel.parentTable
+        curAlias = alias
+      }
+      s"$curAlias.${segs.last}"
+    }
+  }
+
+  private sealed trait Expr { def emit(ctx: Ctx): String }
+  private final case class Path(segs: Seq[String]) extends Expr {
+    def emit(ctx: Ctx): String = ctx.resolvePath(segs)
+  }
+  private final case class Lit(text: String) extends Expr {
+    def emit(ctx: Ctx): String = text
+  }
+  private case object Star extends Expr { def emit(ctx: Ctx): String = "*" }
+  private final case class Func(name: String, distinct: Boolean, args: Seq[Expr]) extends Expr {
+    def emit(ctx: Ctx): String = {
+      val n = fnRenames.getOrElse(name.toUpperCase, name)
+      if (distinct) s"count(DISTINCT ${args.map(_.emit(ctx)).mkString(", ")})"
+      else if (args.isEmpty && name.equalsIgnoreCase("COUNT")) "count(*)"
+      else s"$n(${args.map(_.emit(ctx)).mkString(", ")})"
+    }
+  }
+  private final case class Arith(op: String, l: Expr, r: Expr) extends Expr {
+    def emit(ctx: Ctx): String = s"${l.emit(ctx)} $op ${r.emit(ctx)}"
+  }
+  private final case class ParenE(e: Expr) extends Expr {
+    def emit(ctx: Ctx): String = s"(${e.emit(ctx)})"
+  }
+  private final case class And(l: Expr, r: Expr) extends Expr {
+    def emit(ctx: Ctx): String = s"${l.emit(ctx)} AND ${r.emit(ctx)}"
+  }
+  private final case class Or(l: Expr, r: Expr) extends Expr {
+    def emit(ctx: Ctx): String = s"${l.emit(ctx)} OR ${r.emit(ctx)}"
+  }
+  private final case class NotE(e: Expr) extends Expr {
+    def emit(ctx: Ctx): String = s"NOT ${e.emit(ctx)}"
+  }
+  private final case class Cmp(l: Expr, op: String, r: Expr) extends Expr {
+    def emit(ctx: Ctx): String = s"${l.emit(ctx)} $op ${r.emit(ctx)}"
+  }
+  /** `field OP <date literal>` — rewritten to a half-open day range. */
+  private final case class DateCmp(l: Expr, op: String, lo: String, hiExcl: String) extends Expr {
+    def emit(ctx: Ctx): String = {
+      val f = l.emit(ctx)
+      op match {
+        case "="         => s"($f >= $lo AND $f < $hiExcl)"
+        case "!=" | "<>" => s"($f < $lo OR $f >= $hiExcl)"
+        case ">"         => s"$f >= $hiExcl"
+        case ">="        => s"$f >= $lo"
+        case "<"         => s"$f < $lo"
+        case "<="        => s"$f < $hiExcl"
+      }
+    }
+  }
+  private final case class Like(l: Expr, negated: Boolean, pattern: Expr) extends Expr {
+    def emit(ctx: Ctx): String =
+      s"${l.emit(ctx)} ${if (negated) "NOT LIKE" else "LIKE"} ${pattern.emit(ctx)}"
+  }
+  private final case class InList(l: Expr, negated: Boolean, items: Seq[Expr]) extends Expr {
+    def emit(ctx: Ctx): String =
+      s"${l.emit(ctx)} ${if (negated) "NOT IN" else "IN"} (${items.map(_.emit(ctx)).mkString(", ")})"
+  }
+  private final case class InSubquery(l: Expr, negated: Boolean, sub: Query) extends Expr {
+    def emit(ctx: Ctx): String =
+      s"${l.emit(ctx)} ${if (negated) "NOT IN" else "IN"} (${sub.emit})"
+  }
+  /** multipicklist INCLUDES/EXCLUDES — true when the semicolon-separated
+    * field shares a value with any listed entry. */
+  private final case class Includes(l: Expr, negated: Boolean, items: Seq[Expr]) extends Expr {
+    def emit(ctx: Ctx): String = {
+      val neg = if (negated) "NOT " else ""
+      s"${neg}arrays_overlap(split(${l.emit(ctx)}, ';'), array(${items.map(_.emit(ctx)).mkString(", ")}))"
+    }
+  }
+  /** SOQL parent-to-child nested subselect in the SELECT list:
+    * `SELECT p1, (SELECT c1, c2 FROM Children) FROM Parent ...` becomes a
+    * left join against a pre-aggregated child relation producing the
+    * reference's nested `{relationship: {records: [...]}}` shape
     * (`special_query`, salesforce_to_s3_operator.py:155-160) as an
     * ArrayType(StructType) under `.records`, ready for
     * [[graft.ops.Shape.flattenRelationship]]. Parents without children get a
-    * NULL struct, which the inner-semantics explode then drops -- the
+    * NULL struct, which the inner-semantics explode then drops — the
     * reference's `if r.get(relationship)` guard (line 158).
-    * Scale: the child side pre-aggregates per key and joins -- one shuffle
+    * Scale: the child side pre-aggregates per key and joins — one shuffle
     * each side, no row explosion, no correlated per-parent execution. */
-  private def rewriteChildSubqueries(code0: String): String = {
-    val sub = "(?is)\\(\\s*SELECT\\s+([^()]*?)\\s+FROM\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*\\)".r
-    // SOQL semi/anti-join subqueries (`WHERE f IN (SELECT ...)`) are valid
-    // Spark SQL as-is -- only rewrite subselects in the SELECT list, i.e.
-    // those NOT preceded by IN.
-    def isInSubquery(m: scala.util.matching.Regex.Match): Boolean =
-      "(?is).*\\bIN\\s*$".r.matches(code0.substring(0, m.start))
-    val found = sub.findAllMatchIn(code0).toList.filterNot(isInSubquery)
-    if (found.isEmpty) return code0
-    // outer FROM = first FROM once subselects are blanked out
-    val stripped = sub.replaceAllIn(code0, "@SUB@")
-    val parent = "(?i)\\bFROM\\s+([A-Za-z_][A-Za-z0-9_]*)".r
-      .findFirstMatchIn(stripped)
-      .map(_.group(1).toLowerCase)
-      .getOrElse(throw new IllegalArgumentException(s"no outer FROM in: $code0"))
-    var code = code0
-    val joins = new StringBuilder
-    found.zipWithIndex.foreach { case (m, i) =>
-      val cols = m.group(1).trim
-      val relName = m.group(2).toLowerCase
-      val rel = relationships.getOrElse((parent, relName),
+  private final case class ChildSub(cols: Seq[Expr], relName: String) extends Expr {
+    def emit(ctx: Ctx): String = {
+      val rel = relationships.getOrElse((ctx.fromTable, relName),
         throw new IllegalArgumentException(
-          s"unknown relationship $relName under $parent -- register it in Soql.relationships"))
-      code = code.replace(m.matched,
-        s"named_struct('records', __rel$i.__records) AS $relName")
-      joins.append(
-        s" LEFT JOIN (SELECT ${rel.childKey} AS __jk$i, collect_list(struct($cols)) AS __records" +
-        s" FROM ${rel.childTable} GROUP BY ${rel.childKey}) __rel$i" +
+          s"unknown relationship $relName under ${ctx.fromTable} -- register it in Soql.relationships"))
+      val i = ctx.childIx
+      ctx.childIx += 1
+      val childCtx = new Ctx(rel.childTable)
+      val colSql = cols.map(_.emit(childCtx)).mkString(", ")
+      ctx.childJoins.append(
+        s" LEFT JOIN (SELECT ${rel.childKey} AS __jk$i, collect_list(struct($colSql)) AS __records" +
+        s" FROM ${rel.childTable}${childCtx.parentJoins} GROUP BY ${rel.childKey}) __rel$i" +
         s" ON ${rel.parentKey} = __rel$i.__jk$i")
+      s"named_struct('records', __rel$i.__records) AS $relName"
     }
-    // splice the joins right after the outer `FROM <table>`
-    val outerFrom = "(?i)\\bFROM\\s+[A-Za-z_][A-Za-z0-9_]*".r
-    val fromText = outerFrom.findFirstIn(code).get
-    val idx = code.indexOf(fromText) + fromText.length
-    code.substring(0, idx) + joins.toString + code.substring(idx)
   }
 
-  /** Left = code to rewrite, Right = quoted literal (verbatim, incl quotes) */
-  private def splitQuoted(s: String): Seq[Either[String, String]] = {
-    val res = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
-    val cur = new StringBuilder
-    var inStr = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (!inStr && c == '\'') {
-        if (cur.nonEmpty) { res += Left(cur.toString); cur.clear() }
-        inStr = true; cur.append(c)
-      } else if (inStr && c == '\'') {
-        // SOQL escapes quotes with backslash, SQL with doubling; handle both
-        if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
-          cur.append("''"); i += 1
+  private final case class SelectItem(expr: Expr, alias: Option[String]) {
+    def emit(ctx: Ctx): String =
+      alias.map(a => s"${expr.emit(ctx)} AS $a").getOrElse(expr.emit(ctx))
+  }
+  private final case class OrderItem(expr: Expr, dir: Option[String], nulls: Option[String]) {
+    def emit(ctx: Ctx): String =
+      (Seq(expr.emit(ctx)) ++ dir ++ nulls.map("NULLS " + _)).mkString(" ")
+  }
+  private final case class GroupBy(kind: Option[String], exprs: Seq[Expr]) {
+    def emit(ctx: Ctx): String = kind match {
+      case Some(k) => s"GROUP BY $k (${exprs.map(_.emit(ctx)).mkString(", ")})"
+      case None    => s"GROUP BY ${exprs.map(_.emit(ctx)).mkString(", ")}"
+    }
+  }
+
+  private final case class Query(
+      select: Seq[SelectItem], from: String, where: Option[Expr],
+      groupBy: Option[GroupBy], having: Option[Expr],
+      orderBy: Seq[OrderItem], limit: Option[String], offset: Option[String]) {
+    def emit: String = {
+      val ctx = new Ctx(from)
+      // SELECT items first: child subselects register their joins in order
+      val sel = select.map(_.emit(ctx)).mkString(", ")
+      val whereSql = where.map(" WHERE " + _.emit(ctx)).getOrElse("")
+      val groupSql = groupBy.map(" " + _.emit(ctx)).getOrElse("")
+      val havingSql = having.map(" HAVING " + _.emit(ctx)).getOrElse("")
+      val orderSql =
+        if (orderBy.isEmpty) "" else " ORDER BY " + orderBy.map(_.emit(ctx)).mkString(", ")
+      val limitSql = limit.map(" LIMIT " + _).getOrElse("")
+      val offsetSql = offset.map(" OFFSET " + _).getOrElse("")
+      s"SELECT $sel FROM $from${ctx.childJoins}${ctx.parentJoins}" +
+        whereSql + groupSql + havingSql + orderSql + limitSql + offsetSql
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Parser (recursive descent)
+  // ------------------------------------------------------------------
+
+  private val keywords = Set("SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "IN",
+    "LIKE", "INCLUDES", "EXCLUDES", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
+    "OFFSET", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "ROLLUP", "CUBE")
+
+  /** Date literal → (lo, hiExcl) half-open day range; `n` for the :n forms. */
+  private def dateRange(name: String, n: => String): Option[(String, String)] =
+    name.toUpperCase match {
+      case "TODAY"        => Some(("current_date()", "date_add(current_date(), 1)"))
+      case "YESTERDAY"    => Some(("date_sub(current_date(), 1)", "current_date()"))
+      case "TOMORROW"     => Some(("date_add(current_date(), 1)", "date_add(current_date(), 2)"))
+      // LAST_N_DAYS:n — starts midnight n days ago, ends end of *yesterday*
+      case "LAST_N_DAYS"  => Some((s"date_sub(current_date(), $n)", "current_date()"))
+      case "LAST_90_DAYS" => Some(("date_sub(current_date(), 90)", "current_date()"))
+      case "NEXT_90_DAYS" => Some(("date_add(current_date(), 1)", "date_add(current_date(), 91)"))
+      // NEXT_N_DAYS:n — starts tomorrow, ends n days from today (inclusive)
+      case "NEXT_N_DAYS"  => Some(("date_add(current_date(), 1)", s"date_add(current_date(), ${n.toInt + 1})"))
+      case "THIS_MONTH"   => Some(("trunc(current_date(), 'MM')", "add_months(trunc(current_date(), 'MM'), 1)"))
+      case "LAST_MONTH"   => Some(("add_months(trunc(current_date(), 'MM'), -1)", "trunc(current_date(), 'MM')"))
+      case "THIS_YEAR"    => Some(("trunc(current_date(), 'YYYY')", "add_months(trunc(current_date(), 'YYYY'), 12)"))
+      case "LAST_YEAR"    => Some(("add_months(trunc(current_date(), 'YYYY'), -12)", "trunc(current_date(), 'YYYY')"))
+      case _              => None
+    }
+
+  private final class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = toks(pos)
+    private def peekAt(k: Int): Tok = toks(math.min(pos + k, toks.length - 1))
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TIdent(s) => s.equalsIgnoreCase(kw)
+      case _         => false
+    }
+    private def acceptKw(kw: String): Boolean =
+      if (isKw(peek, kw)) { pos += 1; true } else false
+    private def expectKw(kw: String): Unit =
+      require(acceptKw(kw), s"expected $kw at token $pos, found $peek")
+    private def acceptOp(op: String): Boolean = peek match {
+      case TOp(s) if s == op => pos += 1; true
+      case _                 => false
+    }
+    private def expectOp(op: String): Unit =
+      require(acceptOp(op), s"expected '$op' at token $pos, found $peek")
+    private def expectIdent(): String = next() match {
+      case TIdent(s) => s
+      case t         => throw new IllegalArgumentException(s"expected identifier, found $t")
+    }
+    private def expectNum(): String = next() match {
+      case TNum(s) => s
+      case t       => throw new IllegalArgumentException(s"expected number, found $t")
+    }
+
+    def parseQuery(top: Boolean): Query = {
+      expectKw("SELECT")
+      val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
+      items += parseSelectItem()
+      while (acceptOp(",")) items += parseSelectItem()
+      expectKw("FROM")
+      // Salesforce object names are case-insensitive and the Bulk operator
+      // title-cases them (salesforce_to_s3_operator.py:44); views are lowercase
+      val from = expectIdent().toLowerCase
+      val where = if (acceptKw("WHERE")) Some(parseOr()) else None
+      var groupBy: Option[GroupBy] = None
+      if (isKw(peek, "GROUP")) {
+        next(); expectKw("BY")
+        val kind = if (acceptKw("ROLLUP")) Some("ROLLUP")
+                   else if (acceptKw("CUBE")) Some("CUBE") else None
+        val exprs = scala.collection.mutable.ArrayBuffer.empty[Expr]
+        if (kind.isDefined) {
+          expectOp("(")
+          exprs += parseValue()
+          while (acceptOp(",")) exprs += parseValue()
+          expectOp(")")
         } else {
-          cur.append(c); res += Right(cur.toString); cur.clear(); inStr = false
+          exprs += parseValue()
+          while (acceptOp(",")) exprs += parseValue()
         }
-      } else if (inStr && c == '\\' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
-        cur.append("''"); i += 1 // SOQL \' → SQL ''
-      } else cur.append(c)
-      i += 1
+        groupBy = Some(GroupBy(kind, exprs.toSeq))
+      }
+      val having = if (acceptKw("HAVING")) Some(parseOr()) else None
+      val orderBy = scala.collection.mutable.ArrayBuffer.empty[OrderItem]
+      if (isKw(peek, "ORDER")) {
+        next(); expectKw("BY")
+        orderBy += parseOrderItem()
+        while (acceptOp(",")) orderBy += parseOrderItem()
+      }
+      val limit = if (acceptKw("LIMIT")) Some(expectNum()) else None
+      val offset = if (acceptKw("OFFSET")) Some(expectNum()) else None
+      if (top) peek match {
+        case TEnd => ()
+        case t    => throw new IllegalArgumentException(s"unexpected trailing token $t")
+      }
+      Query(items.toSeq, from, where, groupBy, having, orderBy.toSeq, limit, offset)
     }
-    if (cur.nonEmpty) res += (if (inStr) Right(cur.toString) else Left(cur.toString))
-    res.toSeq
-  }
 
-  private def rewrite(code0: String): String = {
-    var code = code0
-
-    // FIELDS(ALL|STANDARD|CUSTOM) → * (the test schema has no custom-field
-    // tier split; all fields are "standard")
-    code = code.replaceAll("(?i)\\bFIELDS\\s*\\(\\s*(ALL|STANDARD|CUSTOM)\\s*\\)", "*")
-
-    // COUNT_DISTINCT(f) → count(DISTINCT f)
-    code = code.replaceAll("(?i)\\bCOUNT_DISTINCT\\s*\\(", "count(DISTINCT ")
-
-    // date function renames
-    for ((soqlFn, sparkFn) <- fnRenames)
-      code = code.replaceAll(s"(?i)\\b$soqlFn\\s*\\(", s"$sparkFn(")
-
-    // date literals in comparisons: `field OP LITERAL`
-    val cmp = "(=|!=|<>|>=|<=|>|<)"
-    val ident = "([A-Za-z_][A-Za-z0-9_.]*)"
-    def dayRange(lo: String, hiExcl: String, f: String, op: String): String = op match {
-      case "="          => s"($f >= $lo AND $f < $hiExcl)"
-      case "!=" | "<>"  => s"($f < $lo OR $f >= $hiExcl)"
-      case ">"          => s"$f >= $hiExcl"
-      case ">="         => s"$f >= $lo"
-      case "<"          => s"$f < $lo"
-      case "<="         => s"$f < $hiExcl"
+    private def parseSelectItem(): SelectItem = {
+      require(!isKw(peek, "TYPEOF"),
+        "SOQL TYPEOF is not supported; use CASE WHEN over a discriminator column")
+      // select-list subselect: '(' SELECT cols FROM Relationship ')'
+      if (peek == TOp("(") && isKw(peekAt(1), "SELECT")) {
+        next(); next()
+        val cols = scala.collection.mutable.ArrayBuffer.empty[Expr]
+        cols += parseValue()
+        while (acceptOp(",")) cols += parseValue()
+        expectKw("FROM")
+        val rel = expectIdent().toLowerCase
+        expectOp(")")
+        return SelectItem(ChildSub(cols.toSeq, rel), None)
+      }
+      val e = parseValue()
+      val alias = peek match {
+        case TIdent(s) if s.equalsIgnoreCase("AS") =>
+          next(); Some(expectIdent())
+        case TIdent(s) if !keywords.contains(s.toUpperCase) =>
+          next(); Some(s)
+        case _ => None
+      }
+      SelectItem(e, alias)
     }
-    def replaceLit(pattern: String, lo: String => String, hi: String => String): Unit = {
-      val r = s"(?i)$ident\\s*$cmp\\s*$pattern".r
-      code = r.replaceAllIn(code, m => {
-        val f = m.group(1); val op = m.group(2)
-        val n = if (m.groupCount >= 3 && m.group(3) != null) m.group(3) else ""
-        java.util.regex.Matcher.quoteReplacement(dayRange(lo(n), hi(n), f, op))
-      })
+
+    private def parseOrderItem(): OrderItem = {
+      val e = parseValue()
+      val dir = if (acceptKw("ASC")) Some("ASC")
+                else if (acceptKw("DESC")) Some("DESC") else None
+      val nulls = if (acceptKw("NULLS")) {
+        if (acceptKw("FIRST")) Some("FIRST") else { expectKw("LAST"); Some("LAST") }
+      } else None
+      OrderItem(e, dir, nulls)
     }
-    replaceLit("\\bTODAY\\b", _ => "current_date()", _ => "date_add(current_date(), 1)")
-    replaceLit("\\bYESTERDAY\\b", _ => "date_sub(current_date(), 1)", _ => "current_date()")
-    replaceLit("\\bTOMORROW\\b", _ => "date_add(current_date(), 1)", _ => "date_add(current_date(), 2)")
-    // LAST_N_DAYS:n — starts midnight n days ago, ends end of *yesterday*
-    replaceLit("\\bLAST_N_DAYS\\s*:\\s*(\\d+)", n => s"date_sub(current_date(), $n)", _ => "current_date()")
-    replaceLit("\\bLAST_90_DAYS\\b", _ => "date_sub(current_date(), 90)", _ => "current_date()")
-    replaceLit("\\bNEXT_90_DAYS\\b", _ => "date_add(current_date(), 1)", _ => "date_add(current_date(), 91)")
-    // NEXT_N_DAYS:n — starts tomorrow, ends n days from today (inclusive)
-    replaceLit("\\bNEXT_N_DAYS\\s*:\\s*(\\d+)", _ => "date_add(current_date(), 1)", n => s"date_add(current_date(), ${n.toInt + 1})")
-    replaceLit("\\bTHIS_MONTH\\b",
-      _ => "trunc(current_date(), 'MM')", _ => "add_months(trunc(current_date(), 'MM'), 1)")
-    replaceLit("\\bLAST_MONTH\\b",
-      _ => "add_months(trunc(current_date(), 'MM'), -1)", _ => "trunc(current_date(), 'MM')")
-    replaceLit("\\bTHIS_YEAR\\b",
-      _ => "trunc(current_date(), 'YYYY')", _ => "add_months(trunc(current_date(), 'YYYY'), 12)")
-    replaceLit("\\bLAST_YEAR\\b",
-      _ => "add_months(trunc(current_date(), 'YYYY'), -12)", _ => "trunc(current_date(), 'YYYY')")
 
-    // multipicklist INCLUDES / EXCLUDES ('a;b', 'c') — true when the
-    // semicolon-separated field shares a value with any listed entry
-    val inc = s"(?i)$ident\\s+(INCLUDES|EXCLUDES)\\s*\\(([^)]*)\\)".r
-    code = inc.replaceAllIn(code, m => {
-      val f = m.group(1)
-      val neg = if (m.group(2).equalsIgnoreCase("EXCLUDES")) "NOT " else ""
-      val items = m.group(3)
-      java.util.regex.Matcher.quoteReplacement(
-        s"${neg}arrays_overlap(split($f, ';'), array($items))")
-    })
+    // ---- boolean grammar: OR > AND > NOT > condition ----
+    private def parseOr(): Expr = {
+      var l = parseAnd()
+      while (acceptKw("OR")) l = Or(l, parseAnd())
+      l
+    }
+    private def parseAnd(): Expr = {
+      var l = parseNot()
+      while (acceptKw("AND")) l = And(l, parseNot())
+      l
+    }
+    private def parseNot(): Expr =
+      if (acceptKw("NOT")) NotE(parseNot()) else parseCond()
 
-    // normalize FROM <Object> — Salesforce object names are case-insensitive
-    // and the Bulk operator title-cases them (`salesforce_to_s3_operator
-    // .py:44`); our temp views are lowercase.
-    val fromR = "(?i)(\\bFROM\\s+)([A-Za-z_][A-Za-z0-9_]*)".r
-    code = fromR.replaceAllIn(code, m =>
-      java.util.regex.Matcher.quoteReplacement(m.group(1) + m.group(2).toLowerCase))
+    /** One condition: a parenthesized boolean, or operand + predicate rest. */
+    private def parseCond(): Expr = {
+      if (peek == TOp("(")) {
+        // lookahead: boolean group vs parenthesized value expression — parse
+        // as boolean (the value grammar handles arithmetic parens itself)
+        val save = pos
+        next()
+        val inner = parseOr()
+        expectOp(")")
+        inner match {
+          case _: Cmp | _: DateCmp | _: Like | _: InList | _: InSubquery |
+               _: Includes | _: And | _: Or | _: NotE =>
+            return ParenE(inner)
+          case _ => pos = save // plain value in parens: re-parse as operand
+        }
+      }
+      val l = parseValue()
+      peek match {
+        case TOp(op) if Set("=", "!=", "<>", "<", "<=", ">", ">=").contains(op) =>
+          next()
+          (peek, peekAt(1)) match {
+            // date literal with :n argument
+            case (TIdent(name), TOp(":")) if dateRange(name, "0").isDefined =>
+              next(); next()
+              val n = expectNum()
+              val (lo, hi) = dateRange(name, n).get
+              DateCmp(l, op, lo, hi)
+            case (TIdent(name), _) if dateRange(name, "0").isDefined =>
+              next()
+              val (lo, hi) = dateRange(name, "0").get
+              DateCmp(l, op, lo, hi)
+            case _ => Cmp(l, op, parseValue())
+          }
+        case t if isKw(t, "LIKE") =>
+          next(); Like(l, negated = false, parseValue())
+        case t if isKw(t, "NOT") && isKw(peekAt(1), "LIKE") =>
+          next(); next(); Like(l, negated = true, parseValue())
+        case t if isKw(t, "NOT") && isKw(peekAt(1), "IN") =>
+          next(); next(); parseInRest(l, negated = true)
+        case t if isKw(t, "IN") =>
+          next(); parseInRest(l, negated = false)
+        case t if isKw(t, "INCLUDES") =>
+          next(); Includes(l, negated = false, parseLiteralList())
+        case t if isKw(t, "EXCLUDES") =>
+          next(); Includes(l, negated = true, parseLiteralList())
+        case _ => l // bare boolean field/expression
+      }
+    }
 
-    code
+    private def parseInRest(l: Expr, negated: Boolean): Expr = {
+      expectOp("(")
+      if (isKw(peek, "SELECT")) {
+        val sub = parseQuery(top = false)
+        expectOp(")")
+        InSubquery(l, negated, sub)
+      } else {
+        val items = scala.collection.mutable.ArrayBuffer.empty[Expr]
+        items += parseValue()
+        while (acceptOp(",")) items += parseValue()
+        expectOp(")")
+        InList(l, negated, items.toSeq)
+      }
+    }
+
+    private def parseLiteralList(): Seq[Expr] = {
+      expectOp("(")
+      val items = scala.collection.mutable.ArrayBuffer.empty[Expr]
+      items += parseValue()
+      while (acceptOp(",")) items += parseValue()
+      expectOp(")")
+      items.toSeq
+    }
+
+    // ---- value grammar: additive > multiplicative > factor ----
+    private def parseValue(): Expr = {
+      var l = parseTerm()
+      while (peek == TOp("+") || peek == TOp("-")) {
+        val op = next().asInstanceOf[TOp].s
+        l = Arith(op, l, parseTerm())
+      }
+      l
+    }
+    private def parseTerm(): Expr = {
+      var l = parseFactor()
+      while (peek == TOp("*") || peek == TOp("/") || peek == TOp("%")) {
+        val op = next().asInstanceOf[TOp].s
+        l = Arith(op, l, parseFactor())
+      }
+      l
+    }
+
+    private def parseFactor(): Expr = next() match {
+      case TNum(n)  => Lit(n)
+      case TStr(s)  => Lit(s)
+      case TOp("*") => Star
+      case TOp("-") => Arith("-", Lit("0"), parseFactor()) // unary minus
+      case TOp("(") =>
+        val e = parseValue()
+        expectOp(")")
+        ParenE(e)
+      case TIdent(name) if name.equalsIgnoreCase("TYPEOF") =>
+        throw new IllegalArgumentException(
+          "SOQL TYPEOF is not supported; use CASE WHEN over a discriminator column")
+      case TIdent(name) if peek == TOp("(") =>
+        next()
+        // FIELDS(ALL|STANDARD|CUSTOM) → * (no custom-field tier in the schema)
+        if (name.equalsIgnoreCase("FIELDS")) {
+          val tier = expectIdent()
+          require(Set("ALL", "STANDARD", "CUSTOM").contains(tier.toUpperCase),
+            s"unknown FIELDS tier $tier")
+          expectOp(")")
+          Star
+        } else if (name.equalsIgnoreCase("COUNT_DISTINCT")) {
+          val args = parseArgs()
+          Func("count", distinct = true, args)
+        } else {
+          Func(name, distinct = false, parseArgs())
+        }
+      case TIdent(name) =>
+        val segs = scala.collection.mutable.ArrayBuffer(name)
+        while (peek == TOp(".")) { next(); segs += expectIdent() }
+        Path(segs.toSeq)
+      case t => throw new IllegalArgumentException(s"unexpected token $t in expression")
+    }
+
+    private def parseArgs(): Seq[Expr] = {
+      if (acceptOp(")")) return Nil
+      val args = scala.collection.mutable.ArrayBuffer.empty[Expr]
+      args += parseValue()
+      while (acceptOp(",")) args += parseValue()
+      expectOp(")")
+      args.toSeq
+    }
   }
 }

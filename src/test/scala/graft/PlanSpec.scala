@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("translated dot path plans a broadcast dimension join") {
+    val p = plan("soql_dot_path")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("embedding-cosine pair enumeration is a hash equi-join, never a nested loop") {
     val p = plan("dedup_embedding_cosine")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

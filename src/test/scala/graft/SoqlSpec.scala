@@ -90,6 +90,82 @@ class SoqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("TYPEOF"))
   }
 
+  test("dot path resolves to a parent join with leaf column names") {
+    val t = Soql.translate(
+      "SELECT o_orderkey, Customer.c_name FROM Orders ORDER BY o_orderkey")
+    assert(t.contains("LEFT JOIN customer __p0 ON o_custkey = __p0.c_custkey"), t)
+    assert(t.contains("__p0.c_name"), t)
+  }
+
+  test("two-level dot path chains joins, one alias per prefix, deduped") {
+    val t = Soql.translate(
+      "SELECT Customer.c_name, Customer.Nation.n_name, Customer.c_mktsegment FROM Orders")
+    assert(t.contains("LEFT JOIN customer __p0 ON o_custkey = __p0.c_custkey"), t)
+    assert(t.contains("LEFT JOIN nation __p1 ON __p0.c_nationkey = __p1.n_nationkey"), t)
+    // customer joined once despite three references
+    assert(t.sliding("LEFT JOIN customer".length).count(_ == "LEFT JOIN customer") === 1, t)
+  }
+
+  test("dot path in WHERE and ORDER BY resolves through the same join") {
+    val t = Soql.translate(
+      "SELECT o_orderkey FROM Orders WHERE Customer.c_mktsegment = 'BUILDING' ORDER BY Customer.c_name")
+    assert(t.contains("WHERE __p0.c_mktsegment = 'BUILDING'"), t)
+    assert(t.contains("ORDER BY __p0.c_name"), t)
+    assert(t.sliding("LEFT JOIN customer".length).count(_ == "LEFT JOIN customer") === 1, t)
+  }
+
+  test("unknown parent relationship is rejected with guidance") {
+    val e = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT Widget.name FROM Orders")
+    }
+    assert(e.getMessage.contains("parentRelationships"))
+  }
+
+  test("adversarial: nested functions inside a child subselect parse (paren nesting)") {
+    val t = Soql.translate(
+      "SELECT o_orderkey, (SELECT CALENDAR_YEAR(DAY_ONLY(l_shipdate)), l_linenumber FROM Lineitems) FROM Orders")
+    assert(t.contains("collect_list(struct(year(to_date(l_shipdate)), l_linenumber))"), t)
+  }
+
+  test("adversarial: IN-list is not mistaken for a subselect and vice versa") {
+    val a = Soql.translate("SELECT a FROM t WHERE x IN (1, 2, 3)")
+    assert(a.contains("x IN (1, 2, 3)"), a)
+    val b = Soql.translate(
+      "SELECT o_orderkey FROM Orders WHERE o_custkey IN (SELECT c_custkey FROM Customer WHERE c_name LIKE '%IN%')")
+    assert(b.contains("o_custkey IN (SELECT c_custkey FROM customer WHERE c_name LIKE '%IN%')"), b)
+  }
+
+  test("adversarial: literals containing keywords and parens never confuse the parser") {
+    val t = Soql.translate(
+      "SELECT a FROM t WHERE s = 'IN (SELECT x FROM y) AND NOT' AND b = 2")
+    assert(t.contains("'IN (SELECT x FROM y) AND NOT'"), t)
+    assert(t.contains("AND b = 2"), t)
+  }
+
+  test("adversarial: deeply nested boolean groups keep their structure") {
+    val t = Soql.translate(
+      "SELECT a FROM t WHERE ((x = 1 AND y = 2) OR (z = 3 AND NOT (w = 4)))")
+    assert(t.contains("((x = 1 AND y = 2) OR (z = 3 AND NOT (w = 4)))"), t)
+  }
+
+  test("adversarial: arithmetic in parens is a value, not a boolean group") {
+    val t = Soql.translate("SELECT a FROM t WHERE (x + 1) * 2 >= 10")
+    assert(t.contains("(x + 1) * 2 >= 10"), t)
+  }
+
+  test("COUNT() with no argument becomes count(*)") {
+    assert(Soql.translate("SELECT COUNT() FROM t") === "SELECT count(*) FROM t")
+  }
+
+  test("translated dot-path SOQL executes on Spark and matches the hand-written join") {
+    val spark = SparkTestSession.spark
+    val viaText = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
+      "SELECT o_orderkey, Customer.c_name, Customer.c_mktsegment, o_totalprice FROM Orders ORDER BY o_orderkey")
+    val handWritten = ParityQueries.queries("soql_child_to_parent")(spark, SparkTestSession.sfDir)
+    assert(viaText.columns.toSeq === handWritten.columns.toSeq)
+    assert(viaText.collect().toSeq === handWritten.collect().toSeq)
+  }
+
   test("translated SOQL with date literal executes on Spark") {
     val spark = SparkTestSession.spark
     // TODAY (2026) is outside the 2024-era data — result must be empty but
