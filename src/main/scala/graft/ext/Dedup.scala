@@ -146,8 +146,15 @@ object Dedup {
     * derived from each token's md5 (hex digit → int via instr on the hex
     * alphabet — portable to the oracle without conv()). Bit j of the
     * fingerprint is the sign of Σ_tokens (2·bit_j(md5(token)) − 1).
-    * Narrow per-row compute, no shuffle. */
-  private val simhashExprSql =
+    * Narrow per-row compute, no shuffle.
+    *
+    * This SQL formulation is the oracle-portable reference; the engine
+    * runs the value-identical native `simhash63` expression instead —
+    * nested HOF lambdas defeat common-subexpression elimination, so the
+    * SQL form re-digests every token once per bit (63× the md5 work),
+    * and the pair self-join doubles that. [[graft.DedupSpec]] asserts
+    * expression-vs-SQL equality on the corpus. */
+  private[graft] val simhashExprSql =
     """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, j) ->
       |  acc + CASE WHEN
       |    aggregate(transform(array_distinct(split(text, ' ')), t -> md5(t)),
@@ -156,9 +163,11 @@ object Dedup {
       |                  div (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)
       |    > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)""".stripMargin
 
-  def simhash(docs: DataFrame): DataFrame =
-    spread(docs).select(col("doc_id"), expr(simhashExprSql).as("simhash"))
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    spread(docs).select(col("doc_id"), expr("simhash63(text)").as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup PAIRS with guaranteed recall: candidates come from a
     * 4×16-bit band index — ≤3 bit flips can touch at most 3 of the 4 bands,
@@ -167,7 +176,8 @@ object Dedup {
     * then verified with bit_count(xor). Shuffle is on the band key only;
     * never an all-pairs scan. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = spread(docs).select(col("doc_id"), expr(simhashExprSql).as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = spread(docs).select(col("doc_id"), expr("simhash63(text)").as("simhash"))
     val bands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3), b ->

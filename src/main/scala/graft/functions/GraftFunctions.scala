@@ -86,6 +86,42 @@ object MinHashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** 63-bit SimHash of a document in ONE pass: md5 once per distinct
+    * token, ±1 fold into 63 counters, sign → bit. Value-identical to the
+    * SQL formulation it replaces (aggregate over sequence(0,62) of
+    * per-token hex-digit bit tests): that expression's
+    * `(digit(j div 4) div 8/4/2/1) % 2` indexing reads exactly the j-th
+    * bit of the digest MSB-first, i.e. `(d[j>>3] >> (7-(j&7))) & 1` —
+    * but re-evaluates md5 over every token for EACH of the 63 bits
+    * (63×tokens digests/doc vs tokens here). */
+  def simhash63(text: UTF8String): Long = {
+    val tokens = text.toString.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](63)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      if (seen.add(t)) {
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < 63) {
+          counts(j) += (((d(j >>> 3) >> (7 - (j & 7))) & 1) << 1) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 63) {
+      if (counts(j) > 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
   /** q(x) = round(x*1e4) per element -- quantize once per row so pair
     * scans don't re-round per pair. */
   def quantize(a: ArrayData): ArrayData = {
@@ -212,6 +248,18 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** simhash63(text) -> bigint 63-bit SimHash fingerprint (see
+  * MinHashOps.simhash63). */
+case class SimHash63(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.simhash63(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.simhash63($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash63 =
+    copy(child = newChild)
+}
+
 /** vec_quantize(array<float>) -> array<bigint>: round(x*1e4) per element */
 case class VecQuantize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -255,6 +303,7 @@ object GraftFunctions {
     "vec_dotq"    -> { es => VecDotQ(es.head, es(1)) },
     "vec_normq"   -> { es => VecNormQ(es.head) },
     "vec_quantize" -> { es => VecQuantize(es.head) },
+    "simhash63"    -> { es => SimHash63(es.head) },
     "vec_dotl"     -> { es => VecDotL(es.head, es(1)) },
     "shingle_hash60" -> { es =>
       ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) },

@@ -61,6 +61,24 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(ha !== hc)
   }
 
+  test("native simhash63 equals the oracle-portable SQL formulation") {
+    // the corpus plus tokenization edge cases the SQL's split(' ')/-1
+    // semantics cover: repeated tokens, double spaces, trailing space
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .unionAll(Seq(
+        (900001L, "dup dup dup distinct"),
+        (900002L, "double  space"),
+        (900003L, "trailing space ")).toDF("doc_id", "text"))
+    graft.functions.GraftFunctions.register(spark)
+    val mismatches = docs
+      .select(col("doc_id"), expr("simhash63(text)").as("native"),
+        expr(Dedup.simhashExprSql).as("sql"))
+      .filter(col("native") =!= col("sql"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("simhashPairs banded index equals exact all-pairs Hamming join") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val banded = Dedup.simhashPairs(docs).collect()
