@@ -163,6 +163,19 @@ object ParityQueries {
           |       COUNT(o_orderkey) AS n_orders
           |FROM Orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // §2.6 raw TYPEOF through the parser: flattened to one CASE-gated
+    // column per branch field (the relational shape of Salesforce's
+    // per-type record projection).
+    "soql_typeof" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT event_id,
+          |  TYPEOF event_type
+          |    WHEN purchase THEN value
+          |    WHEN signup THEN user_id
+          |    ELSE event_type
+          |  END
+          |FROM Events ORDER BY event_id""".stripMargin)),
+
     // §2.6 TYPEOF-equivalent: CASE WHEN over a discriminator column
     "soql_typeof_case" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -408,6 +421,13 @@ object ParityQueries {
         """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
           |       count(o_orderkey) AS n_orders
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "soql_typeof" ->
+        """SELECT event_id,
+          |  CASE WHEN event_type = 'purchase' THEN value END AS value,
+          |  CASE WHEN event_type = 'signup' THEN user_id END AS user_id,
+          |  CASE WHEN event_type NOT IN ('purchase', 'signup') THEN event_type END AS event_type
+          |FROM events ORDER BY event_id""".stripMargin,
 
       "soql_typeof_case" ->
         """SELECT event_id,

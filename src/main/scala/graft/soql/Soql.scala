@@ -34,9 +34,14 @@ package graft.soql
   *   - child-to-parent dot paths (`Customer.c_name`,
   *     `Customer.Nation.n_name`) → dimension joins via [[parentRelationships]]
   *
-  * NOT supported (documented): TYPEOF (polymorphic fields — no analogue in
-  * the test schema; rejected with CASE WHEN guidance), WITH / USING SCOPE /
-  * FOR VIEW|UPDATE (CRM-specific).
+  *   - TYPEOF discriminated projection — flattened to one output column per
+  *     branch field, gated by CASE on the discriminator (the test schema has
+  *     no polymorphic lookup field, so the TYPEOF subject is the string
+  *     discriminator column itself; THEN lists may contain dot paths, which
+  *     join through [[parentRelationships]])
+  *
+  * NOT supported (documented): WITH / USING SCOPE / FOR VIEW|UPDATE
+  * (CRM-specific server-side hints).
   */
 object Soql {
 
@@ -283,6 +288,31 @@ object Soql {
     }
   }
 
+  /** SOQL `TYPEOF disc WHEN Type THEN f1, f2 … ELSE g1 END` — Salesforce
+    * shapes each record by its branch; the relational flattening is the
+    * union of branch fields as columns, each NULL unless its branch's type
+    * matched (ELSE fields: unless ANY listed type matched). A field named
+    * in several branches merges into one multi-arm CASE column. */
+  private final case class TypeofBranch(typeName: String, fields: Seq[Path])
+  private final case class Typeof(disc: Path, branches: Seq[TypeofBranch],
+                                  elseFields: Seq[Path]) extends Expr {
+    def emit(ctx: Ctx): String = {
+      val d = disc.emit(ctx)
+      val allTypes = branches.map(b => s"'${b.typeName}'").mkString(", ")
+      val arms = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(String, String)]]
+      for (b <- branches; f <- b.fields)
+        arms.getOrElseUpdate(f.segs.last.toLowerCase, scala.collection.mutable.ArrayBuffer()) +=
+          (s"$d = '${b.typeName}'" -> f.emit(ctx))
+      for (f <- elseFields)
+        arms.getOrElseUpdate(f.segs.last.toLowerCase, scala.collection.mutable.ArrayBuffer()) +=
+          (s"$d NOT IN ($allTypes)" -> f.emit(ctx))
+      arms.map { case (leaf, cs) =>
+        "CASE " + cs.map { case (c, e) => s"WHEN $c THEN $e" }.mkString(" ") + s" END AS $leaf"
+      }.mkString(", ")
+    }
+  }
+
   private final case class SelectItem(expr: Expr, alias: Option[String]) {
     def emit(ctx: Ctx): String =
       alias.map(a => s"${expr.emit(ctx)} AS $a").getOrElse(expr.emit(ctx))
@@ -324,7 +354,8 @@ object Soql {
 
   private val keywords = Set("SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "IN",
     "LIKE", "INCLUDES", "EXCLUDES", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
-    "OFFSET", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "ROLLUP", "CUBE")
+    "OFFSET", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "ROLLUP", "CUBE",
+    "TYPEOF", "WHEN", "THEN", "ELSE", "END")
 
   /** Date literal → (lo, hiExcl) half-open day range; `n` for the :n forms. */
   private def dateRange(name: String, n: => String): Option[(String, String)] =
@@ -417,8 +448,7 @@ object Soql {
     }
 
     private def parseSelectItem(): SelectItem = {
-      require(!isKw(peek, "TYPEOF"),
-        "SOQL TYPEOF is not supported; use CASE WHEN over a discriminator column")
+      if (isKw(peek, "TYPEOF")) return SelectItem(parseTypeof(), None)
       // select-list subselect: '(' SELECT cols FROM Relationship ')'
       if (peek == TOp("(") && isKw(peekAt(1), "SELECT")) {
         next(); next()
@@ -439,6 +469,35 @@ object Soql {
         case _ => None
       }
       SelectItem(e, alias)
+    }
+
+    /** `TYPEOF disc (WHEN Type THEN path[, path…])+ (ELSE path[, path…])? END` */
+    private def parseTypeof(): Typeof = {
+      expectKw("TYPEOF")
+      val disc = parsePath()
+      val branches = scala.collection.mutable.ArrayBuffer.empty[TypeofBranch]
+      while (isKw(peek, "WHEN")) {
+        next()
+        val t = expectIdent()
+        expectKw("THEN")
+        branches += TypeofBranch(t, parsePathList())
+      }
+      require(branches.nonEmpty, "TYPEOF requires at least one WHEN branch")
+      val elseFields = if (acceptKw("ELSE")) parsePathList() else Nil
+      expectKw("END")
+      Typeof(disc, branches.toSeq, elseFields)
+    }
+
+    private def parsePath(): Path = {
+      val segs = scala.collection.mutable.ArrayBuffer(expectIdent())
+      while (peek == TOp(".")) { next(); segs += expectIdent() }
+      Path(segs.toSeq)
+    }
+
+    private def parsePathList(): Seq[Path] = {
+      val fields = scala.collection.mutable.ArrayBuffer(parsePath())
+      while (acceptOp(",")) fields += parsePath()
+      fields.toSeq
     }
 
     private def parseOrderItem(): OrderItem = {
@@ -567,7 +626,7 @@ object Soql {
         ParenE(e)
       case TIdent(name) if name.equalsIgnoreCase("TYPEOF") =>
         throw new IllegalArgumentException(
-          "SOQL TYPEOF is not supported; use CASE WHEN over a discriminator column")
+          "TYPEOF is only valid as a top-level SELECT list item")
       case TIdent(name) if peek == TOp("(") =>
         next()
         // FIELDS(ALL|STANDARD|CUSTOM) → * (no custom-field tier in the schema)

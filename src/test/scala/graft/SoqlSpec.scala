@@ -83,9 +83,36 @@ class SoqlSpec extends AnyFunSuite {
     assert(Soql.translate("SELECT a FROM Lineitem").endsWith("FROM lineitem"))
   }
 
-  test("TYPEOF is rejected with guidance") {
+  test("TYPEOF flattens to CASE-gated columns per branch field") {
+    val t = Soql.translate(
+      """SELECT event_id, TYPEOF event_type
+        |  WHEN purchase THEN value
+        |  WHEN signup THEN user_id
+        |  ELSE event_type END
+        |FROM Events""".stripMargin)
+    assert(t === "SELECT event_id, " +
+      "CASE WHEN event_type = 'purchase' THEN value END AS value, " +
+      "CASE WHEN event_type = 'signup' THEN user_id END AS user_id, " +
+      "CASE WHEN event_type NOT IN ('purchase', 'signup') THEN event_type END AS event_type " +
+      "FROM events")
+  }
+
+  test("TYPEOF merges a field named in two branches into one multi-arm CASE") {
+    val t = Soql.translate(
+      "SELECT TYPEOF k WHEN A THEN x WHEN B THEN x END FROM t")
+    assert(t === "SELECT CASE WHEN k = 'A' THEN x WHEN k = 'B' THEN x END AS x FROM t")
+  }
+
+  test("TYPEOF branch fields may be dot paths (join through the registry)") {
+    val t = Soql.translate(
+      "SELECT TYPEOF o_orderstatus WHEN O THEN Customer.c_name END FROM Orders")
+    assert(t.contains("LEFT JOIN customer __p0 ON o_custkey = __p0.c_custkey"), t)
+    assert(t.contains("CASE WHEN o_orderstatus = 'O' THEN __p0.c_name END AS c_name"), t)
+  }
+
+  test("TYPEOF outside the SELECT list is rejected") {
     val e = intercept[IllegalArgumentException] {
-      Soql.translate("SELECT TYPEOF Owner WHEN User THEN Id END FROM t")
+      Soql.translate("SELECT a FROM t WHERE TYPEOF k WHEN A THEN x END = 1")
     }
     assert(e.getMessage.contains("TYPEOF"))
   }
