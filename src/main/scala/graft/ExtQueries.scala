@@ -31,6 +31,7 @@ object ExtQueries {
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
+    "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -252,6 +253,39 @@ object ExtQueries {
          |       round(cosine, 6) AS cosine, bucket
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // IVF: centroids = vec_id in [100, 116); assignment/probes replay the
+    // engine's argmax (ties → lower cent_id) via row_number windows.
+    "similarity_ivf" ->
+      s"""$quantCte,
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY qv.vec_id, qc.vec_id),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+         |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+         |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |              FROM ccos) WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+         |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+         |dots AS (SELECT cand.query_id, cand.vec_id, cand.list_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+         |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
+         |         GROUP BY cand.query_id, cand.vec_id, cand.list_id),
+         |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.list_id AS list_id,
+         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+         |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+         |       round(cosine, 6) AS cosine, list_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts, value,
         |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
@@ -344,7 +378,7 @@ object ExtQueries {
 
   def benchQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_simhash_pairs", "similarity_topk", "similarity_lsh",
+    "dedup_simhash_pairs", "similarity_topk", "similarity_lsh", "similarity_ivf",
     "events_sessionize", "events_session_window", "text_langid", "events_tumbling",
     "multimodal_frames", "pipeline_filter_dedup")
 }

@@ -67,6 +67,73 @@ object Similarity {
     * only bucket-ring candidates are scored and reranked by exact cosine.
     * With planes ≈ log2(n/32), candidates per query ≈ 32·(planes+1):
     * sub-linear in n. No corpus shuffle, no cross join, one broadcast. */
+  /** IVF (inverted-file) ANN — the other classic scale path, complementing
+    * SRP-LSH: a small coarse quantizer of `nList` centroid vectors
+    * partitions the corpus into lists; a query probes its `nProbe` nearest
+    * lists and exact-reranks only those lists' members.
+    *
+    * Centroid choice is deterministic (the corpus vectors with vec_id in
+    * [centroidBase, centroidBase + nList), in id order) so the DuckDB
+    * oracle can replay the identical algorithm — a k-means fit would
+    * converge engine-specifically. The quantizer is collected to the
+    * driver and constant-folded into the assignment expression: IVF coarse
+    * quantizers are RAM-resident by design (nList ≈ √n even at 10⁹
+    * vectors is ~32k rows), which is what buys the scale shape:
+    *
+    *  - corpus assignment is a NARROW per-row argmax over the folded
+    *    centroid array — the corpus is scanned once and never shuffled;
+    *  - probes explode the tiny query set × nProbe list ids and broadcast;
+    *  - each corpus vector lives in exactly ONE list (unlike multi-probe
+    *    SRP rings), so the list equi-join yields no duplicate candidates
+    *    and touches ≈ nProbe/nList of the corpus per query;
+    *  - only the candidate set (not the corpus) shuffles into the top-k
+    *    window.
+    *
+    * Ties everywhere break to the lower id: argmax = FIRST index holding
+    * the max (array_position), probe/rerank windows order by
+    * (score DESC, id ASC) — mirrored exactly in the oracle. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nList: Int = 16, nProbe: Int = 4, centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val cents = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
+    val cqLit = cents.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
+    val cnLit = cents.map(_._3).mkString("array(", "L, ", "L)")
+    val cidLit = cents.map(_._1).mkString("array(", "L, ", "L)")
+    val scoresExpr =
+      s"""transform(sequence(0, ${nList - 1}), i ->
+         |  vec_dotl(q, element_at($cqLit, i + 1))
+         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at($cnLit, i + 1) AS DOUBLE))))""".stripMargin
+    val scored = vecs.withColumn("scores", expr(scoresExpr))
+    // one narrow pass: every corpus vector lands in its argmax-cosine list
+    val assigned = scored
+      .withColumn("list_id",
+        expr(s"element_at($cidLit, CAST(array_position(scores, array_max(scores)) AS INT))"))
+      .select("vec_id", "q", "nrm", "list_id")
+    // struct sort = (score DESC, centroid index ASC); explode the nProbe
+    // nearest lists per query
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("list_id", explode(expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${nList - 1}),
+           |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
+           |  p -> element_at($cidLit, p.i + 1))""".stripMargin)))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("nq"), col("list_id"))
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("vec_dotl(qq, q) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        expr("round(cosine, 6)").as("cosine"), col("list_id"))
+      .orderBy("query_id", "rank")
+  }
+
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
               bucketTarget: Int = 32): DataFrame = {
     val planes = planesFor(embeddings.count(), bucketTarget)

@@ -38,6 +38,31 @@ class ExtSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK probes nProbe lists and reranks with the exact scoring core") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.ivfTopK(embs).collect()
+    assert(out.nonEmpty)
+    // list ids are centroid vec_ids; neighbors never echo the query
+    assert(out.forall(r => r.getAs[Long]("list_id") >= 100L && r.getAs[Long]("list_id") < 116L))
+    assert(out.forall(r => r.getLong(0) !== r.getAs[Long]("neighbor_id")))
+    // ranks contiguous per query, cosines non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // IVF cosines equal the exact brute-force cosines for the same pairs
+    // (same quantized-integer scoring core, candidate set aside)
+    val bf = Similarity.bruteForceTopK(embs, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val overlaps = out.flatMap { r =>
+      bf.get((r.getLong(0), r.getAs[Long]("neighbor_id"))).map(_ -> r.getAs[Double]("cosine"))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (expected, got) => assert(got === expected) }
+  }
+
   test("planesFor scales with corpus size and floors at 4") {
     assert(Similarity.planesFor(500) === 4)
     assert(Similarity.planesFor(2000) === 6)
