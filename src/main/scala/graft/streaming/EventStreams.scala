@@ -98,6 +98,16 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Streaming exact dedup — the stream twin of [[graft.ext.Dedup.exact]]'s
+    * first-wins semantics for at-least-once sources (replayed deliveries of
+    * the same event_id). `dropDuplicatesWithinWatermark` keeps the
+    * first-seen row per key and, unlike plain `dropDuplicates`, expires its
+    * key state once the watermark passes — state is bounded by the
+    * watermark horizon × event rate, not by stream lifetime, which is the
+    * only shape that survives an unbounded 100 TB/day stream. */
+  def dedupEvents(events: Dataset[Event], watermark: String = "2 hours"): Dataset[Event] =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   /** File-based entry point: tail a directory of parquet events (the stream
     * analogue of Tables.load) and write closed sessions to a parquet sink
     * with checkpointing — the full readStream → transform → writeStream

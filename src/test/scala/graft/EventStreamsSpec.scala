@@ -48,6 +48,26 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(input.toDS()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 1000), ev(2, 2000))
+      q.processAllAvailable()
+      // replayed delivery of event 1 (same id, later ts) within the
+      // watermark → suppressed; a genuinely new event passes
+      input.addData(ev(1, 5000), ev(3, 6000))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+      // the kept row for id 1 is the FIRST delivery
+      assert(out.find(_.getAs[Long]("event_id") == 1L).get
+        .getAs[Timestamp]("ts").getTime === 1000L)
+    } finally q.stop()
+  }
+
   test("streaming tumbling window emits finalized hourly windows matching batch expressions") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600000L

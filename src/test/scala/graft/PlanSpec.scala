@@ -52,6 +52,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("IVF list join is broadcast; corpus assignment is narrow (one scan side)") {
+    val p = plan("similarity_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("translated dot path plans a broadcast dimension join") {
     val p = plan("soql_dot_path")
     assert(p.contains("BroadcastHashJoin"), p)
