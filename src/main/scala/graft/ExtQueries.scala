@@ -20,6 +20,7 @@ object ExtQueries {
     "text_quality"     -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens"      -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "text_df_index"    -> ((s, dir) => TextAnalysis.dfIndex(docs(s, dir))),
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -119,6 +120,17 @@ object ExtQueries {
         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_df_index" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |ranked AS (SELECT doc_id, term, tf,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank
+        |           FROM tf)
+        |SELECT r.doc_id AS doc_id, CAST(r.rank AS INT) AS rank, r.term AS term, r.tf AS tf, dft.df AS df
+        |FROM ranked r JOIN dft ON r.term = dft.term
+        |WHERE r.rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "text_langid" ->
       """WITH bg AS (
@@ -379,6 +391,7 @@ object ExtQueries {
   def benchQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_simhash_pairs", "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "events_sessionize", "events_session_window", "text_langid", "events_tumbling",
+    "events_sessionize", "events_session_window", "text_langid", "text_df_index",
+    "events_tumbling",
     "multimodal_frames", "pipeline_filter_dedup")
 }

@@ -93,6 +93,30 @@ object TextAnalysis {
     * draws all languages from one shared vocabulary with nearly identical
     * distributions, so the ceiling is low by construction; on natural text
     * this profile method is the standard heuristic. */
+  /** Document-frequency index + per-doc top terms: for each document the
+    * `topK` highest-tf terms (ties → lexicographically first), each carrying
+    * its corpus document frequency — the raw material for stopword
+    * discovery, vocab pruning, and tf-idf (idf deferred to the consumer:
+    * ln() is libm-dependent and would break bit-determinism; tf and df are
+    * exact integers).
+    *
+    * Scale shape: the classic inverted-index build — explode tokens, one
+    * shuffle to (doc_id, term) counts, one partial-agg shuffle to per-term
+    * df (hot terms combine map-side), a per-doc top-k window, and a join
+    * back to df. No driver state; vocabulary stays distributed. */
+  def dfIndex(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val tf = Dedup.spread(docs)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(dft, "term")
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))

@@ -24,10 +24,14 @@ package graft.soql
   *     COUNT() → count(*)
   *   - date fns CALENDAR_YEAR/MONTH/QUARTER, DAY_ONLY, HOUR_IN_DAY,
   *     DAY_IN_MONTH/WEEK/YEAR, WEEK_IN_YEAR
-  *   - date literals TODAY/YESTERDAY/TOMORROW, LAST_N_DAYS:n / NEXT_N_DAYS:n,
-  *     THIS_MONTH/LAST_MONTH/THIS_YEAR/LAST_YEAR (range-rewritten per the
-  *     SOQL spec: `f = TODAY` means "within today", so it becomes a
-  *     half-open range — dates and datetimes both handled)
+  *   - date literals TODAY/YESTERDAY/TOMORROW, LAST_N_DAYS:n / NEXT_N_DAYS:n /
+  *     N_DAYS_AGO:n, THIS|LAST|NEXT_WEEK (ISO Monday weeks — Salesforce's
+  *     week start is locale-dependent; documented deviation),
+  *     THIS|LAST|NEXT_MONTH, THIS|LAST|NEXT_QUARTER, THIS|LAST|NEXT_YEAR,
+  *     and the LAST_N_/NEXT_N_ WEEKS/MONTHS/QUARTERS/YEARS:n families
+  *     (range-rewritten per the SOQL spec: `f = TODAY` means "within
+  *     today", so it becomes a half-open range — dates and datetimes both
+  *     handled)
   *   - multipicklist INCLUDES/EXCLUDES → split(';') + arrays_overlap
   *   - parent-to-child nested subselect in the SELECT list → pre-aggregated
   *     left join (one shuffle per side, no correlated execution)
@@ -369,10 +373,30 @@ object Soql {
       case "NEXT_90_DAYS" => Some(("date_add(current_date(), 1)", "date_add(current_date(), 91)"))
       // NEXT_N_DAYS:n — starts tomorrow, ends n days from today (inclusive)
       case "NEXT_N_DAYS"  => Some(("date_add(current_date(), 1)", s"date_add(current_date(), ${n.toInt + 1})"))
+      // N_DAYS_AGO:n — exactly the day n days before today
+      case "N_DAYS_AGO"   => Some((s"date_sub(current_date(), $n)", s"date_sub(current_date(), ${n.toInt - 1})"))
       case "THIS_MONTH"   => Some(("trunc(current_date(), 'MM')", "add_months(trunc(current_date(), 'MM'), 1)"))
       case "LAST_MONTH"   => Some(("add_months(trunc(current_date(), 'MM'), -1)", "trunc(current_date(), 'MM')"))
+      case "NEXT_MONTH"   => Some(("add_months(trunc(current_date(), 'MM'), 1)", "add_months(trunc(current_date(), 'MM'), 2)"))
+      case "LAST_N_MONTHS" => Some((s"add_months(trunc(current_date(), 'MM'), -$n)", "trunc(current_date(), 'MM')"))
+      case "NEXT_N_MONTHS" => Some(("add_months(trunc(current_date(), 'MM'), 1)", s"add_months(trunc(current_date(), 'MM'), ${n.toInt + 1})"))
+      // weeks are ISO (Monday-start) — Salesforce's week start is
+      // locale-dependent; documented deviation, same week length
+      case "THIS_WEEK"    => Some(("trunc(current_date(), 'WEEK')", "date_add(trunc(current_date(), 'WEEK'), 7)"))
+      case "LAST_WEEK"    => Some(("date_sub(trunc(current_date(), 'WEEK'), 7)", "trunc(current_date(), 'WEEK')"))
+      case "NEXT_WEEK"    => Some(("date_add(trunc(current_date(), 'WEEK'), 7)", "date_add(trunc(current_date(), 'WEEK'), 14)"))
+      case "LAST_N_WEEKS" => Some((s"date_sub(trunc(current_date(), 'WEEK'), ${n.toInt * 7})", "trunc(current_date(), 'WEEK')"))
+      case "NEXT_N_WEEKS" => Some(("date_add(trunc(current_date(), 'WEEK'), 7)", s"date_add(trunc(current_date(), 'WEEK'), ${(n.toInt + 1) * 7})"))
+      case "THIS_QUARTER" => Some(("trunc(current_date(), 'QUARTER')", "add_months(trunc(current_date(), 'QUARTER'), 3)"))
+      case "LAST_QUARTER" => Some(("add_months(trunc(current_date(), 'QUARTER'), -3)", "trunc(current_date(), 'QUARTER')"))
+      case "NEXT_QUARTER" => Some(("add_months(trunc(current_date(), 'QUARTER'), 3)", "add_months(trunc(current_date(), 'QUARTER'), 6)"))
+      case "LAST_N_QUARTERS" => Some((s"add_months(trunc(current_date(), 'QUARTER'), -${n.toInt * 3})", "trunc(current_date(), 'QUARTER')"))
+      case "NEXT_N_QUARTERS" => Some(("add_months(trunc(current_date(), 'QUARTER'), 3)", s"add_months(trunc(current_date(), 'QUARTER'), ${(n.toInt + 1) * 3})"))
       case "THIS_YEAR"    => Some(("trunc(current_date(), 'YYYY')", "add_months(trunc(current_date(), 'YYYY'), 12)"))
       case "LAST_YEAR"    => Some(("add_months(trunc(current_date(), 'YYYY'), -12)", "trunc(current_date(), 'YYYY')"))
+      case "NEXT_YEAR"    => Some(("add_months(trunc(current_date(), 'YYYY'), 12)", "add_months(trunc(current_date(), 'YYYY'), 24)"))
+      case "LAST_N_YEARS" => Some((s"add_months(trunc(current_date(), 'YYYY'), -${n.toInt * 12})", "trunc(current_date(), 'YYYY')"))
+      case "NEXT_N_YEARS" => Some(("add_months(trunc(current_date(), 'YYYY'), 12)", s"add_months(trunc(current_date(), 'YYYY'), ${(n.toInt + 1) * 12})"))
       case _              => None
     }
 

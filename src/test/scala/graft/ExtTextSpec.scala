@@ -43,6 +43,22 @@ class ExtTextSpec extends AnyFunSuite {
         .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("dfIndex ranks per-doc terms by tf with lexicographic tiebreak and corpus df") {
+    val df = docsDf(
+      1L -> "b b b a a c",   // tf: b=3, a=2, c=1
+      2L -> "a c c",         // tf: c=2, a=1
+      3L -> "z z a")         // tf: z=2, a=1
+    val out = TextAnalysis.dfIndex(df, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1, "b", 3L, 1L),  // b appears in 1 doc
+      (1L, 2, "a", 2L, 3L),  // a appears in all 3 docs
+      (2L, 1, "c", 2L, 2L),  // c appears in docs 1 and 2
+      (2L, 2, "a", 1L, 3L),
+      (3L, 1, "z", 2L, 1L),
+      (3L, 2, "a", 1L, 3L)))
+  }
+
   test("langId classifies every held-out doc exactly once with a known language") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val out = TextAnalysis.langId(docs).collect()

@@ -31,6 +31,21 @@ class SoqlSpec extends AnyFunSuite {
     assert(t.contains("d >= date_sub(current_date(), 90)"), t)
   }
 
+  test("week/quarter/N-ago date literal families produce half-open ranges") {
+    val w = Soql.translate("SELECT a FROM t WHERE d = THIS_WEEK")
+    assert(w.contains("d >= trunc(current_date(), 'WEEK') AND d < date_add(trunc(current_date(), 'WEEK'), 7)"), w)
+    val q = Soql.translate("SELECT a FROM t WHERE d = LAST_QUARTER")
+    assert(q.contains("d >= add_months(trunc(current_date(), 'QUARTER'), -3) AND d < trunc(current_date(), 'QUARTER')"), q)
+    val ago = Soql.translate("SELECT a FROM t WHERE d = N_DAYS_AGO:7")
+    assert(ago.contains("d >= date_sub(current_date(), 7) AND d < date_sub(current_date(), 6)"), ago)
+    val nm = Soql.translate("SELECT a FROM t WHERE d = LAST_N_MONTHS:3")
+    assert(nm.contains("d >= add_months(trunc(current_date(), 'MM'), -3) AND d < trunc(current_date(), 'MM')"), nm)
+    val nw = Soql.translate("SELECT a FROM t WHERE d = NEXT_N_WEEKS:2")
+    assert(nw.contains("d >= date_add(trunc(current_date(), 'WEEK'), 7) AND d < date_add(trunc(current_date(), 'WEEK'), 21)"), nw)
+    val ny = Soql.translate("SELECT a FROM t WHERE d != NEXT_YEAR")
+    assert(ny.contains("d < add_months(trunc(current_date(), 'YYYY'), 12) OR d >= add_months(trunc(current_date(), 'YYYY'), 24)"), ny)
+  }
+
   test("FIELDS(ALL) becomes star") {
     assert(Soql.translate("SELECT FIELDS(ALL) FROM Part LIMIT 5") ===
       "SELECT * FROM part LIMIT 5")
