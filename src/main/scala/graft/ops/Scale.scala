@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale utilities for the shapes that only bite at 100 TB: skewed join
+  * keys and scan pruning on clustered files. The reference never needs
+  * these (whole result set in one Python process); on a 1000-executor
+  * cluster they are the difference between a straggler task holding a stage
+  * for hours and an even spread.
+  */
+object Scale {
+
+  /** Skew-mitigated equi-join of a big `fact` against a big-ish `dim` that
+    * is too large to broadcast but has hot join keys on the fact side.
+    *
+    * Standard salting: the fact side scatters each row into one of `salt`
+    * sub-keys (deterministic row hash — no RNG, so retried tasks re-derive
+    * the same salt), the dim side replicates each row to ALL `salt`
+    * sub-keys, and the join runs on (key, salt). A key holding 10% of the
+    * fact now spreads across `salt` tasks instead of one; dim shuffle
+    * volume grows ×salt (bounded, chosen by the caller).
+    *
+    * AQE's skew-join split handles the same problem reactively when stats
+    * surface it; this is the deterministic, plan-time tool for keys KNOWN
+    * to be hot (the 100 TB "null key" / "default tenant" cases).
+    *
+    * Result equals the plain inner join column-for-column (spec-asserted):
+    * salting only re-buckets rows, it never changes the match set. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int = 8): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val factCols = fact.columns.map(col).toIndexedSeq
+    val fs = fact.withColumn("__salt", pmod(hash(factCols: _*), lit(salt)))
+    val ds = dim.withColumn("__salt", explode(expr(s"sequence(0, ${salt - 1})")))
+    fs.join(ds, fs(key) === ds(key) && fs("__salt") === ds("__salt"))
+      .drop(ds(key)).drop(fs("__salt")).drop(ds("__salt"))
+  }
+
+  /** Range-clustered parquet write: range-partition on `clusterCols` and
+    * sort within each partition, so every output file covers a tight,
+    * near-disjoint key range. Parquet row-group min/max stats on those
+    * columns then let a filtered scan skip whole files — the table layout
+    * that makes `WHERE date BETWEEN …` read 1/1000th of a 100 TB table.
+    * `numFiles` sizes output files explicitly (the small-file problem is
+    * the other half of this; aim for ~128 MB-1 GB per file at scale). */
+  def clusteredParquet(df: DataFrame, outDir: String, clusterCols: Seq[String],
+                       numFiles: Int): Unit = {
+    val cs = clusterCols.map(col)
+    df.repartitionByRange(numFiles, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode("overwrite").parquet(outDir)
+  }
+}
