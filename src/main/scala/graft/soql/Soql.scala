@@ -548,6 +548,15 @@ object Soql {
     private def parseNot(): Expr =
       if (acceptKw("NOT")) NotE(parseNot()) else parseCond()
 
+    /** Boolean node vs value node — seen through any depth of grouping
+      * parens (`((NOT a = 1 AND b = 2))` parses to ParenE(ParenE(And))). */
+    private def isBooleanNode(e: Expr): Boolean = e match {
+      case _: Cmp | _: DateCmp | _: Like | _: InList | _: InSubquery |
+           _: Includes | _: And | _: Or | _: NotE => true
+      case ParenE(inner) => isBooleanNode(inner)
+      case _ => false
+    }
+
     /** One condition: a parenthesized boolean, or operand + predicate rest. */
     private def parseCond(): Expr = {
       if (peek == TOp("(")) {
@@ -557,12 +566,8 @@ object Soql {
         next()
         val inner = parseOr()
         expectOp(")")
-        inner match {
-          case _: Cmp | _: DateCmp | _: Like | _: InList | _: InSubquery |
-               _: Includes | _: And | _: Or | _: NotE =>
-            return ParenE(inner)
-          case _ => pos = save // plain value in parens: re-parse as operand
-        }
+        if (isBooleanNode(inner)) return ParenE(inner)
+        pos = save // plain value in parens: re-parse as operand
       }
       val l = parseValue()
       peek match {

@@ -1,9 +1,17 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => ScTest}
 import graft.soql.Soql
 
 class SoqlSpec extends AnyFunSuite {
+
+  /** Raw-ScalaCheck bridge (the scalatestplus bridge artifact is not in the
+    * offline cache): run a Prop and assert it passed. */
+  private def checkProp(p: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
 
   test("COUNT_DISTINCT becomes count(DISTINCT ...)") {
     assert(Soql.translate("SELECT COUNT_DISTINCT(x) FROM t") ===
@@ -184,6 +192,15 @@ class SoqlSpec extends AnyFunSuite {
     assert(t.contains("AND b = 2"), t)
   }
 
+  test("double-parenthesized boolean groups parse (found by the property test)") {
+    val t = Soql.translate(
+      "SELECT a FROM t WHERE NOT ((NOT (a <= 5) AND c < 630)) ORDER BY a")
+    assert(t === "SELECT a FROM t WHERE NOT ((NOT (a <= 5) AND c < 630)) ORDER BY a")
+    // and a double-parenthesized VALUE still takes its predicate
+    val v = Soql.translate("SELECT a FROM t WHERE ((a)) = 1")
+    assert(v === "SELECT a FROM t WHERE ((a)) = 1")
+  }
+
   test("adversarial: deeply nested boolean groups keep their structure") {
     val t = Soql.translate(
       "SELECT a FROM t WHERE ((x = 1 AND y = 2) OR (z = 3 AND NOT (w = 4)))")
@@ -193,6 +210,37 @@ class SoqlSpec extends AnyFunSuite {
   test("adversarial: arithmetic in parens is a value, not a boolean group") {
     val t = Soql.translate("SELECT a FROM t WHERE (x + 1) * 2 >= 10")
     assert(t.contains("(x + 1) * 2 >= 10"), t)
+  }
+
+  test("property: random WHERE trees translate to SQL Spark's parser accepts") {
+    val spark = SparkTestSession.spark
+    val parser = spark.sessionState.sqlParser
+    val fieldG = Gen.oneOf("a", "b", "c", "d_date")
+    // literals deliberately include keywords, parens, quotes, subquery text
+    val litG = Gen.oneOf(
+      Gen.choose(0, 999).map(_.toString),
+      Gen.oneOf("'BUILDING'", "'a AND b OR c'", "'WHERE (x'", "'it\\'s'",
+        "'SELECT * FROM t'", "'NOT IN (SELECT'"))
+    val leafG: Gen[String] = Gen.oneOf(
+      for { f <- fieldG; op <- Gen.oneOf("=", "!=", "<>", "<", "<=", ">", ">="); l <- litG }
+        yield s"$f $op $l",
+      for { f <- fieldG; n <- Gen.oneOf("", "NOT "); l <- litG } yield s"$f ${n}LIKE $l",
+      for { f <- fieldG; n <- Gen.oneOf("", "NOT "); ls <- Gen.listOfN(3, litG) }
+        yield s"$f ${n}IN (${ls.mkString(", ")})",
+      for { f <- fieldG; op <- Gen.oneOf("=", ">", "<=") }
+        yield s"$f $op LAST_N_DAYS:30")
+    def condG(depth: Int): Gen[String] =
+      if (depth <= 0) leafG
+      else Gen.frequency(
+        2 -> leafG,
+        2 -> (for { l <- condG(depth - 1); r <- condG(depth - 1); op <- Gen.oneOf("AND", "OR") }
+          yield s"($l $op $r)"),
+        1 -> condG(depth - 1).map(c => s"NOT ($c)"))
+    checkProp(Prop.forAll(condG(3)) { w =>
+      val sql = Soql.translate(s"SELECT a, b FROM t WHERE $w ORDER BY a DESC NULLS LAST LIMIT 7")
+      parser.parsePlan(sql)  // throws ParseException on malformed output
+      true
+    })
   }
 
   test("COUNT() with no argument becomes count(*)") {
