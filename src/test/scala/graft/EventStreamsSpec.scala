@@ -48,6 +48,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file sessionizer runs readStream -> flatMapGroupsWithState -> parquet sink end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("stream").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val h = 3600000L
+    // two sessions for user 1: events 1s apart, then one 2h later
+    Seq(ev(1, 1000, user = 1L), ev(2, 2000, user = 1L), ev(3, 2 * h, user = 1L))
+      .toDS().write.parquet(src)
+    val q = EventStreams.runFileSessionizer(spark, src, out, ckpt)
+    try {
+      q.processAllAvailable()
+      // a new file advances the watermark past session 1 + the gap
+      Seq(ev(4, 10 * h, user = 1L)).toDS().write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.read.parquet(out).collect()
+    assert(sessions.length >= 1, "no sessions written to the parquet sink")
+    val s1 = sessions.minBy(_.getAs[Long]("session_id"))
+    assert(s1.getAs[Long]("user_id") === 1L)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Long]("start_ms") === 1000L && s1.getAs[Long]("end_ms") === 2000L)
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -164,6 +164,15 @@ class SoqlSpec extends AnyFunSuite {
     assert(t.sliding("LEFT JOIN customer".length).count(_ == "LEFT JOIN customer") === 1, t)
   }
 
+  test("dot path inside a child subselect joins within the child scope") {
+    val t = Soql.translate(
+      "SELECT o_orderkey, (SELECT l_linenumber, Part.p_name FROM Lineitems) FROM Orders")
+    // the Part join must land inside the pre-aggregated child relation,
+    // not on the parent query
+    assert(t.contains("collect_list(struct(l_linenumber, __p0.p_name))"), t)
+    assert(t.contains("FROM lineitem LEFT JOIN part __p0 ON l_partkey = __p0.p_partkey GROUP BY"), t)
+  }
+
   test("unknown parent relationship is rejected with guidance") {
     val e = intercept[IllegalArgumentException] {
       Soql.translate("SELECT Widget.name FROM Orders")
