@@ -39,6 +39,7 @@ object ExtQueries {
     "events_tumbling"        -> ((s, dir) => Events.tumblingHourly(events(s, dir))),
     "events_sliding"         -> ((s, dir) => Events.slidingHourly(events(s, dir))),
     "events_json_props"      -> ((s, dir) => Events.jsonProps(events(s, dir))),
+    "events_funnel"          -> ((s, dir) => Events.funnel(events(s, dir))),
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
@@ -348,6 +349,21 @@ object ExtQueries {
         |       CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |entered AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ms END) AS from_ms
+        |            FROM e GROUP BY user_id HAVING from_ms IS NOT NULL),
+        |conv AS (SELECT e.user_id, min(e.ms) AS to_ms
+        |         FROM e JOIN entered USING (user_id)
+        |         WHERE e.event_type = 'purchase'
+        |           AND e.ms >= entered.from_ms AND e.ms <= entered.from_ms + 604800000
+        |         GROUP BY e.user_id)
+        |SELECT CAST(epoch_ms(entered.from_ms) AS DATE) AS cohort_day,
+        |       count(*) AS n_users, count(conv.to_ms) AS n_converted,
+        |       round(count(conv.to_ms) / count(*), 6) AS conversion
+        |FROM entered LEFT JOIN conv USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // events_approx_distinct: HLL sketch — engine-specific, rows-only check.
 

@@ -40,6 +40,36 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Cohort funnel conversion: users grouped by the day of their FIRST
+    * `fromType` event; converted = a `toType` event follows within
+    * `horizonMs`. The staple product-analytics sequenced-event query.
+    *
+    * Scale shape: one partial-agg shuffle by user_id for the first-step
+    * times, a user_id equi-join back to the events (both sides hash on
+    * user_id — co-partitioned, no broadcast needed at any scale), a second
+    * per-user min, and a final tiny cohort-day aggregation. No windows over
+    * the raw event stream, no driver state.
+    *
+    * Determinism: epoch-ms comparisons, exact integer counts, one final
+    * IEEE division for the rate; cohort_day derives from epoch-ms in the
+    * UTC session (DuckDB timestamps are naive — identical calendar math). */
+  def funnel(events: DataFrame, fromType: String = "signup",
+             toType: String = "purchase", horizonMs: Long = 604800000L): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val entered = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === fromType, col("ms"))).as("from_ms"))
+      .filter(col("from_ms").isNotNull)
+    val converted = e.join(entered, "user_id")
+      .filter(col("event_type") === toType &&
+        col("ms") >= col("from_ms") && col("ms") <= col("from_ms") + horizonMs)
+      .groupBy("user_id").agg(min(col("ms")).as("to_ms"))
+    entered.join(converted, Seq("user_id"), "left")
+      .groupBy(expr("to_date(timestamp_millis(from_ms))").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"), count(col("to_ms")).as("n_converted"))
+      .withColumn("conversion", expr("round(n_converted / n_users, 6)"))
+      .orderBy("cohort_day")
+  }
+
   /** Tumbling 1-hour windows per event_type via the native `window()`
     * grouping (maps to a single hash-shuffle on (window, type); at stream
     * time the identical expression runs under a watermark). */

@@ -42,6 +42,25 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("funnel cohorts by first-signup day and counts horizon-bounded conversions") {
+    val d = 86400000L
+    val df = Seq(
+      (1L, 0L, 1L, "signup"), (2L, 3 * d, 1L, "purchase"),        // converted
+      (3L, 1000L, 2L, "signup"), (4L, 9 * d, 2L, "purchase"),     // beyond 7d horizon
+      (5L, 1 * d, 3L, "purchase"), (6L, 2 * d, 3L, "signup"),     // purchase precedes signup
+      (7L, 0L, 4L, "purchase"),                                   // never signed up: no cohort
+      (8L, 2 * d + 5000, 5L, "signup"), (9L, 6 * d, 5L, "signup"),
+      (10L, 4 * d, 5L, "purchase")                                // first signup day 2, converted
+    ).toDF("event_id", "ms", "user_id", "event_type")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}")).drop("ms")
+    val out = Events.funnel(df).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("1970-01-01", 2L, 1L, 0.5),   // users 1,2 — only 1 converts in 7d
+      ("1970-01-03", 2L, 1L, 0.5)))  // users 3,5 — 3's purchase was before signup
+  }
+
   test("jsonProps extracts $.k and aggregates per type") {
     val df = eventsDf((1L, 0L, "click", 0.0), (2L, 1L, "click", 0.0), (7L, 2L, "view", 0.0))
     val out = Events.jsonProps(df).collect()
