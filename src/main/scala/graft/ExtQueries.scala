@@ -40,6 +40,7 @@ object ExtQueries {
     "events_sliding"         -> ((s, dir) => Events.slidingHourly(events(s, dir))),
     "events_json_props"      -> ((s, dir) => Events.jsonProps(events(s, dir))),
     "events_funnel"          -> ((s, dir) => Events.funnel(events(s, dir))),
+    "events_retention"       -> ((s, dir) => Events.retention(events(s, dir))),
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
@@ -364,6 +365,16 @@ object ExtQueries {
         |       round(count(conv.to_ms) / count(*), 6) AS conversion
         |FROM entered LEFT JOIN conv USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT cohort.cohort_day AS cohort_day,
+        |       CAST(date_diff('day', cohort.cohort_day, act.day) AS INT) AS day_offset,
+        |       count(*) AS n_active
+        |FROM act JOIN cohort USING (user_id)
+        |WHERE date_diff('day', cohort.cohort_day, act.day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // events_approx_distinct: HLL sketch — engine-specific, rows-only check.
 

@@ -70,6 +70,26 @@ object Events {
       .orderBy("cohort_day")
   }
 
+  /** Day-N retention matrix: users cohorted by their first-ever active
+    * day; cell (cohort_day, day_offset) counts users active again exactly
+    * `offset` days later (0..maxDays). The other product-analytics staple
+    * next to [[funnel]].
+    *
+    * Scale shape: distinct (user, day) prunes the event stream to at most
+    * users×days rows BEFORE anything wide; cohort min and the activity
+    * join both hash on user_id (co-partitioned); the matrix agg output is
+    * cohorts×offsets — tiny. All-integer arithmetic. */
+  def retention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val act = events.select(col("user_id"), expr("to_date(ts)").as("day")).distinct()
+    val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Tumbling 1-hour windows per event_type via the native `window()`
     * grouping (maps to a single hash-shuffle on (window, type); at stream
     * time the identical expression runs under a watermark). */

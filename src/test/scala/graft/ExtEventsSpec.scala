@@ -61,6 +61,28 @@ class ExtEventsSpec extends AnyFunSuite {
       ("1970-01-03", 2L, 1L, 0.5)))  // users 3,5 — 3's purchase was before signup
   }
 
+  test("retention counts users active exactly N days after their first day") {
+    val d = 86400000L
+    val df = Seq(
+      // user 1: active day 0, day 1, day 1 again (dedup), day 9 (beyond max 7)
+      (1L, 0L, 1L), (2L, 1 * d, 1L), (3L, 1 * d + 5000, 1L), (4L, 9 * d, 1L),
+      // user 2: active day 0 only
+      (5L, 2000L, 2L),
+      // user 3: first day 1, active day 3
+      (6L, 1 * d, 3L), (7L, 3 * d, 3L)
+    ).toDF("event_id", "ms", "user_id")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}")).drop("ms")
+    val out = Events.retention(df).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("1970-01-01", 0, 2L),  // users 1,2 start day 0
+      ("1970-01-01", 1, 1L),  // user 1 returns next day (one row despite 2 events)
+      ("1970-01-02", 0, 1L),  // user 3 starts day 1
+      ("1970-01-02", 2, 1L))) // user 3 returns 2 days later; user 1 day 9 excluded
+  }
+
   test("jsonProps extracts $.k and aggregates per type") {
     val df = eventsDf((1L, 0L, "click", 0.0), (2L, 1L, "click", 0.0), (7L, 2L, "view", 0.0))
     val out = Events.jsonProps(df).collect()
