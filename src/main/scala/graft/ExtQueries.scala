@@ -29,6 +29,7 @@ object ExtQueries {
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
+    "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
@@ -179,6 +180,30 @@ object ExtQueries {
     // candidates are verified with exact Jaccard — so the approximate
     // pipeline equals the exact answer with near-certainty.
     "dedup_minhash_lsh" -> jaccardPairsSql("0.8"),
+
+    // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
+    // shingle hashes (integer shifts — a double would round past 53 bits),
+    // the same LCG permutation family, per-source elementwise min (= sketch
+    // of the source's shingle-set union), matching-component fraction.
+    "dedup_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |hx AS (SELECT DISTINCT source,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |h60 AS (SELECT source, CAST(list_sum(list_transform(range(0, 15), k ->
+        |          CAST(strpos('0123456789abcdef', substr(md5(shingle), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |            << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS x
+        |        FROM hx),
+        |perms AS (SELECT i, (1103515245 * i + 12345) % 1000000007 + 1 AS a,
+        |                 (69069 * i + 362437) % 1000000007 AS b
+        |          FROM range(128) t(i)),
+        |sig AS (SELECT source, i, min((a * (x % 1000000007) + b) % 1000000007) AS v
+        |        FROM h60 CROSS JOIN perms GROUP BY source, i)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |       round(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 128, 6) AS jaccard_est
+        |FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_simhash" ->
       """SELECT doc_id,

@@ -147,6 +147,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Corpus-source overlap estimation: per-source MinHash UNION sketches →
+    * pairwise shingle-set Jaccard estimates. Answers "how much do my crawl
+    * dumps / data sources overlap?" BEFORE paying for cross-source pair
+    * dedup — the corpus-triage step of a training-data pipeline.
+    *
+    * The elementwise min of per-doc signatures IS the MinHash signature of
+    * the source's shingle-set union (min distributes over set union), so
+    * the estimate is the standard matching-component fraction between two
+    * 128-component sketches.
+    *
+    * Scale shape: signatures are one narrow codegen'd pass per doc; the
+    * union-min is a distributive aggregate on (source, component) — 128
+    * rows per source survive per partition after map-side combine, so the
+    * shuffle is ~128·S rows regardless of corpus size; the pair join
+    * compares S² sketch pairs of 128 ints (S = #sources, tiny). */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = spread(docs)
+      .select(col("source"), expr("minhash_sig(shingle_hash60(text, 3))").as("sig"))
+    val union = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy("source", "i").agg(min("v").as("v"))
+    val a = union.toDF("source_a", "i", "va")
+    val b = union.toDF("source_b", "i", "vb")
+    a.join(b, Seq("i")).filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("eq"))
+      .withColumn("jaccard_est", expr("round(eq / 128, 6)"))
+      .select("source_a", "source_b", "jaccard_est")
+      .orderBy("source_a", "source_b")
+  }
+
   /** 63-bit SimHash fingerprint per document over distinct tokens, bits
     * derived from each token's md5 (hex digit → int via instr on the hex
     * alphabet — portable to the oracle without conv()). Bit j of the

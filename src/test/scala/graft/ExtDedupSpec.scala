@@ -61,6 +61,23 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(ha !== hc)
   }
 
+  test("sourceOverlap: identical sources estimate 1.0, disjoint near 0") {
+    val text1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val text2 = "one two three four five six seven eight nine"
+    val df = Seq(
+      (1L, text1, "s_x"), (2L, text2, "s_x"),
+      (3L, text1, "s_y"), (4L, text2, "s_y"),   // same shingle union as s_x
+      (5L, "totally different words in this corpus here now", "s_z"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Dedup.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("s_x", "s_y")) === 1.0)     // identical shingle unions
+    assert(out(("s_x", "s_z")) < 0.1)       // disjoint vocabularies
+    assert(out(("s_y", "s_z")) < 0.1)
+  }
+
   test("native simhash63 equals the oracle-portable SQL formulation") {
     // the corpus plus tokenization edge cases the SQL's split(' ')/-1
     // semantics cover: repeated tokens, double spaces, trailing space
