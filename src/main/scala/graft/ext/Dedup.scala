@@ -31,7 +31,10 @@ object Dedup {
     * a single core. Conditional: when the scan already has at least
     * `defaultParallelism` splits (the 100 TB case — file splits provide the
     * parallelism), this is the identity and no shuffle is ever paid; the
-    * repartition only fires for scans with fewer splits than cores. */
+    * repartition only fires for scans with fewer splits than cores.
+    * The `.rdd` probe compiles the physical plan once more, but Spark's
+    * shared InMemoryFileIndex caches the file listing per session+path, so
+    * the duplicated planning costs no second filesystem sweep. */
   private[ext] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
@@ -164,8 +167,14 @@ object Dedup {
     * compares S² sketch pairs of 128 ints (S = #sources, tiny). */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // docs with no shingles (< 3 tokens) carry no set information — drop
+    // them BEFORE sketching, else an all-short source would yield an
+    // all-MaxValue sketch that spuriously matches other empty sketches
+    // (and the oracle, which has no empty-doc rows, would diverge)
     val sigs = spread(docs)
-      .select(col("source"), expr("minhash_sig(shingle_hash60(text, 3))").as("sig"))
+      .select(col("source"), expr("shingle_hash60(text, 3)").as("h"))
+      .filter(expr("size(h) > 0"))
+      .select(col("source"), expr("minhash_sig(h)").as("sig"))
     val union = sigs
       .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
       .groupBy("source", "i").agg(min("v").as("v"))

@@ -135,8 +135,13 @@ object Similarity {
   }
 
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-              bucketTarget: Int = 32): DataFrame = {
-    val planes = planesFor(embeddings.count(), bucketTarget)
+              bucketTarget: Int = 32, planesOverride: Int = 0): DataFrame = {
+    // planesOverride > 0 skips the corpus count: the count() is a
+    // metadata-only parquet job, but at many-file scale even footer
+    // listing is a job worth avoiding when the caller knows n
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else planesFor(embeddings.count(), bucketTarget)
     val vecs = quantized(embeddings)
       .withColumn("bucket", expr(s"srp_bucket(q, $planes)"))
     // multi-probe ring: the query's own bucket + every single-bit flip.

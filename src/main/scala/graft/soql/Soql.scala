@@ -361,6 +361,14 @@ object Soql {
     "OFFSET", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "ROLLUP", "CUBE",
     "TYPEOF", "WHEN", "THEN", "ELSE", "END")
 
+  /** Families that REQUIRE a `:n` argument — a bare `LAST_N_DAYS` would
+    * otherwise silently compile with n=0 (an empty range returning 0 rows
+    * with no diagnostic). */
+  private val parameterizedDateLiterals = Set(
+    "LAST_N_DAYS", "NEXT_N_DAYS", "N_DAYS_AGO",
+    "LAST_N_WEEKS", "NEXT_N_WEEKS", "LAST_N_MONTHS", "NEXT_N_MONTHS",
+    "LAST_N_QUARTERS", "NEXT_N_QUARTERS", "LAST_N_YEARS", "NEXT_N_YEARS")
+
   /** Date literal → (lo, hiExcl) half-open day range; `n` for the :n forms. */
   private def dateRange(name: String, n: => String): Option[(String, String)] =
     name.toUpperCase match {
@@ -581,6 +589,8 @@ object Soql {
               val (lo, hi) = dateRange(name, n).get
               DateCmp(l, op, lo, hi)
             case (TIdent(name), _) if dateRange(name, "0").isDefined =>
+              require(!parameterizedDateLiterals.contains(name.toUpperCase),
+                s"date literal $name requires an argument: $name:n")
               next()
               val (lo, hi) = dateRange(name, "0").get
               DateCmp(l, op, lo, hi)

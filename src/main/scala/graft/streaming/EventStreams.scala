@@ -77,11 +77,22 @@ object EventStreams {
         } else if (ms - st.lastMs > gapMillis) {
           out += SessionOut(userId, st.sessionSeq, st.nEvents, st.startMs, st.lastMs, st.sumValue)
           st = SessionState(st.sessionSeq + 1, ms, ms, 1L, e.value)
+        } else if (ms < st.startMs - gapMillis) {
+          // late event TOO EARLY to belong to the open session (> gap
+          // before its start): emit it as its own closed single-event
+          // session rather than merging — merging would create a session
+          // with an internal silence longer than the gap, diverging from
+          // the batch formulation. It takes the current seq and the open
+          // session shifts up: emission order stays correct even though
+          // per-user seq numbering is approximate under extreme lateness.
+          out += SessionOut(userId, st.sessionSeq, 1L, ms, ms, e.value)
+          st = st.copy(sessionSeq = st.sessionSeq + 1)
         } else {
           // late-but-within-watermark events (ms ≤ lastMs, possible across
           // micro-batches) extend the session bounds monotonically: the gap
           // above is always decided against the session's true max event
-          // time, and end can never regress below start
+          // time, end can never regress below start, and the backward
+          // extension is bounded by the gap (earlier events split off above)
           st = st.copy(startMs = math.min(st.startMs, ms),
             lastMs = math.max(st.lastMs, ms),
             nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)

@@ -48,6 +48,37 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late event more than gap before the open session splits off, never merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("late_split_out").outputMode("append").start()
+    try {
+      // open a session at 12:00 (=12h)
+      input.addData(ev(1, 12 * h))
+      q.processAllAvailable()
+      // late event at 10:35 — within the 2h watermark but >30min before the
+      // session start: must become its own closed session, not merge into
+      // one spanning 10:35-12:00 with an 85-min internal silence
+      input.addData(ev(2, 10 * h + 35 * 60000))
+      q.processAllAvailable()
+      val out = spark.table("late_split_out").collect()
+      assert(out.length === 1, out.map(_.toSeq.mkString(",")).mkString("; "))
+      assert(out.head.getAs[Long]("n_events") === 1L)
+      assert(out.head.getAs[Long]("start_ms") === 10 * h + 35 * 60000)
+      assert(out.head.getAs[Long]("end_ms") === 10 * h + 35 * 60000)
+      // the original session is still open and closes with its own bounds
+      input.addData(ev(3, 20 * h))
+      q.processAllAvailable()
+      input.addData(ev(4, 30 * h))
+      q.processAllAvailable()
+      val all = spark.table("late_split_out").collect()
+      assert(all.exists(r => r.getAs[Long]("start_ms") == 12 * h && r.getAs[Long]("n_events") == 1L),
+        all.map(_.toSeq.mkString(",")).mkString("; "))
+    } finally q.stop()
+  }
+
   test("file sessionizer runs readStream -> flatMapGroupsWithState -> parquet sink end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("stream").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"

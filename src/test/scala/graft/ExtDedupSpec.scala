@@ -78,6 +78,18 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(out(("s_y", "s_z")) < 0.1)
   }
 
+  test("sourceOverlap omits sources whose docs are all too short to shingle") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "s_real"),
+      (2L, "epsilon zeta eta theta", "s_real2"),
+      (3L, "too short", "s_empty"))          // < 3 tokens: no shingles
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Dedup.sourceOverlap(df).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq === Seq(("s_real", "s_real2")))  // s_empty absent, no spurious 1.0
+  }
+
   test("native simhash63 equals the oracle-portable SQL formulation") {
     // the corpus plus tokenization edge cases the SQL's split(' ')/-1
     // semantics cover: repeated tokens, double spaces, trailing space

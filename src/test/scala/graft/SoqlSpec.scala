@@ -54,6 +54,16 @@ class SoqlSpec extends AnyFunSuite {
     assert(ny.contains("d < add_months(trunc(current_date(), 'YYYY'), 12) OR d >= add_months(trunc(current_date(), 'YYYY'), 24)"), ny)
   }
 
+  test("bare parameterized date literal is rejected, not silently n=0") {
+    val e = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT a FROM t WHERE d = LAST_N_DAYS")
+    }
+    assert(e.getMessage.contains("LAST_N_DAYS:n"), e.getMessage)
+    // non-parameterized literals still work bare
+    assert(Soql.translate("SELECT a FROM t WHERE d = TODAY")
+      .contains("d >= current_date()"))
+  }
+
   test("FIELDS(ALL) becomes star") {
     assert(Soql.translate("SELECT FIELDS(ALL) FROM Part LIMIT 5") ===
       "SELECT * FROM part LIMIT 5")
