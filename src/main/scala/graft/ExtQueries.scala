@@ -259,14 +259,17 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // planes = planesFor(500, 32) = 4 at the oracle's sf0.01 corpus — the
-    // Spark side derives the same count from embeddings.count(). Candidates
-    // are the multi-probe ring: buckets within Hamming distance 1 of the
-    // query's bucket (the query bucket + every single-bit flip).
+    // planes derived from corpus size exactly like the engine's planesFor:
+    // max(4, ceil(log2(n/32))) — 4 at sf0.01 (n=500), 6 at sf0.1 (n=2000).
+    // range() only takes constants, so generate a 32-plane superset and
+    // filter to np. Candidates are the multi-probe ring: buckets within
+    // Hamming distance 1 of the query's bucket (bucket + every bit flip —
+    // flips beyond np never match since those bits are always 0).
     "similarity_lsh" ->
       s"""$quantCte,
+         |params AS (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 32.0)) AS INT)) AS np FROM embeddings),
          |planes AS (SELECT p, i, (1103515245 * (p * 64 + i + 1) + 12345) % 2147483648 - 1073741824 AS v
-         |           FROM range(4) t1(p), range(64) t2(i)),
+         |           FROM range(32) t1(p), range(64) t2(i), params WHERE p < params.np),
          |pdots AS (SELECT q.vec_id, planes.p, CAST(sum(q.x * planes.v) AS BIGINT) AS dot_p
          |          FROM q JOIN planes ON q.i = planes.i + 1
          |          GROUP BY q.vec_id, planes.p),
