@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
   * search, text analysis, event windows, multimodal plumbing. Every entry
@@ -51,6 +51,10 @@ object ExtQueries {
 
     // composite training-data pipeline: quality gate + exact-dedup keepers —
     // the filter→dedup→retain shape every corpus build runs
+    // deterministic train/val/test assignment + stratified-sample report —
+    // reproducible subsets via id-hash buckets, no RNG
+    "pipeline_split_sample" -> ((s, dir) => Sampling.splitSummary(docs(s, dir))),
+
     "pipeline_filter_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val quality = TextAnalysis.quality(d).select("doc_id", "quality_score")
@@ -393,6 +397,23 @@ object ExtQueries {
         |       round(count(conv.to_ms) / count(*), 6) AS conversion
         |FROM entered LEFT JOIN conv USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same md5-region buckets as the engine: integer value of hex digits
+    // [1,4] (split) and [5,8] (sample) via exact bigint shifts
+    "pipeline_split_sample" ->
+      """WITH b AS (SELECT lang,
+        |  CAST(list_sum(list_transform(range(0, 4), k ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |      << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 100 AS sb,
+        |  CAST(list_sum(list_transform(range(0, 4), k ->
+        |    CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT) + 5, 1)) - 1 AS BIGINT)
+        |      << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 100 AS pb
+        |FROM documents)
+        |SELECT lang,
+        |       CASE WHEN sb < 5 THEN 'val' WHEN sb < 10 THEN 'test' ELSE 'train' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN pb < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

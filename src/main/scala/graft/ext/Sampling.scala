@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines
+  * (SURVEY.md §2.8): every production corpus needs reproducible subsets —
+  * train/val/test membership and downsampling decisions that are stable
+  * across runs, engines, repartitioning, and incremental rebuilds. RNG
+  * sampling (`df.sample`) gives none of that; content-hash bucketing gives
+  * all of it.
+  *
+  * Two independent md5 regions of the id drive the two decisions, so split
+  * membership and sample membership are uncorrelated. Everything is a
+  * narrow codegen'd projection — zero shuffle at any scale; the summary
+  * aggregation is one partial-agg shuffle over (lang, split) — a handful
+  * of groups.
+  *
+  * Determinism-for-oracle: bucket = integer value of an md5 hex region
+  * (exact integer shifts in both engines), compared against integer
+  * percentages.
+  */
+object Sampling {
+
+  /** Bucket 0..99 from hex digits [from, from+4) of md5(doc_id). */
+  private def bucketExpr(from: Int): String =
+    s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $from, 4), 16, 10) AS BIGINT) % 100"
+
+  /** Row-level assignment: `split` (train/val/test by id-hash bucket) and
+    * `sampled` (stratum-independent pct downsample flag). Pure projection —
+    * no shuffle, no RNG, stable under any physical re-layout. */
+  def assignSplits(docs: DataFrame, valPct: Int = 5, testPct: Int = 5,
+                   samplePct: Int = 20): DataFrame = {
+    require(valPct + testPct < 100, "val + test must leave room for train")
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("__sb", expr(bucketExpr(1)))
+      .withColumn("__pb", expr(bucketExpr(5)))
+      .withColumn("split",
+        when(col("__sb") < valPct, lit("val"))
+          .when(col("__sb") < valPct + testPct, lit("test"))
+          .otherwise(lit("train")))
+      .withColumn("sampled", (col("__pb") < samplePct).cast("int"))
+      .drop("__sb", "__pb")
+  }
+
+  /** Per-(lang, split) membership summary — the corpus-build report card:
+    * stratum sizes and how many rows the sample keeps. */
+  def splitSummary(docs: DataFrame): DataFrame =
+    assignSplits(docs)
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
+      .orderBy("lang", "split")
+}
