@@ -55,6 +55,14 @@ object ExtQueries {
     // reproducible subsets via id-hash buckets, no RNG
     "pipeline_split_sample" -> ((s, dir) => Sampling.splitSummary(docs(s, dir))),
 
+    // multimodal -> embed -> ANN composite: ingest blobs, stub-embed to
+    // 64-dim vectors (typed per-partition map — the model-batch shape),
+    // exact cosine top-5 via the shared quantized scoring core. The
+    // image-dedup pipeline end-to-end with a swappable encoder.
+    "pipeline_embed_ann" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        Multimodal.embedStub(Multimodal.ingest(docs(s, dir))), nQueries = 10, k = 5)),
+
     "pipeline_filter_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val quality = TextAnalysis.quality(d).select("doc_id", "quality_score")
@@ -397,6 +405,26 @@ object ExtQueries {
         |       round(count(conv.to_ms) / count(*), 6) AS conversion
         |FROM entered LEFT JOIN conv USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stub embedding = first 64 ASCII bytes as 0..255 floats (small ints —
+    // float-exact), then the standard quantized-cosine top-k replay
+    "pipeline_embed_ann" ->
+      """WITH q AS (SELECT doc_id AS vec_id, i,
+        |             CAST(CASE WHEN length(text) >= i THEN ascii(substr(text, CAST(i AS INT), 1))
+        |                  ELSE 0 END * 10000 AS BIGINT) AS x
+        |           FROM documents, range(1, 65) t(i)),
+        |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n FROM q GROUP BY vec_id),
+        |dots AS (SELECT qq.vec_id AS query_id, qv.vec_id AS vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+        |         FROM q qq JOIN q qv ON qq.i = qv.i AND qq.vec_id < 10 AND qv.vec_id != qq.vec_id
+        |         GROUP BY qq.vec_id, qv.vec_id),
+        |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+        |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+        |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+        |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |           FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // same md5-region buckets as the engine: integer value of hex digits
     // [1,4] (split) and [5,8] (sample) via exact bigint shifts

@@ -51,6 +51,27 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** STUB embedder: blob bytes → a 64-dim float vector (the first 64
+    * payload bytes as 0..255 floats, zero-padded). A real implementation
+    * would run an image/audio encoder here — this keeps the exact pipeline
+    * shape (binary column in, fixed-width Array[Float] out, typed
+    * per-partition map where a model handle would be initialized once) with
+    * arithmetic both engines reproduce bit-exactly: small-int floats, no
+    * division, so the downstream quantized-cosine core is unaffected by
+    * float rounding. Cosine is scale-invariant, so skipping the /255
+    * normalization changes nothing downstream. */
+  def embedStub(blobs: Dataset[MediaBlob], dim: Int = 64): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init would go here (encoder/model handle)
+      it.map { b =>
+        val v = b.content.take(dim).map(x => (x & 0xff).toFloat).padTo(dim, 0f)
+        (b.doc_id, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Typed per-partition feature extraction. The iterator shape lets a real
     * decoder batch its work per partition (load codec once, stream blobs
     * through); state stays on executors. */

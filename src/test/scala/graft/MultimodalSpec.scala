@@ -18,6 +18,17 @@ class MultimodalSpec extends AnyFunSuite {
     typed.zip(sql).foreach { case (t, s) => assert(t.toSeq === s.toSeq) }
   }
 
+  test("embedStub maps the first 64 payload bytes to exact small-int floats") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val row = Multimodal.embedStub(Multimodal.ingest(docs))
+      .filter(col("vec_id") === 1L).collect().head
+    val emb = row.getSeq[Float](1)
+    val text = docs.filter(col("doc_id") === 1L).collect().head.getAs[String]("text")
+    assert(emb.length === 64)
+    val expected = text.getBytes("UTF-8").take(64).map(b => (b & 0xff).toFloat)
+    assert(emb.take(expected.length).toArray.toSeq === expected.toSeq)
+  }
+
   test("decode stub is deterministic arithmetic on byte length") {
     assert(Multimodal.decodeStub(1000L) === (16 + 1000 % 241, 16 + (1000 * 31) % 239, 4))
     assert(Multimodal.decodeStub(256L)._3 === 1)
