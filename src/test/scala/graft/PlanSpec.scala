@@ -52,6 +52,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("funnel and retention plan co-partitioned joins with partial aggregation, no nested loops") {
+    for (q <- Seq("events_funnel", "events_retention")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no map-side partial agg\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: nested-loop join\n$p")
+    }
+  }
+
+  test("split sampling is a pure projection plus one aggregation shuffle, no joins") {
+    val p = plan("pipeline_split_sample")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"$exchanges exchanges (expected agg shuffle + final sort only)\n$p")
+  }
+
+  test("source overlap aggregates partially before the sketch shuffle (distributive min)") {
+    val p = plan("dedup_source_overlap")
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("IVF list join is broadcast; corpus assignment is narrow (one scan side)") {
     val p = plan("similarity_ivf")
     assert(p.contains("BroadcastHashJoin"), p)
