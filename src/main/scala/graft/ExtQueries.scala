@@ -30,6 +30,7 @@ object ExtQueries {
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
+    "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
@@ -77,7 +78,9 @@ object ExtQueries {
     * hot-shingle cap: shingles above the document-frequency cap leave the
     * shingle space before sizes AND intersections (Jaccard over the
     * filtered space). */
-  private def jaccardPairsSql(threshold: String, maxDocFreq: Option[Int] = None): String = {
+  /** CTE chain ending in `inter(a, b, c)` + `sz(doc_id, n_sh)` — shared by
+    * the pair queries and the recursive cluster oracle. */
+  private def jaccardCtes(maxDocFreq: Option[Int]): String = {
     val filtered = maxDocFreq match {
       case Some(cap) =>
         s"""dfc AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle),
@@ -85,7 +88,7 @@ object ExtQueries {
            |        WHERE dfc.dfreq <= $cap),""".stripMargin
       case None => "shf AS (SELECT doc_id, shingle FROM sh),"
     }
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT DISTINCT doc_id,
        |         unnest(list_transform(range(1, len(w) - 1),
        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
@@ -94,12 +97,15 @@ object ExtQueries {
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
        |inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
        |          FROM shf s1 JOIN shf s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
-       |          GROUP BY s1.doc_id, s2.doc_id)
+       |          GROUP BY s1.doc_id, s2.doc_id)""".stripMargin
+  }
+
+  private def jaccardPairsSql(threshold: String, maxDocFreq: Option[Int] = None): String =
+    s"""WITH ${jaccardCtes(maxDocFreq)}
        |SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
        |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
        |WHERE c / (sa.n_sh + sb.n_sh - c) >= $threshold
        |ORDER BY a, b""".stripMargin
-  }
 
   private val quantCte =
     """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -192,6 +198,24 @@ object ExtQueries {
     // candidates are verified with exact Jaccard — so the approximate
     // pipeline equals the exact answer with near-certainty.
     "dedup_minhash_lsh" -> jaccardPairsSql("0.8"),
+
+    // the engine's banded LSH has P[miss | J>=0.8] ~ 5e-8, so the pair set
+    // equals the exact-Jaccard pairs; the cluster ids are then the TRUE
+    // transitive closure, computed here with a recursive CTE (min label
+    // reachable), matching the engine's label-propagation fixpoint.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+         |jp AS (SELECT a, b
+         |       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+         |       WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id)
+         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
     // shingle hashes (integer shifts — a double would round past 53 bits),

@@ -150,6 +150,47 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Connected components over near-dup pairs → cluster ids. Pair lists
+    * aren't actionable on their own: the dedup decision ("keep one doc per
+    * duplicate GROUP") needs transitive closure — if A~B and B~C, one
+    * keeper among {A,B,C}, even though A and C never paired.
+    *
+    * Iterative min-label propagation to fixpoint: each round every node
+    * adopts the smallest label among itself and its neighbors — the
+    * primitive inside GraphX CC / large-star-small-star. Rounds needed =
+    * graph diameter ≤ O(log n) for the squat near-dup clusters; each round
+    * is one co-partitioned edge-label join + partial-min shuffle (never
+    * materializes components in one task). `localCheckpoint` truncates the
+    * growing lineage per round — standard for iterative Spark algorithms.
+    * The fixpoint is unique, so results are independent of round count. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a").as("id"), col("b").as("nbr"))
+      .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr")))
+    var labels = edges
+      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+      .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, "id")
+        .select(col("nbr").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = prop.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = prop
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The full dedup-grouping pipeline: MinHash-LSH near-dup pairs →
+    * transitive closure → (doc_id, cluster_id). The keeper rule is then
+    * one `min(doc_id) over cluster` away. */
+  def minhashClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    clusters(minhashLsh(docs, threshold).select("a", "b"))
+
   /** Corpus-source overlap estimation: per-source MinHash UNION sketches →
     * pairwise shingle-set Jaccard estimates. Answers "how much do my crawl
     * dumps / data sources overlap?" BEFORE paying for cross-source pair

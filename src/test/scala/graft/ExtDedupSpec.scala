@@ -61,6 +61,22 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(ha !== hc)
   }
 
+  test("clusters computes transitive closure: chains collapse to one min-id label") {
+    // edges: 1-2, 2-3 (chain), 5-6 (separate), 9-4 (labels must follow min)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L)).toDF("a", "b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 4L -> 4L, 9L -> 4L))
+  }
+
+  test("clusters converges on a long chain (diameter > 1 iteration)") {
+    // a path 10-11-12-...-18: min label 10 must propagate the whole way
+    val pairs = (10L until 18L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.forall(_._2 == 10L), out.mkString(", "))
+    assert(out.map(_._1).sorted.toSeq === (10L to 18L).toSeq)
+  }
+
   test("sourceOverlap: identical sources estimate 1.0, disjoint near 0") {
     val text1 = "alpha beta gamma delta epsilon zeta eta theta"
     val text2 = "one two three four five six seven eight nine"
