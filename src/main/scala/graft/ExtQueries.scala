@@ -519,7 +519,7 @@ object ExtQueries {
   def benchQueries: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "dedup_simhash_pairs", "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "dedup_source_overlap",
+    "dedup_source_overlap", "dedup_clusters",
     "events_sessionize", "events_session_window", "text_langid", "text_df_index",
     "events_tumbling", "events_funnel", "events_retention",
     "multimodal_frames", "pipeline_filter_dedup")
