@@ -50,8 +50,6 @@ object ExtQueries {
       Multimodal.sampleFrames(Multimodal.ingest(docs(s, dir)))
         .orderBy("doc_id", "frame_no")),
 
-    // composite training-data pipeline: quality gate + exact-dedup keepers —
-    // the filter→dedup→retain shape every corpus build runs
     // deterministic train/val/test assignment + stratified-sample report —
     // reproducible subsets via id-hash buckets, no RNG
     "pipeline_split_sample" -> ((s, dir) => Sampling.splitSummary(docs(s, dir))),
@@ -64,6 +62,8 @@ object ExtQueries {
       Similarity.bruteForceTopK(
         Multimodal.embedStub(Multimodal.ingest(docs(s, dir))), nQueries = 10, k = 5)),
 
+    // composite training-data pipeline: quality gate + exact-dedup keepers —
+    // the filter→dedup→retain shape every corpus build runs
     "pipeline_filter_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val quality = TextAnalysis.quality(d).select("doc_id", "quality_score")

@@ -164,8 +164,13 @@ object Dedup {
     * growing lineage per round — standard for iterative Spark algorithms.
     * The fixpoint is unique, so results are independent of round count. */
   def clusters(pairs: DataFrame): DataFrame = {
+    // checkpoint the edge list ONCE: the loop below re-reads it every
+    // round, and without truncation each round would re-execute the whole
+    // upstream pair-generation DAG (for minhashClusters: the full LSH
+    // pipeline) diameter+1 times
     val edges = pairs.select(col("a").as("id"), col("b").as("nbr"))
       .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr")))
+      .localCheckpoint()
     var labels = edges
       .select(col("id"), least(col("id"), col("nbr")).as("label"))
       .groupBy("id").agg(min("label").as("label"))

@@ -70,34 +70,55 @@ object EventStreams {
       }
 
       val sorted = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      // batch-local accumulator for late events that are TOO EARLY to
+      // belong to the open session (> gap before its start): consecutive
+      // early events within the gap of each other fold into ONE closed
+      // session, matching the batch formulation; merging them into the
+      // open session would create an internal silence longer than the gap.
+      // Emitted late sessions take the current seq and the open session
+      // shifts up — emission stays ordered even though per-user numbering
+      // is approximate under extreme lateness.
+      var late: SessionState = null
+      def flushLate(): Unit = if (late != null) {
+        out += SessionOut(userId, st.sessionSeq, late.nEvents, late.startMs, late.lastMs, late.sumValue)
+        st = st.copy(sessionSeq = st.sessionSeq + 1)
+        late = null
+      }
       for (e <- sorted) {
         val ms = e.ts.getTime
         if (st == null) {
           st = SessionState(1L, ms, ms, 1L, e.value)
-        } else if (ms - st.lastMs > gapMillis) {
-          out += SessionOut(userId, st.sessionSeq, st.nEvents, st.startMs, st.lastMs, st.sumValue)
-          st = SessionState(st.sessionSeq + 1, ms, ms, 1L, e.value)
         } else if (ms < st.startMs - gapMillis) {
-          // late event TOO EARLY to belong to the open session (> gap
-          // before its start): emit it as its own closed single-event
-          // session rather than merging — merging would create a session
-          // with an internal silence longer than the gap, diverging from
-          // the batch formulation. It takes the current seq and the open
-          // session shifts up: emission order stays correct even though
-          // per-user seq numbering is approximate under extreme lateness.
-          out += SessionOut(userId, st.sessionSeq, 1L, ms, ms, e.value)
-          st = st.copy(sessionSeq = st.sessionSeq + 1)
+          if (late != null && ms - late.lastMs > gapMillis) flushLate()
+          late =
+            if (late == null) SessionState(0L, ms, ms, 1L, e.value)
+            else late.copy(lastMs = ms, nEvents = late.nEvents + 1,
+              sumValue = late.sumValue + e.value)
         } else {
-          // late-but-within-watermark events (ms ≤ lastMs, possible across
-          // micro-batches) extend the session bounds monotonically: the gap
-          // above is always decided against the session's true max event
-          // time, end can never regress below start, and the backward
-          // extension is bounded by the gap (earlier events split off above)
-          st = st.copy(startMs = math.min(st.startMs, ms),
-            lastMs = math.max(st.lastMs, ms),
-            nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+          // this event is within gap-reach of the open session; if it is
+          // ALSO within the gap of the pending early session, it bridges
+          // the two — absorb the early session instead of emitting it
+          if (late != null && ms - late.lastMs <= gapMillis) {
+            st = st.copy(startMs = late.startMs, nEvents = st.nEvents + late.nEvents,
+              sumValue = st.sumValue + late.sumValue)
+            late = null
+          } else flushLate()
+          if (ms - st.lastMs > gapMillis) {
+            out += SessionOut(userId, st.sessionSeq, st.nEvents, st.startMs, st.lastMs, st.sumValue)
+            st = SessionState(st.sessionSeq + 1, ms, ms, 1L, e.value)
+          } else {
+            // late-but-within-watermark events (ms ≤ lastMs, possible
+            // across micro-batches) extend the session bounds
+            // monotonically: the gap above is always decided against the
+            // session's true max event time, end can never regress below
+            // start, and backward extension is bounded by the gap
+            st = st.copy(startMs = math.min(st.startMs, ms),
+              lastMs = math.max(st.lastMs, ms),
+              nEvents = st.nEvents + 1, sumValue = st.sumValue + e.value)
+          }
         }
       }
+      flushLate()
       state.update(st)
       state.setTimeoutTimestamp(st.lastMs + gapMillis + 1)
       out.iterator

@@ -79,6 +79,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("consecutive too-early late events fold into one late session like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("late_fold_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 12 * h))
+      q.processAllAvailable()
+      // two late events 5 min apart, both >30min before the session start
+      // and both strictly above the 10:00 watermark (exactly-at-watermark
+      // rows are dropped by the stateful late filter):
+      // batch semantics = ONE session {10:01, 10:06}
+      input.addData(ev(2, 10 * h + 60000), ev(3, 10 * h + 6 * 60000))
+      q.processAllAvailable()
+      val out = spark.table("late_fold_out").collect()
+      assert(out.length === 1, out.map(_.toSeq.mkString(",")).mkString("; "))
+      assert(out.head.getAs[Long]("n_events") === 2L)
+      assert(out.head.getAs[Long]("start_ms") === 10 * h + 60000)
+      assert(out.head.getAs[Long]("end_ms") === 10 * h + 6 * 60000)
+    } finally q.stop()
+  }
+
   test("file sessionizer runs readStream -> flatMapGroupsWithState -> parquet sink end-to-end") {
     val base = java.nio.file.Files.createTempDirectory("stream").toString
     val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"

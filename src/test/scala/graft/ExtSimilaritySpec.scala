@@ -63,6 +63,14 @@ class ExtSimilaritySpec extends AnyFunSuite {
     overlaps.foreach { case (expected, got) => assert(got === expected) }
   }
 
+  test("explicit planesOverride skips the sizing count and matches the derived result") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    // planesFor(500, 32) = 4, so overriding with 4 must be byte-identical
+    val derived = Similarity.lshTopK(embs, nQueries = 3, k = 3).collect()
+    val overridden = Similarity.lshTopK(embs, nQueries = 3, k = 3, planesOverride = 4).collect()
+    assert(derived.map(_.toSeq).toSeq === overridden.map(_.toSeq).toSeq)
+  }
+
   test("planesFor scales with corpus size and floors at 4") {
     assert(Similarity.planesFor(500) === 4)
     assert(Similarity.planesFor(2000) === 6)
