@@ -19,6 +19,13 @@ case class SessionState(sessionSeq: Long, startMs: Long, lastMs: Long,
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_ms: Long, end_ms: Long, sum_value: Double)
 
+/** A completed funnel conversion (stream twin of the batch
+  * [[graft.ext.Events.funnel]] row before cohort aggregation). */
+case class ConversionOut(user_id: Long, from_ms: Long, to_ms: Long)
+
+/** Per-user funnel state: first `fromType` time + conversion latch. */
+case class FunnelState(fromMs: Long, converted: Boolean)
+
 /** Structured Streaming versions of the event analytics (SURVEY.md §2.8
   * E4). The reference is strictly batch (one Airflow `execute()` per run —
   * SURVEY.md §2.7); streaming is part of the north-star extension surface.
@@ -121,6 +128,52 @@ object EventStreams {
       flushLate()
       state.update(st)
       state.setTimeoutTimestamp(st.lastMs + gapMillis + 1)
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Streaming funnel: per-user sequenced state — remember the FIRST
+    * `fromType` event; emit one [[ConversionOut]] when the first `toType`
+    * event lands within `horizonMs` of it. State is one tiny object per
+    * user inside the horizon: the event-time timeout fires at
+    * fromMs + horizon (or on conversion) and removes it, so state size is
+    * O(users inside their horizon window), not O(all users ever).
+    *
+    * Ordering: events are sorted within each micro-batch; a `toType`
+    * delivered in an EARLIER batch than its user's `fromType` is not
+    * retroactively matched (the batch funnel is the exact ground truth —
+    * spec-asserted equal under in-order delivery). */
+  def funnelConversions(events: Dataset[Event], fromType: String = "signup",
+                        toType: String = "purchase",
+                        horizonMs: Long = 604800000L): Dataset[ConversionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[FunnelState]): Iterator[ConversionOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ArrayBuffer.empty[ConversionOut]
+      var st = state.getOption.orNull
+      for (e <- it.toArray.sortBy(e => (e.ts.getTime, e.event_id))) {
+        val ms = e.ts.getTime
+        if (st == null && e.event_type == fromType) {
+          st = FunnelState(ms, converted = false)
+        } else if (st != null && !st.converted && e.event_type == toType &&
+                   ms >= st.fromMs && ms <= st.fromMs + horizonMs) {
+          out += ConversionOut(userId, st.fromMs, ms)
+          st = st.copy(converted = true)
+        }
+      }
+      if (st == null || st.converted) state.remove()
+      else {
+        state.update(st)
+        state.setTimeoutTimestamp(st.fromMs + horizonMs + 1)
+      }
       out.iterator
     }
 

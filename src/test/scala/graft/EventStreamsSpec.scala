@@ -124,6 +124,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s1.getAs[Long]("start_ms") === 1000L && s1.getAs[Long]("end_ms") === 2000L)
   }
 
+  test("streaming funnel emits first in-horizon conversion per user, once") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 86400000L
+    def tev(id: Long, ms: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(ms), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelConversions(input.toDS()).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // user 1 signs up; user 2 purchases without signup (ignored)
+      input.addData(tev(1, 1000, 1L, "signup"), tev(2, 2000, 2L, "purchase"))
+      q.processAllAvailable()
+      // user 1 converts on day 3; a second purchase must NOT emit again
+      input.addData(tev(3, 3 * d, 1L, "purchase"), tev(4, 4 * d, 1L, "purchase"))
+      q.processAllAvailable()
+      // user 2 signs up day 4, purchases day 20 — beyond the 7d horizon
+      input.addData(tev(5, 4 * d, 2L, "signup"))
+      q.processAllAvailable()
+      input.addData(tev(6, 20 * d, 2L, "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out").collect()
+      assert(out.length === 1, out.map(_.toSeq.mkString(",")).mkString("; "))
+      assert(out.head.getAs[Long]("user_id") === 1L)
+      assert(out.head.getAs[Long]("from_ms") === 1000L)
+      assert(out.head.getAs[Long]("to_ms") === 3 * d)
+      // matches the batch funnel's conversion row for the same events
+      import spark.implicits._
+      val batchDf = Seq(
+        (1L, 1000L, 1L, "signup"), (2L, 2000L, 2L, "purchase"),
+        (3L, 3 * d, 1L, "purchase"), (4L, 4 * d, 1L, "purchase"),
+        (5L, 4 * d, 2L, "signup"), (6L, 20 * d, 2L, "purchase")
+      ).toDF("event_id", "ms", "user_id", "event_type")
+        .withColumn("ts", timestamp_millis(col("ms")))
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}")).drop("ms")
+      val batch = graft.ext.Events.funnel(batchDf).collect()
+      assert(batch.map(_.getAs[Long]("n_converted")).sum === 1L)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
