@@ -262,6 +262,48 @@ class SoqlSpec extends AnyFunSuite {
     })
   }
 
+  test("property: random typed SOQL executes end-to-end on a real view") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq(
+      (1, 10, "alpha", java.sql.Date.valueOf("2026-01-05")),
+      (2, 20, "beta", java.sql.Date.valueOf("2026-05-01")),
+      (3, 30, "BUILDING", java.sql.Date.valueOf("2026-08-01")),
+      (4, 40, "it's", java.sql.Date.valueOf("2026-08-11")),
+      (5, 50, "WHERE (x", java.sql.Date.valueOf("2027-01-01")))
+      .toDF("a", "b", "c", "d_date").createOrReplaceTempView("proptbl")
+    // type-aware leaves (ANSI mode: cross-type compares throw at runtime)
+    val numF = Gen.oneOf("a", "b")
+    val strLit = Gen.oneOf("'alpha'", "'BUILDING'", "'it\\'s'", "'WHERE (x'", "'a AND b'")
+    val leafG: Gen[String] = Gen.oneOf(
+      for { f <- numF; op <- Gen.oneOf("=", "!=", "<", "<=", ">", ">="); n <- Gen.choose(0, 60) }
+        yield s"$f $op $n",
+      for { op <- Gen.oneOf("=", "!="); l <- strLit } yield s"c $op $l",
+      for { n <- Gen.oneOf("", "NOT ") } yield s"c ${n}LIKE 'a%'",
+      for { n <- Gen.oneOf("", "NOT "); ls <- Gen.listOfN(2, strLit) }
+        yield s"c ${n}IN (${ls.mkString(", ")})",
+      for { op <- Gen.oneOf("=", ">", "<=", "<") } yield s"d_date $op LAST_N_DAYS:90",
+      Gen.const("d_date >= THIS_YEAR"))
+    def condG(depth: Int): Gen[String] =
+      if (depth <= 0) leafG
+      else Gen.frequency(
+        2 -> leafG,
+        2 -> (for { l <- condG(depth - 1); r <- condG(depth - 1); op <- Gen.oneOf("AND", "OR") }
+          yield s"($l $op $r)"),
+        1 -> condG(depth - 1).map(x => s"NOT ($x)"))
+    val queryG: Gen[String] = for {
+      w <- condG(2)
+      q <- Gen.oneOf(
+        s"SELECT a, b, c FROM proptbl WHERE $w ORDER BY a LIMIT 50",
+        s"SELECT c, COUNT(a) FROM proptbl WHERE $w GROUP BY c ORDER BY c",
+        s"SELECT a, b + a FROM proptbl WHERE $w ORDER BY a DESC NULLS LAST OFFSET 1")
+    } yield q
+    checkProp(Prop.forAll(queryG) { q =>
+      spark.sql(Soql.translate(q)).collect()  // throws on bad emission
+      true
+    })
+  }
+
   test("COUNT() with no argument becomes count(*)") {
     assert(Soql.translate("SELECT COUNT() FROM t") === "SELECT count(*) FROM t")
   }
