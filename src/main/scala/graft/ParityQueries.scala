@@ -163,6 +163,26 @@ object ParityQueries {
           |       COUNT(o_orderkey) AS n_orders
           |FROM Orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // §2.6 bare (unquoted) ISO date literals — legal SOQL date tokens
+    // (`WHERE CreatedDate > 2005-10-08`, ref salesforce_to_s3_operator.py:50).
+    // Regression trap: 1995-01-01 must lex as one date token, never reach
+    // the arithmetic grammar as 1995-01-01 = 1993. Comparisons get the
+    // half-open day-range rewrite (dates denote the whole day).
+    "soql_bare_date_range" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, o_orderdate, o_totalprice FROM Orders
+          |WHERE o_orderdate >= 1995-01-01 AND o_orderdate < 1996-07-01
+          |  AND o_totalprice > 200000
+          |ORDER BY o_orderkey""".stripMargin)),
+
+    // §2.6 bare ISO datetime literals with offsets — normalized to UTC
+    // TIMESTAMP literals at translate time (session tz is pinned UTC)
+    "soql_bare_datetime" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT event_id, user_id, event_type FROM Events
+          |WHERE ts >= 2024-01-10T06:30:00Z AND ts < 2024-01-10T18:30:00+02:00
+          |ORDER BY event_id""".stripMargin)),
+
     // §2.6 raw TYPEOF through the parser: flattened to one CASE-gated
     // column per branch field (the relational shape of Salesforce's
     // per-type record projection).
@@ -421,6 +441,17 @@ object ParityQueries {
         """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
           |       count(o_orderkey) AS n_orders
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "soql_bare_date_range" ->
+        """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+          |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-07-01'
+          |  AND o_totalprice > 200000
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "soql_bare_datetime" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00' AND ts < TIMESTAMP '2024-01-10 16:30:00'
+          |ORDER BY event_id""".stripMargin,
 
       "soql_typeof" ->
         """SELECT event_id,

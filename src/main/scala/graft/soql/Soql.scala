@@ -28,10 +28,18 @@ package graft.soql
   *     N_DAYS_AGO:n, THIS|LAST|NEXT_WEEK (ISO Monday weeks — Salesforce's
   *     week start is locale-dependent; documented deviation),
   *     THIS|LAST|NEXT_MONTH, THIS|LAST|NEXT_QUARTER, THIS|LAST|NEXT_YEAR,
-  *     and the LAST_N_/NEXT_N_ WEEKS/MONTHS/QUARTERS/YEARS:n families
+  *     the LAST_N_/NEXT_N_ WEEKS/MONTHS/QUARTERS/YEARS:n and
+  *     N_WEEKS|MONTHS|QUARTERS|YEARS_AGO:n families, and the fiscal families
+  *     THIS|LAST|NEXT_FISCAL_QUARTER|YEAR + LAST_N_/NEXT_N_/`_AGO`
+  *     FISCAL_QUARTERS|YEARS:n (fiscal-year start month configurable via
+  *     `translate(soql, fiscalYearStartMonth)`; default January = calendar)
   *     (range-rewritten per the SOQL spec: `f = TODAY` means "within
   *     today", so it becomes a half-open range — dates and datetimes both
   *     handled)
+  *   - bare (unquoted) ISO date literals `1995-01-01` and datetime literals
+  *     `2005-10-08T01:02:03Z` / `…±hh:mm` — lexed atomically (never integer
+  *     arithmetic); dates get the same half-open day-range rewrite in
+  *     comparisons, datetimes are normalized to UTC TIMESTAMP literals
   *   - multipicklist INCLUDES/EXCLUDES → split(';') + arrays_overlap
   *   - parent-to-child nested subselect in the SELECT list → pre-aggregated
   *     left join (one shuffle per side, no correlated execution)
@@ -89,8 +97,31 @@ object Soql {
     "DAY_IN_YEAR" -> "dayofyear",
     "WEEK_IN_YEAR" -> "weekofyear")
 
-  def translate(soql: String): String =
-    new Parser(Lexer.tokenize(soql)).parseQuery(top = true).emit
+  /** Translate a SOQL string to Spark SQL text.
+    *
+    * @param fiscalYearStartMonth month (1-12) the org's fiscal year starts
+    *   in — drives the `*_FISCAL_*` date-literal families (Salesforce reads
+    *   this from company settings; default January = calendar-aligned).
+    */
+  def translate(soql: String, fiscalYearStartMonth: Int = 1): String = {
+    require(fiscalYearStartMonth >= 1 && fiscalYearStartMonth <= 12,
+      s"fiscalYearStartMonth must be 1-12, got $fiscalYearStartMonth")
+    new Parser(Lexer.tokenize(soql), fiscalYearStartMonth - 1).parseQuery(top = true).emit
+  }
+
+  /** Normalize a bare SOQL datetime literal to a UTC `yyyy-MM-dd HH:mm:ss[.ffffff]`
+    * string (session timezone is pinned to UTC across the engine, so a naive
+    * Spark/DuckDB TIMESTAMP literal in UTC is exact). A missing offset is
+    * treated as UTC (Salesforce requires an offset; we accept the omission). */
+  private[soql] def normalizeDateTime(raw: String): String = {
+    val withZone =
+      if (raw.endsWith("Z") || raw.matches(""".*[+-]\d{2}:\d{2}$""")) raw else raw + "Z"
+    val utc = java.time.OffsetDateTime.parse(withZone)
+      .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+    val base = f"${utc.getYear}%04d-${utc.getMonthValue}%02d-${utc.getDayOfMonth}%02d " +
+      f"${utc.getHour}%02d:${utc.getMinute}%02d:${utc.getSecond}%02d"
+    if (utc.getNano == 0) base else f"$base.${utc.getNano / 1000}%06d"
+  }
 
   // ------------------------------------------------------------------
   // Tokenizer
@@ -101,10 +132,23 @@ object Soql {
   private[soql] final case class TNum(s: String) extends Tok
   /** String literal, quotes included; SOQL \' already normalized to SQL ''. */
   private[soql] final case class TStr(s: String) extends Tok
+  /** Bare ISO date literal (`1995-01-01`) — SOQL dates are UNQUOTED
+    * (`WHERE CreatedDate > 2005-10-08` is legal dialect; the reference ships
+    * such strings verbatim — salesforce_to_s3_operator.py:50,195-199).
+    * Lexed as one atomic token so it can never fall into the arithmetic
+    * grammar as `1995 - 01 - 01`. */
+  private[soql] final case class TDate(s: String) extends Tok
+  /** Bare ISO datetime literal (`2005-10-08T01:02:03Z` / `…+01:00`). */
+  private[soql] final case class TDateTime(s: String) extends Tok
   private[soql] final case class TOp(s: String) extends Tok
   private[soql] case object TEnd extends Tok
 
   private[soql] object Lexer {
+    /** Anchored ISO shape: date, optionally `THH:MM:SS[.f][Z|±hh:mm]`.
+      * Group 1 non-null ⇒ datetime. */
+    private val IsoPat = java.util.regex.Pattern.compile(
+      """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?""")
+
     def tokenize(s: String): Vector[Tok] = {
       val out = Vector.newBuilder[Tok]
       var i = 0
@@ -132,13 +176,27 @@ object Soql {
           while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
           out += TIdent(s.substring(start, i))
         } else if (c.isDigit) {
-          val start = i
-          while (i < s.length && s.charAt(i).isDigit) i += 1
-          if (i < s.length && s.charAt(i) == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit) {
-            i += 1
+          val m = IsoPat.matcher(s)
+          m.region(i, s.length)
+          // date/datetime first — `1995-01-01` must never reach the
+          // arithmetic grammar (it would silently compute 1993)
+          val isoEnd =
+            if (m.lookingAt() &&
+                (m.end == s.length || !s.charAt(m.end).isLetterOrDigit)) m.end
+            else -1
+          if (isoEnd > 0) {
+            val text = s.substring(i, isoEnd)
+            out += (if (m.group(1) != null) TDateTime(text) else TDate(text))
+            i = isoEnd
+          } else {
+            val start = i
             while (i < s.length && s.charAt(i).isDigit) i += 1
+            if (i < s.length && s.charAt(i) == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit) {
+              i += 1
+              while (i < s.length && s.charAt(i).isDigit) i += 1
+            }
+            out += TNum(s.substring(start, i))
           }
-          out += TNum(s.substring(start, i))
         } else {
           val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
           if (two == ">=" || two == "<=" || two == "!=" || two == "<>") {
@@ -308,9 +366,11 @@ object Soql {
       for (b <- branches; f <- b.fields)
         arms.getOrElseUpdate(f.segs.last.toLowerCase, scala.collection.mutable.ArrayBuffer()) +=
           (s"$d = '${b.typeName}'" -> f.emit(ctx))
+      // ELSE covers any record not matching a listed type — including a NULL
+      // discriminator (bare NOT IN is NULL for NULL, which would drop them)
       for (f <- elseFields)
         arms.getOrElseUpdate(f.segs.last.toLowerCase, scala.collection.mutable.ArrayBuffer()) +=
-          (s"$d NOT IN ($allTypes)" -> f.emit(ctx))
+          (s"($d IS NULL OR $d NOT IN ($allTypes))" -> f.emit(ctx))
       arms.map { case (leaf, cs) =>
         "CASE " + cs.map { case (c, e) => s"WHEN $c THEN $e" }.mkString(" ") + s" END AS $leaf"
       }.mkString(", ")
@@ -367,10 +427,50 @@ object Soql {
   private val parameterizedDateLiterals = Set(
     "LAST_N_DAYS", "NEXT_N_DAYS", "N_DAYS_AGO",
     "LAST_N_WEEKS", "NEXT_N_WEEKS", "LAST_N_MONTHS", "NEXT_N_MONTHS",
-    "LAST_N_QUARTERS", "NEXT_N_QUARTERS", "LAST_N_YEARS", "NEXT_N_YEARS")
+    "LAST_N_QUARTERS", "NEXT_N_QUARTERS", "LAST_N_YEARS", "NEXT_N_YEARS",
+    "N_WEEKS_AGO", "N_MONTHS_AGO", "N_QUARTERS_AGO", "N_YEARS_AGO",
+    "LAST_N_FISCAL_QUARTERS", "NEXT_N_FISCAL_QUARTERS", "N_FISCAL_QUARTERS_AGO",
+    "LAST_N_FISCAL_YEARS", "NEXT_N_FISCAL_YEARS", "N_FISCAL_YEARS_AGO")
 
-  /** Date literal → (lo, hiExcl) half-open day range; `n` for the :n forms. */
-  private def dateRange(name: String, n: => String): Option[(String, String)] =
+  /** Date literal → (lo, hiExcl) half-open day range; `n` for the :n forms;
+    * `k` = fiscal-year start month offset (startMonth - 1, 0 = calendar). */
+  private def dateRange(name: String, n: => String, k: Int = 0): Option[(String, String)] = {
+    // Fiscal period start containing today: shift back k months so fiscal
+    // boundaries land on calendar boundaries, trunc, shift forward again.
+    // k=0 folds to the plain calendar trunc (same SQL, constant-folded).
+    def fStart(unit: String): String =
+      if (k == 0) s"trunc(current_date(), '$unit')"
+      else s"add_months(trunc(add_months(current_date(), -$k), '$unit'), $k)"
+    def fy = fStart("YYYY")
+    def fq = fStart("QUARTER")
+    name.toUpperCase match {
+      // ---- fiscal families (Salesforce: org-configurable FY start) ----
+      case "THIS_FISCAL_YEAR"    => Some((fy, s"add_months($fy, 12)"))
+      case "LAST_FISCAL_YEAR"    => Some((s"add_months($fy, -12)", fy))
+      case "NEXT_FISCAL_YEAR"    => Some((s"add_months($fy, 12)", s"add_months($fy, 24)"))
+      case "LAST_N_FISCAL_YEARS" => Some((s"add_months($fy, -${n.toInt * 12})", fy))
+      case "NEXT_N_FISCAL_YEARS" => Some((s"add_months($fy, 12)", s"add_months($fy, ${(n.toInt + 1) * 12})"))
+      case "N_FISCAL_YEARS_AGO"  => Some((s"add_months($fy, -${n.toInt * 12})", s"add_months($fy, -${(n.toInt - 1) * 12})"))
+      case "THIS_FISCAL_QUARTER"    => Some((fq, s"add_months($fq, 3)"))
+      case "LAST_FISCAL_QUARTER"    => Some((s"add_months($fq, -3)", fq))
+      case "NEXT_FISCAL_QUARTER"    => Some((s"add_months($fq, 3)", s"add_months($fq, 6)"))
+      case "LAST_N_FISCAL_QUARTERS" => Some((s"add_months($fq, -${n.toInt * 3})", fq))
+      case "NEXT_N_FISCAL_QUARTERS" => Some((s"add_months($fq, 3)", s"add_months($fq, ${(n.toInt + 1) * 3})"))
+      case "N_FISCAL_QUARTERS_AGO"  => Some((s"add_months($fq, -${n.toInt * 3})", s"add_months($fq, -${(n.toInt - 1) * 3})"))
+      // ---- exactly-one-period-ago calendar family ----
+      case "N_WEEKS_AGO"    => Some((s"date_sub(trunc(current_date(), 'WEEK'), ${n.toInt * 7})",
+                                     s"date_sub(trunc(current_date(), 'WEEK'), ${(n.toInt - 1) * 7})"))
+      case "N_MONTHS_AGO"   => Some((s"add_months(trunc(current_date(), 'MM'), -$n)",
+                                     s"add_months(trunc(current_date(), 'MM'), -${n.toInt - 1})"))
+      case "N_QUARTERS_AGO" => Some((s"add_months(trunc(current_date(), 'QUARTER'), -${n.toInt * 3})",
+                                     s"add_months(trunc(current_date(), 'QUARTER'), -${(n.toInt - 1) * 3})"))
+      case "N_YEARS_AGO"    => Some((s"add_months(trunc(current_date(), 'YYYY'), -${n.toInt * 12})",
+                                     s"add_months(trunc(current_date(), 'YYYY'), -${(n.toInt - 1) * 12})"))
+      case _ => calendarRange(name, n)
+    }
+  }
+
+  private def calendarRange(name: String, n: => String): Option[(String, String)] =
     name.toUpperCase match {
       case "TODAY"        => Some(("current_date()", "date_add(current_date(), 1)"))
       case "YESTERDAY"    => Some(("date_sub(current_date(), 1)", "current_date()"))
@@ -408,7 +508,7 @@ object Soql {
       case _              => None
     }
 
-  private final class Parser(toks: Vector[Tok]) {
+  private final class Parser(toks: Vector[Tok], fiscalK: Int = 0) {
     private var pos = 0
     private def peek: Tok = toks(pos)
     private def peekAt(k: Int): Tok = toks(math.min(pos + k, toks.length - 1))
@@ -583,17 +683,30 @@ object Soql {
           next()
           (peek, peekAt(1)) match {
             // date literal with :n argument
-            case (TIdent(name), TOp(":")) if dateRange(name, "0").isDefined =>
+            case (TIdent(name), TOp(":")) if dateRange(name, "1", fiscalK).isDefined =>
               next(); next()
               val n = expectNum()
-              val (lo, hi) = dateRange(name, n).get
+              val (lo, hi) = dateRange(name, n, fiscalK).get
               DateCmp(l, op, lo, hi)
-            case (TIdent(name), _) if dateRange(name, "0").isDefined =>
+            case (TIdent(name), _) if dateRange(name, "1", fiscalK).isDefined =>
               require(!parameterizedDateLiterals.contains(name.toUpperCase),
                 s"date literal $name requires an argument: $name:n")
               next()
-              val (lo, hi) = dateRange(name, "0").get
+              val (lo, hi) = dateRange(name, "1", fiscalK).get
               DateCmp(l, op, lo, hi)
+            // Bare ISO date: SOQL date literals denote the whole day, so a
+            // comparison against a datetime field is the same half-open
+            // rewrite as the named literals (`f = 1995-01-01` ⇒ within that
+            // day). For pure DATE fields the rewrite is equivalent to the
+            // exact compare (a date truncates to itself), so one rule covers
+            // both field types with no schema lookup.
+            case (TDate(d), _) =>
+              next()
+              val hi = java.time.LocalDate.parse(d).plusDays(1).toString
+              DateCmp(l, op, s"DATE '$d'", s"DATE '$hi'")
+            case (TDateTime(dt), _) =>
+              next()
+              Cmp(l, op, Lit(s"TIMESTAMP '${normalizeDateTime(dt)}'"))
             case _ => Cmp(l, op, parseValue())
           }
         case t if isKw(t, "LIKE") =>
@@ -655,8 +768,12 @@ object Soql {
     }
 
     private def parseFactor(): Expr = next() match {
-      case TNum(n)  => Lit(n)
-      case TStr(s)  => Lit(s)
+      case TNum(n)      => Lit(n)
+      case TStr(s)      => Lit(s)
+      // in value position (IN lists, select items): plain typed literals —
+      // midnight-exact, no day-range semantics outside comparisons
+      case TDate(d)     => Lit(s"DATE '$d'")
+      case TDateTime(dt) => Lit(s"TIMESTAMP '${normalizeDateTime(dt)}'")
       case TOp("*") => Star
       case TOp("-") => Arith("-", Lit("0"), parseFactor()) // unary minus
       case TOp("(") =>

@@ -126,7 +126,7 @@ class SoqlSpec extends AnyFunSuite {
     assert(t === "SELECT event_id, " +
       "CASE WHEN event_type = 'purchase' THEN value END AS value, " +
       "CASE WHEN event_type = 'signup' THEN user_id END AS user_id, " +
-      "CASE WHEN event_type NOT IN ('purchase', 'signup') THEN event_type END AS event_type " +
+      "CASE WHEN (event_type IS NULL OR event_type NOT IN ('purchase', 'signup')) THEN event_type END AS event_type " +
       "FROM events")
   }
 
@@ -333,5 +333,112 @@ class SoqlSpec extends AnyFunSuite {
         |GROUP BY o_orderstatus HAVING COUNT(o_orderkey) > 1
         |ORDER BY o_orderstatus LIMIT 5""".stripMargin)
     assert(df.count() > 0)
+  }
+
+  // ---- bare ISO date/datetime literals (unquoted — the SOQL dialect) ----
+
+  test("bare ISO date lexes as a date token, never as integer arithmetic") {
+    // the regression trap: 1995-01-01 used to emit `1995 - 01 - 01` = 1993
+    val t = Soql.translate("SELECT a FROM t WHERE d >= 1995-01-01")
+    assert(t === "SELECT a FROM t WHERE d >= DATE '1995-01-01'")
+    assert(!t.contains("1995 -"))
+  }
+
+  test("bare date comparisons get the half-open day-range rewrite") {
+    assert(Soql.translate("SELECT a FROM t WHERE d = 2005-10-08")
+      === "SELECT a FROM t WHERE (d >= DATE '2005-10-08' AND d < DATE '2005-10-09')")
+    assert(Soql.translate("SELECT a FROM t WHERE d > 2005-10-08")
+      .contains("d >= DATE '2005-10-09'"))
+    assert(Soql.translate("SELECT a FROM t WHERE d <= 2005-12-31")
+      .contains("d < DATE '2006-01-01'")) // day+1 rolls the year
+    assert(Soql.translate("SELECT a FROM t WHERE d != 2005-10-08")
+      === "SELECT a FROM t WHERE (d < DATE '2005-10-08' OR d >= DATE '2005-10-09')")
+  }
+
+  test("bare ISO datetime literals normalize to UTC TIMESTAMP literals") {
+    assert(Soql.translate("SELECT a FROM t WHERE d >= 2005-10-08T01:02:03Z")
+      === "SELECT a FROM t WHERE d >= TIMESTAMP '2005-10-08 01:02:03'")
+    // +01:00 offset → one hour earlier in UTC
+    assert(Soql.translate("SELECT a FROM t WHERE d < 2005-10-08T01:02:03+01:00")
+      === "SELECT a FROM t WHERE d < TIMESTAMP '2005-10-08 00:02:03'")
+    // negative offset crossing midnight forward
+    assert(Soql.translate("SELECT a FROM t WHERE d = 2005-10-08T23:30:00-02:30")
+      .contains("TIMESTAMP '2005-10-09 02:00:00'"))
+    // fractional seconds survive as micros
+    assert(Soql.translate("SELECT a FROM t WHERE d = 2005-10-08T01:02:03.5Z")
+      .contains("TIMESTAMP '2005-10-08 01:02:03.500000'"))
+  }
+
+  test("bare dates in IN lists stay plain typed literals") {
+    assert(Soql.translate("SELECT a FROM t WHERE d IN (1995-01-01, 1996-06-15)")
+      === "SELECT a FROM t WHERE d IN (DATE '1995-01-01', DATE '1996-06-15')")
+  }
+
+  test("explicit arithmetic is still expressible with spaces") {
+    assert(Soql.translate("SELECT a FROM t WHERE x = 1995 - 01 - 01")
+      === "SELECT a FROM t WHERE x = 1995 - 01 - 01")
+  }
+
+  test("bare date WHERE executes end-to-end and filters correctly") {
+    val spark = SparkTestSession.spark
+    val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
+      "SELECT o_orderkey, o_orderdate FROM Orders WHERE o_orderdate >= 1995-01-01 AND o_orderdate < 1995-02-01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // parquet TIMESTAMP(isAdjustedToUTC=false) reads as TIMESTAMP_NTZ
+    assert(rows.forall { r =>
+      val ts = r.getAs[java.time.LocalDateTime](1)
+      !ts.isBefore(java.time.LocalDateTime.parse("1995-01-01T00:00:00")) &&
+        ts.isBefore(java.time.LocalDateTime.parse("1995-02-01T00:00:00"))
+    })
+  }
+
+  // ---- fiscal-period and N_*_AGO date-literal families ----
+
+  test("fiscal literals default to calendar alignment (start month January)") {
+    assert(Soql.translate("SELECT a FROM t WHERE d = THIS_FISCAL_YEAR")
+      === Soql.translate("SELECT a FROM t WHERE d = THIS_YEAR"))
+    assert(Soql.translate("SELECT a FROM t WHERE d = LAST_FISCAL_QUARTER")
+      === Soql.translate("SELECT a FROM t WHERE d = LAST_QUARTER"))
+  }
+
+  test("fiscal literals with a non-January start month shift the trunc") {
+    // FY starts in April → k=3: shift back 3 months, trunc, shift forward
+    val t = Soql.translate("SELECT a FROM t WHERE d = THIS_FISCAL_YEAR", fiscalYearStartMonth = 4)
+    assert(t.contains("add_months(trunc(add_months(current_date(), -3), 'YYYY'), 3)"))
+    val q = Soql.translate("SELECT a FROM t WHERE d = NEXT_FISCAL_QUARTER", fiscalYearStartMonth = 4)
+    assert(q.contains("add_months(trunc(add_months(current_date(), -3), 'QUARTER'), 3)"))
+  }
+
+  test("fiscal :n families produce the expected month arithmetic") {
+    val t = Soql.translate("SELECT a FROM t WHERE d = LAST_N_FISCAL_YEARS:2")
+    assert(t.contains("add_months(trunc(current_date(), 'YYYY'), -24)"))
+    val q = Soql.translate("SELECT a FROM t WHERE d = N_FISCAL_QUARTERS_AGO:3")
+    assert(q.contains("-9") && q.contains("-6"))
+  }
+
+  test("N_*_AGO calendar families cover exactly one period") {
+    val w = Soql.translate("SELECT a FROM t WHERE d = N_WEEKS_AGO:2")
+    assert(w.contains("date_sub(trunc(current_date(), 'WEEK'), 14)")
+      && w.contains("date_sub(trunc(current_date(), 'WEEK'), 7)"))
+    val m = Soql.translate("SELECT a FROM t WHERE d = N_MONTHS_AGO:3")
+    assert(m.contains("add_months(trunc(current_date(), 'MM'), -3)")
+      && m.contains("add_months(trunc(current_date(), 'MM'), -2)"))
+    val y = Soql.translate("SELECT a FROM t WHERE d = N_YEARS_AGO:1")
+    assert(y.contains("add_months(trunc(current_date(), 'YYYY'), -12)")
+      && y.contains("add_months(trunc(current_date(), 'YYYY'), -0)"))
+  }
+
+  test("fiscal literals execute on Spark (empty on 1990s data, plan compiles)") {
+    val spark = SparkTestSession.spark
+    val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
+      "SELECT o_orderkey FROM Orders WHERE o_orderdate = LAST_N_FISCAL_QUARTERS:2")
+    assert(df.count() === 0)
+  }
+
+  test("TYPEOF ELSE branch includes NULL discriminators") {
+    val t = Soql.translate(
+      "SELECT TYPEOF c WHEN A THEN f1 ELSE f2 END FROM t")
+    assert(t.contains("(c IS NULL OR c NOT IN ('A'))"))
   }
 }
