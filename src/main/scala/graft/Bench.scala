@@ -27,12 +27,16 @@ object Bench {
     try SparkEntry.queries("extract_shape_lineitem")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // optional 2nd arg: comma-separated name substrings for targeted profiling
+    val bq =
+      if (args.length > 1) { val ps = args(1).split(','); SparkEntry.benchQueries.filter(n => ps.exists(n.contains)) }
+      else SparkEntry.benchQueries
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // two full passes, min per query: a single pass lets one GC/JIT hiccup
     // misreport a query by 4-5x (observed); min-of-2 reports steady state
     val reps = 2
     val results = (1 to reps).flatMap { _ =>
-      SparkEntry.benchQueries.map { name =>
+      bq.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -48,7 +52,7 @@ object Bench {
     // JSON can never pass off a failure as a timing
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-    val qs = SparkEntry.benchQueries.filter(ok.contains)
+    val qs = bq.filter(ok.contains)
       .map(k => "\"" + k + "\":" + ok(k)).mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.values.sum

@@ -130,18 +130,34 @@ object Dedup {
     // signature (both native codegen'd expressions). No shuffle at all
     // until the band bucket join — the exploded formulation paid an
     // explode+distinct shuffle AND a collect_list shuffle here.
+    // Band rows carry ONLY (doc_id, band, bsig): the (band, bsig) shuffle
+    // must never replicate the variable-length shingle arrays 32× (that was
+    // this operator's dominant shuffle volume — at 100 TB it is 32× the
+    // corpus's shingle bytes over the wire). Candidate pairs dedup on the
+    // bare (a, b) key; the verification arrays then come from ONE
+    // co-partitioned equi-join against the narrow hash relation — the pair
+    // is exploded to (pair, member) rows, joined, and folded back with an
+    // array-max (exactly one non-null per role), so the corpus's shingle
+    // arrays are scanned and shuffled once, not 32×.
     val sig = spread(docs)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
       .withColumn("sig", expr("minhash_sig(h60)"))
-    val bands = sig.select(col("doc_id"), col("h60"),
+    val bands = sig.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
         .as(Seq("band", "bsig")))
-    val cands = bands.select(col("band"), col("bsig"), col("doc_id").as("a"), col("h60").as("sa"))
-      .join(bands.select(col("band"), col("bsig"), col("doc_id").as("b"), col("h60").as("sb")),
+    val pairs = bands.select(col("band"), col("bsig"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("bsig"), col("doc_id").as("b")),
         Seq("band", "bsig"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sa", "sb").distinct()
+      .select("a", "b").distinct()
+    val h = spread(docs).select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+    val cands = pairs
+      .select(col("a"), col("b"), explode(array(col("a"), col("b"))).as("doc_id"))
+      .join(h, "doc_id")
+      .groupBy("a", "b")
+      .agg(max(when(col("doc_id") === col("a"), col("h60"))).as("sa"),
+           max(when(col("doc_id") === col("b"), col("h60"))).as("sb"))
     cands
       .withColumn("c", expr("size(array_intersect(sa, sb))"))
       .withColumn("jaccard", expr("c / (size(sa) + size(sb) - c)"))
@@ -207,10 +223,13 @@ object Dedup {
     * 128-component sketches.
     *
     * Scale shape: signatures are one narrow codegen'd pass per doc; the
-    * union-min is a distributive aggregate on (source, component) — 128
-    * rows per source survive per partition after map-side combine, so the
-    * shuffle is ~128·S rows regardless of corpus size; the pair join
-    * compares S² sketch pairs of 128 ints (S = #sources, tiny). */
+    * union-min is the `minhash_union` TypedImperativeAggregate — each task
+    * folds its docs into ONE 128-long buffer (array-typed partial agg), so
+    * the shuffle carries one sketch per (source, task), never a per-doc row
+    * (the earlier posexplode formulation materialized 128 rows per doc
+    * before the combine — the single biggest line item of the r2 bench);
+    * the pair join compares S² sketch pairs of 128 ints (S = #sources,
+    * tiny — exploded AFTER the agg so the equi-join on component stays). */
   def sourceOverlap(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // docs with no shingles (< 3 tokens) carry no set information — drop
@@ -222,8 +241,8 @@ object Dedup {
       .filter(expr("size(h) > 0"))
       .select(col("source"), expr("minhash_sig(h)").as("sig"))
     val union = sigs
+      .groupBy("source").agg(expr("minhash_union(sig)").as("sig"))
       .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
-      .groupBy("source", "i").agg(min("v").as("v"))
     val a = union.toDF("source_a", "i", "va")
     val b = union.toDF("source_b", "i", "vb")
     a.join(b, Seq("i")).filter(col("source_a") < col("source_b"))

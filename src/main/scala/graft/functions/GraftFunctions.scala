@@ -2,8 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -294,6 +297,64 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** minhash_union(array<bigint>) → array<bigint>: elementwise-min aggregate
+  * of MinHash signatures. min distributes over set union, so the result IS
+  * the signature of the union of the aggregated shingle sets. As a
+  * TypedImperativeAggregate it participates in partial aggregation: each
+  * task folds its rows into one 128-long buffer and the shuffle carries one
+  * sketch per (group, task) — the posexplode formulation it replaces
+  * materialized 128 rows per doc BEFORE the map-side combine could run. */
+case class MinHashUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(MinHashOps.NPerms)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val xs = v.asInstanceOf[ArrayData].toLongArray()
+      val n = math.min(xs.length, buffer.length)
+      var i = 0
+      while (i < n) { if (xs(i) < buffer(i)) buffer(i) = xs(i); i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { if (other(i) < buffer(i)) buffer(i) = other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashUnion =
+    copy(child = newChild)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_union"
+}
+
 /** Registration — on a live session (idempotent) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. Both paths
   * are driven by the same `fns` sequence so they can never diverge. */
@@ -308,7 +369,10 @@ object GraftFunctions {
     "shingle_hash60" -> { es =>
       ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) },
     "srp_bucket" -> { es =>
-      SrpBucket(es.head, es(1).eval().asInstanceOf[Int]) })
+      SrpBucket(es.head, es(1).eval().asInstanceOf[Int]) },
+    // raw AggregateFunction: the analyzer's ResolveFunctions wraps it in an
+    // AggregateExpression, so `agg(expr("minhash_union(sig)"))` just works
+    "minhash_union" -> { es => MinHashUnion(es.head) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

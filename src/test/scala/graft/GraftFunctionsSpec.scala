@@ -66,6 +66,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_union equals the exploded per-component min it replaced") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("source"), expr("shingle_hash60(text, 3)").as("h"))
+      .filter(expr("size(h) > 0"))
+      .select(col("source"), expr("minhash_sig(h)").as("sig"))
+    val native = docs.groupBy("source").agg(expr("minhash_union(sig)").as("sig"))
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+    val exploded = docs.select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy("source", "i").agg(min("v").as("v"))
+    assert(native.exceptAll(exploded).isEmpty && exploded.exceptAll(native).isEmpty)
+    // and it aggregates partially: a minhash_union partial before the shuffle
+    assert(native.queryExecution.executedPlan.toString.contains("partial_minhash_union"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
     val plan = e.select(expr("vec_normq(embedding)").as("n"))

@@ -68,10 +68,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges (expected agg shuffle + final sort only)\n$p")
   }
 
-  test("source overlap aggregates partially before the sketch shuffle (distributive min)") {
+  test("source overlap folds sketches with an array-typed partial aggregate (no per-doc explode)") {
     val p = plan("dedup_source_overlap")
-    assert(p.contains("partial_min") || p.contains("partial_"), p)
+    // union-min runs as partial_minhash_union: one 128-long buffer per
+    // (source, task) crosses the shuffle — never 128 exploded rows per doc
+    assert(p.contains("partial_minhash_union"), p)
+    // the only Generate (posexplode) allowed is AFTER the agg, on S sketches:
+    // it must sit above the union agg, i.e. the plan's Generate appears
+    // before (shallower than) the ObjectHashAggregate lines in tree order
+    val lines = p.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate"))
+    val agg = lines.indexWhere(_.contains("minhash_union"))
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      s"posexplode should apply to post-agg sketches only\n$p")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("minhash LSH band shuffle carries no shingle arrays; verification join is co-partitioned") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the (band, bsig) exchange must not replicate the h60 arrays 32×:
+    // no Exchange hashpartitioning on band/bsig may list h60 in its output
+    val bandExchanges = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("bsig"))
+    assert(bandExchanges.forall(!_.contains("h60")),
+      s"band shuffle carries shingle arrays\n$p")
   }
 
   test("IVF list join is broadcast; corpus assignment is narrow (one scan side)") {
