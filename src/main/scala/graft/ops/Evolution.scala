@@ -64,16 +64,18 @@ object Evolution {
                   df: DataFrame, sfCols: Seq[SfColumn]): Unit = {
     val dest = destinationColumns(spark, db, table)
     val aligned = Load.alignForLoad(df, dest, sfCols)
-    val view = s"__graft_load_${table}"
-    aligned.createOrReplaceTempView(view)
     // project the aligned columns in destination order; columns the source
     // doesn't provide (pre-evolution loads) land as typed NULLs — Redshift
-    // COPY's behavior for unlisted columns
+    // COPY's behavior for unlisted columns. The INSERT goes through the
+    // DataFrame writer directly (positional resolution + ANSI
+    // store-assignment casts, same as SQL INSERT) — a session-global named
+    // temp view here would let two concurrent loads of one table race
+    // between view registration and INSERT.
     val provided = aligned.columns.map(_.toLowerCase).toSet
     val proj = spark.table(s"$db.$table").schema.map(f =>
-      if (provided.contains(f.name.toLowerCase)) f.name
-      else s"CAST(NULL AS ${f.dataType.sql}) AS ${f.name}")
-    spark.sql(s"INSERT INTO $db.$table SELECT ${proj.mkString(", ")} FROM $view")
+      if (provided.contains(f.name.toLowerCase)) s"`${f.name}`"
+      else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`")
+    aligned.selectExpr(proj: _*).write.insertInto(s"$db.$table")
   }
 
   /** The end-to-end evolve-then-load round trip over the `supplier` table:

@@ -23,8 +23,11 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
   * [[graft.ext.Events.funnel]] row before cohort aggregation). */
 case class ConversionOut(user_id: Long, from_ms: Long, to_ms: Long)
 
-/** Per-user funnel state: first `fromType` time + conversion latch. */
-case class FunnelState(fromMs: Long, converted: Boolean)
+/** Per-user funnel state: earliest `fromType` time seen so far
+  * (`Long.MaxValue` = none yet), conversion latch, and the pending
+  * `toType` event times that may still become the first in-horizon
+  * conversion under out-of-order delivery (kept sorted, capped). */
+case class FunnelState(fromMs: Long, converted: Boolean, pendingTo: Seq[Long])
 
 /** Structured Streaming versions of the event analytics (SURVEY.md §2.8
   * E4). The reference is strictly batch (one Airflow `execute()` per run —
@@ -137,48 +140,105 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
-  /** Streaming funnel: per-user sequenced state — remember the FIRST
-    * `fromType` event; emit one [[ConversionOut]] when the first `toType`
-    * event lands within `horizonMs` of it. State is one tiny object per
-    * user inside the horizon: the event-time timeout fires at
-    * fromMs + horizon (or on conversion) and removes it, so state size is
-    * O(users inside their horizon window), not O(all users ever).
+  /** Streaming funnel — the exact stream twin of the batch
+    * [[graft.ext.Events.funnel]] pre-aggregation: per user, `from_ms` is
+    * the MINIMUM `fromType` event time and `to_ms` the minimum `toType`
+    * time inside `[from_ms, from_ms + horizonMs]`.
     *
-    * Ordering: events are sorted within each micro-batch; a `toType`
-    * delivered in an EARLIER batch than its user's `fromType` is not
-    * retroactively matched (the batch funnel is the exact ground truth —
-    * spec-asserted equal under in-order delivery). */
+    * The fold is order-INDEPENDENT (pure min/merge over the batch's
+    * events), and a conversion is emitted only once the watermark has
+    * passed BOTH its endpoints — at that point no event that could change
+    * either minimum can still be delivered (the event-time-timeout path
+    * drops pre-watermark input rows), so the emitted row equals the batch
+    * result under ANY assignment of in-watermark events to micro-batches,
+    * including a `toType` arriving batches before its `fromType`. The
+    * price is emission latency of one watermark delay.
+    *
+    * State per user: two longs + the pending `toType` times still inside
+    * the watermark (sorted, capped at 128 — beyond the cap the smallest
+    * times are kept, which are the only ones that can win the min). The
+    * timeout re-arm is always strictly above the current watermark —
+    * re-arming at a stale `fromMs + horizon` below the watermark is an
+    * `IllegalArgumentException` crash on bursty loads. Expiry: once the
+    * watermark passes `fromMs + horizon` (or all pending times, when no
+    * `fromType` was seen) the state is removed, keeping live state
+    * O(users inside their horizon window). */
   def funnelConversions(events: Dataset[Event], fromType: String = "signup",
                         toType: String = "purchase",
-                        horizonMs: Long = 604800000L): Dataset[ConversionOut] = {
+                        horizonMs: Long = 604800000L,
+                        watermark: String = "2 hours"): Dataset[ConversionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
 
-    def fold(userId: Long, it: Iterator[Event],
-             state: GroupState[FunnelState]): Iterator[ConversionOut] = {
-      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val out = scala.collection.mutable.ArrayBuffer.empty[ConversionOut]
-      var st = state.getOption.orNull
-      for (e <- it.toArray.sortBy(e => (e.ts.getTime, e.event_id))) {
-        val ms = e.ts.getTime
-        if (st == null && e.event_type == fromType) {
-          st = FunnelState(ms, converted = false)
-        } else if (st != null && !st.converted && e.event_type == toType &&
-                   ms >= st.fromMs && ms <= st.fromMs + horizonMs) {
-          out += ConversionOut(userId, st.fromMs, ms)
-          st = st.copy(converted = true)
+    val noFrom = Long.MaxValue
+
+    // emit-if-final + prune, shared by the data and timeout paths
+    def resolve(userId: Long, st0: FunnelState, wm: Long,
+                out: scala.collection.mutable.ArrayBuffer[ConversionOut]): FunnelState = {
+      var st = st0
+      if (!st.converted && st.fromMs != noFrom) {
+        val eligible = st.pendingTo.filter(t => t >= st.fromMs && t <= st.fromMs + horizonMs)
+        if (eligible.nonEmpty) {
+          val cand = eligible.min
+          // both minima are final once the watermark passes them: any
+          // still-deliverable event has ts > wm, so neither can decrease
+          if (wm >= st.fromMs && wm >= cand) {
+            out += ConversionOut(userId, st.fromMs, cand)
+            st = st.copy(converted = true)
+          }
         }
       }
-      if (st == null || st.converted) state.remove()
+      val pruned =
+        if (st.converted) Nil
+        else {
+          // fromMs only ever decreases, so the window's upper bound only
+          // shrinks: t > fromMs + horizon is ineligible forever. t ≤ wm
+          // can't match a FUTURE fromMs (> wm) either — keep it only if it
+          // is the current candidate minimum.
+          val hi = if (st.fromMs == noFrom) Long.MaxValue else st.fromMs + horizonMs
+          val cand = st.pendingTo.filter(t => t >= st.fromMs && t <= hi).minOption
+          (st.pendingTo.filter(t => t > wm && t <= hi) ++ cand)
+            .distinct.sorted.take(128)
+        }
+      st.copy(pendingTo = pruned)
+    }
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[FunnelState]): Iterator[ConversionOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val out = scala.collection.mutable.ArrayBuffer.empty[ConversionOut]
+      var st = state.getOption.getOrElse(FunnelState(noFrom, converted = false, Nil))
+      if (!state.hasTimedOut) {
+        for (e <- it) {
+          val ms = e.ts.getTime
+          if (!st.converted) {
+            if (e.event_type == fromType) st = st.copy(fromMs = math.min(st.fromMs, ms))
+            else if (e.event_type == toType) st = st.copy(pendingTo = st.pendingTo :+ ms)
+          }
+        }
+      }
+      st = resolve(userId, st, wm, out)
+      val expired =
+        if (st.fromMs != noFrom) wm > st.fromMs + horizonMs
+        else st.pendingTo.isEmpty
+      if (expired) state.remove()
       else {
         state.update(st)
-        state.setTimeoutTimestamp(st.fromMs + horizonMs + 1)
+        val arm =
+          if (st.converted) st.fromMs + horizonMs + 1 // suppression window end
+          else if (st.fromMs != noFrom) {
+            val cand = st.pendingTo
+              .filter(t => t >= st.fromMs && t <= st.fromMs + horizonMs).minOption
+            // wake when the candidate finalizes, else when the horizon ends
+            cand.map(c => math.max(st.fromMs, c) + 1).getOrElse(st.fromMs + horizonMs + 1)
+          } else st.pendingTo.max + 1 // prune point: all pending ≤ wm then
+        state.setTimeoutTimestamp(math.max(arm, wm + 1))
       }
       out.iterator
     }
 
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }

@@ -163,6 +163,61 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel converts a toType delivered in an EARLIER micro-batch than its fromType") {
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, ms: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(ms), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelConversions(input.toDS()).writeStream
+      .format("memory").queryName("funnel_ooo").outputMode("append").start()
+    try {
+      // purchase arrives a full batch BEFORE the signup (both within the
+      // 2h watermark — wm is still 0 after batch 1)
+      input.addData(tev(1, 5000000L, 1L, "purchase"))
+      q.processAllAvailable()
+      input.addData(tev(2, 1000000L, 1L, "signup"))
+      q.processAllAvailable()
+      // push the watermark past both endpoints to finalize the conversion
+      input.addData(tev(3, 13000000L, 9L, "click"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_ooo").collect()
+      assert(out.length === 1, out.map(_.toSeq.mkString(",")).mkString("; "))
+      assert(out.head.getAs[Long]("user_id") === 1L)
+      assert(out.head.getAs[Long]("from_ms") === 1000000L)
+      assert(out.head.getAs[Long]("to_ms") === 5000000L)
+    } finally q.stop()
+  }
+
+  test("funnel equals the batch minima under adversarial batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, ms: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(ms), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelConversions(input.toDS()).writeStream
+      .format("memory").queryName("funnel_adv").outputMode("append").start()
+    try {
+      // all toTypes delivered first, then the fromTypes, then a LATER batch
+      // lowers user 3's fromMs below its already-seen candidate
+      input.addData(
+        tev(1, 50000L, 1L, "purchase"), tev(2, 30000L, 3L, "purchase"),
+        tev(3, 20000L, 2L, "purchase"))
+      q.processAllAvailable()
+      input.addData(tev(4, 10000L, 1L, "signup"), tev(5, 30000L, 3L, "signup"))
+      q.processAllAvailable()
+      // user 1's pre-window purchase must not displace its conversion;
+      // user 3's late earlier signup becomes the true min fromMs
+      input.addData(tev(6, 5000L, 1L, "purchase"), tev(7, 8000L, 3L, "signup"))
+      q.processAllAvailable()
+      input.addData(tev(8, 10000000L, 9L, "click")) // watermark push
+      q.processAllAvailable()
+      val got = spark.table("funnel_adv")
+        .select("user_id", "from_ms", "to_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch ground truth: min fromType; min toType in [from, from+horizon]
+      assert(got === Set((1L, 10000L, 50000L), (3L, 8000L, 30000L)), got)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -95,6 +95,17 @@ class PlanSpec extends AnyFunSuite {
       s"band shuffle carries shingle arrays\n$p")
   }
 
+  test("parent-child subselect pre-aggregates the child with map-side collect before one join") {
+    val p = plan("soql_parent_child_subquery")
+    // the child relation aggregates partially (partial_collect_list) before
+    // its one shuffle; the join is an equi-join, never correlated/nested
+    assert(p.contains("partial_collect_list"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // child scan prunes to the subselect's columns + join key
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("l_comment") && !reads.contains("l_shipmode"), reads)
+  }
+
   test("IVF list join is broadcast; corpus assignment is narrow (one scan side)") {
     val p = plan("similarity_ivf")
     assert(p.contains("BroadcastHashJoin"), p)
