@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic ~10×-of-sf0.1 soak fixture generator for the dedup/ANN
+  * heavy hitters (`documents` + `embeddings` only — the soak queries read
+  * nothing else). Usage: `runMain graft.SoakGen /tmp/sf1 [docs] [vecs]`.
+  *
+  * Mirrors the driver fixture's measured shape (sf0.1: 5,000 docs over a
+  * 31-word vocab, ~54 tokens/doc, 5 langs, 20 sources, seeded exact +
+  * near-dup clusters; 2,000 embeddings = 10 cluster centroids + noise in
+  * 64-d) so operator cost curves — shingle DF distribution, LSH band
+  * collision rates, block-pair tile sizes — scale the way the real corpus
+  * would, rather than replaying the same 5,000 docs 10× (which would
+  * explode every pair operator with artificial full-dup clusters).
+  *
+  * All randomness is a counter-based LCG on (seed, index): rows are
+  * generated distributed, and re-running is bit-identical.
+  */
+object SoakGen extends Serializable {
+  // 31-word vocab in the fixture's style (SQL-engine terms)
+  private val vocab = Array(
+    "batch", "part", "spark", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "agg", "filter",
+    "join", "shuffle", "merge", "read", "write", "plan", "query", "stage",
+    "task", "row", "key", "page", "index", "cache", "limit")
+  private val langs = Array("en", "en", "en", "en", "en", "en", "en", "en",
+    "de", "de", "de", "zh", "zh", "zh", "fr", "fr", "fr", "es", "es", "es")
+
+  /** splitmix64-style finalizer: a plain double-LCG is affine (x·A²+c), so
+    * ids at fixed strides produced IDENTICAL mod-31 token streams — 80-doc
+    * phantom "families" in the first fixture cut. The xor-shift-multiply
+    * mixing breaks the linear structure. */
+  @inline private def rand(seed: Long, i: Long): Long = {
+    var z = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL + 0x632BE59BD9B4E019L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) >>> 1 // non-negative
+  }
+
+  private def nTokensOf(id: Long): Int = 44 + (rand(id, 0) % 21).toInt // 44..64
+  private def isOrganic(id: Long): Boolean = id < 100 || rand(id, 1) % 100 >= 6
+  private def organicSource(id: Long, slot: Long): Long = {
+    var src = id - 1 - (rand(id, slot) % 100)
+    while (!isOrganic(src)) src -= 1 // organics are ~94% — short scan
+    src
+  }
+
+  private def docText(id: Long, nTokens: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nTokens) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab((rand(id * 131L + 7L, i) % vocab.length).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1")
+    val nDocs = if (args.length > 1) args(1).toInt else 50000
+    val nVecs = if (args.length > 2) args(2).toInt else 20000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // documents: ~4% of ids clone an earlier ORGANIC doc exactly, a further
+    // ~2% mutate one (one token changed — J stays ≥ ~0.8 for LSH pairs).
+    // Clone sources are restricted to organic (non-clone) docs so clusters
+    // stay root + direct clones: chained cloning produced 80-member prefix
+    // families whose Σm² candidate pairs dwarf the fixture's real dup
+    // topology (largest sf0.1 cluster: 4 docs).
+    val docs = spark.range(0, nDocs, 1, 32).map { id =>
+      val roll = rand(id, 1) % 100
+      val text =
+        if (id >= 100 && roll < 4) { // exact clone, source's own length
+          val src = organicSource(id, 2)
+          docText(src, nTokensOf(src))
+        } else if (id >= 100 && roll < 6) { // near-dup: one token swapped
+          val src = organicSource(id, 3)
+          val words = docText(src, nTokensOf(src)).split(" ")
+          val k = (rand(id, 4) % words.length).toInt
+          words(k) = vocab((rand(id, 5) % vocab.length).toInt)
+          words.mkString(" ")
+        } else docText(id, nTokensOf(id))
+      val lang = langs((rand(id, 6) % langs.length).toInt)
+      val source = s"src${rand(id, 7) % 20}"
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: 10 centroids in 64-d; vector = centroid + noise; ~1% of
+    // ids clone an earlier vector with tiny noise (cosine ≥ ~0.99 pairs)
+    val vecs = spark.range(0, nVecs, 1, 32).map { id =>
+      val label = (rand(id, 10) % 10).toInt
+      val base = (0 until 64).map { d =>
+        val c = ((rand(1000L + label, d) % 2001) - 1000) / 1000.0f // centroid
+        val noise = ((rand(id * 17L + 3L, d) % 2001) - 1000) / 2500.0f
+        c + noise
+      }.toArray
+      (id, base, label)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"""{"out":"$out","docs":$nDocs,"vecs":$nVecs}""")
+    spark.stop()
+  }
+}

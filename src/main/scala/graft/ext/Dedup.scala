@@ -123,8 +123,19 @@ object Dedup {
     *  - candidates are verified with exact Jaccard from the shingle sets
     *    (array_intersect on the two docs' arrays — candidate count is tiny
     *    relative to the corpus, so the array join is cheap).
-    */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    *
+    * `maxBandBucket`: an m-doc near-dup cluster collides on every band, so
+    * its pair OUTPUT is inherently Θ(m²) — measured in the sf1 soak, one
+    * 80-doc boilerplate family dominated the whole run (BENCH_sf1.json).
+    * With the cap set, band buckets holding more than that many docs are
+    * dropped before pair enumeration (boilerplate guard, same spirit as
+    * ngramJaccard's DF cap): pairs inside mega-clusters are the ones a
+    * real pipeline handles via cluster-keeper selection, not exhaustive
+    * listing. Default None = exact (the oracle's semantics); the bucket
+    * count window shares the (band, bsig) partitioning the join needs, so
+    * enabling it adds no extra shuffle. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
+                 maxBandBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // One narrow pass per doc: distinct 60-bit shingle hashes → 128-wide
     // signature (both native codegen'd expressions). No shuffle at all
@@ -142,10 +153,15 @@ object Dedup {
     val sig = spread(docs)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
       .withColumn("sig", expr("minhash_sig(h60)"))
-    val bands = sig.select(col("doc_id"),
+    val allBands = sig.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
         .as(Seq("band", "bsig")))
+    val bands = maxBandBucket.fold(allBands) { cap =>
+      val w = Window.partitionBy("band", "bsig")
+      allBands.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
     val pairs = bands.select(col("band"), col("bsig"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("bsig"), col("doc_id").as("b")),
         Seq("band", "bsig"))

@@ -137,6 +137,27 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("minhashLsh band-bucket cap drops mega-cluster pairs, leaves the rest exact") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // a generous cap changes nothing (no real bucket is that hot)
+    val uncapped = Dedup.minhashLsh(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val high = Dedup.minhashLsh(docs, maxBandBucket = Some(10000))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(high.toSeq.sorted === uncapped.toSeq.sorted)
+    // a 40-clone boilerplate family: uncapped emits all C(40,2) + organic
+    // pairs; cap=8 suppresses the family's buckets entirely
+    import spark.implicits._
+    val family = (0L until 40L).map(i => (1000L + i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val organic = Seq((1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven nine"))
+    val corpus = (family ++ organic).toDF("doc_id", "text")
+    val all = Dedup.minhashLsh(corpus, threshold = 0.5).collect()
+    val capped = Dedup.minhashLsh(corpus, threshold = 0.5, maxBandBucket = Some(8)).collect()
+    assert(all.length >= 40 * 39 / 2)
+    assert(capped.length === all.length - 40 * 39 / 2,
+      s"capped=${capped.length} all=${all.length}")
+  }
+
   test("embeddingCosine flags parallel vectors, not orthogonal ones") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
