@@ -133,6 +133,14 @@ object ParityQueries {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
+    // §2.6 GROUPING() subtotal indicator through the parser (SOQL aggregate
+    // queries expose it next to ROLLUP/CUBE; INT-pinned for both engines)
+    "soql_grouping" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderstatus, GROUPING(o_orderstatus) g, COUNT(o_orderkey) n_orders
+          |FROM Orders GROUP BY ROLLUP(o_orderstatus)
+          |ORDER BY o_orderstatus NULLS FIRST, g""".stripMargin)),
+
     // §2.6 GROUP BY CUBE
     "soql_cube" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -427,6 +435,12 @@ object ParityQueries {
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n
           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+      "soql_grouping" ->
+        """SELECT o_orderstatus, CAST(GROUPING(o_orderstatus) AS INT) AS g,
+          |       count(o_orderkey) AS n_orders
+          |FROM orders GROUP BY ROLLUP(o_orderstatus)
+          |ORDER BY o_orderstatus NULLS FIRST, g""".stripMargin,
 
       "soql_date_functions" ->
         """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,

@@ -41,6 +41,12 @@ package graft.soql
   *     arithmetic); dates get the same half-open day-range rewrite in
   *     comparisons, datetimes are normalized to UTC TIMESTAMP literals
   *   - multipicklist INCLUDES/EXCLUDES → split(';') + arrays_overlap
+  *   - GROUPING(f) subtotal indicator (INT-pinned), toLabel/convertCurrency
+  *     as identity (single-locale/single-currency engine), WITH
+  *     SECURITY_ENFORCED|USER_MODE|SYSTEM_MODE and FOR VIEW|REFERENCE|UPDATE
+  *     / UPDATE TRACKING|VIEWSTAT accepted as result-preserving no-ops;
+  *     USING SCOPE is rejected loudly (needs a user context — ignoring it
+  *     would silently change the row set)
   *   - parent-to-child nested subselect in the SELECT list → pre-aggregated
   *     left join (one shuffle per side, no correlated execution)
   *   - child-to-parent dot paths (`Customer.c_name`,
@@ -267,6 +273,15 @@ object Soql {
       val n = fnRenames.getOrElse(name.toUpperCase, name)
       if (distinct) s"count(DISTINCT ${args.map(_.emit(ctx)).mkString(", ")})"
       else if (args.isEmpty && name.equalsIgnoreCase("COUNT")) "count(*)"
+      // SOQL GROUPING(f) (ROLLUP/CUBE subtotal indicator) — Spark's
+      // grouping() returns TINYINT; pin INT for a stable cross-engine type
+      else if (name.equalsIgnoreCase("GROUPING"))
+        s"CAST(grouping(${args.map(_.emit(ctx)).mkString(", ")}) AS INT)"
+      // toLabel = translation-workbench label (single-locale engine),
+      // convertCurrency = org currency conversion (single-currency engine):
+      // both are the identity here — documented deviations
+      else if (name.equalsIgnoreCase("TOLABEL") || name.equalsIgnoreCase("CONVERTCURRENCY"))
+        args.head.emit(ctx)
       else s"$n(${args.map(_.emit(ctx)).mkString(", ")})"
     }
   }
@@ -545,7 +560,22 @@ object Soql {
       // Salesforce object names are case-insensitive and the Bulk operator
       // title-cases them (salesforce_to_s3_operator.py:44); views are lowercase
       val from = expectIdent().toLowerCase
+      // USING SCOPE filters rows by org/user context (mine, team, …) —
+      // there is no user context in the engine, so silently ignoring it
+      // would return the WRONG row set. Reject loudly.
+      if (acceptKw("USING"))
+        throw new IllegalArgumentException(
+          "USING SCOPE requires a Salesforce user context and is unsupported; " +
+          "express the scope as a WHERE predicate instead")
       val where = if (acceptKw("WHERE")) Some(parseOr()) else None
+      // WITH SECURITY_ENFORCED / USER_MODE / SYSTEM_MODE govern field-level
+      // security ERRORS, not the result relation — accepted and ignored
+      // (the engine always behaves like SYSTEM_MODE; documented deviation)
+      while (acceptKw("WITH")) {
+        val mode = expectIdent().toUpperCase
+        require(Set("SECURITY_ENFORCED", "USER_MODE", "SYSTEM_MODE").contains(mode),
+          s"unknown WITH clause: $mode")
+      }
       var groupBy: Option[GroupBy] = None
       if (isKw(peek, "GROUP")) {
         next(); expectKw("BY")
@@ -572,6 +602,14 @@ object Soql {
       }
       val limit = if (acceptKw("LIMIT")) Some(expectNum()) else None
       val offset = if (acceptKw("OFFSET")) Some(expectNum()) else None
+      // row-lock / UI-telemetry suffixes: no effect on the result relation
+      if (acceptKw("FOR")) {
+        val k = expectIdent().toUpperCase
+        require(Set("VIEW", "REFERENCE", "UPDATE").contains(k), s"unknown FOR clause: $k")
+      } else if (acceptKw("UPDATE")) {
+        val k = expectIdent().toUpperCase
+        require(Set("TRACKING", "VIEWSTAT").contains(k), s"unknown UPDATE clause: $k")
+      }
       if (top) peek match {
         case TEnd => ()
         case t    => throw new IllegalArgumentException(s"unexpected trailing token $t")

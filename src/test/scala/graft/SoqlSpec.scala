@@ -429,6 +429,35 @@ class SoqlSpec extends AnyFunSuite {
       && y.contains("add_months(trunc(current_date(), 'YYYY'), -0)"))
   }
 
+  // ---- result-preserving clause no-ops and loud rejections ----
+
+  test("WITH / FOR / UPDATE clauses are accepted as result-preserving no-ops") {
+    assert(Soql.translate(
+      "SELECT a FROM t WHERE b = 1 WITH SECURITY_ENFORCED ORDER BY a LIMIT 5 FOR VIEW")
+      === "SELECT a FROM t WHERE b = 1 ORDER BY a LIMIT 5")
+    assert(Soql.translate("SELECT a FROM t WITH USER_MODE")
+      === "SELECT a FROM t")
+    assert(Soql.translate("SELECT a FROM t UPDATE TRACKING")
+      === "SELECT a FROM t")
+    assert(Soql.translate("SELECT a FROM t FOR UPDATE")
+      === "SELECT a FROM t")
+  }
+
+  test("USING SCOPE is rejected loudly, never silently ignored") {
+    val e = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT a FROM t USING SCOPE mine")
+    }
+    assert(e.getMessage.contains("USING SCOPE"))
+  }
+
+  test("GROUPING, toLabel, convertCurrency translate") {
+    assert(Soql.translate(
+      "SELECT s, GROUPING(s) g, COUNT(k) n FROM t GROUP BY ROLLUP(s)")
+      === "SELECT s, CAST(grouping(s) AS INT) AS g, COUNT(k) AS n FROM t GROUP BY ROLLUP (s)")
+    assert(Soql.translate("SELECT toLabel(s), convertCurrency(amt) FROM t")
+      === "SELECT s, amt FROM t")
+  }
+
   test("fiscal literals execute on Spark (empty on 1990s data, plan compiles)") {
     val spark = SparkTestSession.spark
     val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
