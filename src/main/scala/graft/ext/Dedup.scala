@@ -83,7 +83,17 @@ object Dedup {
     * is applied identically to intersection AND sizes (Jaccard over the
     * filtered space), and the oracle implements the same rule. The DF
     * window shares the shingle hash-partitioning with the self-join, so
-    * the cap costs no extra shuffle. */
+    * the cap costs no extra shuffle.
+    *
+    * Considered and measured: PPJoin-style prefix filtering (index only
+    * each doc's ⌊(1−t)·n⌋+1 rarest shingles; verify candidates from
+    * per-doc arrays). It is output-identical but benched 2× SLOWER at
+    * sf0.1 (5.2 s vs 2.5 s): the DF cap already bounds the join expansion
+    * LINEARLY (Σ df² ≤ cap·|index|), so the filter only shrinks a bounded
+    * constant while adding a doc-partitioned rank window, a per-doc array
+    * materialization, and a second pass over the index. With the cap in
+    * place the plain capped join is the better plan at every scale; the
+    * sub-quadratic escape hatch for truly huge corpora stays minhashLsh. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
                    maxDocFreq: Int = 50): DataFrame = {
     val w = Window.partitionBy("shingle")
