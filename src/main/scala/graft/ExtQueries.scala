@@ -22,6 +22,7 @@ object ExtQueries {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_df_index"    -> ((s, dir) => TextAnalysis.dfIndex(docs(s, dir))),
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -31,6 +32,7 @@ object ExtQueries {
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
+    "dedup_keepers"          -> ((s, dir) => Dedup.keepers(docs(s, dir))),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
@@ -53,6 +55,9 @@ object ExtQueries {
     // deterministic train/val/test assignment + stratified-sample report —
     // reproducible subsets via id-hash buckets, no RNG
     "pipeline_split_sample" -> ((s, dir) => Sampling.splitSummary(docs(s, dir))),
+
+    // exact-quota per-language eval-set selection (md5 total order, no RNG)
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
 
     // multimodal -> embed -> ANN composite: ingest blobs, stub-embed to
     // 64-dim vectors (typed per-partition map — the model-batch shape),
@@ -216,6 +221,39 @@ object ExtQueries {
          |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id)
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_keepers" ->
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+         |jp AS (SELECT a, b
+         |       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+         |       WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id)
+         |SELECT cluster_id, min(doc_id) AS keeper_id, count(*) AS n_members
+         |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, k.k AS chunk_no, w[(k.k * 24 + 1):(k.k * 24 + 32)] AS chunk
+        |      FROM t, (SELECT unnest(range(0, 64)) AS k) k
+        |      WHERE k.k * 24 < len(w))
+        |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+        |       CAST(len(chunk) AS INT) AS n_tokens,
+        |       md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank
+        |FROM documents)
+        |SELECT lang, CAST(rank AS INT) AS rank, doc_id
+        |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
 
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
     // shingle hashes (integer shifts — a double would round past 53 bits),

@@ -238,6 +238,18 @@ object Dedup {
   def minhashClusters(docs: DataFrame, threshold: Double = 0.8): DataFrame =
     clusters(minhashLsh(docs, threshold).select("a", "b"))
 
+  /** The actionable dedup DECISION: one row per duplicate cluster with the
+    * kept document (min doc_id — deterministic) and the member count. This
+    * is what a corpus build joins against to drop non-keepers; unlike the
+    * pair list it stays O(clusters) even when clusters are huge (the
+    * m²-pair blowup measured in BENCH_sf1.json never materializes past the
+    * LSH stage). One partial-agg shuffle over the cluster labels. */
+  def keepers(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    minhashClusters(docs, threshold)
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
   /** Corpus-source overlap estimation: per-source MinHash UNION sketches →
     * pairwise shingle-set Jaccard estimates. Answers "how much do my crawl
     * dumps / data sources overlap?" BEFORE paying for cross-source pair

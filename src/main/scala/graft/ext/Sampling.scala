@@ -50,4 +50,25 @@ object Sampling {
       .groupBy("lang", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("sampled")).as("n_sampled"))
       .orderBy("lang", "split")
+
+  /** EXACT-quota stratified sample: the `perStratum` docs per language
+    * whose md5(doc_id) ranks lowest — deterministic across runs, engines,
+    * and physical layout (md5 is a total order, no ties). The percentage
+    * variant above gives only expected proportions; eval-set construction
+    * ("exactly 50 held-out docs per language") needs exact counts.
+    *
+    * Scale shape: one shuffle on the stratum key + a per-stratum top-k
+    * window. A single giant stratum makes that one task hot — for
+    * degenerate strata use the bucket-threshold assignment above, or
+    * pre-aggregate a per-partition top-k before the window (not needed at
+    * the fixture's stratum counts). */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(expr("md5(CAST(doc_id AS STRING))"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perStratum)
+      .select(col("lang"), col("rank").cast("int").as("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
+  }
 }

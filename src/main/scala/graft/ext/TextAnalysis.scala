@@ -61,6 +61,27 @@ object TextAnalysis {
         .as("chars_per_bpe_token"))
       .orderBy("doc_id")
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * prep staple of an LLM training pipeline: chunk k covers tokens
+    * [k·stride+1, k·stride+size], so consecutive chunks overlap by
+    * size−stride tokens and every token is covered (size > stride). Emits
+    * (chunk_no, token count, content md5) rather than the chunk text so the
+    * result stays narrow; chunk count per doc = ⌈n/stride⌉ (exact integer
+    * arithmetic). One narrow map + explode — no shuffle at any scale. */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size > stride && stride > 0, "need size > stride > 0 for full coverage")
+    docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(w) + ${stride - 1}) div $stride AS INT) - 1),
+             |  k -> slice(w, k * $stride + 1, $size))""".stripMargin))
+          .as(Seq("chunk_no", "chunk")))
+      .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+        expr("CAST(size(chunk) AS INT)").as("n_tokens"),
+        expr("md5(array_join(chunk, ' '))").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** Document fingerprinting: a 31-ary rolling polynomial hash mod 1e9+7
     * over the character stream (the classic Rabin-Karp fingerprint) plus the
     * md5 content hash. Spark's split(text, '') emits a trailing "" (Java

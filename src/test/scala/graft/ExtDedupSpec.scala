@@ -169,4 +169,17 @@ class ExtDedupSpec extends AnyFunSuite {
     assert((out.head.getLong(0), out.head.getLong(1)) === (1L, 2L))
     assert(out.head.getAs[Double]("cosine") === 1.0)
   }
+
+  test("keepers summarizes clusters: min doc_id kept, member counts add up") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val cl = Dedup.minhashClusters(docs).collect()
+    val k = Dedup.keepers(docs).collect()
+    assert(k.map(_.getAs[Long]("n_members")).sum === cl.length.toLong)
+    val byCluster = cl.groupBy(_.getAs[Long]("cluster_id"))
+    k.foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_id")).map(_.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("keeper_id") === members.min)
+      assert(r.getAs[Long]("n_members") === members.length.toLong)
+    }
+  }
 }

@@ -68,4 +68,24 @@ class ExtTextSpec extends AnyFunSuite {
     assert(out.forall(r => langs.contains(r.getAs[String]("pred_lang"))))
     assert(out.forall(r => Set(0, 1).contains(r.getAs[Int]("correct"))))
   }
+
+  test("chunk covers every token with size-stride overlap and exact counts") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(200)
+    val out = TextAnalysis.chunk(docs).collect()
+    val nTok = docs.selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .as[(Long, Int)].collect().toMap
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, chunks) =>
+      val n = nTok(id)
+      // one chunk per stride start below n
+      assert(chunks.length === (n + 23) / 24, s"doc $id")
+      // each chunk k spans tokens [k*24+1, min(k*24+32, n)] — clamped tail
+      val sizes = chunks.sortBy(_.getAs[Int]("chunk_no")).map(_.getAs[Int]("n_tokens"))
+      sizes.zipWithIndex.foreach { case (sz, k) =>
+        assert(sz === math.min(32, n - k * 24), s"doc $id chunk $k")
+      }
+      // full coverage: the last chunk reaches token n
+      assert((sizes.length - 1) * 24 + sizes.last === n, s"doc $id tail")
+    }
+  }
 }

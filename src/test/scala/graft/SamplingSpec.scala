@@ -39,4 +39,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(overallRate > 0.1 && overallRate < 0.3, overallRate.toString)
     assert(math.abs(trainRate - overallRate) < 0.1, s"$trainRate vs $overallRate")
   }
+
+  test("stratifiedSample takes exactly perStratum docs per language, deterministically") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Sampling.stratifiedSample(docs, perStratum = 7).collect()
+    val langs = docs.select("lang").distinct().count()
+    assert(out.length.toLong === langs * 7)
+    val again = Sampling.stratifiedSample(docs.repartition(13), perStratum = 7).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq) // layout-independent
+  }
 }
