@@ -171,6 +171,23 @@ object ParityQueries {
           |       COUNT(o_orderkey) AS n_orders
           |FROM Orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // §2.6 child subselect with WHERE / ORDER BY / LIMIT — the per-parent
+    // top-n shape (`(SELECT ... FROM Contacts WHERE ... ORDER BY ... LIMIT n)`).
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the window
+    // order lists quantity + extendedprice too — a total order, making the
+    // row_number pick (and the oracle's) deterministic.
+    "soql_child_subquery_limit" -> ((s, dir) => {
+      val nested = Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT l_orderkey, l_linenumber, l_quantity FROM Lineitems
+          |   WHERE l_quantity >= 30
+          |   ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC
+          |   LIMIT 2)
+          |FROM Orders WHERE o_totalprice >= 400000""".stripMargin)
+      Shape.flattenRelationship(nested, "lineitems")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // §2.6 bare (unquoted) ISO date literals — legal SOQL date tokens
     // (`WHERE CreatedDate > 2005-10-08`, ref salesforce_to_s3_operator.py:50).
     // Regression trap: 1995-01-01 must lex as one date token, never reach
@@ -455,6 +472,18 @@ object ParityQueries {
         """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
           |       count(o_orderkey) AS n_orders
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+      "soql_child_subquery_limit" ->
+        """WITH c AS (
+          |  SELECT l_orderkey, l_linenumber, l_quantity,
+          |         row_number() OVER (PARTITION BY l_orderkey
+          |                            ORDER BY l_linenumber DESC, l_quantity DESC,
+          |                                     l_extendedprice DESC, l_orderkey) AS rn
+          |  FROM lineitem WHERE l_quantity >= 30)
+          |SELECT c.l_orderkey, c.l_linenumber, c.l_quantity
+          |FROM c JOIN orders o ON c.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice >= 400000 AND c.rn <= 2
+          |ORDER BY c.l_orderkey, c.l_linenumber, c.l_quantity""".stripMargin,
 
       "soql_bare_date_range" ->
         """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders

@@ -348,7 +348,22 @@ object Soql {
     * reference's `if r.get(relationship)` guard (line 158).
     * Scale: the child side pre-aggregates per key and joins — one shuffle
     * each side, no row explosion, no correlated per-parent execution. */
-  private final case class ChildSub(cols: Seq[Expr], relName: String) extends Expr {
+  /** Child subselect body: columns plus the optional WHERE / ORDER BY /
+    * LIMIT SOQL allows inside `(SELECT … FROM Children …)`.
+    *
+    *  - WHERE filters the child relation before pre-aggregation;
+    *  - LIMIT n keeps the first n children PER PARENT via a
+    *    `row_number() OVER (PARTITION BY childKey ORDER BY …)` window
+    *    (the given ORDER BY; the child key appended as a final tiebreak so
+    *    the window order is at least as deterministic as Salesforce's);
+    *  - ORDER BY without LIMIT is accepted, but the ORDER of records inside
+    *    the nested array is unspecified (`collect_list` is
+    *    arrival-ordered; Shape.flattenRelationship consumers re-sort) —
+    *    matching the documented nondeterminism of the reference's row
+    *    iteration, and it still drives the LIMIT window. */
+  private final case class ChildSub(cols: Seq[Expr], relName: String,
+                                    where: Option[Expr], order: Seq[OrderItem],
+                                    limit: Option[String]) extends Expr {
     def emit(ctx: Ctx): String = {
       val rel = relationships.getOrElse((ctx.fromTable, relName),
         throw new IllegalArgumentException(
@@ -357,10 +372,19 @@ object Soql {
       ctx.childIx += 1
       val childCtx = new Ctx(rel.childTable)
       val colSql = cols.map(_.emit(childCtx)).mkString(", ")
-      ctx.childJoins.append(
-        s" LEFT JOIN (SELECT ${rel.childKey} AS __jk$i, collect_list(struct($colSql)) AS __records" +
-        s" FROM ${rel.childTable}${childCtx.parentJoins} GROUP BY ${rel.childKey}) __rel$i" +
-        s" ON ${rel.parentKey} = __rel$i.__jk$i")
+      val whereSql = where.map(w => s" WHERE ${w.emit(childCtx)}").getOrElse("")
+      val sub = limit match {
+        case Some(n) =>
+          val ord = (order.map(_.emit(childCtx)) :+ rel.childKey).mkString(", ")
+          s"(SELECT ${rel.childKey} AS __jk$i, collect_list(struct($colSql)) AS __records" +
+          s" FROM (SELECT *, row_number() OVER (PARTITION BY ${rel.childKey} ORDER BY $ord) AS __rn$i" +
+          s" FROM ${rel.childTable}${childCtx.parentJoins}$whereSql)" +
+          s" WHERE __rn$i <= $n GROUP BY __jk$i) __rel$i"
+        case None =>
+          s"(SELECT ${rel.childKey} AS __jk$i, collect_list(struct($colSql)) AS __records" +
+          s" FROM ${rel.childTable}${childCtx.parentJoins}$whereSql GROUP BY ${rel.childKey}) __rel$i"
+      }
+      ctx.childJoins.append(s" LEFT JOIN $sub ON ${rel.parentKey} = __rel$i.__jk$i")
       s"named_struct('records', __rel$i.__records) AS $relName"
     }
   }
@@ -627,8 +651,16 @@ object Soql {
         while (acceptOp(",")) cols += parseValue()
         expectKw("FROM")
         val rel = expectIdent().toLowerCase
+        val where = if (acceptKw("WHERE")) Some(parseOr()) else None
+        val order = scala.collection.mutable.ArrayBuffer.empty[OrderItem]
+        if (isKw(peek, "ORDER")) {
+          next(); expectKw("BY")
+          order += parseOrderItem()
+          while (acceptOp(",")) order += parseOrderItem()
+        }
+        val limit = if (acceptKw("LIMIT")) Some(expectNum()) else None
         expectOp(")")
-        return SelectItem(ChildSub(cols.toSeq, rel), None)
+        return SelectItem(ChildSub(cols.toSeq, rel, where, order.toSeq, limit), None)
       }
       val e = parseValue()
       val alias = peek match {

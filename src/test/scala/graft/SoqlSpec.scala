@@ -429,6 +429,37 @@ class SoqlSpec extends AnyFunSuite {
       && y.contains("add_months(trunc(current_date(), 'YYYY'), -0)"))
   }
 
+  // ---- child subselect WHERE / ORDER BY / LIMIT ----
+
+  test("child subselect WHERE filters the pre-aggregated relation") {
+    val t = Soql.translate(
+      "SELECT o_orderkey, (SELECT l_linenumber FROM Lineitems WHERE l_quantity > 10) FROM Orders")
+    assert(t.contains("FROM lineitem WHERE l_quantity > 10 GROUP BY l_orderkey"), t)
+  }
+
+  test("child subselect LIMIT becomes a per-parent row_number window") {
+    val t = Soql.translate(
+      """SELECT o_orderkey,
+        |  (SELECT l_linenumber FROM Lineitems ORDER BY l_linenumber DESC LIMIT 2)
+        |FROM Orders""".stripMargin)
+    assert(t.contains("row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_orderkey)"), t)
+    assert(t.contains("__rn0 <= 2"), t)
+  }
+
+  test("child subselect with WHERE+LIMIT executes and respects the per-parent cap") {
+    val spark = SparkTestSession.spark
+    val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
+      """SELECT o_orderkey,
+        |  (SELECT l_orderkey, l_linenumber, l_quantity FROM Lineitems
+        |   WHERE l_quantity >= 30 ORDER BY l_linenumber LIMIT 2)
+        |FROM Orders""".stripMargin)
+    val flat = ops.Shape.flattenRelationship(df, "lineitems")
+    val counts = flat.groupBy("l_orderkey").count().collect()
+    assert(counts.nonEmpty)
+    assert(counts.forall(_.getAs[Long]("count") <= 2L))
+    assert(flat.filter(org.apache.spark.sql.functions.col("l_quantity") < 30).count() === 0L)
+  }
+
   // ---- result-preserving clause no-ops and loud rejections ----
 
   test("WITH / FOR / UPDATE clauses are accepted as result-preserving no-ops") {
