@@ -46,6 +46,7 @@ object ExtQueries {
     "events_funnel"          -> ((s, dir) => Events.funnel(events(s, dir))),
     "events_retention"       -> ((s, dir) => Events.retention(events(s, dir))),
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
+    "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     "multimodal_frames"   -> ((s, dir) =>
@@ -446,6 +447,24 @@ object ExtQueries {
         |       count(*) AS n, count(DISTINCT user_id) AS n_users,
         |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT hour, event_type, n,
+        |    CAST(sum(n) OVER w AS BIGINT) AS prev_sum,
+        |    count(*) OVER w AS prev_cnt
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT epoch_ms(hour) AS hour_ms, event_type, n,
+        |  round(CAST(prev_sum AS DOUBLE) / CAST(prev_cnt AS DOUBLE), 6) AS baseline,
+        |  round((CAST(n AS DOUBLE) - CAST(prev_sum AS DOUBLE) / CAST(prev_cnt AS DOUBLE))
+        |        / (CAST(prev_sum AS DOUBLE) / CAST(prev_cnt AS DOUBLE) + 1e0), 6) AS spike_score
+        |FROM scored WHERE prev_cnt >= 1
+        |ORDER BY hour_ms, event_type""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,

@@ -135,6 +135,34 @@ object Events {
         sum(col("k").cast("bigint")).as("sum_k"))
       .orderBy("event_type")
 
+  /** Hourly spike detection per event type: each bucket scored against the
+    * mean of its trailing `trailing` OBSERVED buckets (ROWS frame — gap
+    * hours don't dilute the baseline; documented deviation from a
+    * calendar-RANGE frame). Score = (n − baseline) / (baseline + 1): the
+    * sqrt-free relative deviation, so the arithmetic is exact integer sums
+    * with two final IEEE divisions — bit-identical in the oracle. Buckets
+    * with no history are dropped (no baseline to score against).
+    *
+    * Scale shape: one hash-shuffle to hourly counts (map-side partial agg
+    * collapses the raw stream to ≤ types·hours rows), then a per-type
+    * ordered window over that tiny relation. */
+  def anomalyHourly(events: DataFrame, trailing: Int = 24): DataFrame = {
+    val hourly = events
+      .groupBy(expr("date_trunc('hour', ts)").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailing, -1)
+    hourly
+      .withColumn("prev_sum", sum(col("n")).over(w))
+      .withColumn("prev_cnt", count(lit(1)).over(w))
+      .filter(col("prev_cnt") >= 1)
+      .withColumn("baseline", expr("CAST(prev_sum AS DOUBLE) / CAST(prev_cnt AS DOUBLE)"))
+      .select(unix_millis(col("hour")).as("hour_ms"), col("event_type"), col("n"),
+        expr("round(baseline, 6)").as("baseline"),
+        expr("round((CAST(n AS DOUBLE) - baseline) / (baseline + 1e0), 6)").as("spike_score"))
+      .orderBy("hour_ms", "event_type")
+  }
+
   /** Approximate distinct users per event type: HLL++ (SURVEY.md §2.8 E5).
     * Approximation is engine-specific → rows-only check, no DuckDB oracle;
     * the exact twin is `soql_count_distinct`. */

@@ -102,4 +102,22 @@ class ExtEventsSpec extends AnyFunSuite {
       assert(math.abs(approx(t) - e).toDouble / e < 0.1, s"type $t: approx ${approx(t)} vs exact $e")
     }
   }
+
+  test("anomalyHourly scores a burst hour against its trailing baseline") {
+    val h = 3600000L
+    // hours 0-3: 2 events each (baseline); hour 4: 10 events (spike)
+    val calm = (0L until 4L).flatMap(k => Seq(
+      (k * 2 + 1, k * h + 1000, "click", 1.0), (k * 2 + 2, k * h + 2000, "click", 1.0)))
+    val burst = (0L until 10L).map(i => (100 + i, 4 * h + 1000 + i, "click", 1.0))
+    val out = Events.anomalyHourly(eventsDf((calm ++ burst): _*)).collect()
+    // hour 0 has no history -> dropped; hours 1-4 scored
+    assert(out.length === 4)
+    val spike = out.find(_.getAs[Long]("hour_ms") === 4 * h).get
+    assert(spike.getAs[Long]("n") === 10L)
+    assert(spike.getAs[Double]("baseline") === 2.0)
+    assert(spike.getAs[Double]("spike_score") === 2.666667) // round((10-2)/3, 6)
+    // calm hours score 0 (n == baseline)
+    out.filter(_.getAs[Long]("hour_ms") < 4 * h)
+      .foreach(r => assert(r.getAs[Double]("spike_score") === 0.0))
+  }
 }

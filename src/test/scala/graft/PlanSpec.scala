@@ -95,6 +95,16 @@ class PlanSpec extends AnyFunSuite {
       s"band shuffle carries shingle arrays\n$p")
   }
 
+  test("big-big fact join aggregates partially and never nested-loops") {
+    val p = plan("soql_fact_join")
+    // lineitem x orders: both sides large → shuffle/sort join is correct,
+    // a broadcast of either fact side or a nested loop is not
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p) // map-side combine before the final agg shuffle
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!reads.contains("l_comment"), s"unpruned lineitem scan: $reads")
+  }
+
   test("parent-child subselect pre-aggregates the child with map-side collect before one join") {
     val p = plan("soql_parent_child_subquery")
     // the child relation aggregates partially (partial_collect_list) before
