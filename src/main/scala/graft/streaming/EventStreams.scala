@@ -23,6 +23,15 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
   * [[graft.ext.Events.funnel]] row before cohort aggregation). */
 case class ConversionOut(user_id: Long, from_ms: Long, to_ms: Long)
 
+/** Per-event-type anomaly state: open (not-yet-finalized) hourly partial
+  * counts + the trailing finalized buckets the baseline reads. */
+case class AnomalyState(open: Map[Long, Long], history: Vector[(Long, Long)])
+
+/** A finalized, scored hourly bucket (streaming twin of the batch
+  * [[graft.ext.Events.anomalyHourly]] row). */
+case class AnomalyOut(hour_ms: Long, event_type: String, n: Long,
+                      baseline: Double, spike_score: Double)
+
 /** Per-user funnel state: earliest `fromType` time seen so far
   * (`Long.MaxValue` = none yet), conversion latch, and the pending
   * `toType` event times that may still become the first in-horizon
@@ -240,6 +249,70 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Streaming spike detection — the stream twin of
+    * [[graft.ext.Events.anomalyHourly]]: hourly buckets per event type,
+    * each scored against the mean of the trailing `trailing` FINALIZED
+    * buckets the moment the watermark passes its hour end. Emitted rows are
+    * value-identical to the batch operator on the same events (spec:
+    * batch-equivalence over finalized hours): the same observed-buckets
+    * baseline, the same rounding (BigDecimal HALF_UP — SQL `round`).
+    *
+    * State: one object per event TYPE (bounded by the type vocabulary, not
+    * by time): open hourly partials inside the watermark plus the trailing
+    * bucket deque. Per-type grouping is inherent — the baseline is a
+    * global per-type statistic — and the per-event work is one map update;
+    * a pre-aggregation to (type, hour) micro-counts per batch trigger
+    * would only change constants, not the key. */
+  def anomalyHourly(events: Dataset[Event], trailing: Int = 24,
+                    watermark: String = "2 hours"): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMs = 3600000L
+
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def fold(typ: String, it: Iterator[Event],
+             state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(AnomalyState(Map.empty, Vector.empty))
+      if (!state.hasTimedOut) {
+        val add = scala.collection.mutable.Map.empty[Long, Long]
+        for (e <- it) {
+          val h = math.floorDiv(e.ts.getTime, hourMs) * hourMs
+          add(h) = add.getOrElse(h, 0L) + 1L
+        }
+        if (add.nonEmpty)
+          st = st.copy(open = add.foldLeft(st.open) { case (m, (h, c)) =>
+            m.updated(h, m.getOrElse(h, 0L) + c)
+          })
+      }
+      // finalize every open hour the watermark has fully passed, ascending
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyOut]
+      val (closed, open) = st.open.partition { case (h, _) => h + hourMs <= wm }
+      for ((h, n) <- closed.toSeq.sortBy(_._1)) {
+        if (st.history.nonEmpty) {
+          val tail = st.history.takeRight(trailing)
+          val baseline = tail.map(_._2).sum.toDouble / tail.length.toDouble
+          out += AnomalyOut(h, typ, n, round6(baseline),
+            round6((n.toDouble - baseline) / (baseline + 1.0)))
+        }
+        st = st.copy(history = (st.history :+ (h, n)).takeRight(trailing))
+      }
+      st = st.copy(open = open)
+      state.update(st)
+      // wake when the earliest open hour can finalize; else idle until data
+      val arm = open.keys.minOption.map(_ + hourMs + 1).getOrElse(wm + hourMs)
+      state.setTimeoutTimestamp(math.max(arm, wm + 1))
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 

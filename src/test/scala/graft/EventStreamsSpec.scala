@@ -257,4 +257,42 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(hour0.get.getAs[Double]("sum_value") === 2.0)
     } finally q.stop()
   }
+
+  test("streaming anomaly equals the batch operator over finalized hours") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    def tev(id: Long, ms: Long, typ: String) =
+      Event(id, new Timestamp(ms), 42L, typ, 1.0)
+    // clicks: 2/hour for hours 0-3, burst of 9 in hour 4; views: 3/hour 0-2
+    val evs = ((0L until 4L).flatMap(k => Seq(
+        tev(k * 10 + 1, k * h + 1000, "click"), tev(k * 10 + 2, k * h + 2000, "click"))) ++
+      (0L until 9L).map(i => tev(100 + i, 4 * h + 1000 + i, "click")) ++
+      (0L until 3L).flatMap(k => Seq(
+        tev(200 + k * 10, k * h + 1500, "view"), tev(201 + k * 10, k * h + 2500, "view"),
+        tev(202 + k * 10, k * h + 3500, "view")))).toVector
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalyHourly(input.toDS()).writeStream
+      .format("memory").queryName("anomaly_out").outputMode("append").start()
+    try {
+      // deliver in two batches while the watermark is still below every
+      // event (wm lags 2h behind max event time), then push it past hour 4
+      val (burst, early) = evs.partition(_.ts.getTime >= 4 * h)
+      input.addData(early: _*); q.processAllAvailable()   // wm stays ~1h
+      input.addData(burst: _*); q.processAllAvailable()
+      input.addData(tev(999, 10 * h, "other")); q.processAllAvailable()
+      val got = spark.table("anomaly_out")
+        .select("hour_ms", "event_type", "n", "baseline", "spike_score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      // batch twin on the same events (watermark passed hours 0-4 for click/view)
+      import spark.implicits._
+      val batchDf = evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val expect = graft.ext.Events.anomalyHourly(batchDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      assert(got === expect, s"got=$got expect=$expect")
+      assert(got.exists { case (ms, t, n, _, _) => ms == 4 * h && t == "click" && n == 9L })
+    } finally q.stop()
+  }
 }
