@@ -27,10 +27,13 @@ object Bench {
     try SparkEntry.queries("extract_shape_lineitem")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // optional 2nd arg: comma-separated name substrings for targeted profiling
+    // optional 2nd arg: comma-separated name substrings for targeted
+    // profiling — matched against ALL queries, not just the headline set
     val bq =
-      if (args.length > 1) { val ps = args(1).split(','); SparkEntry.benchQueries.filter(n => ps.exists(n.contains)) }
-      else SparkEntry.benchQueries
+      if (args.length > 1) {
+        val ps = args(1).split(',')
+        SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.contains))
+      } else SparkEntry.benchQueries
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // two full passes, min per query: a single pass lets one GC/JIT hiccup
     // misreport a query by 4-5x (observed); min-of-2 reports steady state

@@ -429,6 +429,29 @@ class SoqlSpec extends AnyFunSuite {
       && y.contains("add_months(trunc(current_date(), 'YYYY'), -0)"))
   }
 
+  test("date-lexer fuzz: every ISO date/datetime lexes atomically, spaced arithmetic never does") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val y = 1900 + rnd.nextInt(200); val mo = 1 + rnd.nextInt(12); val d = 1 + rnd.nextInt(28)
+      val date = f"$y%04d-$mo%02d-$d%02d"
+      val t = Soql.translate(s"SELECT a FROM t WHERE f >= $date")
+      assert(t === s"SELECT a FROM t WHERE f >= DATE '$date'", t)
+      // datetime with random offset normalizes to a UTC timestamp literal
+      val h = rnd.nextInt(24); val mi = rnd.nextInt(60); val sec = rnd.nextInt(60)
+      val off = rnd.nextInt(3) match {
+        case 0 => "Z"
+        case 1 => f"+${rnd.nextInt(13)}%02d:00"
+        case 2 => f"-${rnd.nextInt(13)}%02d:30"
+      }
+      val dt = f"${date}T$h%02d:$mi%02d:$sec%02d$off"
+      val tt = Soql.translate(s"SELECT a FROM t WHERE f < $dt")
+      assert(tt.matches("""SELECT a FROM t WHERE f < TIMESTAMP '\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}'"""), tt)
+      // spaced integers remain arithmetic — the lexer only fuses adjacency
+      val spaced = Soql.translate(s"SELECT a FROM t WHERE x = $y - $mo - $d")
+      assert(spaced === s"SELECT a FROM t WHERE x = $y - $mo - $d")
+    }
+  }
+
   // ---- child subselect WHERE / ORDER BY / LIMIT ----
 
   test("child subselect WHERE filters the pre-aggregated relation") {
