@@ -578,6 +578,6 @@ object ExtQueries {
     "dedup_simhash_pairs", "similarity_topk", "similarity_lsh", "similarity_ivf",
     "dedup_source_overlap", "dedup_clusters",
     "events_sessionize", "events_session_window", "text_langid", "text_df_index",
-    "events_tumbling", "events_funnel", "events_retention",
-    "multimodal_frames", "pipeline_filter_dedup")
+    "events_tumbling", "events_funnel", "events_retention", "events_anomaly",
+    "text_chunk", "multimodal_frames", "pipeline_filter_dedup")
 }
