@@ -23,6 +23,7 @@ object ExtQueries {
     "text_df_index"    -> ((s, dir) => TextAnalysis.dfIndex(docs(s, dir))),
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
+    "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -248,6 +249,14 @@ object ExtQueries {
         |       CAST(len(chunk) AS INT) AS n_tokens,
         |       md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "text_length_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       round(quantile_cont(n_chars, 0.5e0), 6) AS p50_chars,
+        |       round(quantile_cont(n_chars, 0.9e0), 6) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

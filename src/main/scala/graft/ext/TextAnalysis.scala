@@ -61,6 +61,25 @@ object TextAnalysis {
         .as("chars_per_bpe_token"))
       .orderBy("doc_id")
 
+  /** Per-language corpus length distribution — the corpus report card
+    * (doc counts, char totals, exact p50/p90). `percentile` is Spark's
+    * EXACT linear-interpolated quantile (index p·(n−1), (1−f)·a + f·b) —
+    * the same definition as DuckDB's `quantile_cont`, and the inputs are
+    * integers, so both engines evaluate the identical IEEE expression.
+    * One partial-agg shuffle; exact percentile buffers the per-group
+    * values, which is fine for per-LANGUAGE groups (few, bounded) — for
+    * high-cardinality keys at 100 TB use approx_percentile instead
+    * (sketch, engine-specific → rows-only check). */
+  def lengthStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).cast("long").as("sum_chars"),
+      expr("round(percentile(n_chars, 0.5e0), 6)").as("p50_chars"),
+      expr("round(percentile(n_chars, 0.9e0), 6)").as("p90_chars"))
+      .orderBy("lang")
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * prep staple of an LLM training pipeline: chunk k covers tokens
     * [k·stride+1, k·stride+size], so consecutive chunks overlap by

@@ -483,6 +483,23 @@ class SoqlSpec extends AnyFunSuite {
     assert(flat.filter(org.apache.spark.sql.functions.col("l_quantity") < 30).count() === 0L)
   }
 
+  test("customer->orders filtered subselect executes (different relationship than lineitems)") {
+    val spark = SparkTestSession.spark
+    val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
+      """SELECT c_custkey, c_name,
+        |  (SELECT o_custkey, o_orderkey, o_totalprice FROM Orders
+        |   WHERE o_totalprice > 100000
+        |   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
+        |FROM Customer""".stripMargin)
+    val flat = ops.Shape.flattenRelationship(df, "orders")
+    val rows = flat.collect()
+    assert(rows.nonEmpty)
+    // at most one top order per customer, all above the filter bar
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(_.length == 1))
+    assert(rows.forall(_.getAs[Double]("o_totalprice") > 100000))
+  }
+
   // ---- result-preserving clause no-ops and loud rejections ----
 
   test("WITH / FOR / UPDATE clauses are accepted as result-preserving no-ops") {
