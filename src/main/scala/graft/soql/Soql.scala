@@ -58,8 +58,10 @@ package graft.soql
   *     discriminator column itself; THEN lists may contain dot paths, which
   *     join through [[parentRelationships]])
   *
-  * NOT supported (documented): WITH / USING SCOPE / FOR VIEW|UPDATE
-  * (CRM-specific server-side hints).
+  *   - table aliases (`FROM Contact c` — `c.field` strips the qualifier)
+  *
+  * NOT supported (documented): USING SCOPE (requires a user context;
+  * rejected loudly rather than silently changing the row set).
   */
 object Soql {
 
@@ -224,7 +226,7 @@ object Soql {
 
   /** Resolution context accumulated while emitting one query level: child
     * subselect joins and dot-path parent joins. */
-  private final class Ctx(val fromTable: String) {
+  private final class Ctx(val fromTable: String, val tableAlias: Option[String] = None) {
     val childJoins = new StringBuilder
     var childIx = 0
     /** path prefix (lowercased, dot-joined) → join alias */
@@ -234,8 +236,12 @@ object Soql {
     /** Resolve a multi-segment dot path to a joined column reference,
       * registering LEFT JOINs for each unvisited prefix. */
     def resolvePath(path: Seq[String]): String = {
-      // `Orders.o_orderkey` — a base-table qualifier is just the column
-      val segs = if (path.head.toLowerCase == fromTable && path.length > 1) path.tail else path
+      // `Orders.o_orderkey` / `o.o_orderkey` (declared table alias) —
+      // a base-table qualifier is just the column
+      val head = path.head.toLowerCase
+      val segs =
+        if (path.length > 1 && (head == fromTable || tableAlias.contains(head))) path.tail
+        else path
       if (segs.length == 1) return segs.head
       var curTable = fromTable
       var curAlias = "" // empty = base table (unqualified keys)
@@ -432,11 +438,12 @@ object Soql {
   }
 
   private final case class Query(
-      select: Seq[SelectItem], from: String, where: Option[Expr],
+      select: Seq[SelectItem], from: String, fromAlias: Option[String],
+      where: Option[Expr],
       groupBy: Option[GroupBy], having: Option[Expr],
       orderBy: Seq[OrderItem], limit: Option[String], offset: Option[String]) {
     def emit: String = {
-      val ctx = new Ctx(from)
+      val ctx = new Ctx(from, fromAlias)
       // SELECT items first: child subselects register their joins in order
       val sel = select.map(_.emit(ctx)).mkString(", ")
       val whereSql = where.map(" WHERE " + _.emit(ctx)).getOrElse("")
@@ -584,6 +591,14 @@ object Soql {
       // Salesforce object names are case-insensitive and the Bulk operator
       // title-cases them (salesforce_to_s3_operator.py:44); views are lowercase
       val from = expectIdent().toLowerCase
+      // optional SOQL table alias (`FROM Contact c`): any identifier that
+      // is not a clause keyword; references through it strip the qualifier
+      val fromAlias = peek match {
+        case TIdent(a) if !keywords.contains(a.toUpperCase) &&
+            !Set("USING", "WITH", "FOR", "UPDATE").contains(a.toUpperCase) =>
+          next(); Some(a.toLowerCase)
+        case _ => None
+      }
       // USING SCOPE filters rows by org/user context (mine, team, …) —
       // there is no user context in the engine, so silently ignoring it
       // would return the WRONG row set. Reject loudly.
@@ -638,7 +653,7 @@ object Soql {
         case TEnd => ()
         case t    => throw new IllegalArgumentException(s"unexpected trailing token $t")
       }
-      Query(items.toSeq, from, where, groupBy, having, orderBy.toSeq, limit, offset)
+      Query(items.toSeq, from, fromAlias, where, groupBy, having, orderBy.toSeq, limit, offset)
     }
 
     private def parseSelectItem(): SelectItem = {

@@ -483,6 +483,22 @@ class SoqlSpec extends AnyFunSuite {
     assert(flat.filter(org.apache.spark.sql.functions.col("l_quantity") < 30).count() === 0L)
   }
 
+  test("table aliases strip the qualifier everywhere, incl. dot paths through the alias") {
+    assert(Soql.translate("SELECT o.o_orderkey, o.o_totalprice FROM Orders o WHERE o.o_totalprice > 100")
+      === "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100")
+    // alias-qualified dot path still resolves the relationship registry
+    val t = Soql.translate("SELECT o.Customer.c_name FROM Orders o")
+    assert(t.contains("LEFT JOIN customer __p0 ON o_custkey = __p0.c_custkey"), t)
+    assert(t.contains("__p0.c_name"), t)
+    // alias in GROUP BY / ORDER BY / HAVING
+    assert(Soql.translate(
+      "SELECT o.o_orderstatus, COUNT(o.o_orderkey) n FROM Orders o GROUP BY o.o_orderstatus HAVING COUNT(o.o_orderkey) > 5 ORDER BY o.o_orderstatus")
+      === "SELECT o_orderstatus, COUNT(o_orderkey) AS n FROM orders GROUP BY o_orderstatus HAVING COUNT(o_orderkey) > 5 ORDER BY o_orderstatus")
+    // alias position never eats clause keywords
+    assert(Soql.translate("SELECT a FROM t WITH USER_MODE") === "SELECT a FROM t")
+    assert(Soql.translate("SELECT a FROM t FOR VIEW") === "SELECT a FROM t")
+  }
+
   test("customer->orders filtered subselect executes (different relationship than lineitems)") {
     val spark = SparkTestSession.spark
     val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
