@@ -59,6 +59,8 @@ package graft.soql
   *     join through [[parentRelationships]])
   *
   *   - table aliases (`FROM Contact c` — `c.field` strips the qualifier)
+  *   - DISTANCE(loc, GEOLOCATION(lat, lon), 'mi'|'km') → haversine over the
+  *     struct-typed location column (latitude/longitude fields)
   *
   * NOT supported (documented): USING SCOPE (requires a user context;
   * rejected loudly rather than silently changing the row set).
@@ -288,6 +290,27 @@ object Soql {
       // both are the identity here — documented deviations
       else if (name.equalsIgnoreCase("TOLABEL") || name.equalsIgnoreCase("CONVERTCURRENCY"))
         args.head.emit(ctx)
+      // DISTANCE(locField, GEOLOCATION(lat, lon), 'mi'|'km') → haversine
+      // over the struct's latitude/longitude (the Spark shape of the
+      // compound geolocation field). Great-circle on the mean Earth radius.
+      else if (name.equalsIgnoreCase("DISTANCE")) {
+        val loc = args(0).emit(ctx)
+        val (lat2, lon2) = args(1) match {
+          case Func(g, _, gargs) if g.equalsIgnoreCase("GEOLOCATION") =>
+            (gargs(0).emit(ctx), gargs(1).emit(ctx))
+          case other => // location-to-location form
+            (s"${other.emit(ctx)}.latitude", s"${other.emit(ctx)}.longitude")
+        }
+        val unit = args(2).emit(ctx).replace("'", "").toLowerCase
+        val r = unit match {
+          case "km" => "6371.0087714"
+          case "mi" => "3958.7558657441"
+          case u    => throw new IllegalArgumentException(s"DISTANCE unit must be 'mi' or 'km', got '$u'")
+        }
+        val (lat1, lon1) = (s"$loc.latitude", s"$loc.longitude")
+        s"2 * $r * ASIN(SQRT(POWER(SIN(RADIANS($lat2 - $lat1) / 2), 2) + " +
+          s"COS(RADIANS($lat1)) * COS(RADIANS($lat2)) * POWER(SIN(RADIANS($lon2 - $lon1) / 2), 2)))"
+      }
       else s"$n(${args.map(_.emit(ctx)).mkString(", ")})"
     }
   }

@@ -499,6 +499,28 @@ class SoqlSpec extends AnyFunSuite {
     assert(Soql.translate("SELECT a FROM t FOR VIEW") === "SELECT a FROM t")
   }
 
+  test("DISTANCE/GEOLOCATION translates to haversine and computes real distances") {
+    val spark = SparkTestSession.spark
+    val t = Soql.translate(
+      "SELECT city FROM places WHERE DISTANCE(loc, GEOLOCATION(37.7749, -122.4194), 'km') < 100 ORDER BY city")
+    assert(t.contains("ASIN(SQRT(POWER(SIN(RADIANS(") && t.contains("6371.0087714"), t)
+    // execute on a synthetic struct-typed location column: SF-LA ≈ 559 km,
+    // SF-Oakland ≈ 13 km — only Oakland is within 100 km
+    import spark.implicits._
+    Seq(("losangeles", 34.0522, -118.2437), ("oakland", 37.8044, -122.2712))
+      .toDF("city", "lat", "lon")
+      .selectExpr("city", "named_struct('latitude', lat, 'longitude', lon) AS loc")
+      .createOrReplaceTempView("places")
+    val rows = spark.sql(t).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("oakland"))
+    // distance value sanity: SF-LA in miles ≈ 347
+    val d = spark.sql(Soql.translate(
+      "SELECT city, DISTANCE(loc, GEOLOCATION(37.7749, -122.4194), 'mi') dist FROM places ORDER BY city"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(d("losangeles") - 347.4) < 1.0, d.toString)
+    assert(d("oakland") < 10.0)
+  }
+
   test("customer->orders filtered subselect executes (different relationship than lineitems)") {
     val spark = SparkTestSession.spark
     val df = ops.Extract.soqlQuery(spark, SparkTestSession.sfDir,
