@@ -231,6 +231,9 @@ object Soql {
   private final class Ctx(val fromTable: String, val tableAlias: Option[String] = None) {
     val childJoins = new StringBuilder
     var childIx = 0
+    /** Parent WHERE (base-table columns only) — child subselects semi-join
+      * against it to prune their pre-aggregation. */
+    var parentFilter: Option[String] = None
     /** path prefix (lowercased, dot-joined) → join alias */
     val parentAliases = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val parentJoins = new StringBuilder
@@ -401,7 +404,13 @@ object Soql {
       ctx.childIx += 1
       val childCtx = new Ctx(rel.childTable)
       val colSql = cols.map(_.emit(childCtx)).mkString(", ")
-      val whereSql = where.map(w => s" WHERE ${w.emit(childCtx)}").getOrElse("")
+      // semi-join-prune against the parent's own filter: groups for parents
+      // the outer WHERE discards would be collected only to be dropped by
+      // the join — Catalyst plans this as a LeftSemi before the pre-agg
+      val pruned = ctx.parentFilter.map(f =>
+        s"${rel.childKey} IN (SELECT ${rel.parentKey} FROM ${ctx.fromTable} WHERE $f)")
+      val conds = where.map(_.emit(childCtx)).toSeq ++ pruned
+      val whereSql = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
       val sub = limit match {
         case Some(n) =>
           val ord = (order.map(_.emit(childCtx)) :+ rel.childKey).mkString(", ")
@@ -467,9 +476,17 @@ object Soql {
       orderBy: Seq[OrderItem], limit: Option[String], offset: Option[String]) {
     def emit: String = {
       val ctx = new Ctx(from, fromAlias)
-      // SELECT items first: child subselects register their joins in order
+      // emit WHERE before the SELECT items: when the parent filter touches
+      // only base-table columns (no dot-path join aliases), child subselects
+      // can semi-join-prune their pre-aggregation with it — at scale the
+      // collect_list otherwise aggregates EVERY parent's children only for
+      // the join to drop the filtered-out groups
+      val whereStr = where.map(_.emit(ctx))
+      if (whereStr.exists(w => !w.contains("__p")))
+        ctx.parentFilter = whereStr
+      // SELECT items next: child subselects register their joins in order
       val sel = select.map(_.emit(ctx)).mkString(", ")
-      val whereSql = where.map(" WHERE " + _.emit(ctx)).getOrElse("")
+      val whereSql = whereStr.map(" WHERE " + _).getOrElse("")
       val groupSql = groupBy.map(" " + _.emit(ctx)).getOrElse("")
       val havingSql = having.map(" HAVING " + _.emit(ctx)).getOrElse("")
       val orderSql =

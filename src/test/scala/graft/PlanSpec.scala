@@ -110,6 +110,9 @@ class PlanSpec extends AnyFunSuite {
     // the child relation aggregates partially (partial_collect_list) before
     // its one shuffle; the join is an equi-join, never correlated/nested
     assert(p.contains("partial_collect_list"), p)
+    // the parent's own filter semi-join-prunes the child pre-agg: groups
+    // for discarded parents are never collected
+    assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // child scan prunes to the subselect's columns + join key
     val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString
