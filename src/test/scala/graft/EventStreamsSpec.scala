@@ -218,6 +218,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel candidate is displaced by an earlier toType arriving in a LATER batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, ms: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(ms), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelConversions(input.toDS()).writeStream
+      .format("memory").queryName("funnel_displace").outputMode("append").start()
+    try {
+      input.addData(tev(1, 1000, 1L, "signup"), tev(2, 50000, 1L, "purchase"))
+      q.processAllAvailable()
+      // an EARLIER purchase arrives a batch later (still above the watermark):
+      // it, not the first-seen one, is the batch-true first conversion
+      input.addData(tev(3, 30000, 1L, "purchase"))
+      q.processAllAvailable()
+      input.addData(tev(4, 10000000L, 9L, "click")) // finalize
+      q.processAllAvailable()
+      val out = spark.table("funnel_displace").collect()
+      assert(out.length === 1, out.map(_.toSeq.mkString(",")).mkString("; "))
+      assert(out.head.getAs[Long]("to_ms") === 30000L)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
