@@ -37,8 +37,9 @@ object Extract {
     * `salesforce_to_s3_operator.py:50,148-154`; Bulk-vs-REST is a transport
     * detail with no relational semantics). Translated to Spark SQL and
     * planned by Catalyst — filter/projection/limit pushdown all built-in. */
-  def soqlQuery(spark: SparkSession, dir: String, soqlText: String): DataFrame = {
+  def soqlQuery(spark: SparkSession, dir: String, soqlText: String,
+                fiscalYearStartMonth: Int = 1): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql(Soql.translate(soqlText))
+    spark.sql(Soql.translate(soqlText, fiscalYearStartMonth))
   }
 }
