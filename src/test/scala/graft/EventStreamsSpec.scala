@@ -218,6 +218,28 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly counts a late in-watermark event into its hour before finalization") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600000L
+    def tev(id: Long, ms: Long) = Event(id, new Timestamp(ms), 42L, "click", 1.0)
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalyHourly(input.toDS()).writeStream
+      .format("memory").queryName("anomaly_late").outputMode("append").start()
+    try {
+      // hour 0: two events; hour 1: one event (wm after batch = 0)
+      input.addData(tev(1, 1000), tev(2, 2000), tev(3, h + 1000))
+      q.processAllAvailable()
+      // LATE hour-0 event in a later batch (wm still 0) — must count
+      input.addData(tev(4, 3000))
+      q.processAllAvailable()
+      input.addData(tev(9, 10 * h)) // watermark push
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_late").collect()
+      val h1 = rows.find(_.getAs[Long]("hour_ms") === h).get
+      assert(h1.getAs[Double]("baseline") === 3.0) // hour 0 counted 2+1 late
+    } finally q.stop()
+  }
+
   test("funnel candidate is displaced by an earlier toType arriving in a LATER batch") {
     implicit val sqlCtx = spark.sqlContext
     def tev(id: Long, ms: Long, user: Long, typ: String) =
