@@ -32,6 +32,15 @@ case class AnomalyState(open: Map[Long, Long], history: Vector[(Long, Long)])
 case class AnomalyOut(hour_ms: Long, event_type: String, n: Long,
                       baseline: Double, spike_score: Double)
 
+/** Per-user retention state: earliest active day seen (epoch-day), the
+  * distinct active days not yet emitted, and the offsets already emitted. */
+case class RetentionState(cohortDay: Long, pending: Set[Long], emitted: Set[Int])
+
+/** One finalized retention hit: user was active `day_offset` days after
+  * their (final) first-ever active day. Counting per (cohort_day,
+  * day_offset) downstream reproduces the batch retention matrix. */
+case class RetentionHit(user_id: Long, cohort_day: java.sql.Date, day_offset: Int)
+
 /** Per-user funnel state: earliest `fromType` time seen so far
   * (`Long.MaxValue` = none yet), conversion latch, and the pending
   * `toType` event times that may still become the first in-horizon
@@ -313,6 +322,69 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Streaming retention hits — the stream twin of
+    * [[graft.ext.Events.retention]]'s pre-aggregation: one
+    * [[RetentionHit]] per (user, day_offset ≤ maxDays), where the cohort
+    * day is the user's MINIMUM active day. A hit emits only once the
+    * watermark has passed both the cohort day's end (no earlier first day
+    * can still arrive — emitting sooner could attribute the user to the
+    * wrong cohort) and the activity day's end, so emitted rows equal the
+    * batch minima under any micro-batch split of in-watermark events.
+    *
+    * State per user is BOUNDED despite "first day ever" semantics: once
+    * the watermark passes cohortDay + maxDays the user can never produce
+    * another in-horizon hit (later activity exceeds maxDays; earlier
+    * activity would be below the watermark), so the state is removed —
+    * live state is O(users inside their retention horizon). */
+  def retentionHits(events: Dataset[Event], maxDays: Int = 7,
+                    watermark: String = "2 hours"): Dataset[RetentionHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 86400000L
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[RetentionState]): Iterator[RetentionHit] = {
+      val wm = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(RetentionState(Long.MaxValue, Set.empty, Set.empty))
+      if (!state.hasTimedOut) {
+        for (e <- it) {
+          val d = math.floorDiv(e.ts.getTime, dayMs)
+          st = st.copy(cohortDay = math.min(st.cohortDay, d), pending = st.pending + d)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+      // cohort is final once wm passes its day end; then emit every pending
+      // day whose own end has also passed
+      if (st.cohortDay != Long.MaxValue && (st.cohortDay + 1) * dayMs <= wm) {
+        val (ready, wait) = st.pending.partition(d => (d + 1) * dayMs <= wm)
+        val offs = ready.map(d => (d - st.cohortDay).toInt)
+          .filter(o => o <= maxDays && !st.emitted.contains(o))
+        for (o <- offs.toSeq.sorted)
+          out += RetentionHit(userId,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.cohortDay)), o)
+        st = st.copy(pending = wait, emitted = st.emitted ++ offs)
+      }
+      val horizonEndMs =
+        if (st.cohortDay == Long.MaxValue) Long.MaxValue
+        else (st.cohortDay + maxDays + 1) * dayMs
+      if (horizonEndMs <= wm) state.remove() // no further in-horizon hit possible
+      else {
+        state.update(st)
+        // wake when the next pending day (or the cohort day) finalizes;
+        // else at horizon end to reclaim the state
+        val next = (st.pending.map(d => (d + 1) * dayMs + 1) +
+          math.min(horizonEndMs + 1, Long.MaxValue)).min
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 

@@ -262,6 +262,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming retention hits aggregate to the batch retention matrix under shuffled delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 86400000L
+    def tev(id: Long, ms: Long, user: Long) =
+      Event(id, new Timestamp(ms), user, "click", 1.0)
+    // u1 active days 0,1,3; u2 days 2 (twice) and 5; u3 day 1 only
+    val evs = Vector(
+      tev(1, 3 * d + 5000, 1L), tev(2, 1000, 1L), tev(3, d + 2000, 1L),
+      tev(4, 2 * d + 1000, 2L), tev(5, 2 * d + 9000, 2L), tev(6, 5 * d + 1000, 2L),
+      tev(7, d + 7000, 3L))
+    val input = MemoryStream[Event]
+    val q = EventStreams.retentionHits(input.toDS(), watermark = "240 hours").writeStream
+      .format("memory").queryName("retention_out").outputMode("append").start()
+    try {
+      // shuffled delivery: u1's day-3 event arrives before its day-0 cohort
+      input.addData(evs(0), evs(3)); q.processAllAvailable()
+      input.addData(evs(1), evs(2), evs(4), evs(6)); q.processAllAvailable()
+      input.addData(evs(5)); q.processAllAvailable()
+      input.addData(tev(99, 20 * d, 9L)); q.processAllAvailable() // wm -> day 10
+      val got = spark.table("retention_out")
+        .groupBy("cohort_day", "day_offset").count()
+        .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+      import spark.implicits._
+      val batchDf = evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val expect = graft.ext.Events.retention(batchDf).collect()
+        .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+      assert(got === expect, s"got=$got expect=$expect")
+      // sanity: u1's cohort is day 0 despite day-3-first delivery
+      assert(got.exists { case (cd, off, _) => cd == "1970-01-01" && off == 3 })
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
