@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.ext.{Dedup, Events, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
   * search, text analysis, event windows, multimodal plumbing. Every entry
@@ -24,6 +24,7 @@ object ExtQueries {
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
+    "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -60,6 +61,11 @@ object ExtQueries {
 
     // exact-quota per-language eval-set selection (md5 total order, no RNG)
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
+
+    // eval-set n-gram decontamination (broadcast eval index, corpus scanned
+    // once) and token-budget sequence packing (per-source prefix sums)
+    "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(docs(s, dir))),
+    "pipeline_pack"          -> ((s, dir) => Packing.pack(docs(s, dir))),
 
     // multimodal -> embed -> ANN composite: ingest blobs, stub-embed to
     // 64-dim vectors (typed per-partition map — the model-batch shape),
@@ -257,6 +263,65 @@ object ExtQueries {
         |       round(quantile_cont(n_chars, 0.5e0), 6) AS p50_chars,
         |       round(quantile_cont(n_chars, 0.9e0), 6) AS p90_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct FROM toks),
+        |tok AS (SELECT doc_id, unnest(w) AS g FROM toks),
+        |tc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY doc_id, g),
+        |tt AS (SELECT doc_id, g, c FROM
+        |       (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM tc)
+        |       WHERE rn = 1),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i + 1])) AS g FROM toks),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+        |bt AS (SELECT doc_id, g, c FROM
+        |       (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM bc)
+        |       WHERE rn = 1)
+        |SELECT base.doc_id AS doc_id, CAST(base.n_tokens AS INT) AS n_tokens,
+        |  round(1e0 - n_distinct / n_tokens, 6) AS dup_token_ratio,
+        |  tt.g AS top_token, tt.c AS top_token_count,
+        |  round(tt.c / base.n_tokens, 6) AS top_token_ratio,
+        |  bt.g AS top_bigram, bt.c AS top_bigram_count,
+        |  round(bt.c / (base.n_tokens - 1), 6) AS top_bigram_ratio
+        |FROM base JOIN tt ON base.doc_id = tt.doc_id JOIN bt ON base.doc_id = bt.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // replays shingle_hash60 (first 15 md5 hex digits as a 60-bit int) over
+    // 5-gram shingles; train×eval overlap with the same mod-11 eval slice
+    "pipeline_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3),
+        |                i -> array_to_string(w[i:i+4], ' '))) AS shingle
+        |       FROM toks WHERE len(w) >= 5),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 15), k ->
+        |        CAST(strpos('0123456789abcdef', substr(md5(shingle), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |          << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS shingle
+        |      FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles FROM h GROUP BY doc_id),
+        |hits AS (SELECT t.doc_id,
+        |           count(DISTINCT t.shingle) AS n_shared,
+        |           count(DISTINCT e.doc_id) AS n_eval_docs
+        |         FROM h t JOIN h e ON t.shingle = e.shingle
+        |         WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
+        |         GROUP BY t.doc_id)
+        |SELECT hits.doc_id AS doc_id, sz.n_shingles, hits.n_shared, hits.n_eval_docs,
+        |       round(hits.n_shared / sz.n_shingles, 6) AS contaminated_frac
+        |FROM hits JOIN sz ON hits.doc_id = sz.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 256 AS first_seq,
+        |  (cum - 1) // 256 AS last_seq,
+        |  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,
@@ -588,5 +653,6 @@ object ExtQueries {
     "dedup_source_overlap", "dedup_clusters",
     "events_sessionize", "events_session_window", "text_langid", "text_df_index",
     "events_tumbling", "events_funnel", "events_retention", "events_anomaly",
-    "text_chunk", "multimodal_frames", "pipeline_filter_dedup")
+    "text_chunk", "multimodal_frames", "pipeline_filter_dedup",
+    "text_repetition", "pipeline_decontaminate", "pipeline_pack")
 }

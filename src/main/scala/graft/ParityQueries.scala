@@ -208,6 +208,42 @@ object ParityQueries {
           |WHERE ts >= 2024-01-10T06:30:00Z AND ts < 2024-01-10T18:30:00+02:00
           |ORDER BY event_id""".stripMargin)),
 
+    // §2.6 table alias through the parser (`FROM Customer c`, alias-qualified
+    // field refs everywhere — projection, WHERE, ORDER BY)
+    "soql_alias" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT c.c_custkey, c.c_name, c.c_acctbal FROM Customer c
+          |WHERE c.c_acctbal > 9000
+          |ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 100""".stripMargin)),
+
+    // §2.6 result-preserving clause no-ops (WITH SECURITY_ENFORCED, FOR VIEW)
+    // accepted without changing the row set
+    "soql_clause_noops" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM Lineitem
+          |WHERE l_quantity >= 49 WITH SECURITY_ENFORCED
+          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FOR VIEW""".stripMargin)),
+
+    // §2.6 DISTANCE/GEOLOCATION geo filter → haversine over a struct-typed
+    // location column. The fixture has no geo table, so one is derived
+    // deterministically from nation (integer arithmetic → exact on both
+    // engines); the oracle replays the identical haversine expression. Only
+    // the FILTER uses the distance (output columns are exact), so the
+    // cross-libm trig ulp can only matter if a distance sits within ~1e-9
+    // of the threshold — verified not the case for this fixture.
+    "soql_distance" -> ((s, dir) => {
+      Tables.load(s, dir, "nation")
+        .selectExpr("n_nationkey", "n_name",
+          "named_struct('latitude',  CAST((n_nationkey * 7) % 140 - 70 + 0.5 AS DOUBLE), " +
+          "'longitude', CAST((n_nationkey * 13) % 340 - 170 + 0.5 AS DOUBLE)) AS loc")
+        .createOrReplaceTempView("places")
+      Extract.soqlQuery(s, dir,
+        """SELECT n_nationkey, n_name FROM places
+          |WHERE DISTANCE(loc, GEOLOCATION(40.0, -75.0), 'km') < 9000
+          |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // §2.6 raw TYPEOF through the parser: flattened to one CASE-gated
     // column per branch field (the relational shape of Salesforce's
     // per-type record projection).
@@ -495,6 +531,26 @@ object ParityQueries {
         """SELECT event_id, user_id, event_type FROM events
           |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00' AND ts < TIMESTAMP '2024-01-10 16:30:00'
           |ORDER BY event_id""".stripMargin,
+
+      "soql_alias" ->
+        """SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
+          |WHERE c.c_acctbal > 9000
+          |ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 100""".stripMargin,
+
+      "soql_clause_noops" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+          |WHERE l_quantity >= 49
+          |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+      "soql_distance" ->
+        """WITH places AS (SELECT n_nationkey, n_name,
+          |  CAST((n_nationkey * 7) % 140 - 70 + 0.5 AS DOUBLE) AS lat,
+          |  CAST((n_nationkey * 13) % 340 - 170 + 0.5 AS DOUBLE) AS lon
+          |FROM nation)
+          |SELECT n_nationkey, n_name FROM places
+          |WHERE 2 * 6371.0087714 * ASIN(SQRT(POWER(SIN(RADIANS(40.0 - lat) / 2), 2) +
+          |      COS(RADIANS(lat)) * COS(RADIANS(40.0)) * POWER(SIN(RADIANS(-75.0 - lon) / 2), 2))) < 9000
+          |ORDER BY n_nationkey""".stripMargin,
 
       "soql_typeof" ->
         """SELECT event_id,

@@ -120,6 +120,42 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Eval-set decontamination — the training-corpus hygiene check every LLM
+    * pipeline runs before training: flag training documents that share any
+    * word n-gram with a held-out evaluation set (Brown et al. 2020 §C /
+    * GPT-3-style 13-gram decontamination, scaled to this corpus's 44-64
+    * token docs with n=5). Eval membership here is the deterministic
+    * doc_id % evalMod == 0 slice; in production the eval set is an external
+    * benchmark table — same plan shape.
+    *
+    * Per contaminated training doc: its distinct-shingle count, how many
+    * shingles are shared with the eval set, how many eval docs it hits, and
+    * the contaminated fraction.
+    *
+    * Scale shape: the eval side of the join is broadcast — eval sets are
+    * benchmarks, bounded by construction (thousands of docs), while the
+    * training corpus is the 100 TB side. So the corpus is scanned ONCE,
+    * narrow (shingle_hash60 emits per-doc distinct 60-bit hashes — 8-byte
+    * longs, no string shuffle, no distinct() pass), hits resolve map-side
+    * against the broadcast eval index, and the only shuffle is the final
+    * partial-agg on doc_id over the (tiny) hit set. */
+  def decontaminate(docs: DataFrame, n: Int = 5, evalMod: Int = 11): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hashed = spread(docs)
+      .select(col("doc_id"), expr(s"shingle_hash60(text, $n)").as("sh"))
+    val evalSh = hashed.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("shingle"))
+    val trainSh = hashed.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), expr("size(sh)").as("n_shingles"), explode(col("sh")).as("shingle"))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id", "n_shingles")
+      .agg(countDistinct("shingle").as("n_shared"),
+           countDistinct("eval_id").as("n_eval_docs"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"), col("n_eval_docs"),
+        expr("round(n_shared / n_shingles, 6)").as("contaminated_frac"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.
     *
     *  - shingle → 60-bit integer via md5 (conv of the first 15 hex digits);

@@ -101,6 +101,47 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** Gopher-style repetition signals — the other half of production quality
+    * filtering (Rae et al. 2021 §A1.1): documents dominated by one repeated
+    * token or phrase are boilerplate/spam. Per document:
+    *
+    *   - `dup_token_ratio`  = 1 − distinct/total tokens (duplicate fraction)
+    *   - `top_token` / `top_token_count` / `top_token_ratio`  — the modal
+    *     token (ties → lexicographically first) and its share of all tokens
+    *   - `top_bigram` / `top_bigram_count` / `top_bigram_ratio`  — the modal
+    *     word 2-gram and its share of all 2-grams
+    *
+    * Scale shape: explode → partial-agg count on (doc_id, gram) → per-doc
+    * argmax window. Both aggregations and both windows are keyed by doc_id,
+    * so everything after the explode stays in one hash-partitioning of the
+    * corpus; counts combine map-side before the shuffle. All ratios are
+    * exact-integer divisions rounded at the end (oracle-deterministic). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
+    val base = toks.select(col("doc_id"),
+      expr("size(w)").as("n_tokens"),
+      expr("size(array_distinct(w))").as("n_distinct"))
+    def top(grams: DataFrame, gramCol: String, cntCol: String): DataFrame = {
+      val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as(gramCol), col("c").as(cntCol))
+    }
+    val topTok = top(toks.select(col("doc_id"), explode(col("w")).as("g")),
+      "top_token", "top_token_count")
+    val topBi = top(toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+      .as("g")), "top_bigram", "top_bigram_count")
+    base.join(topTok, "doc_id").join(topBi, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("round(1e0 - n_distinct / n_tokens, 6)").as("dup_token_ratio"),
+        col("top_token"), col("top_token_count"),
+        expr("round(top_token_count / n_tokens, 6)").as("top_token_ratio"),
+        col("top_bigram"), col("top_bigram_count"),
+        expr("round(top_bigram_count / (n_tokens - 1), 6)").as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: a 31-ary rolling polynomial hash mod 1e9+7
     * over the character stream (the classic Rabin-Karp fingerprint) plus the
     * md5 content hash. Spark's split(text, '') emits a trailing "" (Java

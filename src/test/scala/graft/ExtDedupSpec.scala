@@ -51,6 +51,34 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty) // sf0.001 does contain near-dup pairs
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-gram with the eval slice") {
+    // evalMod=11 → doc 0 and 11 are eval. Doc 12 shares doc 0's opening
+    // 5-gram; doc 13 is clean; doc 14 shares a 5-gram with BOTH eval docs'
+    // common tail phrase.
+    val tail = "common tail phrase shared here"
+    val df = docsDf(
+      0L  -> s"alpha beta gamma delta epsilon unique0 $tail",
+      11L -> s"zeta eta theta iota kappa unique11 $tail",
+      12L -> "alpha beta gamma delta epsilon other words trailing",
+      13L -> "totally clean document with no overlap at all",
+      14L -> s"prefix words here then $tail")
+    val out = Dedup.decontaminate(df).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(12L, 14L))
+    val hit14 = out.find(_.getAs[Long]("doc_id") == 14L).get
+    assert(hit14.getAs[Long]("n_eval_docs") === 2L) // tail 5-gram in both
+    val hit12 = out.find(_.getAs[Long]("doc_id") == 12L).get
+    assert(hit12.getAs[Long]("n_eval_docs") === 1L)
+    assert(hit12.getAs[Long]("n_shared") === 1L)    // just the opening 5-gram
+  }
+
+  test("decontaminate is stable under repartitioning (broadcast side unaffected)") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val a = Dedup.decontaminate(docs).collect()
+    val b = Dedup.decontaminate(docs.repartition(7)).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty) // the sf corpus has near-dup families crossing the slice
+  }
+
   test("simhash is deterministic and token-order-independent") {
     val a = docsDf(1L -> "spark fast table join query")
     val b = docsDf(1L -> "query join table fast spark")

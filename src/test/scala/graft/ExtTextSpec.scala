@@ -33,6 +33,33 @@ class ExtTextSpec extends AnyFunSuite {
     assert(out.getAs[Int]("distinct_tokens") === 3)
   }
 
+  test("repetition: modal token/bigram with lexicographic tie-break, exact ratios") {
+    // "b a b a b": tokens {b:3, a:2} → top b; bigrams {b a:2, a b:2} → tie,
+    // lexicographically first is "a b"
+    val out = TextAnalysis.repetition(docsDf(1L -> "b a b a b")).head()
+    assert(out.getAs[Int]("n_tokens") === 5)
+    assert(out.getAs[String]("top_token") === "b")
+    assert(out.getAs[Long]("top_token_count") === 3L)
+    assert(math.abs(out.getAs[Double]("top_token_ratio") - 0.6) < 1e-9)
+    assert(out.getAs[String]("top_bigram") === "a b")
+    assert(out.getAs[Long]("top_bigram_count") === 2L)
+    assert(math.abs(out.getAs[Double]("top_bigram_ratio") - 0.5) < 1e-9)
+    // 5 tokens, 2 distinct → dup ratio 0.6
+    assert(math.abs(out.getAs[Double]("dup_token_ratio") - 0.6) < 1e-9)
+  }
+
+  test("repetition flags a degenerate doc and passes a diverse one") {
+    val out = TextAnalysis.repetition(docsDf(
+      1L -> "spam spam spam spam spam spam",
+      2L -> "one two three four five six")).collect()
+    val spam = out.find(_.getAs[Long]("doc_id") == 1L).get
+    val good = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(spam.getAs[Double]("top_token_ratio") === 1.0)
+    assert(spam.getAs[Double]("top_bigram_ratio") === 1.0)
+    assert(good.getAs[Double]("dup_token_ratio") === 0.0)
+    assert(math.abs(good.getAs[Double]("top_token_ratio") - 1.0 / 6) < 1e-6) // round(·, 6)
+  }
+
   test("rolling fingerprint matches a reference computation and md5 is content hash") {
     val text = "ab c"
     val expected = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

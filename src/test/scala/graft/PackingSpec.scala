@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.Packing
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: (String, Long, Int)*) =
+    rows.map { case (src, id, n) => (src, id, ("w " * n).trim) }
+      .toDF("source", "doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("pack assigns contiguous sequence ranges; docs split across boundaries") {
+    // budget 10: doc1 (7 tok) → seq 0 only; doc2 (6 tok) spans 0..1;
+    // doc3 (9 tok) occupies 1..2 (cum 13..22)
+    val out = Packing.pack(docsDf(("s", 1L, 7), ("s", 2L, 6), ("s", 3L, 9)), budget = 10)
+      .collect()
+    val bySeq = out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs")))
+    assert(bySeq.toSeq === Seq((1L, 0L, 0L, 1L), (2L, 0L, 1L, 2L), (3L, 1L, 2L, 2L)))
+  }
+
+  test("pack streams are independent per source and sequences are gap-free") {
+    val out = Packing.pack(
+      docsDf(("a", 1L, 5), ("a", 2L, 5), ("b", 3L, 5), ("b", 4L, 5)), budget = 10)
+      .collect()
+    // each source restarts at sequence 0
+    assert(out.filter(_.getString(0) == "a").map(_.getAs[Long]("first_seq")).min === 0L)
+    assert(out.filter(_.getString(0) == "b").map(_.getAs[Long]("first_seq")).min === 0L)
+    // exactly-10-token budget boundary: doc 2 of 'a' is [5,10) → still seq 0
+    val a2 = out.find(r => r.getString(0) == "a" && r.getAs[Long]("doc_id") == 2L).get
+    assert((a2.getAs[Long]("first_seq"), a2.getAs[Long]("last_seq")) === (0L, 0L))
+  }
+
+  test("pack result is independent of input partitioning") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val a = Packing.pack(docs).collect()
+    val b = Packing.pack(docs.repartition(13)).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // token-exact: within each source, every sequence index up to the max
+    // is covered by some document (no holes)
+    val seqs = a.groupBy(_.getString(0)).map { case (_, rows) =>
+      val covered = rows.flatMap(r =>
+        r.getAs[Long]("first_seq") to r.getAs[Long]("last_seq")).toSet
+      covered === (0L to covered.max).toSet
+    }
+    assert(seqs.forall(identity))
+  }
+}
