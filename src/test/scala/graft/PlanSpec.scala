@@ -146,4 +146,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("decontaminate broadcasts the eval index — the training corpus is never shuffled for the join") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("pack is one source-keyed window shuffle plus the output sort — no joins") {
+    val p = plan("pipeline_pack")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"$exchanges exchanges (expected window shuffle + final sort)\n$p")
+    // the prefix-sum window must be partitioned by source (parallel streams),
+    // never a single global ordering
+    assert(p.contains("hashpartitioning(source"), p)
+  }
+
+  test("repetition stays in one doc_id partitioning: partial gram counts, no nested loops") {
+    val p = plan("text_repetition")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

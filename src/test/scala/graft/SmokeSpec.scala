@@ -20,4 +20,16 @@ class SmokeSpec extends AnyFunSuite {
     val missingBench = SparkEntry.benchQueries.toSet -- qs
     assert(missingBench.isEmpty, s"bench names without queries: $missingBench")
   }
+
+  test("README operator counts track SparkEntry (no hand-edit drift)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """(\d+) driver-checked""".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README lost its 'N driver-checked' line")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} but SparkEntry.queries has ${SparkEntry.queries.size}")
+    val h = """(\d+)\s*\nhash-match""".r.findFirstMatchIn(readme)
+    assert(h.isDefined && h.get.group(1).toInt === SparkEntry.oracleSql.size,
+      s"README hash-match count vs oracleSql.size=${SparkEntry.oracleSql.size}")
+  }
 }
