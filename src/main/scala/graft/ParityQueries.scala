@@ -208,6 +208,20 @@ object ParityQueries {
           |WHERE ts >= 2024-01-10T06:30:00Z AND ts < 2024-01-10T18:30:00+02:00
           |ORDER BY event_id""".stripMargin)),
 
+    // §2.6 bare COUNT() — the SOQL row-count idiom (`SELECT COUNT() FROM X`,
+    // no field arg) → count(*)
+    "soql_count_bare" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        "SELECT COUNT() n FROM Lineitem WHERE l_quantity > 45")),
+
+    // §2.6 three-level child-to-parent dot path — the registry chain walker
+    // is depth-generic: orders → Customer → Nation → Region, one broadcast
+    // dimension join per unvisited prefix
+    "soql_dot_path_3" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderkey, Customer.Nation.Region.r_name FROM Orders
+          |WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin)),
+
     // §2.6 table alias through the parser (`FROM Customer c`, alias-qualified
     // field refs everywhere — projection, WHERE, ORDER BY)
     "soql_alias" -> ((s, dir) =>
@@ -531,6 +545,16 @@ object ParityQueries {
         """SELECT event_id, user_id, event_type FROM events
           |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00' AND ts < TIMESTAMP '2024-01-10 16:30:00'
           |ORDER BY event_id""".stripMargin,
+
+      "soql_count_bare" ->
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 45",
+
+      "soql_dot_path_3" ->
+        """SELECT o.o_orderkey, r.r_name FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE o.o_totalprice > 450000 ORDER BY o.o_orderkey""".stripMargin,
 
       "soql_alias" ->
         """SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
