@@ -39,6 +39,7 @@ object ExtQueries {
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
+    "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -477,6 +478,31 @@ object ExtQueries {
          |       round(cosine, 6) AS cosine, list_id
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // k-means Lloyd step: replay the IVF assignment (argmax cosine, ties →
+    // lower cent_id) then per-(cluster, dim) exact sums; mean and shift are
+    // IEEE divisions of exact ints
+    "embedding_kmeans" ->
+      s"""$quantCte,
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY qv.vec_id, qc.vec_id),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+         |assigned AS (SELECT vec_id, cent_id AS cluster_id FROM
+         |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |              FROM ccos) WHERE r = 1),
+         |dims AS (SELECT a.cluster_id, CAST(q.i - 1 AS INT) AS dim,
+         |           CAST(count(*) AS BIGINT) AS n_members, CAST(sum(q.x) AS BIGINT) AS sum_x
+         |         FROM assigned a JOIN q ON q.vec_id = a.vec_id
+         |         GROUP BY a.cluster_id, q.i)
+         |SELECT d.cluster_id AS cluster_id, d.dim, d.n_members, d.sum_x, c.x AS old_x,
+         |       round(d.sum_x / d.n_members, 6) AS new_x,
+         |       round(d.sum_x / d.n_members - c.x, 6) AS shift
+         |FROM dims d JOIN q c ON c.vec_id = d.cluster_id AND c.i = d.dim + 1
+         |ORDER BY cluster_id, dim""".stripMargin,
+
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts, value,
         |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
@@ -654,5 +680,6 @@ object ExtQueries {
     "events_sessionize", "events_session_window", "text_langid", "text_df_index",
     "events_tumbling", "events_funnel", "events_retention", "events_anomaly",
     "text_chunk", "multimodal_frames", "pipeline_filter_dedup",
-    "text_repetition", "pipeline_decontaminate", "pipeline_pack")
+    "text_repetition", "pipeline_decontaminate", "pipeline_pack",
+    "embedding_kmeans")
 }

@@ -92,18 +92,29 @@ object Similarity {
     * Ties everywhere break to the lower id: argmax = FIRST index holding
     * the max (array_position), probe/rerank windows order by
     * (score DESC, id ASC) — mirrored exactly in the oracle. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-              nList: Int = 16, nProbe: Int = 4, centroidBase: Int = 100): DataFrame = {
-    val vecs = quantized(embeddings)
+  /** Constant-folded coarse quantizer: the nList centroid vectors (corpus
+    * rows with vec_id in [centroidBase, centroidBase+nList), id order)
+    * collected and rendered as array literals — quantizers are RAM-resident
+    * by design (nList ≈ √n is ~32k rows even at 10⁹ vectors). */
+  private final case class Quantizer(cq: String, cn: String, cid: String)
+  private def foldQuantizer(vecs: DataFrame, nList: Int, centroidBase: Int): Quantizer = {
     val cents = vecs
       .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
       .orderBy("vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
     require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
-    val cqLit = cents.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
-    val cnLit = cents.map(_._3).mkString("array(", "L, ", "L)")
-    val cidLit = cents.map(_._1).mkString("array(", "L, ", "L)")
+    Quantizer(
+      cents.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")"),
+      cents.map(_._3).mkString("array(", "L, ", "L)"),
+      cents.map(_._1).mkString("array(", "L, ", "L)"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+              nList: Int = 16, nProbe: Int = 4, centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    val (cqLit, cnLit, cidLit) = (qz.cq, qz.cn, qz.cid)
     val scoresExpr =
       s"""transform(sequence(0, ${nList - 1}), i ->
          |  vec_dotl(q, element_at($cqLit, i + 1))
@@ -132,6 +143,50 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         expr("round(cosine, 6)").as("cosine"), col("list_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** One Lloyd iteration of k-means over the embedding corpus — the
+    * clustering primitive of corpus curation (topic bucketing, diversity
+    * sampling, cluster-balanced mixing). Starting from the same
+    * deterministic coarse quantizer as [[ivfTopK]], every vector is
+    * assigned to its argmax-cosine centroid (narrow constant-folded pass),
+    * and the updated centroid matrix is emitted as (cluster, dimension)
+    * rows: member count, exact component sum, the old component, the new
+    * component (mean), and the shift.
+    *
+    * Scale shape: the corpus is scanned once and NEVER shuffled as vectors —
+    * `vec_sum_agg` folds each task's members into one dimension-length
+    * buffer, so the single shuffle carries one partial-sum array per
+    * (cluster, task) (the posexplode-then-sum formulation would shuffle a
+    * row per vector×dimension). Iterating = feeding the emitted centroids
+    * back as the next quantizer; each round is this same plan.
+    *
+    * Determinism: sums are exact BIGINTs over quantized components; the
+    * mean and shift are single IEEE divisions/subtractions of exact ints —
+    * bit-identical in the DuckDB oracle. Empty clusters (a centroid whose
+    * vectors all argmax elsewhere) emit no rows on either engine. */
+  def kmeansStep(embeddings: DataFrame, nList: Int = 16,
+                 centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    val scoresExpr =
+      s"""transform(sequence(0, ${nList - 1}), i ->
+         |  vec_dotl(q, element_at(${qz.cq}, i + 1))
+         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(${qz.cn}, i + 1) AS DOUBLE))))""".stripMargin
+    val assigned = vecs.withColumn("scores", expr(scoresExpr))
+      .withColumn("cluster_id",
+        expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), expr("vec_sum_agg(q)").as("sums"))
+      .select(col("cluster_id"), col("n_members"),
+        posexplode(col("sums")).as(Seq("dim", "sum_x")))
+      .withColumn("old_x", expr(
+        s"element_at(element_at(${qz.cq}, CAST(cluster_id - $centroidBase + 1 AS INT)), dim + 1)"))
+      .select(col("cluster_id"), col("dim").cast("int").as("dim"),
+        col("n_members"), col("sum_x"), col("old_x"),
+        expr("round(sum_x / n_members, 6)").as("new_x"),
+        expr("round(sum_x / n_members - old_x, 6)").as("shift"))
+      .orderBy("cluster_id", "dim")
   }
 
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,

@@ -355,6 +355,65 @@ case class MinHashUnion(
   override def prettyName: String = "minhash_union"
 }
 
+/** vec_sum_agg(array<bigint>) → array<bigint>: elementwise-sum aggregate of
+  * quantized vectors — the inner loop of a k-means/centroid update. Same
+  * partial-agg discipline as [[MinHashUnion]]: each task folds its rows into
+  * ONE dimension-length buffer, so the shuffle carries one partial sum per
+  * (group, task) instead of a posexploded row per (vector, dimension).
+  * Buffer length adopts the first input's length (all vectors in a corpus
+  * share a dimension). */
+case class VecSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val xs = v.asInstanceOf[ArrayData].toLongArray()
+    if (buffer.isEmpty) return xs.clone()
+    val n = math.min(xs.length, buffer.length)
+    var i = 0
+    while (i < n) { buffer(i) += xs(i); i += 1 }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    if (buffer.isEmpty) return other
+    if (other.isEmpty) return buffer
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSumAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_sum_agg"
+}
+
 /** Registration — on a live session (idempotent) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. Both paths
   * are driven by the same `fns` sequence so they can never diverge. */
@@ -372,7 +431,8 @@ object GraftFunctions {
       SrpBucket(es.head, es(1).eval().asInstanceOf[Int]) },
     // raw AggregateFunction: the analyzer's ResolveFunctions wraps it in an
     // AggregateExpression, so `agg(expr("minhash_union(sig)"))` just works
-    "minhash_union" -> { es => MinHashUnion(es.head) })
+    "minhash_union" -> { es => MinHashUnion(es.head) },
+    "vec_sum_agg"   -> { es => VecSumAgg(es.head) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

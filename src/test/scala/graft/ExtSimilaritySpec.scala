@@ -63,6 +63,29 @@ class ExtSimilaritySpec extends AnyFunSuite {
     overlaps.foreach { case (expected, got) => assert(got === expected) }
   }
 
+  test("kmeansStep: members partition the corpus; means sit in range; shift is exact") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val n = embs.count()
+    val out = Similarity.kmeansStep(embs).collect()
+    assert(out.nonEmpty)
+    // every (cluster, dim) row: dim ∈ [0, 64); each cluster emits all 64 dims
+    val perCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    perCluster.values.foreach(rows =>
+      assert(rows.map(_.getAs[Int]("dim")).sorted.toSeq === (0 until 64)))
+    // member counts are per-cluster constants and partition the corpus
+    val sizes = perCluster.map { case (_, rows) =>
+      val ms = rows.map(_.getAs[Long]("n_members")).distinct
+      assert(ms.length === 1); ms.head
+    }
+    assert(sizes.sum === n)
+    // new_x is the exact mean; shift = new_x - old_x within round-off
+    out.foreach { r =>
+      val mean = r.getAs[Long]("sum_x").toDouble / r.getAs[Long]("n_members")
+      assert(math.abs(r.getAs[Double]("new_x") - mean) < 1e-6)
+      assert(math.abs(r.getAs[Double]("shift") - (mean - r.getAs[Long]("old_x"))) < 1e-6)
+    }
+  }
+
   test("explicit planesOverride skips the sizing count and matches the derived result") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     // planesFor(500, 32) = 4, so overriding with 4 must be byte-identical

@@ -80,6 +80,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(native.queryExecution.executedPlan.toString.contains("partial_minhash_union"))
   }
 
+  test("vec_sum_agg equals the exploded per-component sum it replaces") {
+    val vecs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .select((col("vec_id") % 7).as("g"), expr("vec_quantize(embedding)").as("q"))
+    val native = vecs.groupBy("g").agg(expr("vec_sum_agg(q)").as("s"))
+      .select(col("g"), posexplode(col("s")).as(Seq("i", "v")))
+    val exploded = vecs.select(col("g"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("g", "i").agg(sum("v").as("v"))
+    assert(native.exceptAll(exploded).isEmpty && exploded.exceptAll(native).isEmpty)
+    assert(native.queryExecution.executedPlan.toString.contains("partial_vec_sum_agg"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
     val plan = e.select(expr("vec_normq(embedding)").as("n"))

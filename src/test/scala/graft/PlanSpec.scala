@@ -164,6 +164,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(source"), p)
   }
 
+  test("kmeans step folds members with an array-typed partial sum; corpus never joins") {
+    val p = plan("embedding_kmeans")
+    assert(p.contains("partial_vec_sum_agg"), p)
+    assert(!p.contains("Join"), p)
+    // the per-dimension posexplode applies to the 16 aggregated centroid
+    // sums, never to corpus vectors (same discipline as source_overlap)
+    val lines = p.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate"))
+    val agg = lines.indexWhere(_.contains("vec_sum_agg"))
+    assert(gen >= 0 && agg >= 0 && gen < agg, s"posexplode must be post-agg\n$p")
+  }
+
   test("repetition stays in one doc_id partitioning: partial gram counts, no nested loops") {
     val p = plan("text_repetition")
     assert(p.contains("partial_"), p)
