@@ -222,6 +222,14 @@ object ParityQueries {
         """SELECT o_orderkey, Customer.Nation.Region.r_name FROM Orders
           |WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin)),
 
+    // §2.6 dot path inside GROUP BY/aggregate queries — group order rows by
+    // their customer's nation (one broadcast dimension join, then the agg)
+    "soql_dot_path_groupby" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT Customer.Nation.n_name, COUNT() n, MAX(o_totalprice) max_price
+          |FROM Orders GROUP BY Customer.Nation.n_name
+          |ORDER BY Customer.Nation.n_name""".stripMargin)),
+
     // §2.6 table alias through the parser (`FROM Customer c`, alias-qualified
     // field refs everywhere — projection, WHERE, ORDER BY)
     "soql_alias" -> ((s, dir) =>
@@ -555,6 +563,13 @@ object ParityQueries {
           |JOIN nation n ON c.c_nationkey = n.n_nationkey
           |JOIN region r ON n.n_regionkey = r.r_regionkey
           |WHERE o.o_totalprice > 450000 ORDER BY o.o_orderkey""".stripMargin,
+
+      "soql_dot_path_groupby" ->
+        """SELECT n.n_name, count(*) AS n, max(o.o_totalprice) AS max_price
+          |FROM orders o
+          |JOIN customer c ON o.o_custkey = c.c_custkey
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
       "soql_alias" ->
         """SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c
