@@ -25,6 +25,17 @@ object TextAnalysis {
     * words the generator uses). */
   val stopwords: Seq[String] = Seq("a", "the")
 
+  /** The composite quality score as a column expression over `text` —
+    * shared by the batch [[quality]] report and the streaming ingest gate
+    * ([[graft.streaming.DocStreams.ingest]]): distinctness scaled by a
+    * saturating length factor.
+    * 1e0-style literals: Spark parses `1.0` as DECIMAL(2,1) and the whole
+    * chain degrades to precision-lossy decimal math; `1e0` is DOUBLE in
+    * both engines. */
+  val qualityScoreExpr: String =
+    """round(100e0 * size(array_distinct(split(text, ' '))) / size(split(text, ' '))
+      |  * least(1e0, size(split(text, ' ')) / 30e0), 6)""".stripMargin
+
   /** Per-document quality metrics: length stats, type-token ratio,
     * stopword ratio, and a composite quality score. The shape mirrors
     * production quality filters (Gopher/C4-style length + repetition +
@@ -40,12 +51,7 @@ object TextAnalysis {
       expr("round(length(text) / size(split(text, ' ')), 6)").as("chars_per_word"),
       expr("round(size(array_distinct(split(text, ' '))) / size(split(text, ' ')), 6)").as("type_token_ratio"),
       expr("round(size(filter(split(text, ' '), t -> t = 'a' OR t = 'the')) / size(split(text, ' ')), 6)").as("stopword_ratio"),
-      // composite: distinctness scaled by a saturating length factor.
-      // 1e0-style literals: Spark parses `1.0` as DECIMAL(2,1) and the whole
-      // chain degrades to precision-lossy decimal math; `1e0` is DOUBLE in
-      // both engines.
-      expr("""round(100e0 * size(array_distinct(split(text, ' '))) / size(split(text, ' '))
-             |  * least(1e0, size(split(text, ' ')) / 30e0), 6)""".stripMargin).as("quality_score"))
+      expr(qualityScoreExpr).as("quality_score"))
       .orderBy("doc_id")
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs /

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+import graft.streaming.{DocIn, DocStreams}
+
+class DocStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // diverse text (quality ≥ 50 needs ≥ 30 distinct-ish tokens)
+  private val rich = (1 to 40).map(i => s"tok$i").mkString(" ")
+  private val spam = ("spam " * 40).trim
+
+  private def d(id: Long, ms: Long, text: String) =
+    DocIn(id, new Timestamp(ms), text, "en", "s")
+
+  test("streaming ingest dedups within the watermark and gates on quality") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    val q = DocStreams.ingest(input.toDF()).writeStream
+      .format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      // batch 1: a rich doc, its exact duplicate (later id), and spam
+      input.addData(d(1, 1000, rich), d(2, 2000, rich), d(3, 3000, spam))
+      q.processAllAvailable()
+      // batch 2: the same content re-delivered in a later micro-batch
+      // (still inside the 1h watermark) plus a new rich doc
+      input.addData(d(4, 60000, rich), d(5, 61000, "extra " + rich))
+      q.processAllAvailable()
+      val out = spark.table("ingest_out").collect()
+      // doc 1 kept (first arrival); 2 and 4 dropped as dups; 3 gated
+      // (1 distinct token → score ≈ 2.5); 5 kept (its prefix-80 differs)
+      assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L))
+      val kept = out.find(_.getAs[Long]("doc_id") == 1L).get
+      assert(kept.getAs[Double]("quality_score") >= 50.0)
+    } finally q.stop()
+  }
+
+  test("streaming ingest equals the batch filter+dedup composite under id-ordered arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .orderBy("doc_id").limit(120).collect()
+      .map(r => DocIn(r.getAs[Long]("doc_id"),
+        new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    val input = MemoryStream[DocIn]
+    val q = DocStreams.ingest(input.toDF()).writeStream
+      .format("memory").queryName("ingest_eq_out").outputMode("append").start()
+    try {
+      // adversarial split: three micro-batches, all within the watermark
+      input.addData(docs.take(40).toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(docs.slice(40, 80).toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(docs.drop(80).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("ingest_eq_out")
+        .select("doc_id", "quality_score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted
+
+      // batch twin on the same 120 docs: quality gate ∧ exact-dedup keepers
+      // (arrival follows doc_id, so first-arrival == min-doc_id keeper)
+      val batchDocs = spark.createDataFrame(
+        spark.sparkContext.parallelize(docs.toIndexedSeq.map(x =>
+          (x.doc_id, x.text, x.lang, x.source, x.text.length.toLong))))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val quality = TextAnalysis.quality(batchDocs).select("doc_id", "quality_score")
+      val keepers = Dedup.exact(batchDocs).select("doc_id")
+      val batch = quality.join(keepers, "doc_id")
+        .filter(col("quality_score") >= 50.0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
