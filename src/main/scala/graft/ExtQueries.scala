@@ -40,6 +40,7 @@ object ExtQueries {
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
+    "embedding_cluster_sample" -> ((s, dir) => Similarity.clusterSample(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -502,6 +503,27 @@ object ExtQueries {
          |       round(d.sum_x / d.n_members - c.x, 6) AS shift
          |FROM dims d JOIN q c ON c.vec_id = d.cluster_id AND c.i = d.dim + 1
          |ORDER BY cluster_id, dim""".stripMargin,
+
+    // cluster-balanced sampling: the same assignment CTE, then an exact
+    // per-cluster quota by md5(vec_id) rank (vec_id tiebreak)
+    "embedding_cluster_sample" ->
+      s"""$quantCte,
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY qv.vec_id, qc.vec_id),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+         |assigned AS (SELECT vec_id, cent_id AS cluster_id FROM
+         |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |              FROM ccos) WHERE r = 1),
+         |ranked AS (SELECT cluster_id, vec_id,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+         |           FROM assigned)
+         |SELECT cluster_id, CAST(rank AS INT) AS rank, vec_id
+         |FROM ranked WHERE rank <= 20 ORDER BY cluster_id, rank""".stripMargin,
 
     "events_sessionize" ->
       """WITH l AS (SELECT user_id, event_id, ts, value,

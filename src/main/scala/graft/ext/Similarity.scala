@@ -189,6 +189,37 @@ object Similarity {
       .orderBy("cluster_id", "dim")
   }
 
+  /** Cluster-balanced sampling — diversity-aware corpus selection: assign
+    * every vector to its quantizer cluster (same narrow constant-folded
+    * pass as [[ivfTopK]]/[[kmeansStep]]) and take an exact per-cluster
+    * quota by md5(vec_id) rank (deterministic, RNG-free, layout-independent
+    * — the [[Sampling.stratifiedSample]] discipline with clusters as
+    * strata). The standard defense against topic-skewed corpora: a
+    * dominant cluster can't crowd out the tail.
+    *
+    * Scale shape: narrow assignment (corpus never shuffled as vectors) +
+    * one stratum-key shuffle + a per-cluster top-k window (heap under
+    * AQE). */
+  def clusterSample(embeddings: DataFrame, perCluster: Int = 20,
+                    nList: Int = 16, centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    val scoresExpr =
+      s"""transform(sequence(0, ${nList - 1}), i ->
+         |  vec_dotl(q, element_at(${qz.cq}, i + 1))
+         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(${qz.cn}, i + 1) AS DOUBLE))))""".stripMargin
+    val assigned = vecs.withColumn("scores", expr(scoresExpr))
+      .withColumn("cluster_id",
+        expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id"))
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster_id"), col("rank").cast("int").as("rank"), col("vec_id"))
+      .orderBy("cluster_id", "rank")
+  }
+
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
               bucketTarget: Int = 32, planesOverride: Int = 0): DataFrame = {
     // planesOverride > 0 skips the corpus count: the count() is a

@@ -86,6 +86,19 @@ class ExtSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("clusterSample takes an exact per-cluster quota, stable under repartitioning") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.clusterSample(embs, perCluster = 5).collect()
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length))
+    }
+    val again = Similarity.clusterSample(embs.repartition(9), perCluster = 5).collect()
+    assert(out.map(_.toSeq).sortBy(_.toString).toSeq ===
+      again.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("explicit planesOverride skips the sizing count and matches the derived result") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     // planesFor(500, 32) = 4, so overriding with 4 must be byte-identical
