@@ -25,6 +25,8 @@ object ExtQueries {
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
+    "text_winnow"       -> ((s, dir) => TextAnalysis.winnow(docs(s, dir))),
+    "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -121,6 +123,28 @@ object ExtQueries {
        |FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
        |WHERE c / (sa.n_sh + sb.n_sh - c) >= $threshold
        |ORDER BY a, b""".stripMargin
+
+  /** Winnowing replay: positional (non-distinct) 60-bit 3-gram hashes, min
+    * of each 4-window (short docs: one window), distinct + sorted. Mirrors
+    * [[TextAnalysis.winnow]]'s two stages; range bounds are the exclusive
+    * twins of Spark's inclusive sequence(). */
+  private val winnowCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |hs AS (SELECT doc_id,
+      |         CASE WHEN len(w) >= 3 THEN
+      |           list_transform(range(1, len(w) - 1), i ->
+      |             CAST(list_sum(list_transform(range(0, 15), k ->
+      |               CAST(strpos('0123456789abcdef',
+      |                      substr(md5(array_to_string(w[i:i+2], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+      |                 << CAST(4 * (14 - k) AS INT))) AS BIGINT))
+      |         ELSE [] END AS hs
+      |       FROM toks),
+      |pr AS (SELECT doc_id,
+      |         CASE WHEN len(hs) >= 1 THEN
+      |           list_sort(list_distinct(list_transform(range(1, greatest(2, len(hs) - 2)),
+      |             j -> list_min(hs[j:j+3]))))
+      |         ELSE [] END AS prints
+      |       FROM hs)""".stripMargin
 
   private val quantCte =
     """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -288,6 +312,22 @@ object ExtQueries {
         |  round(bt.c / (base.n_tokens - 1), 6) AS top_bigram_ratio
         |FROM base JOIN tt ON base.doc_id = tt.doc_id JOIN bt ON base.doc_id = bt.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, CAST(len(prints) AS INT) AS n_prints,
+         |       md5(array_to_string(prints, ',')) AS prints_md5
+         |FROM pr ORDER BY doc_id""".stripMargin,
+
+    "text_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |idx AS (SELECT doc_id, unnest(prints) AS print FROM pr),
+         |dfc AS (SELECT print, count(*) AS dfreq FROM idx GROUP BY print),
+         |fidx AS (SELECT idx.doc_id, idx.print FROM idx JOIN dfc USING (print)
+         |         WHERE dfreq <= 50)
+         |SELECT i1.doc_id AS a, i2.doc_id AS b, count(*) AS n_shared
+         |FROM fidx i1 JOIN fidx i2 ON i1.print = i2.print AND i1.doc_id < i2.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY a, b""".stripMargin,
 
     // replays shingle_hash60 (first 15 md5 hex digits as a 60-bit int) over
     // 5-gram shingles; train×eval overlap with the same mod-11 eval slice
@@ -703,5 +743,5 @@ object ExtQueries {
     "events_tumbling", "events_funnel", "events_retention", "events_anomaly",
     "text_chunk", "multimodal_frames", "pipeline_filter_dedup",
     "text_repetition", "pipeline_decontaminate", "pipeline_pack",
-    "embedding_kmeans")
+    "embedding_kmeans", "text_winnow_pairs")
 }

@@ -162,6 +162,67 @@ object TextAnalysis {
              |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin).as("fp_rolling"))
       .orderBy("doc_id")
 
+  /** Winnowed fingerprint set as a column expression: positional (NOT
+    * distinct) 60-bit 3-gram hashes, then the minimum of each `w`=4-window
+    * of consecutive hashes, deduplicated and sorted. Guarantees of the
+    * scheme (Schleimer et al., MOSS): any shared run of ≥ w+k-1 tokens
+    * yields a shared selected print, while only ~2/(w+1) of all k-gram
+    * hashes are kept. Tie handling is value-based (array_min), so the
+    * SELECTED VALUE set — all we emit — is position-independent. */
+  /** Stage 1: positional 3-gram hashes from the token array `w` — computed
+    * ONCE per row in its own projection. Spark does not
+    * common-subexpression-eliminate inside nested HOF lambdas, so inlining
+    * this under the window transform would re-run every md5 per window. */
+  private val posHashesExpr: String =
+    """CASE WHEN size(w) >= 3 THEN
+      |  transform(sequence(1, size(w) - 2), i ->
+      |    CAST(conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT))
+      |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+
+  /** Stage 2: winnow the precomputed hash array `hs` — min of each 4-window
+    * (short docs: one window of everything), distinct values, sorted. */
+  private val printsExpr: String =
+    """CASE WHEN size(hs) >= 1 THEN
+      |  array_sort(array_distinct(transform(sequence(1, greatest(1, size(hs) - 3)),
+      |    j -> array_min(slice(hs, j, 4)))))
+      |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+
+  /** Per-document winnowing fingerprint: selected-print count + a content
+    * hash of the sorted print set (the compact form a fingerprint store
+    * would index). One narrow codegen'd pass — no shuffle. */
+  def winnow(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"), expr(posHashesExpr).as("hs"))
+      .select(col("doc_id"), expr(printsExpr).as("prints"))
+      .select(col("doc_id"),
+        expr("CAST(size(prints) AS INT)").as("n_prints"),
+        expr("md5(array_join(transform(prints, p -> CAST(p AS STRING)), ','))").as("prints_md5"))
+      .orderBy("doc_id")
+
+  /** Documents sharing ≥ `minShared` winnowed prints — near-dup/plagiarism
+    * candidates at a fraction of the full-shingle index cost (winnowing
+    * keeps ~2/(w+1) of the k-grams). Same inverted-index discipline as
+    * [[Dedup.ngramJaccard]]: hot prints above the document-frequency cap
+    * are dropped from the print space before the self-join (min-selection
+    * biases toward small hash values, so a popular low-hash 3-gram would
+    * otherwise be a quadratic bucket at scale). */
+  def winnowPairs(docs: DataFrame, minShared: Int = 8, maxDocFreq: Int = 50): DataFrame = {
+    val w = Window.partitionBy("print")
+    val idx = Dedup.spread(docs)
+      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"), expr(posHashesExpr).as("hs"))
+      .select(col("doc_id"), explode(expr(printsExpr)).as("print"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDocFreq)
+      .select("doc_id", "print")
+    idx.toDF("a", "print")
+      .join(idx.toDF("b", "print"), "print")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("a", "b")
+  }
+
   /** Language identification via in-engine-trained bigram profiles — the
     * n-gram-profile method (Cavnar-Trenkle / CLD family) expressed as a
     * distributed pipeline:

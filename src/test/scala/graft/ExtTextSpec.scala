@@ -60,6 +60,31 @@ class ExtTextSpec extends AnyFunSuite {
     assert(math.abs(good.getAs[Double]("top_token_ratio") - 1.0 / 6) < 1e-6) // round(·, 6)
   }
 
+  test("winnow: identical docs share the full print set; disjoint docs share none") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val out = TextAnalysis.winnow(docsDf(1L -> a, 2L -> a, 3L -> b)).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("n_prints"), r.getAs[String]("prints_md5"))).toMap
+    assert(byId(1L) === byId(2L))                 // identical content → identical prints
+    assert(byId(1L)._2 !== byId(3L)._2)           // disjoint content → different set
+    // winnowing guarantee: prints kept ≈ 2/(w+1) of the 8 k-gram hashes, so
+    // strictly fewer prints than k-grams, at least one
+    assert(byId(1L)._1 >= 1 && byId(1L)._1 < 8)
+  }
+
+  test("winnowPairs flags the shared-run pair and not the disjoint one") {
+    // docs 1/2 share a 9-token run (≥ w+k-1 = 6 → guaranteed shared print);
+    // doc 3 is disjoint. minShared=1 so the guarantee alone must fire.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val out = TextAnalysis.winnowPairs(docsDf(
+      1L -> s"$shared tail one here now",
+      2L -> s"prefix words then $shared",
+      3L -> "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+      minShared = 1).collect()
+    assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq === Seq((1L, 2L)))
+  }
+
   test("rolling fingerprint matches a reference computation and md5 is content hash") {
     val text = "ab c"
     val expected = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
