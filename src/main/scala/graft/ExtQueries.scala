@@ -53,6 +53,7 @@ object ExtQueries {
     "events_retention"       -> ((s, dir) => Events.retention(events(s, dir))),
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
+    "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     "multimodal_frames"   -> ((s, dir) =>
@@ -627,6 +628,16 @@ object ExtQueries {
         |        / (CAST(prev_sum AS DOUBLE) / CAST(prev_cnt AS DOUBLE) + 1e0), 6) AS spike_score
         |FROM scored WHERE prev_cnt >= 1
         |ORDER BY hour_ms, event_type""".stripMargin,
+
+    "events_top_users" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY day, event_type
+        |                       ORDER BY n DESC, user_id ASC) AS rank
+        |           FROM daily)
+        |SELECT day, event_type, CAST(rank AS INT) AS rank, user_id, n
+        |FROM ranked WHERE rank <= 3 ORDER BY day, event_type, rank""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,

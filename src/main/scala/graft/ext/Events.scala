@@ -40,6 +40,28 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Windowed heavy hitters: the top-`k` users per (day, event_type) by
+    * event count — the trending/abuse-triage staple. Exact: daily
+    * per-(day, type, user) partial-agg counts (combine map-side, so the
+    * raw stream collapses to ≤ users·types rows per day before any
+    * window), then a per-(day, type) top-k window (heap under AQE).
+    * Ties break to the lower user_id — total order, oracle-deterministic.
+    * At 100 TB the count agg is the only full-data shuffle; the window
+    * runs over the already-tiny aggregate. */
+  def topUsers(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("day", "event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("day", "event_type")
+      .orderBy(col("n").desc, col("user_id").asc)
+    daily.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("day"), col("event_type"), col("rank").cast("int").as("rank"),
+        col("user_id"), col("n"))
+      .orderBy("day", "event_type", "rank")
+  }
+
   /** Cohort funnel conversion: users grouped by the day of their FIRST
     * `fromType` event; converted = a `toType` event follows within
     * `horizonMs`. The staple product-analytics sequenced-event query.

@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 import graft.ext.Events
 
 class ExtEventsSpec extends AnyFunSuite {
+
+  test("topUsers ranks per (day, type) by count with user_id tiebreak") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    val rows =
+      Seq.fill(3)((1L, "click")) ++ Seq.fill(2)((2L, "click")) ++
+        Seq.fill(2)((3L, "click")) ++ Seq((4L, "view"))
+    val df = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, new java.sql.Timestamp(base + i), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.topUsers(df, k = 2).collect()
+    val click = out.filter(_.getAs[String]("event_type") == "click")
+    // user 1 (3 events) first; users 2 and 3 tie at 2 → lower id wins rank 2
+    assert(click.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("user_id"))).toSeq
+      === Seq((1, 1L), (2, 2L)))
+    val view = out.filter(_.getAs[String]("event_type") == "view")
+    assert(view.map(_.getAs[Long]("user_id")).toSeq === Seq(4L))
+  }
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
