@@ -26,6 +26,9 @@ object ExtQueries {
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "text_winnow"       -> ((s, dir) => TextAnalysis.winnow(docs(s, dir))),
+    // rows-only check (no oracleSql entry): zlib byte stream is
+    // implementation-specific; ordering properties are spec-asserted
+    "text_compress_ratio" -> ((s, dir) => TextAnalysis.compressRatio(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),

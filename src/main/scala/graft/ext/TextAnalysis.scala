@@ -162,6 +162,25 @@ object TextAnalysis {
              |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin).as("fp_rolling"))
       .orderBy("doc_id")
 
+  /** Compression-ratio quality signal (RefinedWeb/Gopher family): the
+    * zlib-compressed size over the raw size. Repetitive boilerplate
+    * compresses far below diverse prose, catching degenerate documents
+    * that token-level ratios miss (e.g. long repeated PHRASES with a
+    * diverse vocabulary). One narrow codegen'd pass (native `deflate_len`
+    * expression — compiled loop, stays inside whole-stage codegen).
+    *
+    * No DuckDB oracle: the DEFLATE byte stream is zlib-implementation-
+    * specific, so this entry takes the driver's rows-only check (like the
+    * HLL sketch); the ordering properties are spec-asserted instead. */
+  def compressRatio(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      expr("CAST(length(text) AS BIGINT)").as("byte_len"),
+      expr("deflate_len(text)").as("deflate_len"),
+      expr("round(deflate_len(text) / length(text), 6)").as("compress_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowed fingerprint set as a column expression: positional (NOT
     * distinct) 60-bit 3-gram hashes, then the minimum of each `w`=4-window
     * of consecutive hashes, deduplicated and sorted. Guarantees of the

@@ -204,6 +204,24 @@ object MinHashOps {
     }
     acc
   }
+
+  /** DEFLATE-compressed byte length of the text (zlib level 6, raw stream).
+    * The compression-ratio quality signal: highly repetitive/boilerplate
+    * text compresses far below diverse prose. JVM Deflater is deterministic
+    * for a fixed level/input, but the byte stream is zlib-implementation-
+    * specific — hence no cross-engine oracle (rows-only check), with specs
+    * asserting the signal's ordering properties instead. */
+  def deflateLen(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
 }
 
 /** minhash_sig(array<bigint>) → array<bigint>[128] */
@@ -294,6 +312,18 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.srpBucket($c, $planes)")
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+/** deflate_len(text) -> bigint: zlib-compressed byte length (see
+  * MinHashOps.deflateLen). */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.deflateLen(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.deflateLen($c)")
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
     copy(child = newChild)
 }
 
@@ -432,7 +462,8 @@ object GraftFunctions {
     // raw AggregateFunction: the analyzer's ResolveFunctions wraps it in an
     // AggregateExpression, so `agg(expr("minhash_union(sig)"))` just works
     "minhash_union" -> { es => MinHashUnion(es.head) },
-    "vec_sum_agg"   -> { es => VecSumAgg(es.head) })
+    "vec_sum_agg"   -> { es => VecSumAgg(es.head) },
+    "deflate_len"   -> { es => DeflateLen(es.head) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

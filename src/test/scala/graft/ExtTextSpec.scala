@@ -60,6 +60,21 @@ class ExtTextSpec extends AnyFunSuite {
     assert(math.abs(good.getAs[Double]("top_token_ratio") - 1.0 / 6) < 1e-6) // round(·, 6)
   }
 
+  test("compressRatio orders boilerplate below diverse prose and is deterministic") {
+    val spammy = ("lorem ipsum dolor " * 30).trim       // repetitive phrases
+    val diverse = (1 to 90).map(i => s"w${i}x$i").mkString(" ")
+    val out = TextAnalysis.compressRatio(docsDf(1L -> spammy, 2L -> diverse))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("compress_ratio") < out(2L).getAs[Double]("compress_ratio"))
+    assert(out(1L).getAs[Long]("deflate_len") > 0)
+    assert(out(2L).getAs[Double]("compress_ratio") <= 1.1) // tiny docs may inflate slightly
+    // deterministic across replans/partitionings
+    val again = TextAnalysis.compressRatio(
+      docsDf(1L -> spammy, 2L -> diverse).repartition(5)).collect()
+    assert(again.map(_.toSeq).toSeq ===
+      TextAnalysis.compressRatio(docsDf(1L -> spammy, 2L -> diverse)).collect().map(_.toSeq).toSeq)
+  }
+
   test("winnow: identical docs share the full print set; disjoint docs share none") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val b = "uno dos tres cuatro cinco seis siete ocho nueve diez"

@@ -181,4 +181,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("winnow pairs: DF-capped print index self-join, never a nested loop") {
+    val p = plan("text_winnow_pairs")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cluster sample: narrow assignment + stratum window, no joins at all") {
+    val p = plan("embedding_cluster_sample")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(cluster_id"), p)
+  }
+
+  test("top users: raw stream collapses via partial agg before the top-k window") {
+    val p = plan("events_top_users")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("compress ratio is a narrow codegen'd projection — no shuffle but the output sort") {
+    val p = plan("text_compress_ratio")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"$exchanges exchanges\n$p")
+    assert(p.contains("deflatelen"), p)
+  }
 }
