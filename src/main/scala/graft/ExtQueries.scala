@@ -57,6 +57,7 @@ object ExtQueries {
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
+    "events_funnel_steps"    -> ((s, dir) => Events.funnelSteps(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     "multimodal_frames"   -> ((s, dir) =>
@@ -641,6 +642,24 @@ object ExtQueries {
         |           FROM daily)
         |SELECT day, event_type, CAST(rank AS INT) AS rank, user_id, n
         |FROM ranked WHERE rank <= 3 ORDER BY day, event_type, rank""".stripMargin,
+
+    // ordered multi-step funnel: step i+1 strictly after the user's
+    // earliest in-order completion of step i
+    "events_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |r1 AS (SELECT user_id, min(ms) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |r2 AS (SELECT e.user_id, min(e.ms) AS t
+        |       FROM e JOIN r1 ON e.user_id = r1.user_id
+        |       WHERE e.event_type = 'click' AND e.ms > r1.t GROUP BY e.user_id),
+        |r3 AS (SELECT e.user_id, min(e.ms) AS t
+        |       FROM e JOIN r2 ON e.user_id = r2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ms > r2.t GROUP BY e.user_id),
+        |u AS (SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM r1
+        |      UNION ALL SELECT 2, 'click', count(*) FROM r2
+        |      UNION ALL SELECT 3, 'purchase', count(*) FROM r3)
+        |SELECT step, event_type, n_users,
+        |       round(n_users / max(CASE WHEN step = 1 THEN n_users END) OVER (), 6) AS conversion
+        |FROM u ORDER BY step""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k,

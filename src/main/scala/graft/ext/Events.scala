@@ -40,6 +40,43 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Multi-step ordered funnel: how many users complete each prefix of the
+    * step sequence IN ORDER (step i+1 strictly after the user's earliest
+    * completion time of step i). Emits one row per step with the user
+    * count and the conversion rate vs step 1.
+    *
+    * Scale shape: one partial-agg shuffle per step on user_id, each joined
+    * back co-partitioned (user_id keyed throughout — no re-shuffle after
+    * the first), and a tiny final union of per-step counts. Steps are a
+    * driver-side fold over the step LIST (bounded, like the quantizer),
+    * not over the data. Determinism: epoch-ms minima, exact counts, one
+    * IEEE division. */
+  def funnelSteps(events: DataFrame,
+                  steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val e = events.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    // reached(i): per-user earliest completion time of steps 0..i in order —
+    // a driver-side fold over the (bounded) step list, building ONE plan;
+    // no driver action, no collected data
+    val reachedPerStep = steps.toIndexedSeq.zipWithIndex.tail
+      .scanLeft(e.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min("ms").as("t"))) { case (prev, (s, _)) =>
+        e.filter(col("event_type") === s)
+          .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+          .filter(col("ms") > col("prev_t"))
+          .groupBy("user_id").agg(min("ms").as("t"))
+      }
+    val unioned = reachedPerStep.zip(steps).zipWithIndex
+      .map { case ((df, s), i) =>
+        df.select(lit(i + 1).as("step"), lit(s).as("event_type"), col("user_id")) }
+      .reduce(_ unionAll _)
+    unioned.groupBy("step", "event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("conversion",
+        expr("round(n_users / max(CASE WHEN step = 1 THEN n_users END) OVER (), 6)"))
+      .orderBy("step")
+  }
+
   /** Windowed heavy hitters: the top-`k` users per (day, event_type) by
     * event count — the trending/abuse-triage staple. Exact: daily
     * per-(day, type, user) partial-agg counts (combine map-side, so the

@@ -6,6 +6,25 @@ import graft.ext.Events
 
 class ExtEventsSpec extends AnyFunSuite {
 
+  test("funnelSteps counts only in-order completions") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // user 1: full ordered funnel; user 2: click BEFORE signup (stops at 1);
+    // user 3: signup then purchase but no click (purchase must not count)
+    val rows = Seq(
+      (1L, "signup", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "signup", 2L),
+      (3L, "signup", 1L), (3L, "purchase", 2L))
+    val df = rows.zipWithIndex.map { case ((u, t, ms), i) =>
+      (i.toLong, new java.sql.Timestamp(base + ms), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.funnelSteps(df).collect()
+    assert(out.map(r => (r.getAs[Int]("step"), r.getAs[Long]("n_users"))).toSeq
+      === Seq((1, 3L), (2, 1L), (3, 1L)))
+    assert(math.abs(out.last.getAs[Double]("conversion") - 1.0 / 3) < 1e-6)
+  }
+
   test("topUsers ranks per (day, type) by count with user_id tiebreak") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
