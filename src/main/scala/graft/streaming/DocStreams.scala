@@ -42,4 +42,22 @@ object DocStreams {
       .select(col("doc_id"), col("lang"), col("source"),
         expr(graft.ext.TextAnalysis.qualityScoreExpr).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
+
+  /** File-based entry point: tail a directory of parquet document drops
+    * (the crawl-lands-files shape) and write the kept docs to a parquet
+    * sink with checkpointing — the full readStream → transform →
+    * writeStream contract. Returns the started query (caller
+    * awaits/stops). */
+  def runFileIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                    outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.Encoders.product[DocIn].schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    ingest(stream).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
 }

@@ -40,6 +40,21 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file ingest runs readStream -> dedup/gate -> parquet sink end-to-end") {
+    val base = java.nio.file.Files.createTempDirectory("docstream").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Seq(d(1, 1000, rich), d(2, 2000, rich), d(3, 3000, spam))
+      .toDS().write.parquet(src)
+    val q = graft.streaming.DocStreams.runFileIngest(spark, src, out, ckpt)
+    try {
+      q.processAllAvailable()
+      Seq(d(5, 61000, "extra " + rich)).toDS().write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L))
+  }
+
   test("streaming ingest equals the batch filter+dedup composite under id-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
