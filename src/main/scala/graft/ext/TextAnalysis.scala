@@ -122,31 +122,45 @@ object TextAnalysis {
     * so everything after the explode stays in one hash-partitioning of the
     * corpus; counts combine map-side before the shuffle. All ratios are
     * exact-integer divisions rounded at the end (oracle-deterministic). */
-  def repetition(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
-    val base = toks.select(col("doc_id"),
-      expr("size(w)").as("n_tokens"),
-      expr("size(array_distinct(w))").as("n_distinct"))
-    def top(grams: DataFrame, gramCol: String, cntCol: String): DataFrame = {
-      val counts = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("g").asc)
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("g").as(gramCol), col("c").as(cntCol))
-    }
-    val topTok = top(toks.select(col("doc_id"), explode(col("w")).as("g")),
-      "top_token", "top_token_count")
-    val topBi = top(toks.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-      .as("g")), "top_bigram", "top_bigram_count")
-    base.join(topTok, "doc_id").join(topBi, "doc_id")
+  /** Modal element of a string array and its count, computed NARROWLY as a
+    * run-length fold over the sorted array — no explode, no shuffle. The
+    * fold tracks (current run, best run); strict `>` on the update keeps
+    * the FIRST maximal run, which in ascending order is the
+    * lexicographically smallest among ties — the same tie-break the
+    * groupBy/argmax formulation (and the DuckDB oracle) uses. Spark HOF
+    * lambdas cannot let-bind, so the run-length subexpression repeats (a
+    * string equality + add — cheap). */
+  private def modalExpr(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+       |               'bestc', CAST(0 AS BIGINT), 'bestv', CAST(NULL AS STRING)),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+       |    'bestc', IF(IF(x <=> acc.prev, acc.run + 1L, 1L) > acc.bestc,
+       |                IF(x <=> acc.prev, acc.run + 1L, 1L), acc.bestc),
+       |    'bestv', IF(IF(x <=> acc.prev, acc.run + 1L, 1L) > acc.bestc, x, acc.bestv)),
+       |  acc -> named_struct('v', acc.bestv, 'c', acc.bestc))""".stripMargin
+
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      // docs without a bigram (single token) are dropped, matching the
+      // groupBy-formulation oracle's inner join against the bigram side
+      .filter(expr("size(w) >= 2"))
+      .select(col("doc_id"),
+        expr("size(w)").as("n_tokens"),
+        expr("size(array_distinct(w))").as("n_distinct"),
+        expr(modalExpr("w")).as("tk"),
+        expr(modalExpr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bg"))
       .select(col("doc_id"), col("n_tokens"),
         expr("round(1e0 - n_distinct / n_tokens, 6)").as("dup_token_ratio"),
-        col("top_token"), col("top_token_count"),
-        expr("round(top_token_count / n_tokens, 6)").as("top_token_ratio"),
-        col("top_bigram"), col("top_bigram_count"),
-        expr("round(top_bigram_count / (n_tokens - 1), 6)").as("top_bigram_ratio"))
+        col("tk.v").as("top_token"), col("tk.c").as("top_token_count"),
+        expr("round(tk.c / n_tokens, 6)").as("top_token_ratio"),
+        col("bg.v").as("top_bigram"), col("bg.c").as("top_bigram_count"),
+        expr("round(bg.c / (n_tokens - 1), 6)").as("top_bigram_ratio"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprinting: a 31-ary rolling polynomial hash mod 1e9+7
     * over the character stream (the classic Rabin-Karp fingerprint) plus the

@@ -176,10 +176,11 @@ class PlanSpec extends AnyFunSuite {
     assert(gen >= 0 && agg >= 0 && gen < agg, s"posexplode must be post-agg\n$p")
   }
 
-  test("repetition stays in one doc_id partitioning: partial gram counts, no nested loops") {
+  test("repetition is a pure narrow pass: no joins, no shuffle but the output sort") {
     val p = plan("text_repetition")
-    assert(p.contains("partial_"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"$exchanges exchanges (the sorted-run fold needs none)\n$p")
   }
 
   test("winnow pairs: DF-capped print index self-join, never a nested loop") {
