@@ -75,6 +75,7 @@ object ExtQueries {
     // once) and token-budget sequence packing (per-source prefix sums)
     "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(docs(s, dir))),
     "pipeline_pack"          -> ((s, dir) => Packing.pack(docs(s, dir))),
+    "pipeline_corpus_stats"  -> ((s, dir) => TextAnalysis.corpusStats(docs(s, dir))),
 
     // multimodal -> embed -> ANN composite: ingest blobs, stub-embed to
     // 64-dim vectors (typed per-partition map — the model-batch shape),
@@ -357,6 +358,20 @@ object ExtQueries {
         |       round(hits.n_shared / sz.n_shingles, 6) AS contaminated_frac
         |FROM hits JOIN sz ON hits.doc_id = sz.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_corpus_stats" ->
+      """WITH g AS (SELECT count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |             count(DISTINCT lang) AS n_langs,
+        |             count(DISTINCT source) AS n_sources,
+        |             CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |           FROM documents),
+        |d AS (SELECT CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |             CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs
+        |      FROM (SELECT md5(substr(text, 1, 80)) AS k, count(*) AS cnt
+        |            FROM documents GROUP BY 1))
+        |SELECT g.*, d.*, round(n_tokens / n_docs, 6) AS mean_tokens
+        |FROM g CROSS JOIN d""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT source, doc_id,

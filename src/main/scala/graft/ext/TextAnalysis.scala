@@ -176,6 +176,27 @@ object TextAnalysis {
              |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin).as("fp_rolling"))
       .orderBy("doc_id")
 
+  /** One-row corpus report card — the dashboard numbers a corpus build
+    * publishes per snapshot: doc/token totals, language/source coverage,
+    * exact-dup pressure (groups with >1 docs on the content key, and how
+    * many docs dedup would drop). Two partial-agg passes (global + content
+    * key) joined as 1-row relations — every count is exact and the whole
+    * thing is two shuffles regardless of corpus size. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val global = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("size(split(text, ' '))")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).cast("long").as("n_chars"))
+    val dups = docs.groupBy(expr("md5(substring(text, 1, 80))").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(when(col("cnt") > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"),
+           sum(col("cnt") - 1).cast("long").as("n_dup_docs"))
+    global.crossJoin(dups)
+      .withColumn("mean_tokens", expr("round(n_tokens / n_docs, 6)"))
+  }
+
   /** Compression-ratio quality signal (RefinedWeb/Gopher family): the
     * zlib-compressed size over the raw size. Repetitive boilerplate
     * compresses far below diverse prose, catching degenerate documents
