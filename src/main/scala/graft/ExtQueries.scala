@@ -76,6 +76,7 @@ object ExtQueries {
     "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(docs(s, dir))),
     "pipeline_pack"          -> ((s, dir) => Packing.pack(docs(s, dir))),
     "pipeline_corpus_stats"  -> ((s, dir) => TextAnalysis.corpusStats(docs(s, dir))),
+    "pipeline_quality_prune" -> ((s, dir) => TextAnalysis.qualityPrune(docs(s, dir))),
 
     // multimodal -> embed -> ANN composite: ingest blobs, stub-embed to
     // 64-dim vectors (typed per-partition map — the model-batch shape),
@@ -358,6 +359,17 @@ object ExtQueries {
         |       round(hits.n_shared / sz.n_shingles, 6) AS contaminated_frac
         |FROM hits JOIN sz ON hits.doc_id = sz.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_quality_prune" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    round(100e0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+        |      * least(1e0, len(string_split(text, ' ')) / 30e0), 6) AS quality_score
+        |  FROM documents),
+        |r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality_score) AS quality_pct
+        |      FROM q)
+        |SELECT doc_id, lang, quality_score, round(quality_pct, 6) AS quality_pct
+        |FROM r WHERE quality_pct >= 0.1 ORDER BY doc_id""".stripMargin,
 
     "pipeline_corpus_stats" ->
       """WITH g AS (SELECT count(*) AS n_docs,

@@ -176,6 +176,23 @@ object TextAnalysis {
              |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin).as("fp_rolling"))
       .orderBy("doc_id")
 
+  /** Percentile-based quality pruning — "drop the worst decile PER
+    * LANGUAGE": absolute quality thresholds mis-prune when score
+    * distributions differ by language, so production filters cut on the
+    * within-language rank instead. Exact `percent_rank` (ties share a
+    * rank, so row order inside a tie is irrelevant — oracle-deterministic);
+    * one shuffle on lang + in-partition sort. For high-cardinality strata
+    * at 100 TB the same shape runs on (lang, shard) with per-shard
+    * thresholds from `approx_percentile`. */
+  def qualityPrune(docs: DataFrame, keepFrom: Double = 0.1): DataFrame =
+    docs.select(col("doc_id"), col("lang"), expr(qualityScoreExpr).as("quality_score"))
+      .withColumn("quality_pct", percent_rank().over(
+        Window.partitionBy("lang").orderBy("quality_score")))
+      .filter(col("quality_pct") >= keepFrom)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        expr("round(quality_pct, 6)").as("quality_pct"))
+      .orderBy("doc_id")
+
   /** One-row corpus report card — the dashboard numbers a corpus build
     * publishes per snapshot: doc/token totals, language/source coverage,
     * exact-dup pressure (groups with >1 docs on the content key, and how
