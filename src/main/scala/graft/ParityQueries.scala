@@ -208,6 +208,16 @@ object ParityQueries {
           |WHERE ts >= 2024-01-10T06:30:00Z AND ts < 2024-01-10T18:30:00+02:00
           |ORDER BY event_id""".stripMargin)),
 
+    // S3 template_fields — the reference's incremental-extract idiom: Airflow
+    // renders {{ param }} into the SOQL before execution; bare datetime
+    // params hit the date-literal lexer path
+    "soql_incremental" -> ((s, dir) =>
+      Extract.templatedSoqlQuery(s, dir,
+        """SELECT event_id, user_id, event_type FROM Events
+          |WHERE ts >= {{ since }} AND ts < {{ until }}
+          |ORDER BY event_id""".stripMargin,
+        Map("since" -> "2024-01-10T00:00:00Z", "until" -> "2024-01-12T00:00:00Z"))),
+
     // §2.6 bare COUNT() — the SOQL row-count idiom (`SELECT COUNT() FROM X`,
     // no field arg) → count(*)
     "soql_count_bare" -> ((s, dir) =>
@@ -552,6 +562,11 @@ object ParityQueries {
       "soql_bare_datetime" ->
         """SELECT event_id, user_id, event_type FROM events
           |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00' AND ts < TIMESTAMP '2024-01-10 16:30:00'
+          |ORDER BY event_id""".stripMargin,
+
+      "soql_incremental" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
           |ORDER BY event_id""".stripMargin,
 
       "soql_count_bare" ->

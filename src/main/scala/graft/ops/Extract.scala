@@ -42,4 +42,26 @@ object Extract {
     Tables.registerAll(spark, dir)
     spark.sql(Soql.translate(soqlText, fiscalYearStartMonth))
   }
+
+  /** Templated SOQL — the reference's incremental-extract pattern: both S3
+    * operators declare `template_fields = ('soql'/'query', …)` so Airflow
+    * renders `{{ ds }}`-style params into the SOQL before execution
+    * (`salesforce_to_s3_operator.py:25,115-116`). The engine analogue
+    * substitutes `{{ key }}` placeholders (whitespace-tolerant) then
+    * translates. Values land as raw SOQL text — a bare ISO date/datetime
+    * param hits the date-literal lexer path, giving the
+    * `WHERE SystemModstamp > {{ last_run }}` incremental idiom its exact
+    * Salesforce semantics. Unresolved placeholders throw (a silently
+    * un-rendered template is the classic scheduler foot-gun). */
+  def templatedSoqlQuery(spark: SparkSession, dir: String, soqlTemplate: String,
+                         params: Map[String, String],
+                         fiscalYearStartMonth: Int = 1): DataFrame = {
+    val rendered = params.foldLeft(soqlTemplate) { case (acc, (k, v)) =>
+      acc.replaceAll("\\{\\{\\s*" + java.util.regex.Pattern.quote(k) + "\\s*\\}\\}",
+        java.util.regex.Matcher.quoteReplacement(v))
+    }
+    val leftover = "\\{\\{[^}]*\\}\\}".r.findFirstIn(rendered)
+    require(leftover.isEmpty, s"unresolved template placeholder ${leftover.get} in SOQL")
+    soqlQuery(spark, dir, rendered, fiscalYearStartMonth)
+  }
 }

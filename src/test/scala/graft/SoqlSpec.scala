@@ -579,4 +579,17 @@ class SoqlSpec extends AnyFunSuite {
       "SELECT TYPEOF c WHEN A THEN f1 ELSE f2 END FROM t")
     assert(t.contains("(c IS NULL OR c NOT IN ('A'))"))
   }
+
+  test("templated SOQL renders {{ params }}; unresolved placeholders throw") {
+    val spark = SparkTestSession.spark
+    val df = ops.Extract.templatedSoqlQuery(spark, SparkTestSession.sfDir,
+      "SELECT o_orderkey FROM Orders WHERE o_totalprice > {{ floor }} AND o_orderdate >= {{since}}",
+      Map("floor" -> "400000", "since" -> "1995-01-01"))
+    assert(df.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      ops.Extract.templatedSoqlQuery(spark, SparkTestSession.sfDir,
+        "SELECT o_orderkey FROM Orders WHERE o_totalprice > {{ floor }}", Map.empty)
+    }
+    assert(e.getMessage.contains("unresolved template placeholder"))
+  }
 }
