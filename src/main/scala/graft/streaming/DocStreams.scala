@@ -43,6 +43,34 @@ object DocStreams {
         expr(graft.ext.TextAnalysis.qualityScoreExpr).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
 
+  /** Streaming decontamination — stream-static join: documents arriving on
+    * the stream are checked against a STATIC eval-set shingle index (the
+    * benchmark suite, loaded once as a batch DataFrame and broadcast).
+    * Emits one row per contaminated stream doc with its shared-shingle
+    * count — the continuous twin of the batch
+    * [[graft.ext.Dedup.decontaminate]], sharing `shingle_hash60` so the
+    * flags agree exactly.
+    *
+    * Scale shape: Spark's stream-static join re-plans the static side per
+    * micro-batch; with the eval index broadcast there is no stateful join
+    * state at all — each micro-batch resolves its hits map-side. The
+    * aggregation is per (doc_id, arrival window) under a watermark, so
+    * emission is append-mode and state is bounded by in-horizon docs. */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame, n: Int = 5,
+                          watermark: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(evalDocs.sparkSession)
+    val evalSh = evalDocs
+      .select(explode(expr(s"shingle_hash60(text, $n)")).as("shingle")).distinct()
+    val streamSh = docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id"), col("ingest_ts"),
+        explode(expr(s"shingle_hash60(text, $n)")).as("shingle"))
+    streamSh.join(broadcast(evalSh), "shingle")
+      .groupBy(window(col("ingest_ts"), "10 minutes"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"))
+  }
+
   /** File-based entry point: tail a directory of parquet document drops
     * (the crawl-lands-files shape) and write the kept docs to a parquet
     * sink with checkpointing — the full readStream → transform →

@@ -55,6 +55,25 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L))
   }
 
+  test("streaming decontamination flags stream docs sharing 5-grams with the static eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val input = MemoryStream[DocIn]
+    val q = graft.streaming.DocStreams.decontaminateStream(input.toDF(), evalDocs)
+      .writeStream.format("memory").queryName("decon_out").outputMode("update").start()
+    try {
+      // doc 1 contains an eval 5-gram mid-document; doc 2 is clean
+      input.addData(
+        d(1, 1000, s"prefix words alpha beta gamma delta epsilon more tail"),
+        d(2, 2000, "totally clean words with no benchmark overlap at all"))
+      q.processAllAvailable()
+      val out = spark.table("decon_out").collect()
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+      assert(out.head.getAs[Long]("n_shared") === 1L) // exactly the one 5-gram
+    } finally q.stop()
+  }
+
   test("streaming ingest equals the batch filter+dedup composite under id-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
