@@ -803,5 +803,7 @@ object ExtQueries {
     "events_tumbling", "events_funnel", "events_retention", "events_anomaly",
     "text_chunk", "multimodal_frames", "pipeline_filter_dedup",
     "text_repetition", "pipeline_decontaminate", "pipeline_pack",
-    "embedding_kmeans", "text_winnow_pairs")
+    "embedding_kmeans", "text_winnow_pairs", "embedding_cluster_sample",
+    "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
+    "events_top_users", "events_funnel_steps")
 }
