@@ -48,6 +48,33 @@ class ExtTextSpec extends AnyFunSuite {
     assert(math.abs(out.getAs[Double]("dup_token_ratio") - 0.6) < 1e-9)
   }
 
+  test("repetition modal fold equals a reference count on 200 random docs") {
+    // the sorted-run fold is the subtle part — check it against a plain
+    // count-then-argmax reference over seeded random token lists, including
+    // many ties (tiny vocab)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 200L).map { id =>
+      id -> Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val out = TextAnalysis.repetition(docsDf(docs: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      def modal(gs: Seq[String]): (String, Long) = {
+        val counts = gs.groupBy(identity).view.mapValues(_.size.toLong)
+        counts.toSeq.minBy { case (g, c) => (-c, g) }
+      }
+      val (tv, tc) = modal(toks)
+      val (bv, bc) = modal(toks.sliding(2).map(_.mkString(" ")).toSeq)
+      val r = out(id)
+      assert(r.getAs[String]("top_token") === tv, s"doc $id: $text")
+      assert(r.getAs[Long]("top_token_count") === tc, s"doc $id: $text")
+      assert(r.getAs[String]("top_bigram") === bv, s"doc $id: $text")
+      assert(r.getAs[Long]("top_bigram_count") === bc, s"doc $id: $text")
+    }
+  }
+
   test("repetition flags a degenerate doc and passes a diverse one") {
     val out = TextAnalysis.repetition(docsDf(
       1L -> "spam spam spam spam spam spam",
