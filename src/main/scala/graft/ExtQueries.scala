@@ -29,6 +29,7 @@ object ExtQueries {
     // rows-only check (no oracleSql entry): zlib byte stream is
     // implementation-specific; ordering properties are spec-asserted
     "text_compress_ratio" -> ((s, dir) => TextAnalysis.compressRatio(docs(s, dir))),
+    "text_search"         -> ((s, dir) => TextAnalysis.search(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -319,6 +320,23 @@ object ExtQueries {
         |  round(bt.c / (base.n_tokens - 1), 6) AS top_bigram_ratio
         |FROM base JOIN tt ON base.doc_id = tt.doc_id JOIN bt ON base.doc_id = bt.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // integer tf×rarity retrieval: rarity = 1e6 // df (exact int), score a
+    // BIGINT sum — the window order is total via the doc_id tiebreak
+    "text_search" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE term IN ('spark', 'join', 'hash')
+        |  GROUP BY doc_id, term),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT tf.doc_id, CAST(sum(tf.tf * (1000000 // dft.df)) AS BIGINT) AS score,
+        |                  count(*) AS n_terms_hit
+        |           FROM tf JOIN dft ON tf.term = dft.term GROUP BY tf.doc_id),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |           FROM scored)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, score, n_terms_hit
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "text_winnow" ->
       s"""WITH $winnowCtes

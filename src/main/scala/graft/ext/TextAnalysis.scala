@@ -336,6 +336,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Keyword search over the corpus — the retrieval shape (tf × rarity
+    * ranking, BM25's skeleton with the idf log replaced by an exact
+    * integer rarity weight `1e6 div df`, keeping the score a BIGINT so
+    * ranking is bit-deterministic; real BM25's ln()/length-normalization
+    * are libm-dependent and would break the cross-engine oracle).
+    *
+    * Scale shape: the per-(doc, term) tf aggregation runs ONLY on rows
+    * whose term is in the (tiny, literal) query set — the filter pushes
+    * below the explode into the scan side, so the index built is
+    * queryTerms-sized, not corpus-vocabulary-sized. df comes from the same
+    * filtered relation; the final top-k window sees ≤ one row per matching
+    * doc. */
+  def search(docs: DataFrame, queryTerms: Seq[String] = Seq("spark", "join", "hash"),
+             k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val termList = queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val tf = Dedup.spread(docs)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
+      .filter(expr(s"term IN ($termList)"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), "term")
+      .groupBy("doc_id")
+      .agg(sum(expr("tf * (1000000 div df)")).as("score"),
+           count(lit(1)).as("n_terms_hit"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heaps, no global sort), so the global rank window only ever sees k
+    // rows; ranking all matches with a partitionless window would funnel
+    // every matching doc through one partition at scale
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy("rank")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))

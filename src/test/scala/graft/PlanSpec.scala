@@ -201,6 +201,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("search takes top-k with per-partition heaps before the rank window") {
+    val p = plan("text_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("compress ratio is a narrow codegen'd projection — no shuffle but the output sort") {
     val p = plan("text_compress_ratio")
     val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
