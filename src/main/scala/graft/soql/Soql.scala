@@ -652,6 +652,12 @@ object Soql {
       // (the engine always behaves like SYSTEM_MODE; documented deviation)
       while (acceptKw("WITH")) {
         val mode = expectIdent().toUpperCase
+        // WITH DATA CATEGORY filters knowledge articles by category data the
+        // engine does not have — ignoring it would change the row set, so
+        // reject loudly (same policy as USING SCOPE)
+        require(mode != "DATA",
+          "WITH DATA CATEGORY requires knowledge-article category data and is unsupported; " +
+            "remove the clause or pre-filter the category column explicitly")
         require(Set("SECURITY_ENFORCED", "USER_MODE", "SYSTEM_MODE").contains(mode),
           s"unknown WITH clause: $mode")
       }

@@ -580,6 +580,13 @@ class SoqlSpec extends AnyFunSuite {
     assert(t.contains("(c IS NULL OR c NOT IN ('A'))"))
   }
 
+  test("WITH DATA CATEGORY is rejected loudly, like USING SCOPE") {
+    val e = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT Id FROM Knowledge WITH DATA CATEGORY Geo__c AT usa__c")
+    }
+    assert(e.getMessage.contains("DATA CATEGORY"))
+  }
+
   test("templated SOQL renders {{ params }}; unresolved placeholders throw") {
     val spark = SparkTestSession.spark
     val df = ops.Extract.templatedSoqlQuery(spark, SparkTestSession.sfDir,
