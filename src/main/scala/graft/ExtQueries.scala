@@ -41,6 +41,7 @@ object ExtQueries {
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
     "dedup_keepers"          -> ((s, dir) => Dedup.keepers(docs(s, dir))),
+    "dedup_incremental"      -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
@@ -245,6 +246,25 @@ object ExtQueries {
     // candidates are verified with exact Jaccard — so the approximate
     // pipeline equals the exact answer with near-certainty.
     "dedup_minhash_lsh" -> jaccardPairsSql("0.8"),
+
+    // cross-side exact-Jaccard: historical (doc_id % 7 != 0) × incoming
+    // (doc_id % 7 = 0); the engine's band join has P[miss | J>=0.8] ~ 5e-8
+    "dedup_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT i.doc_id AS inc_id, h.doc_id AS hist_id, count(*) AS c
+        |          FROM sh h JOIN sh i ON h.shingle = i.shingle
+        |          WHERE h.doc_id % 7 != 0 AND i.doc_id % 7 = 0
+        |          GROUP BY 1, 2)
+        |SELECT inc_id, hist_id, round(c / (si.n_sh + sh2.n_sh - c), 6) AS jaccard
+        |FROM inter JOIN sz si ON inter.inc_id = si.doc_id
+        |           JOIN sz sh2 ON inter.hist_id = sh2.doc_id
+        |WHERE c / (si.n_sh + sh2.n_sh - c) >= 0.8
+        |ORDER BY inc_id, hist_id""".stripMargin,
 
     // the engine's banded LSH has P[miss | J>=0.8] ~ 5e-8, so the pair set
     // equals the exact-Jaccard pairs; the cluster ids are then the TRUE
@@ -823,5 +843,6 @@ object ExtQueries {
     "text_repetition", "pipeline_decontaminate", "pipeline_pack",
     "embedding_kmeans", "text_winnow_pairs", "embedding_cluster_sample",
     "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
-    "events_top_users", "events_funnel_steps")
+    "events_top_users", "events_funnel_steps", "dedup_incremental",
+    "text_search")
 }

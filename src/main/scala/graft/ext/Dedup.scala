@@ -228,6 +228,49 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Incremental dedup — the daily-increment shape of a production corpus:
+    * flag INCOMING documents that are near-dups of the HISTORICAL corpus
+    * (an incoming doc duplicating another incoming doc is minhashLsh's
+    * job on the batch; this operator answers "is it already in the
+    * store?"). Same LSH machinery: both sides get band signatures, the
+    * (band, bsig) equi-join is historical×incoming only, candidates verify
+    * with exact Jaccard — so the oracle is the exact cross-side pair set
+    * (P[band miss | J≥0.8] ≈ 5e-8).
+    *
+    * Here the split is the deterministic doc_id % mod slice; in production
+    * the historical band index is PRECOMPUTED and stored (it is exactly the
+    * `bands` relation below), so a daily run pays only the incoming side's
+    * signatures plus one equi-join against the stored index — never a
+    * rescan of the store. Emits (incoming, matched historical, jaccard). */
+  def incremental(docs: DataFrame, threshold: Double = 0.8, mod: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    def sigBands(side: DataFrame) = {
+      val sig = side
+        .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+        .withColumn("sig", expr("minhash_sig(h60)"))
+      sig.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
+          .as(Seq("band", "bsig")))
+    }
+    val base = spread(docs)
+    val hist = base.filter(col("doc_id") % mod =!= 0)
+    val inc = base.filter(col("doc_id") % mod === 0)
+    val pairs = sigBands(hist).select(col("band"), col("bsig"), col("doc_id").as("hist_id"))
+      .join(sigBands(inc).select(col("band"), col("bsig"), col("doc_id").as("inc_id")),
+        Seq("band", "bsig"))
+      .select("inc_id", "hist_id").distinct()
+    val h = base.select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+    pairs
+      .join(h.toDF("inc_id", "si"), "inc_id")
+      .join(h.toDF("hist_id", "sh"), "hist_id")
+      .withColumn("c", expr("size(array_intersect(si, sh))"))
+      .withColumn("jaccard", expr("c / (size(si) + size(sh) - c)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("hist_id"), expr("round(jaccard, 6)").as("jaccard"))
+      .orderBy("inc_id", "hist_id")
+  }
+
   /** Connected components over near-dup pairs → cluster ids. Pair lists
     * aren't actionable on their own: the dedup decision ("keep one doc per
     * duplicate GROUP") needs transitive closure — if A~B and B~C, one

@@ -79,6 +79,21 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(a.nonEmpty) // the sf corpus has near-dup families crossing the slice
   }
 
+  test("incremental flags incoming-vs-historical near-dups, never within-side pairs") {
+    // mod=7: doc 7 and 14 are incoming, others historical. Doc 7 duplicates
+    // historical doc 1; docs 7 and 14 duplicate EACH OTHER (within incoming
+    // — must not appear); doc 14 has no historical match.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    val out = Dedup.incremental(docsDf(
+      1L -> a, 2L -> "totally different historical words here now ok fine yes",
+      7L -> a, 14L -> b, 21L -> b)).collect()
+    // 7↔1 (cross-side); 14↔21? 21 % 7 == 0 → also incoming → excluded
+    assert(out.map(r => (r.getAs[Long]("inc_id"), r.getAs[Long]("hist_id"))).toSeq
+      === Seq((7L, 1L)))
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("simhash is deterministic and token-order-independent") {
     val a = docsDf(1L -> "spark fast table join query")
     val b = docsDf(1L -> "query join table fast spark")
