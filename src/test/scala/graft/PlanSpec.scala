@@ -201,6 +201,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("incremental dedup: band equi-join only, shingle arrays never cross the band shuffle") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val bandExchanges = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning") && l.contains("bsig"))
+    assert(bandExchanges.forall(!_.contains("h60")), s"band shuffle carries shingle arrays\n$p")
+  }
+
   test("search takes top-k with per-partition heaps before the rank window") {
     val p = plan("text_search")
     assert(p.contains("TakeOrderedAndProject"), p)
