@@ -55,6 +55,21 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L))
   }
 
+  test("file ingest restarts from its checkpoint without re-emitting kept docs") {
+    val base = java.nio.file.Files.createTempDirectory("docstream_restart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    Seq(d(1, 1000, rich)).toDS().write.parquet(src)
+    val q1 = graft.streaming.DocStreams.runFileIngest(spark, src, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the same checkpoint; only the NEW file may produce rows
+    Seq(d(5, 61000, "extra " + rich)).toDS().write.mode("append").parquet(src)
+    val q2 = graft.streaming.DocStreams.runFileIngest(spark, src, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val kept = spark.read.parquet(out).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).sorted.toSeq === Seq(1L, 5L),
+      "restart must neither drop the new doc nor re-emit the old one")
+  }
+
   test("streaming decontamination flags stream docs sharing 5-grams with the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "alpha beta gamma delta epsilon zeta eta theta"
