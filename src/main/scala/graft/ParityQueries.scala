@@ -218,6 +218,14 @@ object ParityQueries {
           |ORDER BY event_id""".stripMargin,
         Map("since" -> "2024-01-10T00:00:00Z", "until" -> "2024-01-12T00:00:00Z"))),
 
+    // §2.6 Salesforce expr-numbering: unaliased aggregates in an aggregate
+    // query come back labeled expr0, expr1, … — result column names
+    // downstream code keys on
+    "soql_expr_alias" -> ((s, dir) =>
+      Extract.soqlQuery(s, dir,
+        """SELECT o_orderstatus, COUNT(o_orderkey), MAX(o_totalprice)
+          |FROM Orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // §2.6 bare COUNT() — the SOQL row-count idiom (`SELECT COUNT() FROM X`,
     // no field arg) → count(*)
     "soql_count_bare" -> ((s, dir) =>
@@ -563,6 +571,10 @@ object ParityQueries {
         """SELECT event_id, user_id, event_type FROM events
           |WHERE ts >= TIMESTAMP '2024-01-10 06:30:00' AND ts < TIMESTAMP '2024-01-10 16:30:00'
           |ORDER BY event_id""".stripMargin,
+
+      "soql_expr_alias" ->
+        """SELECT o_orderstatus, count(o_orderkey) AS expr0, max(o_totalprice) AS expr1
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
       "soql_incremental" ->
         """SELECT event_id, user_id, event_type FROM events

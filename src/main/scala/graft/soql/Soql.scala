@@ -622,6 +622,30 @@ object Soql {
       case t       => throw new IllegalArgumentException(s"expected number, found $t")
     }
 
+    /** Aggregate function names whose unaliased select items Salesforce
+      * auto-labels `expr0, expr1, …` in aggregate queries — result column
+      * names downstream code keys on. */
+    private val aggFns = Set("COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "GROUPING")
+
+    /** Salesforce expr-numbering: in a query with any aggregate context
+      * (GROUP BY, or an aggregate function anywhere in the projection),
+      * every unaliased function-call select item is labeled `expr{n}`,
+      * numbered sequentially over the unaliased ones only. Plain field
+      * items keep their names; explicitly-aliased items are untouched. */
+    private def exprNumber(items: Seq[SelectItem], grouped: Boolean): Seq[SelectItem] = {
+      val isAggQuery = grouped || items.exists {
+        case SelectItem(Func(n, _, _), _) => aggFns.contains(n.toUpperCase)
+        case _ => false
+      }
+      if (!isAggQuery) return items
+      var n = -1
+      items.map {
+        case SelectItem(f: Func, None) =>
+          n += 1; SelectItem(f, Some(s"expr$n"))
+        case si => si
+      }
+    }
+
     def parseQuery(top: Boolean): Query = {
       expectKw("SELECT")
       val items = scala.collection.mutable.ArrayBuffer.empty[SelectItem]
@@ -699,7 +723,8 @@ object Soql {
         case TEnd => ()
         case t    => throw new IllegalArgumentException(s"unexpected trailing token $t")
       }
-      Query(items.toSeq, from, fromAlias, where, groupBy, having, orderBy.toSeq, limit, offset)
+      Query(exprNumber(items.toSeq, groupBy.isDefined), from, fromAlias,
+        where, groupBy, having, orderBy.toSeq, limit, offset)
     }
 
     private def parseSelectItem(): SelectItem = {

@@ -13,9 +13,9 @@ class SoqlSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("COUNT_DISTINCT becomes count(DISTINCT ...)") {
+  test("COUNT_DISTINCT becomes count(DISTINCT ...), expr-labeled when unaliased") {
     assert(Soql.translate("SELECT COUNT_DISTINCT(x) FROM t") ===
-      "SELECT count(DISTINCT x) FROM t")
+      "SELECT count(DISTINCT x) AS expr0 FROM t")
   }
 
   test("parent-to-child subselect becomes a pre-aggregated left join") {
@@ -304,8 +304,8 @@ class SoqlSpec extends AnyFunSuite {
     })
   }
 
-  test("COUNT() with no argument becomes count(*)") {
-    assert(Soql.translate("SELECT COUNT() FROM t") === "SELECT count(*) FROM t")
+  test("COUNT() with no argument becomes count(*), expr-labeled when unaliased") {
+    assert(Soql.translate("SELECT COUNT() FROM t") === "SELECT count(*) AS expr0 FROM t")
   }
 
   test("translated dot-path SOQL executes on Spark and matches the hand-written join") {
@@ -578,6 +578,18 @@ class SoqlSpec extends AnyFunSuite {
     val t = Soql.translate(
       "SELECT TYPEOF c WHEN A THEN f1 ELSE f2 END FROM t")
     assert(t.contains("(c IS NULL OR c NOT IN ('A'))"))
+  }
+
+  test("unaliased aggregates get Salesforce expr0/expr1 labels; aliased and plain items don't") {
+    val t = Soql.translate(
+      "SELECT o_orderstatus, COUNT(o_orderkey), MAX(o_totalprice) total, AVG(o_totalprice) FROM Orders GROUP BY o_orderstatus")
+    assert(t.contains("COUNT(o_orderkey) AS expr0"), t)
+    assert(t.contains("AS total"), t)
+    assert(t.contains("AVG(o_totalprice) AS expr1"), t) // numbering skips aliased items
+    assert(!t.contains("o_orderstatus AS expr"), t)     // plain fields keep their names
+    // non-aggregate queries are untouched
+    val plain = Soql.translate("SELECT DAY_ONLY(o_orderdate) FROM Orders LIMIT 5")
+    assert(!plain.contains("expr0"), plain)
   }
 
   test("WITH DATA CATEGORY is rejected loudly, like USING SCOPE") {
