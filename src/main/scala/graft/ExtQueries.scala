@@ -88,6 +88,22 @@ object ExtQueries {
       Similarity.bruteForceTopK(
         Multimodal.embedStub(Multimodal.ingest(docs(s, dir))), nQueries = 10, k = 5)),
 
+    // THE corpus build, end-to-end in one declarative plan: per-language
+    // quality pruning ∧ exact-dedup keepers ∧ eval-slice + contamination
+    // removal → token-budget sequence packing of the survivors. Catalyst
+    // sees the whole composition, so column pruning/filter pushdown cross
+    // the operator boundaries; each stage keeps its own proven scale shape.
+    "pipeline_corpus_build" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = TextAnalysis.qualityPrune(d).select("doc_id")
+      val keepers = Dedup.exact(d).select("doc_id")
+      val contaminated = Dedup.decontaminate(d).select("doc_id")
+      val train = d.filter(col("doc_id") % 11 =!= 0) // eval slice never trains
+        .join(kept, "doc_id").join(keepers, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      ext.Packing.pack(train)
+    }),
+
     // composite training-data pipeline: quality gate + exact-dedup keepers —
     // the filter→dedup→retain shape every corpus build runs
     "pipeline_filter_dedup" -> ((s, dir) => {
@@ -422,6 +438,43 @@ object ExtQueries {
         |            FROM documents GROUP BY 1))
         |SELECT g.*, d.*, round(n_tokens / n_docs, 6) AS mean_tokens
         |FROM g CROSS JOIN d""".stripMargin,
+
+    // full corpus build: quality-prune ∧ keepers ∧ decontaminate → pack,
+    // each CTE the proven oracle fragment of its standalone query
+    "pipeline_corpus_build" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    round(100e0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+        |      * least(1e0, len(string_split(text, ' ')) / 30e0), 6) AS quality_score
+        |  FROM documents),
+        |kept AS (SELECT doc_id FROM
+        |         (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY quality_score) AS p FROM q)
+        |         WHERE p >= 0.1),
+        |keepers AS (SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 80))) AS keeper
+        |  FROM documents) WHERE doc_id = keeper),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh5 AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 3),
+        |                 i -> array_to_string(w[i:i+4], ' '))) AS shingle
+        |        FROM toks WHERE len(w) >= 5),
+        |hits AS (SELECT DISTINCT t.doc_id
+        |         FROM sh5 t JOIN sh5 e ON t.shingle = e.shingle
+        |         WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0),
+        |final AS (SELECT d.source, d.doc_id,
+        |            CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+        |          FROM documents d
+        |          JOIN kept ON d.doc_id = kept.doc_id
+        |          JOIN keepers ON d.doc_id = keepers.doc_id
+        |          WHERE d.doc_id % 11 != 0
+        |            AND d.doc_id NOT IN (SELECT doc_id FROM hits)),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM final)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 256 AS first_seq,
+        |  (cum - 1) // 256 AS last_seq,
+        |  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "pipeline_pack" ->
       """WITH t AS (SELECT source, doc_id,
@@ -844,5 +897,5 @@ object ExtQueries {
     "embedding_kmeans", "text_winnow_pairs", "embedding_cluster_sample",
     "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
     "events_top_users", "events_funnel_steps", "dedup_incremental",
-    "text_search")
+    "text_search", "pipeline_corpus_build")
 }
