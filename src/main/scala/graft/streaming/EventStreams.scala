@@ -80,10 +80,20 @@ object EventStreams {
     * In-batch ordering: events inside one micro-batch are sorted by
     * (ts, event_id) before folding, so the result matches the batch
     * window-function formulation on the same data. */
-  def sessionize(events: Dataset[Event], gapMillis: Long = 1800000L): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapMillis: Long = 1800000L,
+                 numberingRetentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
 
+    // When a session closes by event-time timeout, the state is not removed
+    // outright: a NUMBERING TOMBSTONE (nEvents == 0) carrying the next
+    // sessionSeq stays behind so the user's per-session ordinals keep
+    // counting across idle periods — exactly the batch numbering (the
+    // random-split equivalence spec holds because of this). The tombstone
+    // itself expires after `numberingRetentionMs` of inactivity, so state
+    // stays O(users active within the retention horizon), not O(all users
+    // ever seen); after retention a returning user restarts at 1
+    // (documented bounded-state trade-off).
     def fold(userId: Long, it: Iterator[Event],
              state: GroupState[SessionState]): Iterator[SessionOut] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
@@ -91,8 +101,13 @@ object EventStreams {
 
       if (state.hasTimedOut) {
         if (st != null) {
-          out += SessionOut(userId, st.sessionSeq, st.nEvents, st.startMs, st.lastMs, st.sumValue)
-          state.remove()
+          if (st.nEvents == 0L) state.remove() // numbering tombstone expired
+          else {
+            out += SessionOut(userId, st.sessionSeq, st.nEvents, st.startMs, st.lastMs, st.sumValue)
+            state.update(SessionState(st.sessionSeq + 1, st.lastMs, st.lastMs, 0L, 0.0))
+            state.setTimeoutTimestamp(
+              math.max(st.lastMs + numberingRetentionMs, state.getCurrentWatermarkMs() + 1))
+          }
         }
         return out.iterator
       }
@@ -116,6 +131,11 @@ object EventStreams {
         val ms = e.ts.getTime
         if (st == null) {
           st = SessionState(1L, ms, ms, 1L, e.value)
+        } else if (st.nEvents == 0L) {
+          // numbering tombstone: any event reaching it is post-watermark,
+          // hence > old lastMs + gap — always a fresh session, continuing
+          // the carried ordinal
+          st = SessionState(st.sessionSeq, ms, ms, 1L, e.value)
         } else if (ms < st.startMs - gapMillis) {
           if (late != null && ms - late.lastMs > gapMillis) flushLate()
           late =

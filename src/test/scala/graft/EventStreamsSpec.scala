@@ -48,6 +48,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize equals batch under RANDOM in-order micro-batch splits (200 events)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    // 200 in-order events over 5 users with random gaps up to 50 min —
+    // many sessions split across random batch boundaries
+    var t = 1000L
+    val events = (1 to 200).map { i =>
+      t += rnd.nextInt(50 * 60 * 1000).toLong
+      Event(i.toLong, new Timestamp(t), 1L + rnd.nextInt(5), "click", 1.0)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("rand_sessions").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < events.length) {
+        val n = 1 + rnd.nextInt(20)
+        input.addData(events.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      // sentinel advances flush every open session past the watermark
+      for (k <- 1 to 3) {
+        input.addData(Event(10000L + k, new Timestamp(t + k * 36000000L), 9999L, "click", 1.0))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("rand_sessions").collect()
+        .filter(_.getAs[Long]("user_id") != 9999L)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms")))
+        .sorted
+      val batch = graft.ext.Events.sessionize(events.toDF()).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms")))
+        .sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length > 20, s"degenerate fixture: ${streamed.length} sessions")
+    } finally q.stop()
+  }
+
   test("late event more than gap before the open session splits off, never merges") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600000L
