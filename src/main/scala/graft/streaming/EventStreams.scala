@@ -199,12 +199,20 @@ object EventStreams {
     * re-arming at a stale `fromMs + horizon` below the watermark is an
     * `IllegalArgumentException` crash on bursty loads. Expiry: once the
     * watermark passes `fromMs + horizon` (or all pending times, when no
-    * `fromType` was seen) the state is removed, keeping live state
-    * O(users inside their horizon window). */
+    * `fromType` was seen) the heavy state collapses to a MEMORY TOMBSTONE
+    * pinning the first-ever `fromMs` and the converted latch — without it,
+    * a post-horizon re-signup would re-enter the funnel and emit a second
+    * conversion, where the batch operator keys everything off the user's
+    * FIRST signup (caught by the random-events differential spec). The
+    * tombstone expires `memoryRetentionMs` after `fromMs`, keeping state
+    * O(users active within retention) rather than O(users ever seen);
+    * beyond retention a returning user re-enters as new (documented
+    * bounded-state trade-off, same policy as sessionize numbering). */
   def funnelConversions(events: Dataset[Event], fromType: String = "signup",
                         toType: String = "purchase",
                         horizonMs: Long = 604800000L,
-                        watermark: String = "2 hours"): Dataset[ConversionOut] = {
+                        watermark: String = "2 hours",
+                        memoryRetentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[ConversionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -256,10 +264,18 @@ object EventStreams {
         }
       }
       st = resolve(userId, st, wm, out)
-      val expired =
+      val horizonPassed =
         if (st.fromMs != noFrom) wm > st.fromMs + horizonMs
         else st.pendingTo.isEmpty
-      if (expired) state.remove()
+      if (horizonPassed) {
+        if (st.fromMs == noFrom || wm > st.fromMs + memoryRetentionMs) state.remove()
+        else {
+          // memory tombstone: first fromMs + converted latch, no pending
+          state.update(st.copy(pendingTo = Nil))
+          state.setTimeoutTimestamp(
+            math.max(st.fromMs + memoryRetentionMs + 1, wm + 1))
+        }
+      }
       else {
         state.update(st)
         val arm =

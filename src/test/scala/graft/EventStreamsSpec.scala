@@ -258,6 +258,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel equals an independent Scala reference on 300 random in-order events") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(99)
+    val types = Seq("signup", "click", "purchase", "view")
+    var t = 1000L
+    val events = (1 to 300).map { i =>
+      t += rnd.nextInt(3 * 3600 * 1000).toLong // gaps up to 3h
+      Event(i.toLong, new Timestamp(t), 1L + rnd.nextInt(8), types(rnd.nextInt(types.length)), 1.0)
+    }
+    val horizon = 604800000L
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelConversions(input.toDS()).writeStream
+      .format("memory").queryName("funnel_rand").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < events.length) {
+        val n = 1 + rnd.nextInt(25)
+        input.addData(events.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      // watermark pushes past every from+horizon endpoint
+      for (k <- 1 to 3) {
+        input.addData(Event(9000L + k, new Timestamp(t + k * horizon), 999L, "click", 1.0))
+        q.processAllAvailable()
+      }
+      val got = spark.table("funnel_rand")
+        .filter(col("user_id") =!= 999L)
+        .select("user_id", "from_ms", "to_ms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // independent reference: plain Scala over the event list
+      val want = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val from = evs.filter(_.event_type == "signup").map(_.ts.getTime)
+          .minOption
+        from.flatMap { f =>
+          evs.filter(e => e.event_type == "purchase" &&
+              e.ts.getTime >= f && e.ts.getTime <= f + horizon)
+            .map(_.ts.getTime).minOption.map(to => (u, f, to))
+        }
+      }.toSet
+      assert(got === want)
+      assert(want.nonEmpty, "degenerate fixture: no conversions")
+    } finally q.stop()
+  }
+
   test("anomaly counts a late in-watermark event into its hour before finalization") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600000L
