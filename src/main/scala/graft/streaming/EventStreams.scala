@@ -373,10 +373,17 @@ object EventStreams {
     * State per user is BOUNDED despite "first day ever" semantics: once
     * the watermark passes cohortDay + maxDays the user can never produce
     * another in-horizon hit (later activity exceeds maxDays; earlier
-    * activity would be below the watermark), so the state is removed —
-    * live state is O(users inside their retention horizon). */
+    * activity would be below the watermark), so the heavy state collapses
+    * to a MEMORY TOMBSTONE pinning the cohort day — without it, a user
+    * returning after the horizon would found a spurious NEW cohort (the
+    * batch operator's cohort is the first day EVER; caught by the
+    * random-events differential spec). The tombstone expires
+    * `memoryRetentionMs` after the cohort day — state is O(users active
+    * within retention), and beyond it a returning user re-enters as new
+    * (same bounded-memory policy as sessionize/funnel). */
   def retentionHits(events: Dataset[Event], maxDays: Int = 7,
-                    watermark: String = "2 hours"): Dataset[RetentionHit] = {
+                    watermark: String = "2 hours",
+                    memoryRetentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[RetentionHit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val dayMs = 86400000L
@@ -406,7 +413,16 @@ object EventStreams {
       val horizonEndMs =
         if (st.cohortDay == Long.MaxValue) Long.MaxValue
         else (st.cohortDay + maxDays + 1) * dayMs
-      if (horizonEndMs <= wm) state.remove() // no further in-horizon hit possible
+      if (horizonEndMs <= wm) {
+        // no further in-horizon hit possible — keep only the cohort memory
+        if (st.cohortDay == Long.MaxValue ||
+            st.cohortDay * dayMs + memoryRetentionMs <= wm) state.remove()
+        else {
+          state.update(RetentionState(st.cohortDay, Set.empty, Set.empty))
+          state.setTimeoutTimestamp(
+            math.max(st.cohortDay * dayMs + memoryRetentionMs + 1, wm + 1))
+        }
+      }
       else {
         state.update(st)
         // wake when the next pending day (or the cohort day) finalizes;

@@ -269,7 +269,10 @@ class EventStreamsSpec extends AnyFunSuite {
     }
     val horizon = 604800000L
     val input = MemoryStream[Event]
-    val q = EventStreams.funnelConversions(input.toDS()).writeStream
+    // memory retention must exceed the fixture's ~40-day span so the first
+    // signup is remembered across every re-entry
+    val q = EventStreams.funnelConversions(input.toDS(),
+        memoryRetentionMs = 200L * 86400000L).writeStream
       .format("memory").queryName("funnel_rand").outputMode("append").start()
     try {
       var idx = 0
@@ -377,6 +380,50 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got === expect, s"got=$got expect=$expect")
       // sanity: u1's cohort is day 0 despite day-3-first delivery
       assert(got.exists { case (cd, off, _) => cd == "1970-01-01" && off == 3 })
+    } finally q.stop()
+  }
+
+  test("retention hits equal an independent Scala reference on random events spanning re-entries") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val d = 86400000L
+    // users active over ~40 days — far past the 7-day horizon, so state
+    // expiry + later activity (the re-entry path) is exercised
+    var t = 1000L
+    val events = (1 to 250).map { i =>
+      t += rnd.nextInt((4 * d).toInt).toLong
+      Event(i.toLong, new Timestamp(t), 1L + rnd.nextInt(6), "click", 1.0)
+    }
+    val input = MemoryStream[Event]
+    // memory retention must exceed the fixture's ~500-day span so the
+    // first-ever cohort is remembered across every re-entry
+    val q = EventStreams.retentionHits(input.toDS(), watermark = "240 hours",
+        memoryRetentionMs = 1000L * d).writeStream
+      .format("memory").queryName("retention_rand").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < events.length) {
+        val n = 1 + rnd.nextInt(25)
+        input.addData(events.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      input.addData(Event(9001L, new Timestamp(t + 30 * d), 999L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("retention_rand")
+        .filter(col("user_id") =!= 999L)
+        .select("user_id", "cohort_day", "day_offset").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString, r.getInt(2))).toSet
+      // independent reference: cohort = first-ever active day; distinct
+      // active days within 7 days of it
+      val want = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val days = evs.map(_.ts.getTime / d).distinct
+        val cohort = days.min
+        days.filter(day => day - cohort <= 7).map(day =>
+          (u, java.time.LocalDate.ofEpochDay(cohort).toString, (day - cohort).toInt))
+      }.toSet
+      assert(got === want)
+      assert(want.nonEmpty)
     } finally q.stop()
   }
 
