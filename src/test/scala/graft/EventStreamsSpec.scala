@@ -467,6 +467,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly equals the batch operator on random events under random splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val h = 3600000L
+    val types = Seq("click", "view")
+    var t = 1000L
+    val events = (1 to 400).map { i =>
+      t += rnd.nextInt((h / 3).toInt).toLong // ~3 events/hour over ~45 hours
+      Event(i.toLong, new Timestamp(t), 42L, types(rnd.nextInt(2)), 1.0)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalyHourly(input.toDS()).writeStream
+      .format("memory").queryName("anomaly_rand").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < events.length) {
+        val n = 1 + rnd.nextInt(30)
+        input.addData(events.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      input.addData(Event(9001L, new Timestamp(t + 100 * h), 999L, "sentinel", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("anomaly_rand")
+        .filter(col("event_type") =!= "sentinel")
+        .select("hour_ms", "event_type", "n", "baseline", "spike_score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      import spark.implicits._
+      val batchDf = events.map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val expect = graft.ext.Events.anomalyHourly(batchDf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      assert(got === expect)
+      assert(got.size > 40, s"degenerate fixture: ${got.size} scored buckets")
+    } finally q.stop()
+  }
+
   test("streaming anomaly equals the batch operator over finalized hours") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600000L
