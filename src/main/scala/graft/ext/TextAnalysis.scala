@@ -129,8 +129,15 @@ object TextAnalysis {
     * lexicographically smallest among ties — the same tie-break the
     * groupBy/argmax formulation (and the DuckDB oracle) uses. Spark HOF
     * lambdas cannot let-bind, so the run-length subexpression repeats (a
-    * string equality + add — cheap). */
-  private def modalExpr(arr: String): String =
+    * string equality + add — cheap).
+    *
+    * This SQL formulation is the oracle-portable reference; the engine
+    * runs the value-identical native `modal_run` expression instead —
+    * the nested HOF fold pays one boxed lambda struct per array element
+    * (it was the slowest line of the r3 bench at 4.3 s), the compiled
+    * run-length loop doesn't. [[graft.GraftFunctionsSpec]] asserts
+    * expression-vs-SQL equality including tie/null cases. */
+  private[graft] def modalExpr(arr: String): String =
     s"""aggregate(array_sort($arr),
        |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
        |               'bestc', CAST(0 AS BIGINT), 'bestv', CAST(NULL AS STRING)),
@@ -142,7 +149,8 @@ object TextAnalysis {
        |    'bestv', IF(IF(x <=> acc.prev, acc.run + 1L, 1L) > acc.bestc, x, acc.bestv)),
        |  acc -> named_struct('v', acc.bestv, 'c', acc.bestc))""".stripMargin
 
-  def repetition(docs: DataFrame): DataFrame =
+  def repetition(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
       // docs without a bigram (single token) are dropped, matching the
       // groupBy-formulation oracle's inner join against the bigram side
@@ -150,9 +158,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("size(w)").as("n_tokens"),
         expr("size(array_distinct(w))").as("n_distinct"),
-        expr(modalExpr("w")).as("tk"),
-        expr(modalExpr(
-          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        expr("modal_run(w)").as("tk"),
+        expr(
+          "modal_run(transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))")
           .as("bg"))
       .select(col("doc_id"), col("n_tokens"),
         expr("round(1e0 - n_distinct / n_tokens, 6)").as("dup_token_ratio"),
@@ -161,6 +169,7 @@ object TextAnalysis {
         col("bg.v").as("top_bigram"), col("bg.c").as("top_bigram_count"),
         expr("round(bg.c / (n_tokens - 1), 6)").as("top_bigram_ratio"))
       .orderBy("doc_id")
+  }
 
   /** Document fingerprinting: a 31-ary rolling polynomial hash mod 1e9+7
     * over the character stream (the classic Rabin-Karp fingerprint) plus the
@@ -226,10 +235,12 @@ object TextAnalysis {
     * HLL sketch); the ordering properties are spec-asserted instead. */
   def compressRatio(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // octet_length, not length: deflate_len compresses UTF-8 BYTES, so the
+    // ratio must be bytes-over-bytes or multibyte corpora overstate it
     docs.select(col("doc_id"),
-      expr("CAST(length(text) AS BIGINT)").as("byte_len"),
+      expr("CAST(octet_length(text) AS BIGINT)").as("byte_len"),
       expr("deflate_len(text)").as("deflate_len"),
-      expr("round(deflate_len(text) / length(text), 6)").as("compress_ratio"))
+      expr("round(deflate_len(text) / octet_length(text), 6)").as("compress_ratio"))
       .orderBy("doc_id")
   }
 
@@ -351,10 +362,11 @@ object TextAnalysis {
   def search(docs: DataFrame, queryTerms: Seq[String] = Seq("spark", "join", "hash"),
              k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty)
-    val termList = queryTerms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    // isin, not SQL-string interpolation: a quoted term would need
+    // backslash escaping ('' is concatenation in Spark SQL, not an escape)
     val tf = Dedup.spread(docs)
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))
-      .filter(expr(s"term IN ($termList)"))
+      .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dft), "term")
@@ -364,8 +376,14 @@ object TextAnalysis {
     // top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
     // heaps, no global sort), so the global rank window only ever sees k
     // rows; ranking all matches with a partitionless window would funnel
-    // every matching doc through one partition at scale
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    // every matching doc through one partition at scale. The rank window
+    // on that k-row relation is intentionally one partition; partitioning
+    // it by the constant-valued pmod(doc_id, 1) (= 0 for every row, but
+    // not foldable — a bare lit would be constant-folded back to an empty
+    // spec) keeps WindowExec from logging its move-all-data warning in
+    // every bench run over a window that holds ≤ k rows by construction.
+    val w = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("score").desc, col("doc_id").asc)
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w))
       .select(col("rank").cast("int").as("rank"), col("doc_id"),

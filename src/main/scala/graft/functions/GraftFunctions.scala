@@ -205,6 +205,43 @@ object MinHashOps {
     acc
   }
 
+  /** Modal element of a string array and its count — the run-length fold
+    * over the sorted array, compiled. Value-identical to the SQL
+    * aggregate-over-array_sort formulation it replaces
+    * ([[graft.ext.TextAnalysis.modalExpr]]): ascending sort with nulls
+    * last (array_sort's default), null-safe run equality (x <=> prev),
+    * strict `>` on the best-run update so the FIRST maximal run wins —
+    * in ascending order that is the lexicographically smallest among
+    * ties, the same tie-break as the groupBy/argmax oracle. Empty array
+    * → (null, 0). */
+  def modalRun(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val xs = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      xs(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    java.util.Arrays.sort(xs, (a: UTF8String, b: UTF8String) =>
+      if (a eq b) 0 else if (a == null) 1 else if (b == null) -1 else a.compareTo(b))
+    var prev: UTF8String = null
+    var run = 0L
+    var bestC = 0L
+    var bestV: UTF8String = null
+    i = 0
+    while (i < n) {
+      val x = xs(i)
+      val eq = if (x == null) prev == null else prev != null && x.equals(prev)
+      run = if (eq) run + 1 else 1L
+      if (run > bestC) { bestC = run; bestV = x }
+      prev = x
+      i += 1
+    }
+    // clone: the winning UTF8String may view a buffer the scan reuses
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (bestV == null) null else bestV.clone(), bestC))
+  }
+
   /** DEFLATE-compressed byte length of the text (zlib level 6, raw stream).
     * The compression-ratio quality signal: highly repetitive/boilerplate
     * text compresses far below diverse prose. JVM Deflater is deterministic
@@ -327,6 +364,20 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** modal_run(array<string>) → struct<v: string, c: bigint>: the modal
+  * element and its count (see MinHashOps.modalRun). */
+case class ModalRun(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("v", StringType, nullable = true),
+    StructField("c", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.modalRun(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.modalRun($c)")
+  override protected def withNewChildInternal(newChild: Expression): ModalRun =
+    copy(child = newChild)
+}
+
 /** minhash_union(array<bigint>) → array<bigint>: elementwise-min aggregate
   * of MinHash signatures. min distributes over set union, so the result IS
   * the signature of the union of the aggregated shingle sets. As a
@@ -405,15 +456,20 @@ case class VecSumAgg(
     if (v == null) return buffer
     val xs = v.asInstanceOf[ArrayData].toLongArray()
     if (buffer.isEmpty) return xs.clone()
-    val n = math.min(xs.length, buffer.length)
+    // fail fast on mixed dimensions — silent truncation here and an
+    // index error in merge would be a data-dependent inconsistency
+    require(xs.length == buffer.length,
+      s"vec_sum_agg: mixed vector dimensions (${xs.length} vs ${buffer.length})")
     var i = 0
-    while (i < n) { buffer(i) += xs(i); i += 1 }
+    while (i < buffer.length) { buffer(i) += xs(i); i += 1 }
     buffer
   }
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
     if (buffer.isEmpty) return other
     if (other.isEmpty) return buffer
+    require(other.length == buffer.length,
+      s"vec_sum_agg: mixed vector dimensions (${other.length} vs ${buffer.length})")
     var i = 0
     while (i < buffer.length) { buffer(i) += other(i); i += 1 }
     buffer
@@ -462,6 +518,7 @@ object GraftFunctions {
     // raw AggregateFunction: the analyzer's ResolveFunctions wraps it in an
     // AggregateExpression, so `agg(expr("minhash_union(sig)"))` just works
     "minhash_union" -> { es => MinHashUnion(es.head) },
+    "modal_run"     -> { es => ModalRun(es.head) },
     "vec_sum_agg"   -> { es => VecSumAgg(es.head) },
     "deflate_len"   -> { es => DeflateLen(es.head) })
 

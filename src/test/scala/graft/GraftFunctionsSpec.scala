@@ -91,6 +91,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(native.queryExecution.executedPlan.toString.contains("partial_vec_sum_agg"))
   }
 
+  test("modal_run equals the sorted-run HOF fold on real docs and edge cases") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(200)
+      .select(expr("split(text, ' ')").as("w"))
+    val out = docs.select(
+      expr("modal_run(w)").as("native"),
+      expr(graft.ext.TextAnalysis.modalExpr("w")).as("hof")).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
+    // ties (lexicographically-first winner), single element, empty array
+    val edges = Seq(
+      Seq("b", "a", "b", "a"),  // tie 2-2 → "a"
+      Seq("z", "y", "z"),       // clear winner "z"
+      Seq("only"),
+      Seq.empty[String]).toDF("w")
+    val eout = edges.select(
+      expr("modal_run(w)").as("native"),
+      expr(graft.ext.TextAnalysis.modalExpr("w")).as("hof")).collect()
+    eout.foreach(r => assert(r.getStruct(0) === r.getStruct(1)))
+    assert(eout(0).getStruct(0).getString(0) === "a")
+    assert(eout(0).getStruct(0).getLong(1) === 2L)
+    assert(eout(3).getStruct(0).isNullAt(0) && eout(3).getStruct(0).getLong(1) === 0L)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
     val plan = e.select(expr("vec_normq(embedding)").as("n"))
