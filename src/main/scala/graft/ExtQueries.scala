@@ -42,11 +42,23 @@ object ExtQueries {
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
     "dedup_keepers"          -> ((s, dir) => Dedup.keepers(docs(s, dir))),
     "dedup_incremental"      -> ((s, dir) => Dedup.incremental(docs(s, dir))),
+    // the stored-index twin: build the historical band store once per
+    // fixture (idempotent — skipped when the marker exists), then run the
+    // daily-increment query against it; the returned plan scans the STORE
+    // for the historical side, never the historical documents text
+    "dedup_incremental_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = s"/tmp/graft_band_store_v1_${Integer.toHexString(dir.hashCode)}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/hashes/_SUCCESS")))
+        Dedup.buildBandStore(d.filter(col("doc_id") % 7 =!= 0), store)
+      Dedup.incrementalStored(d.filter(col("doc_id") % 7 === 0), store)
+    }),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
+    "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
     "embedding_cluster_sample" -> ((s, dir) => Similarity.clusterSample(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
@@ -177,6 +189,59 @@ object ExtQueries {
       |           FROM embeddings),
       |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n FROM q GROUP BY vec_id)""".stripMargin
 
+  /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
+    * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
+    * variants (the band store is a materialization, not a semantic change). */
+  private val incrementalOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |       FROM toks WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT i.doc_id AS inc_id, h.doc_id AS hist_id, count(*) AS c
+      |          FROM sh h JOIN sh i ON h.shingle = i.shingle
+      |          WHERE h.doc_id % 7 != 0 AND i.doc_id % 7 = 0
+      |          GROUP BY 1, 2)
+      |SELECT inc_id, hist_id, round(c / (si.n_sh + sh2.n_sh - c), 6) AS jaccard
+      |FROM inter JOIN sz si ON inter.inc_id = si.doc_id
+      |           JOIN sz sh2 ON inter.hist_id = sh2.doc_id
+      |WHERE c / (si.n_sh + sh2.n_sh - c) >= 0.8
+      |ORDER BY inc_id, hist_id""".stripMargin
+
+  /** `iters` chained Lloyd rounds as CTE blocks, replaying
+    * [[graft.ext.Similarity.kmeansRun]] exactly: c1 = the raw quantizer
+    * vectors; each round t computes centroid norms (n_t), exact integer
+    * dots (d_t), the argmax-cosine assignment with lower-cluster_id
+    * tie-break (a_t), and the next round's sum-vector centroids (c_{t+1}).
+    * Output = member counts of the FINAL assignment joined to the final
+    * sums. */
+  private def kmeansRunOracleSql(iters: Int): String = {
+    val blocks = (1 to iters).map { t =>
+      s"""n$t AS (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM c$t GROUP BY cluster_id),
+         |d$t AS (SELECT qv.vec_id, c.cluster_id, CAST(sum(qv.x * c.x) AS BIGINT) AS dot
+         |        FROM q qv JOIN c$t c ON qv.i = c.i GROUP BY 1, 2),
+         |a$t AS (SELECT vec_id, cluster_id FROM (
+         |          SELECT d$t.vec_id, d$t.cluster_id,
+         |            row_number() OVER (PARTITION BY d$t.vec_id
+         |              ORDER BY d$t.dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(cn.n AS DOUBLE))) DESC,
+         |                       d$t.cluster_id ASC) AS r
+         |          FROM d$t JOIN nrm nv ON d$t.vec_id = nv.vec_id
+         |                   JOIN n$t cn ON d$t.cluster_id = cn.cluster_id)
+         |        WHERE r = 1),
+         |c${t + 1} AS (SELECT a$t.cluster_id, q.i, CAST(sum(q.x) AS BIGINT) AS x
+         |        FROM a$t JOIN q ON q.vec_id = a$t.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$quantCte,
+       |c1 AS (SELECT vec_id AS cluster_id, i, x FROM q WHERE vec_id >= 100 AND vec_id < 116),
+       |$blocks,
+       |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM a$iters GROUP BY cluster_id)
+       |SELECT s.cluster_id AS cluster_id, CAST(s.i - 1 AS INT) AS dim, m.n_members,
+       |       s.x AS sum_x, round(s.x / m.n_members, 6) AS mean_x
+       |FROM c${iters + 1} s JOIN m ON s.cluster_id = m.cluster_id
+       |ORDER BY cluster_id, dim""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "text_quality" ->
       """SELECT doc_id,
@@ -265,22 +330,18 @@ object ExtQueries {
 
     // cross-side exact-Jaccard: historical (doc_id % 7 != 0) × incoming
     // (doc_id % 7 = 0); the engine's band join has P[miss | J>=0.8] ~ 5e-8
-    "dedup_incremental" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, len(w) - 1),
-        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
-        |       FROM toks WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT i.doc_id AS inc_id, h.doc_id AS hist_id, count(*) AS c
-        |          FROM sh h JOIN sh i ON h.shingle = i.shingle
-        |          WHERE h.doc_id % 7 != 0 AND i.doc_id % 7 = 0
-        |          GROUP BY 1, 2)
-        |SELECT inc_id, hist_id, round(c / (si.n_sh + sh2.n_sh - c), 6) AS jaccard
-        |FROM inter JOIN sz si ON inter.inc_id = si.doc_id
-        |           JOIN sz sh2 ON inter.hist_id = sh2.doc_id
-        |WHERE c / (si.n_sh + sh2.n_sh - c) >= 0.8
-        |ORDER BY inc_id, hist_id""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
+
+    // the stored-index variant computes the SAME relation — the store is a
+    // materialization of the historical band index, not a semantic change
+    "dedup_incremental_stored" -> incrementalOracleSql,
+
+    // k-means to convergence: 3 chained Lloyd rounds. Centroids after
+    // round 1 are the UNNORMALIZED member-sum vectors (cosine is
+    // scale-invariant, and integer sums keep every dot/norm exact across
+    // engines); assignment ties break to the lower cluster_id, exactly the
+    // engine's array_position first-max.
+    "embedding_kmeans_run" -> kmeansRunOracleSql(3),
 
     // the engine's banded LSH has P[miss | J>=0.8] ~ 5e-8, so the pair set
     // equals the exact-Jaccard pairs; the cluster ids are then the TRUE
@@ -897,5 +958,6 @@ object ExtQueries {
     "embedding_kmeans", "text_winnow_pairs", "embedding_cluster_sample",
     "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
     "events_top_users", "events_funnel_steps", "dedup_incremental",
-    "text_search", "pipeline_corpus_build")
+    "text_search", "pipeline_corpus_build",
+    "dedup_incremental_stored", "embedding_kmeans_run")
 }

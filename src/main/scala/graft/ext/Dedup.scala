@@ -180,6 +180,12 @@ object Dedup {
     * listing. Default None = exact (the oracle's semantics); the bucket
     * count window shares the (band, bsig) partitioning the join needs, so
     * enabling it adds no extra shuffle. */
+  /** 32 band signatures (4 rows each) of a 128-wide `sig` column — md5 of
+    * each 4-slice; shared by every LSH consumer so band layouts can never
+    * diverge between the batch, incremental, and stored-index paths. */
+  private val bandSigsExpr: String =
+    "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"
+
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  maxBandBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -200,9 +206,7 @@ object Dedup {
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
       .withColumn("sig", expr("minhash_sig(h60)"))
     val allBands = sig.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
-        .as(Seq("band", "bsig")))
+      posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))
     val bands = maxBandBucket.fold(allBands) { cap =>
       val w = Window.partitionBy("band", "bsig")
       allBands.withColumn("__bc", count(lit(1)).over(w))
@@ -249,9 +253,7 @@ object Dedup {
         .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
         .withColumn("sig", expr("minhash_sig(h60)"))
       sig.select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"))
-          .as(Seq("band", "bsig")))
+        posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))
     }
     val base = spread(docs)
     val hist = base.filter(col("doc_id") % mod =!= 0)
@@ -264,6 +266,66 @@ object Dedup {
     pairs
       .join(h.toDF("inc_id", "si"), "inc_id")
       .join(h.toDF("hist_id", "sh"), "hist_id")
+      .withColumn("c", expr("size(array_intersect(si, sh))"))
+      .withColumn("jaccard", expr("c / (size(si) + size(sh) - c)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("hist_id"), expr("round(jaccard, 6)").as("jaccard"))
+      .orderBy("inc_id", "hist_id")
+  }
+
+  /** Materialize the historical side's LSH index — the precompute
+    * [[incremental]]'s doc promises. Two relations:
+    *
+    *  - `bands`  (hist_id, band, bsig): the banded MinHash index, written
+    *    range-clustered on (band, bsig) via [[graft.ops.Scale.clusteredParquet]]
+    *    so an incoming band probe prunes to the files covering its key range;
+    *  - `hashes` (hist_id, sh): the per-doc distinct shingle-hash arrays the
+    *    exact-Jaccard verify needs, clustered on hist_id (the verify join key).
+    *
+    * In production this runs once per store snapshot (or appends per
+    * increment); every daily run then reads the index, never the
+    * historical TEXT. */
+  def buildBandStore(hist: DataFrame, storeDir: String): Unit = {
+    graft.functions.GraftFunctions.register(hist.sparkSession)
+    val sig = spread(hist)
+      .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+      .withColumn("sig", expr("minhash_sig(h60)"))
+    graft.ops.Scale.clusteredParquet(
+      sig.select(col("doc_id").as("hist_id"),
+        posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig"))),
+      s"$storeDir/bands", Seq("band", "bsig"), numFiles = 8)
+    graft.ops.Scale.clusteredParquet(
+      sig.select(col("doc_id").as("hist_id"), col("h60").as("sh")),
+      s"$storeDir/hashes", Seq("hist_id"), numFiles = 8)
+  }
+
+  /** [[incremental]] against a PRECOMPUTED band store (see
+    * [[buildBandStore]]): the run pays the incoming side's signatures plus
+    * one equi-join against the stored index — the historical `documents`
+    * text is never rescanned (plan-asserted in PlanSpec: the only
+    * documents scans are the incoming side's). Same oracle as
+    * [[incremental]] when the store was built from the complementary
+    * doc_id % mod slice. At 100 TB this is the shape that matters: the
+    * store is ~1% of corpus bytes (8-byte hashes + 32 band keys/doc), and
+    * the daily cost is O(increment), not O(store). */
+  def incrementalStored(incoming: DataFrame, storeDir: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val spark = incoming.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val histBands = spark.read.parquet(s"$storeDir/bands")
+    val histHashes = spark.read.parquet(s"$storeDir/hashes")
+    val incSig = spread(incoming)
+      .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+      .withColumn("sig", expr("minhash_sig(h60)"))
+    val incBands = incSig.select(col("doc_id").as("inc_id"),
+      posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))
+    val pairs = histBands.join(incBands, Seq("band", "bsig"))
+      .select("inc_id", "hist_id").distinct()
+    val incH = spread(incoming)
+      .select(col("doc_id").as("inc_id"), expr("shingle_hash60(text, 3)").as("si"))
+    pairs
+      .join(incH, "inc_id")
+      .join(histHashes, "hist_id")
       .withColumn("c", expr("size(array_intersect(si, sh))"))
       .withColumn("jaccard", expr("c / (size(si) + size(sh) - c)"))
       .filter(col("jaccard") >= threshold)

@@ -97,6 +97,14 @@ object Similarity {
     * collected and rendered as array literals — quantizers are RAM-resident
     * by design (nList ≈ √n is ~32k rows even at 10⁹ vectors). */
   private final case class Quantizer(cq: String, cn: String, cid: String)
+
+  /** Cosine-to-each-centroid scores array over folded centroid literals
+    * (`cq` = vector-of-vectors, `cn` = squared norms) — the shared narrow
+    * assignment kernel of ivfTopK / kmeansStep / kmeansRun / clusterSample. */
+  private def centroidScoresExpr(cq: String, cn: String, n: Int): String =
+    s"""transform(sequence(0, ${n - 1}), i ->
+       |  vec_dotl(q, element_at($cq, i + 1))
+       |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at($cn, i + 1) AS DOUBLE))))""".stripMargin
   private def foldQuantizer(vecs: DataFrame, nList: Int, centroidBase: Int): Quantizer = {
     val cents = vecs
       .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
@@ -115,11 +123,7 @@ object Similarity {
     val vecs = quantized(embeddings)
     val qz = foldQuantizer(vecs, nList, centroidBase)
     val (cqLit, cnLit, cidLit) = (qz.cq, qz.cn, qz.cid)
-    val scoresExpr =
-      s"""transform(sequence(0, ${nList - 1}), i ->
-         |  vec_dotl(q, element_at($cqLit, i + 1))
-         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at($cnLit, i + 1) AS DOUBLE))))""".stripMargin
-    val scored = vecs.withColumn("scores", expr(scoresExpr))
+    val scored = vecs.withColumn("scores", expr(centroidScoresExpr(cqLit, cnLit, nList)))
     // one narrow pass: every corpus vector lands in its argmax-cosine list
     val assigned = scored
       .withColumn("list_id",
@@ -169,11 +173,7 @@ object Similarity {
                  centroidBase: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)
     val qz = foldQuantizer(vecs, nList, centroidBase)
-    val scoresExpr =
-      s"""transform(sequence(0, ${nList - 1}), i ->
-         |  vec_dotl(q, element_at(${qz.cq}, i + 1))
-         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(${qz.cn}, i + 1) AS DOUBLE))))""".stripMargin
-    val assigned = vecs.withColumn("scores", expr(scoresExpr))
+    val assigned = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
       .withColumn("cluster_id",
         expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
     assigned.groupBy("cluster_id")
@@ -186,6 +186,75 @@ object Similarity {
         col("n_members"), col("sum_x"), col("old_x"),
         expr("round(sum_x / n_members, 6)").as("new_x"),
         expr("round(sum_x / n_members - old_x, 6)").as("shift"))
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** k-means to (near-)convergence — `iters` Lloyd rounds from the same
+    * deterministic quantizer as [[kmeansStep]], the loop corpus curation
+    * actually runs. The iteration discipline mirrors [[Dedup.clusters]]'s,
+    * on the vector side:
+    *
+    *  - each round's centroids are collected (nList rows — coarse
+    *    quantizers are RAM-resident by design, same as [[foldQuantizer]])
+    *    and CONSTANT-FOLDED into the next round's assignment expression,
+    *    so every round is one narrow corpus scan + one `vec_sum_agg`
+    *    partial-agg shuffle, and lineage never grows (each plan starts at
+    *    the parquet scan — no localCheckpoint needed);
+    *  - centroids are the UNNORMALIZED member-sum vectors: cosine is
+    *    scale-invariant, so argmax against the sum direction ≡ argmax
+    *    against the mean, while dots/norms stay exact BIGINTs the oracle
+    *    replays bit-for-bit (a mean-vector centroid would need
+    *    order-sensitive double sums in an aggregate — engine-divergent).
+    *    Bound: |component| ≤ members·10⁴, so the squared norm stays in a
+    *    BIGINT while members ≤ ~3.8e6 per cluster with 64 dims — beyond
+    *    that, rescale the store (documented, not hit at any test sf);
+    *  - early stop on the EXACT fixpoint only (next sums == current
+    *    centroids): further rounds are the identity, so stopping cannot
+    *    diverge from the oracle's fixed iteration count;
+    *  - empty clusters drop out (no members → no sum vector), exactly as
+    *    the oracle's GROUP BY does.
+    *
+    * Output per surviving (cluster, dim): member count after the final
+    * assignment, exact component sum, and the mean component. */
+  def kmeansRun(embeddings: DataFrame, nList: Int = 16, centroidBase: Int = 100,
+                iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd round")
+    val vecs = quantized(embeddings)
+    var cents: Array[(Long, Array[Long])] = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
+
+    // one Lloyd round against folded centroid literals: narrow argmax
+    // assignment + the array-typed partial sum (one buffer per
+    // (cluster, task) crosses the shuffle)
+    def step(cs: Array[(Long, Array[Long])]): DataFrame = {
+      val cq = cs.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
+      val cn = cs.map { case (_, v) => v.map(x => x * x).sum }.mkString("array(", "L, ", "L)")
+      val cid = cs.map(_._1).mkString("array(", "L, ", "L)")
+      vecs.withColumn("scores", expr(centroidScoresExpr(cq, cn, cs.length)))
+        .withColumn("cluster_id",
+          expr(s"element_at($cid, CAST(array_position(scores, array_max(scores)) AS INT))"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), expr("vec_sum_agg(q)").as("sums"))
+    }
+
+    var it = 1
+    while (it < iters) {
+      val next = step(cents).orderBy("cluster_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+      val fixpoint = next.length == cents.length &&
+        next.zip(cents).forall { case ((ia, va), (ib, vb)) =>
+          ia == ib && java.util.Arrays.equals(va, vb) }
+      if (fixpoint) it = iters else { cents = next; it += 1 }
+    }
+    step(cents)
+      .select(col("cluster_id"), col("n_members"),
+        posexplode(col("sums")).as(Seq("dim", "sum_x")))
+      .select(col("cluster_id"), col("dim").cast("int").as("dim"),
+        col("n_members"), col("sum_x"),
+        expr("round(sum_x / n_members, 6)").as("mean_x"))
       .orderBy("cluster_id", "dim")
   }
 
@@ -204,11 +273,7 @@ object Similarity {
                     nList: Int = 16, centroidBase: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)
     val qz = foldQuantizer(vecs, nList, centroidBase)
-    val scoresExpr =
-      s"""transform(sequence(0, ${nList - 1}), i ->
-         |  vec_dotl(q, element_at(${qz.cq}, i + 1))
-         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(${qz.cn}, i + 1) AS DOUBLE))))""".stripMargin
-    val assigned = vecs.withColumn("scores", expr(scoresExpr))
+    val assigned = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
       .withColumn("cluster_id",
         expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
     val w = Window.partitionBy("cluster_id")

@@ -213,6 +213,18 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("cosine") === 1.0)
   }
 
+  test("incrementalStored equals the rescan variant against a freshly built store") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_store_spec").toString
+    Dedup.buildBandStore(docs.filter(col("doc_id") % 7 =!= 0), store)
+    val stored = Dedup.incrementalStored(docs.filter(col("doc_id") % 7 === 0), store)
+      .collect().map(_.toSeq).toSeq
+    val rescan = Dedup.incremental(docs).collect().map(_.toSeq).toSeq
+    assert(stored === rescan)
+    assert(stored.nonEmpty)
+  }
+
   test("keepers summarizes clusters: min doc_id kept, member counts add up") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val cl = Dedup.minhashClusters(docs).collect()

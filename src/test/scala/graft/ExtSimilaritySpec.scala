@@ -86,6 +86,35 @@ class ExtSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansRun round 1 reproduces kmeansStep's assignment sums") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val run1 = Similarity.kmeansRun(embs, iters = 1).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("sum_x"))).toMap
+    val step = Similarity.kmeansStep(embs).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("sum_x"))).toMap
+    assert(run1 === step)
+  }
+
+  test("kmeansRun reaches a fixpoint on separated groups and early-stops exactly") {
+    // two tight groups around orthogonal directions with centroids 0 and 1
+    // seeded one in each: assignments are stable from round 1, so the
+    // fixpoint is reached at round 2 and extra iterations are the identity
+    val df = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.05f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.95f, 0.0f)),
+      (4L, Array(0.1f, 0.9f)), (5L, Array(0.0f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val r2 = Similarity.kmeansRun(df, nList = 2, centroidBase = 0, iters = 2)
+      .collect().map(_.toSeq).toSeq
+    val r7 = Similarity.kmeansRun(df, nList = 2, centroidBase = 0, iters = 7)
+      .collect().map(_.toSeq).toSeq
+    assert(r2 === r7)
+    // both clusters survive with all their members
+    assert(r2.map(_.head).distinct.length === 2)
+  }
+
   test("clusterSample takes an exact per-cluster quota, stable under repartitioning") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val out = Similarity.clusterSample(embs, perCluster = 5).collect()

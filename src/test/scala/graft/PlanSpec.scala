@@ -209,6 +209,29 @@ class PlanSpec extends AnyFunSuite {
     assert(bandExchanges.forall(!_.contains("h60")), s"band shuffle carries shingle arrays\n$p")
   }
 
+  test("stored incremental dedup reads the band store, never the historical documents text") {
+    val stored = plan("dedup_incremental_stored")
+    // the historical side scans the persisted store...
+    assert(stored.contains("graft_band_store"), stored)
+    // ...and strictly fewer documents scans than the rescan variant: only
+    // the incoming slice's (bands + hashes) remain
+    def docScans(p: String) =
+      p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans(stored) < docScans(plan("dedup_incremental")),
+      s"stored variant still rescans historical documents\n$stored")
+    assert(!stored.contains("CartesianProduct") && !stored.contains("BroadcastNestedLoopJoin"), stored)
+  }
+
+  test("kmeans run keeps the per-round shape: array-typed partial sum, no corpus joins") {
+    val p = plan("embedding_kmeans_run")
+    assert(p.contains("partial_vec_sum_agg"), p)
+    assert(!p.contains("Join"), p)
+    val lines = p.linesIterator.toVector
+    val gen = lines.indexWhere(_.contains("Generate"))
+    val agg = lines.indexWhere(_.contains("vec_sum_agg"))
+    assert(gen >= 0 && agg >= 0 && gen < agg, s"posexplode must be post-agg\n$p")
+  }
+
   test("search takes top-k with per-partition heaps before the rank window") {
     val p = plan("text_search")
     assert(p.contains("TakeOrderedAndProject"), p)

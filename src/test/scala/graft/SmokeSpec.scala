@@ -32,4 +32,28 @@ class SmokeSpec extends AnyFunSuite {
     assert(h.isDefined && h.get.group(1).toInt === SparkEntry.oracleSql.size,
       s"README hash-match count vs oracleSql.size=${SparkEntry.oracleSql.size}")
   }
+
+  test("BASELINE.md round-context row tracks the latest BENCH artifact (no hand-edit drift)") {
+    // r3's verdict caught this row hand-edited twice (r2: stale local[4];
+    // r3: 43q/38.0s vs the artifact's 46q/50.57s) — so generate the
+    // assertion from the artifact: find the newest BENCH_r*.json, pull the
+    // embedded {"metric":...} line out of its "tail", and require
+    // BASELINE.md to quote exactly "<n> queries, <total> s total".
+    val benches = new java.io.File(".").listFiles()
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName)
+    assume(benches.nonEmpty, "no driver BENCH artifact yet")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tail = om.readTree(benches.last).get("tail").asText()
+    val start = tail.indexOf("{\"metric\"")
+    assert(start >= 0, s"${benches.last.getName} tail holds no metric line")
+    val metric = om.readTree(tail.substring(start).linesIterator.next())
+    val n = metric.get("queries").size()
+    val total = f"${metric.get("value").asDouble()}%.2f"
+    val baseline = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    assert(baseline.contains(s"$n queries, $total s total"),
+      s"BASELINE.md round-context row is stale: regenerate it from " +
+        s"${benches.last.getName} ($n queries, $total s total)")
+  }
 }
