@@ -31,14 +31,14 @@ object SoakGen extends Serializable {
     * ids at fixed strides produced IDENTICAL mod-31 token streams — 80-doc
     * phantom "families" in the first fixture cut. The xor-shift-multiply
     * mixing breaks the linear structure. */
-  @inline private def rand(seed: Long, i: Long): Long = {
+  @inline private[graft] def rand(seed: Long, i: Long): Long = {
     var z = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL + 0x632BE59BD9B4E019L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     (z ^ (z >>> 31)) >>> 1 // non-negative
   }
 
-  private def nTokensOf(id: Long): Int = 44 + (rand(id, 0) % 21).toInt // 44..64
+  private[graft] def nTokensOf(id: Long): Int = 44 + (rand(id, 0) % 21).toInt // 44..64
   private def isOrganic(id: Long): Boolean = id < 100 || rand(id, 1) % 100 >= 6
   private def organicSource(id: Long, slot: Long): Long = {
     var src = id - 1 - (rand(id, slot) % 100)
@@ -46,7 +46,7 @@ object SoakGen extends Serializable {
     src
   }
 
-  private def docText(id: Long, nTokens: Int): String = {
+  private[graft] def docText(id: Long, nTokens: Int): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < nTokens) {

@@ -1,0 +1,181 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming soak — drives the three headline streaming operators
+  * ([[graft.streaming.EventStreams.sessionize]],
+  * [[graft.streaming.EventStreams.funnelConversions]],
+  * [[graft.streaming.DocStreams.ingest]]) through a FILE source at sf1
+  * volume (1M events / 15k users / 30 days; 50k docs / 7 days — 10× the
+  * sf0.1 fixture's shape) on the RocksDB state store, and records per
+  * operator: throughput, micro-batch latency, and the STATE-ROWS SERIES
+  * across batches — the direct evidence for the O(active keys) state
+  * claim (the series must plateau at ~active keys while input keeps
+  * growing, not track cumulative input).
+  *
+  * Input files are written as time-ordered slices and fed
+  * `maxFilesPerTrigger` at a time, so the run exercises genuine
+  * micro-batch progression with an advancing watermark (one giant batch
+  * would test nothing about state retention).
+  *
+  * Usage: `runMain graft.StreamBench [outJson] [nEvents] [nDocs]` —
+  * writes BENCH_streaming.json by default.
+  */
+object StreamBench {
+  private val dayMs = 86400000L
+  private val t0Ms = 1704067200000L // 2024-01-01T00:00:00Z, the fixture epoch
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("BENCH_streaming.json")
+    val nEvents = if (args.length > 1) args(1).toInt else 1000000
+    val nDocs = if (args.length > 2) args(2).toInt else 50000
+    val nUsers = nEvents / 67 // fixture ratio: 100k events / 1500 users
+    val work = "/tmp/graft_stream_soak"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    deleteRec(work)
+
+    // ---- deterministic generators (SoakGen's counter-based LCG) ----------
+    // events: ts ascends with the index (±5 min jitter → real out-of-order
+    // work for the folds) over 30 days; 5 types incl. the funnel's
+    // signup/purchase; value in [0, 10)
+    val types = Array("signup", "click", "purchase", "view", "error")
+    val span = 30L * dayMs
+    val events = spark.range(0, nEvents, 1, 64).map { i =>
+      val base = t0Ms + i * span / nEvents
+      val ts = base + SoakGen.rand(i, 20) % 600000 - 300000
+      (i, new java.sql.Timestamp(ts), SoakGen.rand(i, 21) % nUsers,
+        types((SoakGen.rand(i, 22) % types.length).toInt),
+        (SoakGen.rand(i, 23) % 1000) / 100.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    // docs: 7-day ingest window, ~4% exact clones of an earlier doc (dedup
+    // work for the content-key state)
+    val docSpan = 7L * dayMs
+    val docLangs = Array("en", "de", "zh", "fr", "es")
+    val docs = spark.range(0, nDocs, 1, 64).map { i =>
+      val ts = t0Ms + i * docSpan / nDocs + SoakGen.rand(i, 30) % 60000
+      val srcId: Long =
+        if (i >= 100 && SoakGen.rand(i, 31) % 100 < 4) i - 1 - SoakGen.rand(i, 32) % 99
+        else i
+      val text = SoakGen.docText(srcId, SoakGen.nTokensOf(srcId))
+      (i, new java.sql.Timestamp(ts), text,
+        docLangs((SoakGen.rand(i, 33) % 5).toInt),
+        s"src${SoakGen.rand(i, 34) % 20}")
+    }.toDF("doc_id", "ingest_ts", "text", "lang", "source")
+
+    writeTimeSlices(events, "ts", s"$work/events_src", nSlices = 40)
+    writeTimeSlices(docs, "ingest_ts", s"$work/docs_src", nSlices = 40)
+
+    // ---- drive the three operators --------------------------------------
+    def eventStream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[streaming.Event].schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$work/events_src").as[streaming.Event]
+    def docStream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[streaming.DocIn].schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$work/docs_src")
+
+    val reports = Seq(
+      runOne(spark, "sessionize", nEvents, s"$work/out/sessionize") { out =>
+        streaming.EventStreams.sessionize(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "funnel", nEvents, s"$work/out/funnel") { out =>
+        streaming.EventStreams.funnelConversions(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "doc_ingest", nDocs, s"$work/out/ingest") { out =>
+        streaming.DocStreams.ingest(docStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      })
+
+    val json =
+      s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
+         |"operators":{${reports.mkString(",")}},
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel plateau at O(users active within the retention horizon) (~n_users + tombstones), doc_ingest at O(content keys inside the 1h watermark) - none track cumulative input rows."}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(json)
+    spark.stop()
+  }
+
+  /** Run one streaming query to completion of all generated files; report a
+    * JSON fragment `"name":{...}` with throughput, latency, and the
+    * per-batch state-rows series. */
+  private def runOne(spark: SparkSession, name: String, inputRows: Long,
+                     outDir: String)(start: String => StreamingQuery): String = {
+    deleteRec(outDir)
+    val t0 = System.nanoTime()
+    val q = start(outDir)
+    q.processAllAvailable()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    val outRows = spark.read.parquet(s"$outDir/data").count()
+    q.stop()
+    val batchMs = progs.map(_.durationMs.get("triggerExecution").toLong)
+    val stateRows = progs.map(p =>
+      if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else 0L)
+    val stateBytes =
+      if (progs.isEmpty || progs.last.stateOperators.isEmpty) 0L
+      else progs.last.stateOperators(0).memoryUsedBytes
+    s""""$name":{"input_rows":$inputRows,"output_rows":$outRows,"wall_sec":${f"$wallSec%.2f"},
+       |"rows_per_sec":${f"${inputRows / wallSec}%.0f"},"n_batches":${progs.length},
+       |"batch_ms_mean":${if (batchMs.isEmpty) 0 else batchMs.sum / batchMs.length},
+       |"batch_ms_max":${if (batchMs.isEmpty) 0 else batchMs.max},
+       |"state_rows_series":[${stateRows.mkString(",")}],
+       |"state_rows_final":${if (stateRows.isEmpty) 0 else stateRows.last},
+       |"state_bytes_final":$stateBytes}""".stripMargin.replace("\n", "")
+  }
+
+  /** Write `df` as `nSlices` time-ordered parquet files (slice k covers the
+    * k-th quantile range of `tsCol`), named and modification-stamped in
+    * order so the file source replays them as an advancing stream. */
+  private def writeTimeSlices(df: DataFrame, tsCol: String, dir: String,
+                              nSlices: Int): Unit = {
+    val tmp = s"$dir.tmp"
+    df.withColumn("__slice",
+        ntile(nSlices).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+      .repartition(nSlices, col("__slice"))
+      .sortWithinPartitions(tsCol)
+      .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
+    Files.createDirectories(Paths.get(dir))
+    for (k <- 1 to nSlices) {
+      val part = Files.list(Paths.get(s"$tmp/__slice=$k")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      require(part.length == 1, s"slice $k: expected one file, got ${part.length}")
+      val dst = Paths.get(dir, f"slice-$k%04d.parquet")
+      Files.move(part(0), dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0Ms + k * 60000L) // ascending mod times
+    }
+    deleteRec(tmp)
+  }
+
+  private def deleteRec(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+  }
+}
