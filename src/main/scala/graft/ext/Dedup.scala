@@ -346,11 +346,23 @@ object Dedup {
     * materializes components in one task). `localCheckpoint` truncates the
     * growing lineage per round — standard for iterative Spark algorithms.
     * The fixpoint is unique, so results are independent of round count. */
-  def clusters(pairs: DataFrame): DataFrame = {
+  def clusters(pairs: DataFrame): DataFrame = clustersWithRounds(pairs)._1
+
+  /** [[clusters]] plus the round count (spec hook). `shortcut` enables
+    * POINTER DOUBLING after each propagation: L(u) ← L(L(u)) — every label
+    * jumps the whole currently-known chain instead of one hop, so rounds
+    * drop from O(diameter) to O(log diameter) (the Shiloach-Vishkin
+    * shortcut; the same round-compression large-star/small-star buys,
+    * expressed as one extra co-partitioned self-join of the SMALL label
+    * table). The fixpoint — every node labeled its component minimum — is
+    * unique, so shortcutting changes round count only, never the result
+    * (spec-asserted: chain fixture equal labels, far fewer rounds). */
+  private[graft] def clustersWithRounds(pairs: DataFrame,
+                                        shortcut: Boolean = true): (DataFrame, Int) = {
     // checkpoint the edge list ONCE: the loop below re-reads it every
     // round, and without truncation each round would re-execute the whole
     // upstream pair-generation DAG (for minhashClusters: the full LSH
-    // pipeline) diameter+1 times
+    // pipeline) once per round
     val edges = pairs.select(col("a").as("id"), col("b").as("nbr"))
       .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr")))
       .localCheckpoint()
@@ -358,19 +370,34 @@ object Dedup {
       .select(col("id"), least(col("id"), col("nbr")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint()
+    var rounds = 0
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, "id")
         .select(col("nbr").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      converged = prop.join(labels.withColumnRenamed("label", "old"), "id")
+      val next =
+        if (!shortcut) prop.localCheckpoint()
+        else {
+          // L(L(u)): every label IS a node id of the same component, so it
+          // has its own label row; the left join + coalesce is defensive.
+          // Labels only ever decrease, so L(L(u)) ≤ L(u) and least() is
+          // exact, not a heuristic.
+          prop.join(
+              prop.select(col("id").as("label"), col("label").as("label2")),
+              Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+            .localCheckpoint()
+        }
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
-      labels = prop
+      labels = next
+      rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy("doc_id")
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id"), rounds)
   }
 
   /** The full dedup-grouping pipeline: MinHash-LSH near-dup pairs →

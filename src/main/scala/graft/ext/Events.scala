@@ -72,8 +72,12 @@ object Events {
       .reduce(_ unionAll _)
     unioned.groupBy("step", "event_type")
       .agg(count(lit(1)).as("n_users"))
+      // the global window runs over ≤ steps.length rows by construction —
+      // one partition is intended; partitioning by the constant-valued,
+      // non-foldable step % 1 keeps WindowExec's move-all-data warning out
+      // of every run's log (a bare OVER () triggers it)
       .withColumn("conversion",
-        expr("round(n_users / max(CASE WHEN step = 1 THEN n_users END) OVER (), 6)"))
+        expr("round(n_users / max(CASE WHEN step = 1 THEN n_users END) OVER (PARTITION BY step % 1), 6)"))
       .orderBy("step")
   }
 

@@ -120,6 +120,18 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(out.map(_._1).sorted.toSeq === (10L to 18L).toSeq)
   }
 
+  test("pointer doubling: same fixpoint as plain propagation, logarithmic rounds on a 64-chain") {
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val (fast, fastRounds) = Dedup.clustersWithRounds(pairs, shortcut = true)
+    val (plain, plainRounds) = Dedup.clustersWithRounds(pairs, shortcut = false)
+    assert(fast.collect().map(_.toSeq).toSeq === plain.collect().map(_.toSeq).toSeq)
+    assert(fast.collect().forall(_.getLong(1) == 0L))
+    // plain propagation moves the min one hop per round (~diameter rounds);
+    // the shortcut doubles the jump each round (~log2 rounds)
+    assert(plainRounds >= 30, s"plain took $plainRounds rounds")
+    assert(fastRounds <= 10, s"shortcut took $fastRounds rounds")
+  }
+
   test("sourceOverlap: identical sources estimate 1.0, disjoint near 0") {
     val text1 = "alpha beta gamma delta epsilon zeta eta theta"
     val text2 = "one two three four five six seven eight nine"
