@@ -89,6 +89,8 @@ object ExtQueries {
     // once) and token-budget sequence packing (per-source prefix sums)
     "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(docs(s, dir))),
     "pipeline_pack"          -> ((s, dir) => Packing.pack(docs(s, dir))),
+    // source-mixture plan: exact largest-remainder token-budget apportionment
+    "pipeline_mixture"       -> ((s, dir) => Packing.mixture(docs(s, dir))),
     "pipeline_corpus_stats"  -> ((s, dir) => TextAnalysis.corpusStats(docs(s, dir))),
     "pipeline_quality_prune" -> ((s, dir) => TextAnalysis.qualityPrune(docs(s, dir))),
 
@@ -548,6 +550,23 @@ object ExtQueries {
         |  (cum - 1) // 256 AS last_seq,
         |  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    // largest-remainder apportionment replayed: BIGINT products, div/mod,
+    // remainder rank (ties -> source asc); quotas sum to the budget exactly
+    "pipeline_mixture" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |            FROM documents GROUP BY source),
+        |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per),
+        |q AS (SELECT *, round(n_tokens / total, 6) AS share,
+        |        (1000000 * n_tokens) // total AS base_quota,
+        |        (1000000 * n_tokens) % total AS rem FROM t),
+        |l AS (SELECT *, 1000000 - CAST(sum(base_quota) OVER () AS BIGINT) AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM q)
+        |SELECT source, n_docs, n_tokens, share, base_quota,
+        |       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |       base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota_tokens
+        |FROM l ORDER BY source""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

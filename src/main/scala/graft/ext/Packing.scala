@@ -44,4 +44,45 @@ object Packing {
         expr(s"(cum - 1) div $budget - (cum - n_tokens) div $budget + 1").as("n_seqs"))
       .orderBy("source", "doc_id")
   }
+
+  /** Source-mixture plan — the data-MIXING step of a corpus build: given a
+    * total training-token budget, apportion it across sources in exact
+    * proportion to their token counts, with the fractional remainders
+    * resolved by the largest-remainder method (ties → source asc). The
+    * result is the per-source sampling plan a training run consumes; by the
+    * largest-remainder property the quotas sum to the budget EXACTLY (no
+    * lost or invented tokens — spec-asserted).
+    *
+    * All arithmetic is exact-integer (BIGINT products and div/mod; the only
+    * double is the reported `share` ratio), so the DuckDB oracle matches
+    * bit-for-bit. `budget × n_tokens` must stay within BIGINT — at extreme
+    * scale (both ≥ ~3e9) lift the products to DECIMAL(38,0) on both
+    * engines, same plan.
+    *
+    * Scale shape: ONE partial-agg shuffle on source (map-side combine over
+    * the corpus); every window after it runs over the S-row per-source
+    * aggregate (S = source cardinality, bounded — hundreds at 100 TB), in
+    * one intended partition keyed by a constant non-foldable expression
+    * (a bare global window would both warn and, on a large S, bottleneck —
+    * here S is small by construction). */
+  def mixture(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    require(budgetTokens > 0)
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("size(split(text, ' '))")).cast("long").as("n_tokens"))
+    val one = Window.partitionBy(expr("length(source) % 1"))
+    val ranked = per
+      .withColumn("total", sum("n_tokens").over(one))
+      .withColumn("share", expr("round(n_tokens / total, 6)"))
+      .withColumn("base_quota", expr(s"($budgetTokens * n_tokens) div total"))
+      .withColumn("rem", expr(s"($budgetTokens * n_tokens) % total"))
+      .withColumn("leftover", lit(budgetTokens) - sum("base_quota").over(one))
+      .withColumn("rk", row_number().over(one.orderBy(col("rem").desc, col("source").asc)))
+    ranked
+      .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        col("base_quota"), col("extra"),
+        (col("base_quota") + col("extra")).as("quota_tokens"))
+      .orderBy("source")
+  }
 }

@@ -36,6 +36,31 @@ class PackingSpec extends AnyFunSuite {
     assert((a2.getAs[Long]("first_seq"), a2.getAs[Long]("last_seq")) === (0L, 0L))
   }
 
+  test("mixture quotas sum to the budget exactly and track token shares") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val budget = 999983L // prime: forces nonzero remainders
+    val out = Packing.mixture(docs, budget).collect()
+    assert(out.map(_.getAs[Long]("quota_tokens")).sum === budget)
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    out.foreach { r =>
+      val exact = budget.toDouble * r.getAs[Long]("n_tokens") / total
+      // largest remainder never deviates more than one token from exact
+      assert(math.abs(r.getAs[Long]("quota_tokens") - exact) <= 1.0, r.toString)
+      assert(r.getAs[Long]("extra") == 0L || r.getAs[Long]("extra") == 1L)
+    }
+    // deterministic under repartitioning
+    val again = Packing.mixture(docs.repartition(13), budget).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
+  test("mixture remainder tie-break is by source ascending") {
+    // two equal sources, odd budget: one must get the extra token — the
+    // lexicographically first
+    val out = Packing.mixture(docsDf(("a", 1L, 10), ("b", 2L, 10)), budgetTokens = 21L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota_tokens")).toMap
+    assert(out === Map("a" -> 11L, "b" -> 10L))
+  }
+
   test("pack result is independent of input partitioning") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val a = Packing.pack(docs).collect()
