@@ -978,5 +978,5 @@ object ExtQueries {
     "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
     "events_top_users", "events_funnel_steps", "dedup_incremental",
     "text_search", "pipeline_corpus_build",
-    "dedup_incremental_stored", "embedding_kmeans_run")
+    "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture")
 }
