@@ -195,6 +195,39 @@ class SoqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("30 composite aggregates: dot-path GROUP BY keys x date functions x HAVING under random trees") {
+    val rnd = new scala.util.Random(31337)
+    // order-independent exact aggregates only (COUNT/MAX/MIN — a double SUM
+    // would vary with partition order and fuzz the comparison itself)
+    val keyPool = Seq(
+      ("Customer.Nation.n_name", col("n_name"), "n_name"),
+      ("Customer.c_mktsegment", col("c_mktsegment"), "c_mktsegment"),
+      ("o_orderstatus", col("o_orderstatus"), "o_orderstatus"),
+      ("CALENDAR_YEAR(o_orderdate) yr", year(col("o_orderdate")).as("yr"), "yr"))
+    (1 to 30).foreach { i =>
+      val p = genC(1 + rnd.nextInt(2), rnd)
+      val keys = rnd.shuffle(keyPool).take(1 + rnd.nextInt(2))
+      val havingT = rnd.nextInt(50)
+      val withHaving = rnd.nextBoolean()
+      val having = if (withHaving) s" HAVING COUNT(o_orderkey) > $havingT" else ""
+      val soql =
+        s"""SELECT ${keys.map(_._1).mkString(", ")},
+           |  COUNT(o_orderkey) n, MAX(o_totalprice) mx, MIN(o_custkey) mn
+           |FROM Orders WHERE ${p.soql}
+           |GROUP BY ${keys.map(k => k._1.split(' ').head).mkString(", ")}$having""".stripMargin
+      val got = ops.Extract.soqlQuery(spark, dir, soql)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val base = joined.filter(p.col)
+        .groupBy(keys.map(_._2): _*)
+        .agg(count(col("o_orderkey")).as("n"), max(col("o_totalprice")).as("mx"),
+          min(col("o_custkey")).as("mn"))
+      val want = (if (withHaving) base.filter(col("n") > havingT) else base)
+        .select(keys.map(k => col(k._3)) ++ Seq(col("n"), col("mx"), col("mn")): _*)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(got === want, s"case $i diverged for: $soql")
+    }
+  }
+
   test("30 composite child subqueries: random inner WHERE/LIMIT under random parent trees") {
     val rnd = new scala.util.Random(616)
     val orders = Tables.load(spark, dir, "orders")
