@@ -103,6 +103,18 @@ object StreamBench {
           .option("checkpointLocation", s"$out/ckpt")
           .format("parquet").option("path", s"$out/data").start()
       },
+      runOne(spark, "anomaly", nEvents, s"$work/out/anomaly") { out =>
+        streaming.EventStreams.anomalyHourly(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "retention", nEvents, s"$work/out/retention") { out =>
+        streaming.EventStreams.retentionHits(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
       runOne(spark, "doc_ingest", nDocs, s"$work/out/ingest") { out =>
         streaming.DocStreams.ingest(docStream).writeStream
           .outputMode("append")
@@ -113,7 +125,7 @@ object StreamBench {
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel plateau at O(users active within the retention horizon) (~n_users + tombstones), doc_ingest at O(content keys inside the 1h watermark) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)
