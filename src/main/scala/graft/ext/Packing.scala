@@ -70,14 +70,19 @@ object Packing {
     val per = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(expr("size(split(text, ' '))")).cast("long").as("n_tokens"))
-    val one = Window.partitionBy(expr("length(source) % 1"))
+      // computed ONCE as a column so all three windows below share a single
+      // hashpartitioning exchange (three inline copies of the expression
+      // are distinct attributes to the planner → three exchanges)
+      .withColumn("__one", expr("length(source) % 1"))
+    val one = Window.partitionBy("__one")
     val ranked = per
       .withColumn("total", sum("n_tokens").over(one))
       .withColumn("share", expr("round(n_tokens / total, 6)"))
       .withColumn("base_quota", expr(s"($budgetTokens * n_tokens) div total"))
       .withColumn("rem", expr(s"($budgetTokens * n_tokens) % total"))
       .withColumn("leftover", lit(budgetTokens) - sum("base_quota").over(one))
-      .withColumn("rk", row_number().over(one.orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("__one").orderBy(col("rem").desc, col("source").asc)))
     ranked
       .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),

@@ -209,6 +209,15 @@ class PlanSpec extends AnyFunSuite {
     assert(bandExchanges.forall(!_.contains("h60")), s"band shuffle carries shingle arrays\n$p")
   }
 
+  test("mixture: one partial-agg corpus shuffle; windows only over the bounded source aggregate") {
+    val p = plan("pipeline_mixture")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    // corpus agg shuffle + constant-key window shuffle + output sort
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"$exchanges exchanges\n$p")
+  }
+
   test("stored incremental dedup reads the band store, never the historical documents text") {
     val stored = plan("dedup_incremental_stored")
     // the historical side scans the persisted store...
