@@ -164,6 +164,32 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(s1.getAs[Long]("start_ms") === 1000L && s1.getAs[Long]("end_ms") === 2000L)
   }
 
+  test("file sessionizer restarts from its checkpoint: state survives, sessions neither dropped nor re-emitted") {
+    val base = java.nio.file.Files.createTempDirectory("stream_restart").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val h = 3600000L
+    // session A (events 1-2) closes once the watermark passes; session B
+    // (event 3) is OPEN when the query stops — its state must survive the
+    // restart for event 4 (1s later) to land in the same session
+    Seq(ev(1, 1000, user = 1L), ev(2, 2000, user = 1L), ev(3, 10 * h, user = 1L))
+      .toDS().write.parquet(src)
+    val q1 = EventStreams.runFileSessionizer(spark, src, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    Seq(ev(4, 10 * h + 1000, user = 1L), ev(5, 30 * h, user = 1L))
+      .toDS().write.mode("append").parquet(src)
+    val q2 = EventStreams.runFileSessionizer(spark, src, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val sessions = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("session_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"))).sortBy(_._1)
+    // exactly one copy of session 1 (closed pre-restart) and one session 2
+    // FUSING events 3 and 4 across the restart boundary
+    assert(sessions.count(_._1 == 1L) === 1, sessions.mkString(", "))
+    assert(sessions.find(_._1 == 1L).get === (1L, 2L, 1000L, 2000L))
+    assert(sessions.find(_._1 == 2L).get === (2L, 2L, 10 * h, 10 * h + 1000),
+      s"open session state must survive the restart: ${sessions.mkString(", ")}")
+  }
+
   test("streaming funnel emits first in-horizon conversion per user, once") {
     implicit val sqlCtx = spark.sqlContext
     val d = 86400000L
