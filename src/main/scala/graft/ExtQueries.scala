@@ -11,6 +11,28 @@ import graft.ext.{Dedup, Events, Multimodal, Packing, Sampling, Similarity, Text
   * results hash-match bit-for-bit. */
 object ExtQueries {
 
+  /** Content fingerprint of a parquet table path — md5 of the sorted
+    * (name, size, mtime) listing, or of the single file's own triple when
+    * the table is one file (the driver fixtures are single files;
+    * listFiles() on a file is null, and an empty-listing fingerprint would
+    * collide EVERY fixture onto one cache entry — sf0.001 and sf0.01 both
+    * hold 500 docs with ids 0..499 but different text, so the collision is
+    * silent wrong answers, not an error). Cheap (metadata only), changes
+    * whenever the fixture is regenerated — the band-store cache key. */
+  private def pathFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    require(f.exists(), s"cannot fingerprint missing path $path")
+    val entries =
+      if (f.isFile) Array(s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName)
+        .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+    require(entries.nonEmpty, s"no files to fingerprint at $path")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   private def docs(s: SparkSession, dir: String)   = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String)   = Tables.load(s, dir, "embeddings")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
@@ -43,12 +65,14 @@ object ExtQueries {
     "dedup_keepers"          -> ((s, dir) => Dedup.keepers(docs(s, dir))),
     "dedup_incremental"      -> ((s, dir) => Dedup.incremental(docs(s, dir))),
     // the stored-index twin: build the historical band store once per
-    // fixture (idempotent — skipped when the marker exists), then run the
-    // daily-increment query against it; the returned plan scans the STORE
-    // for the historical side, never the historical documents text
+    // fixture CONTENT (the cache key fingerprints the parquet file listing
+    // — name/size/mtime — so a regenerated fixture at the same path can
+    // never be served a stale index), then run the daily-increment query
+    // against it; the returned plan scans the STORE for the historical
+    // side, never the historical documents text
     "dedup_incremental_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = s"/tmp/graft_band_store_v1_${Integer.toHexString(dir.hashCode)}"
+      val store = s"/tmp/graft_band_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/hashes/_SUCCESS")))
         Dedup.buildBandStore(d.filter(col("doc_id") % 7 =!= 0), store)
       Dedup.incrementalStored(d.filter(col("doc_id") % 7 === 0), store)

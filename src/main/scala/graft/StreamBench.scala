@@ -151,8 +151,11 @@ object StreamBench {
     val stateBytes =
       if (progs.isEmpty || progs.last.stateOperators.isEmpty) 0L
       else progs.last.stateOperators(0).memoryUsedBytes
-    s""""$name":{"input_rows":$inputRows,"output_rows":$outRows,"wall_sec":${f"$wallSec%.2f"},
-       |"rows_per_sec":${f"${inputRows / wallSec}%.0f"},"n_batches":${progs.length},
+    // Locale.ROOT: the default-locale f interpolator would emit 50,57 on
+    // comma-decimal locales — invalid JSON
+    def num(v: Double, fmt: String) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    s""""$name":{"input_rows":$inputRows,"output_rows":$outRows,"wall_sec":${num(wallSec, "%.2f")},
+       |"rows_per_sec":${num(inputRows / wallSec, "%.0f")},"n_batches":${progs.length},
        |"batch_ms_mean":${if (batchMs.isEmpty) 0 else batchMs.sum / batchMs.length},
        |"batch_ms_max":${if (batchMs.isEmpty) 0 else batchMs.max},
        |"state_rows_series":[${stateRows.mkString(",")}],
@@ -177,9 +180,11 @@ object StreamBench {
       .write.mode("overwrite").partitionBy("__slice").parquet(tmp)
     Files.createDirectories(Paths.get(dir))
     for (k <- 1 to nSlices) {
-      val part = Files.list(Paths.get(s"$tmp/__slice=$k")).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      val listing = Files.list(Paths.get(s"$tmp/__slice=$k"))
+      val part =
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally listing.close() // Files.list holds a directory fd until closed
       require(part.length == 1, s"slice $k: expected one file, got ${part.length}")
       val dst = Paths.get(dir, f"slice-$k%04d.parquet")
       Files.move(part(0), dst, StandardCopyOption.REPLACE_EXISTING)

@@ -156,6 +156,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** 32 band signatures (4 rows each) of a 128-wide `sig` column — md5 of
+    * each 4-slice; shared by every LSH consumer so band layouts can never
+    * diverge between the batch, incremental, and stored-index paths. */
+  private val bandSigsExpr: String =
+    "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"
+
   /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.
     *
     *  - shingle → 60-bit integer via md5 (conv of the first 15 hex digits);
@@ -180,12 +186,6 @@ object Dedup {
     * listing. Default None = exact (the oracle's semantics); the bucket
     * count window shares the (band, bsig) partitioning the join needs, so
     * enabling it adds no extra shuffle. */
-  /** 32 band signatures (4 rows each) of a 128-wide `sig` column — md5 of
-    * each 4-slice; shared by every LSH consumer so band layouts can never
-    * diverge between the batch, incremental, and stored-index paths. */
-  private val bandSigsExpr: String =
-    "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"
-
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
                  maxBandBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -321,8 +321,9 @@ object Dedup {
       posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))
     val pairs = histBands.join(incBands, Seq("band", "bsig"))
       .select("inc_id", "hist_id").distinct()
-    val incH = spread(incoming)
-      .select(col("doc_id").as("inc_id"), expr("shingle_hash60(text, 3)").as("si"))
+    // verify arrays reuse incSig's hash relation — one definition of the
+    // incoming hashing pipeline, and the planner can share the subtree
+    val incH = incSig.select(col("doc_id").as("inc_id"), col("h60").as("si"))
     pairs
       .join(incH, "inc_id")
       .join(histHashes, "hist_id")

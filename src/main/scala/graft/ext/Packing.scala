@@ -72,8 +72,11 @@ object Packing {
       sum(expr("size(split(text, ' '))")).cast("long").as("n_tokens"))
       // computed ONCE as a column so all three windows below share a single
       // hashpartitioning exchange (three inline copies of the expression
-      // are distinct attributes to the planner → three exchanges)
-      .withColumn("__one", expr("length(source) % 1"))
+      // are distinct attributes to the planner → three exchanges); the
+      // coalesce keeps a NULL source in the SAME partition — length(NULL)
+      // is NULL, and a NULL key would fork a second window partition that
+      // apportions the full budget again
+      .withColumn("__one", expr("coalesce(length(source) % 1, 0)"))
     val one = Window.partitionBy("__one")
     val ranked = per
       .withColumn("total", sum("n_tokens").over(one))

@@ -206,8 +206,11 @@ object Similarity {
     *    replays bit-for-bit (a mean-vector centroid would need
     *    order-sensitive double sums in an aggregate — engine-divergent).
     *    Bound: |component| ≤ members·10⁴, so the squared norm stays in a
-    *    BIGINT while members ≤ ~3.8e6 per cluster with 64 dims — beyond
-    *    that, rescale the store (documented, not hit at any test sf);
+    *    BIGINT while members·10⁴ ≤ √(2⁶³/64) ≈ 3.8e8, i.e. ~3.8e4
+    *    worst-case members per cluster at full-scale components (real
+    *    unit-ish embeddings have components ~10³, giving ~3.8e5) — the
+    *    norm fold below checks this exactly and fails loudly rather than
+    *    wrapping; beyond it, rescale the quantization;
     *  - early stop on the EXACT fixpoint only (next sums == current
     *    centroids): further rounds are the identity, so stopping cannot
     *    diverge from the oracle's fixed iteration count;
@@ -231,7 +234,12 @@ object Similarity {
     // (cluster, task) crosses the shuffle)
     def step(cs: Array[(Long, Array[Long])]): DataFrame = {
       val cq = cs.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
-      val cn = cs.map { case (_, v) => v.map(x => x * x).sum }.mkString("array(", "L, ", "L)")
+      val cn = cs.map { case (id, v) =>
+        val n = v.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+        require(n <= Long.MaxValue,
+          s"centroid $id squared norm $n overflows BIGINT — rescale the quantization")
+        n.toLong
+      }.mkString("array(", "L, ", "L)")
       val cid = cs.map(_._1).mkString("array(", "L, ", "L)")
       vecs.withColumn("scores", expr(centroidScoresExpr(cq, cn, cs.length)))
         .withColumn("cluster_id",

@@ -41,7 +41,9 @@ class SmokeSpec extends AnyFunSuite {
     // BASELINE.md to quote exactly "<n> queries, <total> s total".
     val benches = new java.io.File(".").listFiles()
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName)
+      // numeric round sort: lexicographic getName breaks at width changes
+      // (BENCH_r10 < BENCH_r04; BENCH_r100 < BENCH_r99)
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
     assume(benches.nonEmpty, "no driver BENCH artifact yet")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val tail = om.readTree(benches.last).get("tail").asText()
