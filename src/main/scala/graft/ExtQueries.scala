@@ -53,6 +53,7 @@ object ExtQueries {
     "text_compress_ratio" -> ((s, dir) => TextAnalysis.compressRatio(docs(s, dir))),
     "text_search"         -> ((s, dir) => TextAnalysis.search(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
+    "text_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -466,6 +467,26 @@ object ExtQueries {
          |SELECT doc_id, CAST(len(prints) AS INT) AS n_prints,
          |       md5(array_to_string(prints, ',')) AS prints_md5
          |FROM pr ORDER BY doc_id""".stripMargin,
+
+    // exact cross-multiplied L1: |c_st*T - c_t*T_s| over present tokens +
+    // the closed-form absent-token term (T - sum(present c_t)) * T_s
+    "text_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |src AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |              count(*) AS n_distinct FROM src GROUP BY source),
+        |gl AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM src GROUP BY token),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_all FROM gl),
+        |pres AS (SELECT src.source,
+        |           CAST(sum(abs(src.c_st * t_all - gl.c_t * st.n_tokens)) AS BIGINT) AS num_present,
+        |           CAST(sum(gl.c_t) AS BIGINT) AS c_glob_present
+        |         FROM src JOIN gl USING (token) JOIN st USING (source) CROSS JOIN tot
+        |         GROUP BY src.source)
+        |SELECT st.source AS source, st.n_tokens, st.n_distinct,
+        |       round((num_present + (t_all - c_glob_present) * st.n_tokens)
+        |             / (CAST(st.n_tokens AS DOUBLE) * CAST(t_all AS DOUBLE)), 6) AS l1_drift
+        |FROM pres JOIN st USING (source) CROSS JOIN tot
+        |ORDER BY source""".stripMargin,
 
     "text_winnow_pairs" ->
       s"""WITH $winnowCtes,
@@ -1002,5 +1023,6 @@ object ExtQueries {
     "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
     "events_top_users", "events_funnel_steps", "dedup_incremental",
     "text_search", "pipeline_corpus_build",
-    "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture")
+    "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture",
+    "text_source_drift")
 }

@@ -305,6 +305,48 @@ object TextAnalysis {
       .orderBy("a", "b")
   }
 
+  /** Per-source token-distribution DRIFT from the whole corpus — the
+    * "which crawl dump went bad" triage signal: a source whose unigram
+    * distribution sits far from the corpus-wide one signals language
+    * shift, template contamination, or extraction corruption, before any
+    * per-document filter would notice.
+    *
+    * Drift is the L1 distance Σ_t |p_s(t) − p(t)| ∈ [0, 2], computed
+    * EXACTLY via cross-multiplication: with per-source counts c_st
+    * (total T_s) and corpus counts c_t (total T), the numerator is
+    * Σ_present |c_st·T − c_t·T_s| + (T − Σ_present c_t)·T_s — the second
+    * term folds every token ABSENT from the source in closed form, so the
+    * sum never materializes the full source×vocab cross product. All
+    * BIGINT until the single final division (c·T ≤ ~9e18 bounds the
+    * corpus at ~3e9 tokens per side; lift to DECIMAL(38,0) beyond, same
+    * plan).
+    *
+    * Scale shape: one (source, token) partial-agg shuffle over the corpus,
+    * one token partial-agg for the global counts, a co-partitioned
+    * equi-join on token, and a final per-source fold — bounded by
+    * vocab × sources, never by document count. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val tok = Dedup.spread(docs)
+      .select(col("source"), explode(expr("split(text, ' ')")).as("token"))
+    val src = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val srcTot = src.groupBy("source").agg(
+      sum("c_st").cast("long").as("n_tokens"),
+      count(lit(1)).as("n_distinct"))
+    val glob = src.groupBy("token").agg(sum("c_st").cast("long").as("c_t"))
+    val tot = glob.agg(sum("c_t").cast("long").as("t_all"))
+    val present = src.join(glob, "token")
+      .join(srcTot, "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source", "n_tokens", "n_distinct", "t_all")
+      .agg(sum(expr("abs(c_st * t_all - c_t * n_tokens)")).cast("long").as("num_present"),
+           sum(col("c_t")).cast("long").as("c_glob_present"))
+    present
+      .withColumn("num", expr("num_present + (t_all - c_glob_present) * n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        expr("round(num / (CAST(n_tokens AS DOUBLE) * CAST(t_all AS DOUBLE)), 6)").as("l1_drift"))
+      .orderBy("source")
+  }
+
   /** Language identification via in-engine-trained bigram profiles — the
     * n-gram-profile method (Cavnar-Trenkle / CLD family) expressed as a
     * distributed pipeline:

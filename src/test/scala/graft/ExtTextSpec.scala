@@ -87,6 +87,35 @@ class ExtTextSpec extends AnyFunSuite {
     assert(math.abs(good.getAs[Double]("top_token_ratio") - 1.0 / 6) < 1e-6) // round(·, 6)
   }
 
+  test("sourceDrift: identical-distribution source scores near 0, disjoint-vocab source high") {
+    // s_same mirrors the combined distribution; s_diff uses a disjoint vocab
+    val out = TextAnalysis.sourceDrift(docsSrcDf(
+      (1L, "a b c a b c", "s_base"),
+      (2L, "a b c a b c", "s_same"),
+      (3L, "x y z x y z", "s_diff"))).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("l1_drift")).toMap
+    // base/same each = 1/3 of corpus mass on {a,b,c} which holds 2/3 overall:
+    // drift = |1/3-2/9|*3... just assert the ordering + bounds
+    assert(out("s_diff") > out("s_same"))
+    assert(out.values.forall(v => v >= 0.0 && v <= 2.0))
+    // a source that IS the corpus drifts exactly 0
+    val solo = TextAnalysis.sourceDrift(docsSrcDf((1L, "a b a c", "only"))).head()
+    assert(solo.getAs[Double]("l1_drift") === 0.0)
+  }
+
+  test("sourceDrift counts absent tokens in closed form (hand-checked two-source case)") {
+    // corpus: s1 = {a:2}, s2 = {b:2}; T=4, Ts=2 each.
+    // drift(s1) = |2*4 - 2*2|/8 (a, present) + (4-2)*2/8 (absent mass) = 0.5 + 0.5 = 1.0
+    val out = TextAnalysis.sourceDrift(docsSrcDf((1L, "a a", "s1"), (2L, "b b", "s2")))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("l1_drift")).toMap
+    assert(out === Map("s1" -> 1.0, "s2" -> 1.0))
+  }
+
+  private def docsSrcDf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   test("compressRatio orders boilerplate below diverse prose and is deterministic") {
     val spammy = ("lorem ipsum dolor " * 30).trim       // repetitive phrases
     val diverse = (1 to 90).map(i => s"w${i}x$i").mkString(" ")
