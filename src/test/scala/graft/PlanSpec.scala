@@ -218,6 +218,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"$exchanges exchanges\n$p")
   }
 
+  test("source drift: partial aggs everywhere; the only nested loop is the one-row total broadcast") {
+    val p = plan("text_source_drift")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-total is a 1-row relation joined as a scalar (broadcast
+    // nested loop with a single-row build side — the correct plan); any
+    // SECOND nested loop would mean a real relation went un-keyed
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins\n$p")
+  }
+
   test("stored incremental dedup reads the band store, never the historical documents text") {
     val stored = plan("dedup_incremental_stored")
     // the historical side scans the persisted store...
