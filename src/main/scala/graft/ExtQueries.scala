@@ -12,25 +12,47 @@ import graft.ext.{Dedup, Events, Multimodal, Packing, Sampling, Similarity, Text
 object ExtQueries {
 
   /** Content fingerprint of a parquet table path — md5 of the sorted
-    * (name, size, mtime) listing, or of the single file's own triple when
-    * the table is one file (the driver fixtures are single files;
-    * listFiles() on a file is null, and an empty-listing fingerprint would
-    * collide EVERY fixture onto one cache entry — sf0.001 and sf0.01 both
-    * hold 500 docs with ids 0..499 but different text, so the collision is
-    * silent wrong answers, not an error). Cheap (metadata only), changes
-    * whenever the fixture is regenerated — the band-store cache key. */
+    * (name, size, mtime, footer-sample) listing, or of the single file's
+    * own tuple when the table is one file (the driver fixtures are single
+    * files; listFiles() on a file is null, and an empty-listing fingerprint
+    * would collide EVERY fixture onto one cache entry — sf0.001 and sf0.01
+    * both hold 500 docs with ids 0..499 but different text, so the
+    * collision is silent wrong answers, not an error). The footer sample
+    * (last 512 bytes — parquet keeps column stats/min-max there) defends
+    * against a fixture restored with preserved size AND mtime (`cp -p`, CI
+    * cache restore) but different content, which a metadata-only key would
+    * serve a stale index for. Still cheap: one bounded read per file,
+    * changes whenever the fixture is regenerated — the band-store cache
+    * key. */
   private def pathFingerprint(path: String): String = {
+    def footerSample(f: java.io.File, n: Int = 512): String = {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val take = math.min(n.toLong, raf.length()).toInt
+        val buf = new Array[Byte](take)
+        raf.seek(raf.length() - take)
+        raf.readFully(buf)
+        java.security.MessageDigest.getInstance("MD5").digest(buf)
+          .map("%02x".format(_)).mkString
+      } finally raf.close()
+    }
     val f = new java.io.File(path)
     require(f.exists(), s"cannot fingerprint missing path $path")
-    val entries =
-      if (f.isFile) Array(s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+    val files =
+      if (f.isFile) Array(f)
       else Option(f.listFiles()).getOrElse(Array.empty)
-        .sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-    require(entries.nonEmpty, s"no files to fingerprint at $path")
+        .filter(_.isFile).sortBy(_.getName)
+    require(files.nonEmpty, s"no files to fingerprint at $path")
+    val entries = files.map(x =>
+      s"${x.getName}:${x.length}:${x.lastModified}:${footerSample(x)}")
     java.security.MessageDigest.getInstance("MD5")
       .digest(entries.mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   private def docs(s: SparkSession, dir: String)   = Tables.load(s, dir, "documents")
@@ -73,9 +95,28 @@ object ExtQueries {
     // side, never the historical documents text
     "dedup_incremental_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = s"/tmp/graft_band_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store/hashes/_SUCCESS")))
-        Dedup.buildBandStore(d.filter(col("doc_id") % 7 =!= 0), store)
+      val store = s"/tmp/graft_band_store_v2_${pathFingerprint(s"$dir/documents.parquet")}"
+      val storePath = java.nio.file.Paths.get(store)
+      if (!java.nio.file.Files.exists(storePath.resolve("hashes/_SUCCESS"))) {
+        // build-then-atomic-rename: two concurrent invocations (parallel
+        // test/bench/verify runs) could both observe the store missing;
+        // racing mode(overwrite) writes into ONE directory can interleave
+        // into a corrupt mixed store that is then cached forever. Each
+        // builder writes its own unique dir and publishes it with an
+        // atomic move; the loser of the race just discards its copy.
+        val tmp = java.nio.file.Paths.get(
+          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        Dedup.buildBandStore(d.filter(col("doc_id") % 7 =!= 0), tmp.toString)
+        try java.nio.file.Files.move(tmp, storePath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            // a concurrent builder published first — use theirs, drop ours
+            require(java.nio.file.Files.exists(storePath.resolve("hashes/_SUCCESS")),
+              s"band-store publish failed and no winner exists at $store")
+            deleteRecursively(tmp.toFile)
+        }
+      }
       Dedup.incrementalStored(d.filter(col("doc_id") % 7 === 0), store)
     }),
     // E2 — similarity search

@@ -145,12 +145,13 @@ object StreamBench {
     val progs = q.recentProgress.filter(_.numInputRows > 0)
     val outRows = spark.read.parquet(s"$outDir/data").count()
     q.stop()
-    val batchMs = progs.map(_.durationMs.get("triggerExecution").toLong)
-    val stateRows = progs.map(p =>
-      if (p.stateOperators.nonEmpty) p.stateOperators(0).numRowsTotal else 0L)
+    val batchMs = progs.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+    // sum over ALL stateful operators: a plan with more than one (e.g. a
+    // dedup feeding a windowed agg) would otherwise under-report its state
+    val stateRows = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
     val stateBytes =
-      if (progs.isEmpty || progs.last.stateOperators.isEmpty) 0L
-      else progs.last.stateOperators(0).memoryUsedBytes
+      if (progs.isEmpty) 0L
+      else progs.last.stateOperators.map(_.memoryUsedBytes).sum
     // Locale.ROOT: the default-locale f interpolator would emit 50,57 on
     // comma-decimal locales — invalid JSON
     def num(v: Double, fmt: String) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))

@@ -282,21 +282,37 @@ object Dedup {
     *  - `hashes` (hist_id, sh): the per-doc distinct shingle-hash arrays the
     *    exact-Jaccard verify needs, clustered on hist_id (the verify join key).
     *
-    * In production this runs once per store snapshot (or appends per
-    * increment); every daily run then reads the index, never the
-    * historical TEXT. */
-  def buildBandStore(hist: DataFrame, storeDir: String): Unit = {
-    graft.functions.GraftFunctions.register(hist.sparkSession)
-    val sig = spread(hist)
+    * In production this runs once per store snapshot; every daily run then
+    * reads the index, never the historical TEXT, and the day's accepted
+    * increment is folded in with [[appendToBandStore]]. */
+  def buildBandStore(hist: DataFrame, storeDir: String): Unit =
+    writeBandStore(hist, storeDir, mode = "overwrite", numFiles = 8)
+
+  /** The daily loop's second half: after [[incrementalStored]] flags
+    * today's increment against the store, append the increment's bands and
+    * hashes so TOMORROW's run sees today's docs. Cost is O(increment):
+    * only the increment is scanned and hashed (the store's existing files
+    * are untouched — spec-asserted by file listing), and each append lands
+    * as its own range-clustered file set, so per-file min/max stats stay
+    * tight per batch and band-probe file pruning keeps working. Compact
+    * (rebuild) when the batch count grows into a small-file problem. */
+  def appendToBandStore(increment: DataFrame, storeDir: String,
+                        numFiles: Int = 1): Unit =
+    writeBandStore(increment, storeDir, mode = "append", numFiles = numFiles)
+
+  private def writeBandStore(docs: DataFrame, storeDir: String,
+                             mode: String, numFiles: Int): Unit = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = spread(docs)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
       .withColumn("sig", expr("minhash_sig(h60)"))
     graft.ops.Scale.clusteredParquet(
       sig.select(col("doc_id").as("hist_id"),
         posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig"))),
-      s"$storeDir/bands", Seq("band", "bsig"), numFiles = 8)
+      s"$storeDir/bands", Seq("band", "bsig"), numFiles, mode)
     graft.ops.Scale.clusteredParquet(
       sig.select(col("doc_id").as("hist_id"), col("h60").as("sh")),
-      s"$storeDir/hashes", Seq("hist_id"), numFiles = 8)
+      s"$storeDir/hashes", Seq("hist_id"), numFiles, mode)
   }
 
   /** [[incremental]] against a PRECOMPUTED band store (see

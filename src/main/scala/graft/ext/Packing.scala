@@ -84,13 +84,17 @@ object Packing {
       .withColumn("base_quota", expr(s"($budgetTokens * n_tokens) div total"))
       .withColumn("rem", expr(s"($budgetTokens * n_tokens) % total"))
       .withColumn("leftover", lit(budgetTokens) - sum("base_quota").over(one))
+      // asc_nulls_last: Spark's bare asc sorts NULLs first, DuckDB's last —
+      // if the NULL source the __one key defends against ever appears, the
+      // tie-break rank (and the final row order below) must agree across
+      // engines, not silently diverge
       .withColumn("rk", row_number().over(
-        Window.partitionBy("__one").orderBy(col("rem").desc, col("source").asc)))
+        Window.partitionBy("__one").orderBy(col("rem").desc, col("source").asc_nulls_last)))
     ranked
       .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
         col("base_quota"), col("extra"),
         (col("base_quota") + col("extra")).as("quota_tokens"))
-      .orderBy("source")
+      .orderBy(col("source").asc_nulls_last)
   }
 }

@@ -42,12 +42,18 @@ object Scale {
     * columns then let a filtered scan skip whole files — the table layout
     * that makes `WHERE date BETWEEN …` read 1/1000th of a 100 TB table.
     * `numFiles` sizes output files explicitly (the small-file problem is
-    * the other half of this; aim for ~128 MB-1 GB per file at scale). */
+    * the other half of this; aim for ~128 MB-1 GB per file at scale).
+    *
+    * `mode = "append"` adds a new clustered file SET beside the existing
+    * ones (an incremental store batch): each batch's files still cover
+    * tight, near-disjoint key ranges, so per-file min/max pruning keeps
+    * working — a probe reads at most one file set's worth per batch.
+    * Compact periodically when batch count grows. */
   def clusteredParquet(df: DataFrame, outDir: String, clusterCols: Seq[String],
-                       numFiles: Int): Unit = {
+                       numFiles: Int, mode: String = "overwrite"): Unit = {
     val cs = clusterCols.map(col)
     df.repartitionByRange(numFiles, cs: _*)
       .sortWithinPartitions(cs: _*)
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode(mode).parquet(outDir)
   }
 }

@@ -63,7 +63,11 @@ package graft.soql
   *     struct-typed location column (latitude/longitude fields)
   *
   * NOT supported (documented): USING SCOPE (requires a user context;
-  * rejected loudly rather than silently changing the row set).
+  * rejected loudly rather than silently changing the row set); ALL ROWS
+  * (the `query_all` path — asks for Recycle-Bin deleted / archived rows,
+  * and the engine's snapshot tables carry no IsDeleted/archive data, so
+  * honoring it is impossible and ignoring it would misrepresent the
+  * result as recycle-bin-inclusive; rejected loudly).
   */
 object Soql {
 
@@ -659,7 +663,7 @@ object Soql {
       // is not a clause keyword; references through it strip the qualifier
       val fromAlias = peek match {
         case TIdent(a) if !keywords.contains(a.toUpperCase) &&
-            !Set("USING", "WITH", "FOR", "UPDATE").contains(a.toUpperCase) =>
+            !Set("USING", "WITH", "FOR", "UPDATE", "ALL").contains(a.toUpperCase) =>
           next(); Some(a.toLowerCase)
         case _ => None
       }
@@ -711,6 +715,19 @@ object Soql {
       }
       val limit = if (acceptKw("LIMIT")) Some(expectNum()) else None
       val offset = if (acceptKw("OFFSET")) Some(expectNum()) else None
+      // ALL ROWS is `query_all`'s grammar form: include Recycle-Bin
+      // deleted and archived (Task/Event) rows. The engine's snapshot
+      // tables hold no IsDeleted/archive data, so the requested extra
+      // rows cannot be produced; a silent no-op would misrepresent the
+      // result as recycle-bin-inclusive. Reject loudly (the USING SCOPE
+      // / WITH DATA CATEGORY policy).
+      if (acceptKw("ALL")) {
+        expectKw("ROWS")
+        throw new IllegalArgumentException(
+          "ALL ROWS requires Recycle-Bin / archive (IsDeleted) data the engine's " +
+          "snapshot tables do not carry; remove the clause — the snapshot already " +
+          "holds every non-deleted row")
+      }
       // row-lock / UI-telemetry suffixes: no effect on the result relation
       if (acceptKw("FOR")) {
         val k = expectIdent().toUpperCase

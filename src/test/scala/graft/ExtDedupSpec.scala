@@ -237,6 +237,50 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("appendToBandStore: day-2 sees day-1 docs, append is increment-sized, old files untouched") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 0)
+    val day1 = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val storeA = java.nio.file.Files.createTempDirectory("graft_store_append").toString
+    Dedup.buildBandStore(hist, storeA)
+    val bandsBefore = spark.read.parquet(s"$storeA/bands").count()
+    def files(sub: String) = new java.io.File(s"$storeA/$sub").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val (bandFiles0, hashFiles0) = (files("bands"), files("hashes"))
+
+    // day 1: flag the increment against the store, then fold it in
+    Dedup.incrementalStored(day1, storeA).collect()
+    Dedup.appendToBandStore(day1, storeA)
+
+    // day-2 incoming docs that duplicate day-1's are now caught: probing
+    // with day1 itself, every doc self-matches at exact jaccard 1.0
+    val day2 = Dedup.incrementalStored(day1, storeA).collect()
+    val selfPairs = day2.filter(r => r.getLong(0) == r.getLong(1))
+    val day1Ids = day1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(selfPairs.map(_.getLong(0)).toSet === day1Ids)
+    assert(selfPairs.forall(_.getAs[Double]("jaccard") === 1.0))
+
+    // appended store ≡ a from-scratch rebuild over hist ∪ day1: any probe
+    // set gets the identical pair relation (file layout is not semantics)
+    val storeB = java.nio.file.Files.createTempDirectory("graft_store_rebuild").toString
+    Dedup.buildBandStore(docs.filter(col("doc_id") % 7 =!= 0), storeB)
+    val viaAppend = Dedup.incrementalStored(probe, storeA).collect().map(_.toSeq).toSeq
+    val viaRebuild = Dedup.incrementalStored(probe, storeB).collect().map(_.toSeq).toSeq
+    assert(viaAppend === viaRebuild)
+    assert(viaAppend.nonEmpty)
+
+    // the append wrote EXACTLY the increment's band rows (O(increment) IO,
+    // not O(store)) and never rewrote existing files
+    val bandsAfter = spark.read.parquet(s"$storeA/bands").count()
+    val bandsRebuild = spark.read.parquet(s"$storeB/bands").count()
+    assert(bandsAfter === bandsRebuild,
+      s"append rows: before=$bandsBefore after=$bandsAfter rebuild=$bandsRebuild")
+    assert(bandsAfter > bandsBefore)
+    assert(bandFiles0.subsetOf(files("bands")) && hashFiles0.subsetOf(files("hashes")))
+  }
+
   test("keepers summarizes clusters: min doc_id kept, member counts add up") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val cl = Dedup.minhashClusters(docs).collect()

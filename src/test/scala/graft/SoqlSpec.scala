@@ -592,6 +592,26 @@ class SoqlSpec extends AnyFunSuite {
     assert(!plain.contains("expr0"), plain)
   }
 
+  test("ALL ROWS (query_all) is rejected loudly, like USING SCOPE") {
+    // reachable user input: the reference's Bulk path calls query_all on an
+    // arbitrary SOQL string (salesforce_to_s3_operator.py:50), so `… ALL
+    // ROWS` can arrive verbatim; there is no IsDeleted/recycle-bin data to
+    // honor it with, and a silent no-op would claim deleted rows were
+    // included
+    val e = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT a FROM t WHERE a > 3 LIMIT 5 ALL ROWS")
+    }
+    assert(e.getMessage.contains("ALL ROWS"))
+    // also at its minimal position (no WHERE/LIMIT), where the first token
+    // after the table name could otherwise lex as a table alias
+    val e2 = intercept[IllegalArgumentException] {
+      Soql.translate("SELECT a FROM t ALL ROWS")
+    }
+    assert(e2.getMessage.contains("ALL ROWS"))
+    // a column or alias legitimately named "all" keeps working elsewhere
+    assert(Soql.translate("SELECT all FROM t") === "SELECT all FROM t")
+  }
+
   test("WITH DATA CATEGORY is rejected loudly, like USING SCOPE") {
     val e = intercept[IllegalArgumentException] {
       Soql.translate("SELECT Id FROM Knowledge WITH DATA CATEGORY Geo__c AT usa__c")
