@@ -125,6 +125,9 @@ object ExtQueries {
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
+    // train-then-search: kmeansRun's converged centroids as the IVF
+    // quantizer — the two proven parts composed into the pipeline users run
+    "pipeline_ann_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))),
     "embedding_cluster_sample" -> ((s, dir) => Similarity.clusterSample(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
@@ -155,6 +158,9 @@ object ExtQueries {
     // once) and token-budget sequence packing (per-source prefix sums)
     "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(docs(s, dir))),
     "pipeline_pack"          -> ((s, dir) => Packing.pack(docs(s, dir))),
+    // the pre-sharded pack twin: stream key (source, doc_id div 100) keeps
+    // parallelism independent of source cardinality (the skewed-source fix)
+    "pipeline_pack_sharded"  -> ((s, dir) => Packing.packSharded(docs(s, dir))),
     // source-mixture plan: exact largest-remainder token-budget apportionment
     "pipeline_mixture"       -> ((s, dir) => Packing.mixture(docs(s, dir))),
     "pipeline_corpus_stats"  -> ((s, dir) => TextAnalysis.corpusStats(docs(s, dir))),
@@ -284,7 +290,7 @@ object ExtQueries {
     * tie-break (a_t), and the next round's sum-vector centroids (c_{t+1}).
     * Output = member counts of the FINAL assignment joined to the final
     * sums. */
-  private def kmeansRunOracleSql(iters: Int): String = {
+  private def kmeansCtes(iters: Int): String = {
     val blocks = (1 to iters).map { t =>
       s"""n$t AS (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM c$t GROUP BY cluster_id),
          |d$t AS (SELECT qv.vec_id, c.cluster_id, CAST(sum(qv.x * c.x) AS BIGINT) AS dot
@@ -302,13 +308,53 @@ object ExtQueries {
     }.mkString(",\n")
     s"""$quantCte,
        |c1 AS (SELECT vec_id AS cluster_id, i, x FROM q WHERE vec_id >= 100 AND vec_id < 116),
-       |$blocks,
+       |$blocks""".stripMargin
+  }
+
+  // NOTE: quantCte (the head of kmeansCtes) already opens the WITH clause
+  private def kmeansRunOracleSql(iters: Int): String =
+    s"""${kmeansCtes(iters)},
        |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM a$iters GROUP BY cluster_id)
        |SELECT s.cluster_id AS cluster_id, CAST(s.i - 1 AS INT) AS dim, m.n_members,
        |       s.x AS sum_x, round(s.x / m.n_members, 6) AS mean_x
        |FROM c${iters + 1} s JOIN m ON s.cluster_id = m.cluster_id
        |ORDER BY cluster_id, dim""".stripMargin
-  }
+
+  /** The trained-quantizer IVF pipeline: [[kmeansCtes]]' final centroid
+    * sums (c{iters+1}, labels = the seed ids) become the quantizer matrix
+    * for the proven ivf assignment/probe/rerank CTEs — the chained-CTE
+    * composition of the two green oracles. */
+  private def ivfTrainedOracleSql(iters: Int): String =
+    s"""${kmeansCtes(iters)},
+       |cf AS (SELECT cluster_id, i, x FROM c${iters + 1}),
+       |nf AS (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM cf GROUP BY cluster_id),
+       |cdots AS (SELECT qv.vec_id, cf.cluster_id AS cent_id, CAST(sum(qv.x * cf.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN cf ON qv.i = cf.i GROUP BY 1, 2),
+       |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+       |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nf.n AS DOUBLE))) AS ccos
+       |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+       |                    JOIN nf ON cdots.cent_id = nf.cluster_id),
+       |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+       |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |              FROM ccos) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+       |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+       |dots AS (SELECT cand.query_id, cand.vec_id, cand.list_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+       |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+       |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
+       |         GROUP BY cand.query_id, cand.vec_id, cand.list_id),
+       |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.list_id AS list_id,
+       |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+       |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+       |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       |       round(cosine, 6) AS cosine, list_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "text_quality" ->
@@ -410,6 +456,9 @@ object ExtQueries {
     // engines); assignment ties break to the lower cluster_id, exactly the
     // engine's array_position first-max.
     "embedding_kmeans_run" -> kmeansRunOracleSql(3),
+
+    // trained-quantizer IVF: kmeans CTEs chained into the ivf CTEs
+    "pipeline_ann_trained" -> ivfTrainedOracleSql(3),
 
     // the engine's banded LSH has P[miss | J>=0.8] ~ 5e-8, so the pair set
     // equals the exact-Jaccard pairs; the cluster ids are then the TRUE
@@ -632,6 +681,18 @@ object ExtQueries {
         |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
         |SELECT source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 256 AS first_seq,
+        |  (cum - 1) // 256 AS last_seq,
+        |  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "pipeline_pack_sharded" ->
+      """WITH t AS (SELECT source, doc_id, doc_id // 100 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        |SELECT source, shard, doc_id, n_tokens,
         |  (cum - n_tokens) // 256 AS first_seq,
         |  (cum - 1) // 256 AS last_seq,
         |  (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs
@@ -1065,5 +1126,5 @@ object ExtQueries {
     "events_top_users", "events_funnel_steps", "dedup_incremental",
     "text_search", "pipeline_corpus_build",
     "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture",
-    "text_source_drift")
+    "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded")
 }

@@ -45,6 +45,31 @@ object Packing {
       .orderBy("source", "doc_id")
   }
 
+  /** Pre-sharded [[pack]] — the scale fix [[pack]]'s doc promises: the
+    * prefix-sum stream key becomes (source, shard = doc_id div shardSize),
+    * so parallelism is Σ ceil(docs_per_source / shardSize) instead of
+    * source cardinality — one huge source no longer serializes onto one
+    * task at 100 TB. Sequence indices are LOCAL to the shard (each shard's
+    * stream restarts at 0); the per-shard plan is byte-identical to
+    * [[pack]]'s, only the stream boundaries move, and a training run
+    * consumes shards independently exactly as it consumes sources.
+    * With shardSize ≥ the id range, every source is one shard and the
+    * result is [[pack]]'s exactly (spec-asserted). */
+  def packSharded(docs: DataFrame, budget: Int = 256, shardSize: Long = 100): DataFrame = {
+    require(shardSize > 0)
+    val t = docs.select(col("source"), col("doc_id"),
+      expr(s"doc_id div $shardSize").as("shard"),
+      expr("size(split(text, ' '))").as("n_tokens"))
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("first_seq"),
+        expr(s"(cum - 1) div $budget").as("last_seq"),
+        expr(s"(cum - 1) div $budget - (cum - n_tokens) div $budget + 1").as("n_seqs"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Source-mixture plan — the data-MIXING step of a corpus build: given a
     * total training-token budget, apportion it across sources in exact
     * proportion to their token counts, with the fractional remainders

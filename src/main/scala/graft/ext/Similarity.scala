@@ -121,21 +121,47 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
               nList: Int = 16, nProbe: Int = 4, centroidBase: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)
-    val qz = foldQuantizer(vecs, nList, centroidBase)
-    val (cqLit, cnLit, cidLit) = (qz.cq, qz.cn, qz.cid)
-    val scored = vecs.withColumn("scores", expr(centroidScoresExpr(cqLit, cnLit, nList)))
+    ivfQuery(vecs, foldQuantizer(vecs, nList, centroidBase), nList, nQueries, k, nProbe)
+  }
+
+  /** IVF against a TRAINED coarse quantizer — the composition users
+    * actually run: [[kmeansRun]]'s converged centroids (unnormalized
+    * member-sum vectors; labels stay the seed ids, in id order) replace
+    * the raw corpus vectors as the quantizer, then the query path is
+    * byte-for-byte the [[ivfTopK]] plan. Training cost is `iters` narrow
+    * scans + one `vec_sum_agg` partial-agg shuffle each; clusters that die
+    * during training drop out of the quantizer (n may be < nList). Oracle
+    * = the two proven oracles chained: kmeansRun's CTE blocks feed ivf's
+    * assignment/probe/rerank CTEs. */
+  def ivfTrainedTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                     nList: Int = 16, nProbe: Int = 4, centroidBase: Int = 100,
+                     iters: Int = 3): DataFrame = {
+    val vecs = quantized(embeddings)
+    val cents = lloydFinal(vecs, nList, centroidBase, iters)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    require(cents.length >= nProbe,
+      s"only ${cents.length} surviving clusters < nProbe=$nProbe")
+    ivfQuery(vecs, centroidLits(cents), cents.length, nQueries, k, nProbe)
+  }
+
+  /** The shared IVF query path: narrow argmax assignment over `n` folded
+    * centroids, nProbe broadcast probes, candidate-only top-k rerank. */
+  private def ivfQuery(vecs: DataFrame, qz: Quantizer, n: Int,
+                       nQueries: Int, k: Int, nProbe: Int): DataFrame = {
+    val scored = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
     // one narrow pass: every corpus vector lands in its argmax-cosine list
     val assigned = scored
       .withColumn("list_id",
-        expr(s"element_at($cidLit, CAST(array_position(scores, array_max(scores)) AS INT))"))
+        expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
       .select("vec_id", "q", "nrm", "list_id")
     // struct sort = (score DESC, centroid index ASC); explode the nProbe
     // nearest lists per query
     val probes = scored.filter(col("vec_id") < nQueries)
       .withColumn("list_id", explode(expr(
-        s"""transform(slice(array_sort(transform(sequence(0, ${nList - 1}),
+        s"""transform(slice(array_sort(transform(sequence(0, ${n - 1}),
            |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
-           |  p -> element_at($cidLit, p.i + 1))""".stripMargin)))
+           |  p -> element_at(${qz.cid}, p.i + 1))""".stripMargin)))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("nq"), col("list_id"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), "list_id")
@@ -219,10 +245,29 @@ object Similarity {
     *
     * Output per surviving (cluster, dim): member count after the final
     * assignment, exact component sum, and the mean component. */
-  def kmeansRun(embeddings: DataFrame, nList: Int = 16, centroidBase: Int = 100,
-                iters: Int = 3): DataFrame = {
+  /** Fold a centroid set into quantizer literals, guarding the BIGINT
+    * norm bound loudly (shared by [[kmeansRun]]'s rounds and
+    * [[ivfTrainedTopK]]'s trained quantizer). */
+  private def centroidLits(cs: Array[(Long, Array[Long])]): Quantizer = {
+    val cq = cs.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
+    val cn = cs.map { case (id, v) =>
+      val n = v.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      require(n <= Long.MaxValue,
+        s"centroid $id squared norm $n overflows BIGINT — rescale the quantization")
+      n.toLong
+    }.mkString("array(", "L, ", "L)")
+    val cid = cs.map(_._1).mkString("array(", "L, ", "L)")
+    Quantizer(cq, cn, cid)
+  }
+
+  /** The Lloyd loop shared by [[kmeansRun]] (reports it) and
+    * [[ivfTrainedTopK]] (uses it as the quantizer): `iters` rounds from the
+    * deterministic seed, returning the FINAL round's
+    * (cluster_id, n_members, sums) aggregate — sums are the unnormalized
+    * member-sum centroids (see [[kmeansRun]]'s doc for why). */
+  private def lloydFinal(vecs: DataFrame, nList: Int, centroidBase: Int,
+                         iters: Int): DataFrame = {
     require(iters >= 1, "need at least one Lloyd round")
-    val vecs = quantized(embeddings)
     var cents: Array[(Long, Array[Long])] = vecs
       .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
       .orderBy("vec_id").collect()
@@ -233,17 +278,10 @@ object Similarity {
     // assignment + the array-typed partial sum (one buffer per
     // (cluster, task) crosses the shuffle)
     def step(cs: Array[(Long, Array[Long])]): DataFrame = {
-      val cq = cs.map(_._2.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
-      val cn = cs.map { case (id, v) =>
-        val n = v.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
-        require(n <= Long.MaxValue,
-          s"centroid $id squared norm $n overflows BIGINT — rescale the quantization")
-        n.toLong
-      }.mkString("array(", "L, ", "L)")
-      val cid = cs.map(_._1).mkString("array(", "L, ", "L)")
-      vecs.withColumn("scores", expr(centroidScoresExpr(cq, cn, cs.length)))
+      val qz = centroidLits(cs)
+      vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, cs.length)))
         .withColumn("cluster_id",
-          expr(s"element_at($cid, CAST(array_position(scores, array_max(scores)) AS INT))"))
+          expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"), expr("vec_sum_agg(q)").as("sums"))
     }
@@ -258,6 +296,11 @@ object Similarity {
       if (fixpoint) it = iters else { cents = next; it += 1 }
     }
     step(cents)
+  }
+
+  def kmeansRun(embeddings: DataFrame, nList: Int = 16, centroidBase: Int = 100,
+                iters: Int = 3): DataFrame = {
+    lloydFinal(quantized(embeddings), nList, centroidBase, iters)
       .select(col("cluster_id"), col("n_members"),
         posexplode(col("sums")).as(Seq("dim", "sum_x")))
       .select(col("cluster_id"), col("dim").cast("int").as("dim"),

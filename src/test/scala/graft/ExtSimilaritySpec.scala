@@ -63,6 +63,33 @@ class ExtSimilaritySpec extends AnyFunSuite {
     overlaps.foreach { case (expected, got) => assert(got === expected) }
   }
 
+  test("ivfTrainedTopK: trained-quantizer search keeps the exact scoring core") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.ivfTrainedTopK(embs).collect()
+    assert(out.nonEmpty)
+    // list ids are the surviving seed labels; neighbors never echo the query
+    assert(out.forall(r => r.getAs[Long]("list_id") >= 100L && r.getAs[Long]("list_id") < 116L))
+    assert(out.forall(r => r.getLong(0) !== r.getAs[Long]("neighbor_id")))
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // candidate routing changed (trained lists), the scoring core did not:
+    // any (query, neighbor) also in brute-force top-10 has the same cosine
+    val bf = Similarity.bruteForceTopK(embs, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val overlaps = out.flatMap { r =>
+      bf.get((r.getLong(0), r.getAs[Long]("neighbor_id"))).map(_ -> r.getAs[Double]("cosine"))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (expected, got) => assert(got === expected) }
+    // deterministic under repartitioning (training collects are id-ordered)
+    val again = Similarity.ivfTrainedTopK(embs.repartition(9)).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("kmeansStep: members partition the corpus; means sit in range; shift is exact") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val n = embs.count()

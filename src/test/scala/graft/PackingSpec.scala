@@ -61,6 +61,38 @@ class PackingSpec extends AnyFunSuite {
     assert(out === Map("a" -> 11L, "b" -> 10L))
   }
 
+  test("packSharded restarts streams at shard boundaries; one-shard == pack") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // shardSize beyond the id range → every source is one shard: the result
+    // is pack's exactly (shard column aside)
+    val oneShard = Packing.packSharded(docs, shardSize = 1000000L).drop("shard").collect()
+    val plain = Packing.pack(docs).collect()
+    assert(oneShard.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+    // sharded: each (source, shard) stream restarts at sequence 0 and is
+    // gap-free — the independently consumable unit
+    val sharded = Packing.packSharded(docs, shardSize = 100L).collect()
+    sharded.groupBy(r => (r.getString(0), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val covered = rows.flatMap(r =>
+          r.getAs[Long]("first_seq") to r.getAs[Long]("last_seq")).toSet
+        assert(covered.min === 0L)
+        assert(covered === (0L to covered.max).toSet)
+    }
+    // within a shard the assignment is pack's: replaying pack on the
+    // shard's rows alone yields identical (first_seq, last_seq)
+    val shard0 = docs.filter(col("doc_id") < 100)
+    val replay = Packing.pack(shard0).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"))).toSet
+    val fromSharded = sharded.filter(_.getAs[Long]("shard") == 0L)
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"))).toSet
+    assert(fromSharded === replay)
+    // deterministic under repartitioning
+    val again = Packing.packSharded(docs.repartition(13), shardSize = 100L).collect()
+    assert(again.map(_.toSeq).toSeq === sharded.map(_.toSeq).toSeq)
+  }
+
   test("pack result is independent of input partitioning") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val a = Packing.pack(docs).collect()
