@@ -251,19 +251,23 @@ object TextAnalysis {
     * yields a shared selected print, while only ~2/(w+1) of all k-gram
     * hashes are kept. Tie handling is value-based (array_min), so the
     * SELECTED VALUE set — all we emit — is position-independent. */
-  /** Stage 1: positional 3-gram hashes from the token array `w` — computed
-    * ONCE per row in its own projection. Spark does not
-    * common-subexpression-eliminate inside nested HOF lambdas, so inlining
-    * this under the window transform would re-run every md5 per window. */
-  private val posHashesExpr: String =
+  /** Stage 1 (SQL twin of the native path): positional 3-gram hashes from
+    * the token array `w` — computed ONCE per row in its own projection.
+    * Spark does not common-subexpression-eliminate inside nested HOF
+    * lambdas, so inlining this under the window transform would re-run
+    * every md5 per window. Kept as the oracle-shaped reference the
+    * `winnow_prints` native expression is spec-asserted against
+    * (ExtTextSpec) — the hot path runs the compiled loop. */
+  private[graft] val posHashesExpr: String =
     """CASE WHEN size(w) >= 3 THEN
       |  transform(sequence(1, size(w) - 2), i ->
       |    CAST(conv(substring(md5(array_join(slice(w, i, 3), ' ')), 1, 15), 16, 10) AS BIGINT))
       |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
 
-  /** Stage 2: winnow the precomputed hash array `hs` — min of each 4-window
-    * (short docs: one window of everything), distinct values, sorted. */
-  private val printsExpr: String =
+  /** Stage 2 (SQL twin): winnow the precomputed hash array `hs` — min of
+    * each 4-window (short docs: one window of everything), distinct
+    * values, sorted. */
+  private[graft] val printsExpr: String =
     """CASE WHEN size(hs) >= 1 THEN
       |  array_sort(array_distinct(transform(sequence(1, greatest(1, size(hs) - 3)),
       |    j -> array_min(slice(hs, j, 4)))))
@@ -271,15 +275,18 @@ object TextAnalysis {
 
   /** Per-document winnowing fingerprint: selected-print count + a content
     * hash of the sorted print set (the compact form a fingerprint store
-    * would index). One narrow codegen'd pass — no shuffle. */
-  def winnow(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr("split(text, ' ')").as("w"))
-      .select(col("doc_id"), expr(posHashesExpr).as("hs"))
-      .select(col("doc_id"), expr(printsExpr).as("prints"))
+    * would index). One narrow codegen'd pass — no shuffle; the per-row
+    * hash-and-window fold is the `winnow_prints` NATIVE expression (one
+    * compiled loop — the HOF twin re-evaluated a boxed slice/array_min
+    * lambda pair per window and was the heaviest sf10 soak line at 19 s). */
+  def winnow(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("winnow_prints(text, 3, 4)").as("prints"))
       .select(col("doc_id"),
         expr("CAST(size(prints) AS INT)").as("n_prints"),
         expr("md5(array_join(transform(prints, p -> CAST(p AS STRING)), ','))").as("prints_md5"))
       .orderBy("doc_id")
+  }
 
   /** Documents sharing ≥ `minShared` winnowed prints — near-dup/plagiarism
     * candidates at a fraction of the full-shingle index cost (winnowing
@@ -289,11 +296,10 @@ object TextAnalysis {
     * biases toward small hash values, so a popular low-hash 3-gram would
     * otherwise be a quadratic bucket at scale). */
   def winnowPairs(docs: DataFrame, minShared: Int = 8, maxDocFreq: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = Window.partitionBy("print")
     val idx = Dedup.spread(docs)
-      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
-      .select(col("doc_id"), expr(posHashesExpr).as("hs"))
-      .select(col("doc_id"), explode(expr(printsExpr)).as("print"))
+      .select(col("doc_id"), explode(expr("winnow_prints(text, 3, 4)")).as("print"))
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
       .select("doc_id", "print")

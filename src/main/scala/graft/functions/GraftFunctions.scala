@@ -89,6 +89,60 @@ object MinHashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Winnowed fingerprint prints of a document in ONE pass (Schleimer et
+    * al.'s MOSS winnowing, word-`n`-gram hashes, window `w`): positional
+    * (non-distinct) 60-bit md5 n-gram hashes, minimum of each w-window of
+    * consecutive hashes (short docs: one window of everything), distinct
+    * values, sorted ascending. Value-identical to the two-stage HOF
+    * pipeline it replaces (TextAnalysis posHashesExpr → printsExpr,
+    * spec-asserted): same tokenization (Java split, limit -1), same
+    * md5-prefix 60-bit integers, same `greatest(1, m-w+1)` window count —
+    * but one compiled loop per row instead of a boxed slice/array_min
+    * lambda pair per window. */
+  def winnowPrints(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val m = words.length - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      i += 1
+    }
+    val nWin = math.max(1, m - w + 1)
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nWin)
+    var j = 0
+    while (j < nWin) {
+      var mn = Long.MaxValue
+      var k = 0
+      while (k < w && j + k < m) {
+        val v = hs(j + k)
+        if (v < mn) mn = v
+        k += 1
+      }
+      if (seen.add(mn)) out += mn
+      j += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    new GenericArrayData(arr)
+  }
+
   /** 63-bit SimHash of a document in ONE pass: md5 once per distinct
     * token, ±1 fold into 63 counters, sign → bit. Value-identical to the
     * SQL formulation it replaces (aggregate over sequence(0,62) of
@@ -306,6 +360,18 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** winnow_prints(text, n, w) -> sorted distinct window-min 60-bit n-gram
+  * hash prints (see MinHashOps.winnowPrints). */
+case class WinnowPrints(child: Expression, n: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.winnowPrints(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.winnowPrints($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowPrints =
+    copy(child = newChild)
+}
+
 /** simhash63(text) -> bigint 63-bit SimHash fingerprint (see
   * MinHashOps.simhash63). */
 case class SimHash63(child: Expression) extends UnaryExpression {
@@ -515,6 +581,9 @@ object GraftFunctions {
       ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) },
     "srp_bucket" -> { es =>
       SrpBucket(es.head, es(1).eval().asInstanceOf[Int]) },
+    "winnow_prints" -> { es =>
+      WinnowPrints(es.head, es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int]) },
     // raw AggregateFunction: the analyzer's ResolveFunctions wraps it in an
     // AggregateExpression, so `agg(expr("minhash_union(sig)"))` just works
     "minhash_union" -> { es => MinHashUnion(es.head) },

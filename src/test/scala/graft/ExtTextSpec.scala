@@ -144,6 +144,32 @@ class ExtTextSpec extends AnyFunSuite {
     assert(byId(1L)._1 >= 1 && byId(1L)._1 < 8)
   }
 
+  test("native winnow_prints equals the SQL two-stage formulation on real docs") {
+    // the oracle replays the SQL shape, so the native loop must be
+    // value-identical on every doc — including short-doc edge cases
+    // (< 3 tokens → empty; 3..6 tokens → one window) and empty text
+    val spark0 = spark
+    graft.functions.GraftFunctions.register(spark0)
+    import spark0.implicits._
+    val real = Tables.load(spark0, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq((9001L, ""), (9002L, "one"), (9003L, "one two"),
+      (9004L, "one two three"), (9005L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(edge)
+    val both = docs
+      .withColumn("native", expr("winnow_prints(text, 3, 4)"))
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("hs", expr(TextAnalysis.posHashesExpr))
+      .withColumn("sql", expr(TextAnalysis.printsExpr))
+      .select("doc_id", "native", "sql")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("winnowPairs flags the shared-run pair and not the disjoint one") {
     // docs 1/2 share a 9-token run (≥ w+k-1 = 6 → guaranteed shared print);
     // doc 3 is disjoint. minShared=1 so the guarantee alone must fire.
