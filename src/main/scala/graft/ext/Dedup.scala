@@ -157,9 +157,11 @@ object Dedup {
   }
 
   /** 32 band signatures (4 rows each) of a 128-wide `sig` column — md5 of
-    * each 4-slice; shared by every LSH consumer so band layouts can never
-    * diverge between the batch, incremental, and stored-index paths. */
-  private val bandSigsExpr: String =
+    * each 4-slice; shared by every LSH consumer (including the streaming
+    * store probe, [[graft.streaming.DocStreams.dedupAgainstStore]]) so band
+    * layouts can never diverge between the batch, incremental,
+    * stored-index, and streaming paths. */
+  private[graft] val bandSigsExpr: String =
     "transform(sequence(0, 31), b -> md5(array_join(slice(sig, b * 4 + 1, 4), ',')))"
 
   /** MinHash + banded LSH near-dup detection, verified with exact Jaccard.

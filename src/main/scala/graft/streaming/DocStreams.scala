@@ -71,6 +71,53 @@ object DocStreams {
       .select(col("doc_id"), col("n_shared"))
   }
 
+  /** Streaming incremental near-dup rejection against the PRECOMPUTED band
+    * store ([[graft.ext.Dedup.buildBandStore]]) — the continuous twin of
+    * the batch [[graft.ext.Dedup.incrementalStored]], closing the loop the
+    * in-horizon `dropDuplicatesWithinWatermark` leaves open: [[ingest]]
+    * rejects duplicates that arrived RECENTLY; this rejects documents
+    * already in the HISTORICAL corpus. Arriving documents are MinHash-banded
+    * (the shared [[graft.ext.Dedup.bandSigsExpr]] layout) and probed against
+    * the stored index via a stream-static equi-join on the 8-byte
+    * (band, bsig) key; candidates are verified by exact Jaccard against the
+    * stored hash arrays. Emits one row per (incoming doc, historical
+    * near-dup) with the exact jaccard — batch-equal under any micro-batch
+    * split (spec-asserted).
+    *
+    * Scale shape: same as the batch twin — the store is read, the
+    * historical TEXT never is; the stream side pays one narrow hash pass
+    * per doc. The static side re-plans per micro-batch, so the store's
+    * (band, bsig) range-clustering prunes probe files batch by batch.
+    * Multi-band collisions produce duplicate candidate pairs; the windowed
+    * aggregation folds them (max of the single exact jaccard value), so
+    * emission is append-mode and state is bounded by in-horizon pairs, not
+    * store size. */
+  def dedupAgainstStore(docs: DataFrame, storeDir: String,
+                        threshold: Double = 0.8,
+                        watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val histBands = spark.read.parquet(s"$storeDir/bands")
+    val histHashes = spark.read.parquet(s"$storeDir/hashes")
+    val streamBands = docs
+      .withWatermark("ingest_ts", watermark)
+      .select(col("doc_id").as("inc_id"), col("ingest_ts"),
+        expr("shingle_hash60(text, 3)").as("si"))
+      .withColumn("sig", expr("minhash_sig(si)"))
+      .select(col("inc_id"), col("ingest_ts"), col("si"),
+        posexplode(expr(graft.ext.Dedup.bandSigsExpr)).as(Seq("band", "bsig")))
+    streamBands.join(histBands, Seq("band", "bsig"))
+      .join(histHashes, "hist_id")
+      .withColumn("c", expr("size(array_intersect(si, sh))"))
+      // filter on the UNROUNDED value, emit rounded — the batch twin's
+      // exact order of operations (a 0.7999996 must not round into range)
+      .withColumn("jaccard", expr("c / (size(si) + size(sh) - c)"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(window(col("ingest_ts"), "10 minutes"), col("inc_id"), col("hist_id"))
+      .agg(max(expr("round(jaccard, 6)")).as("jaccard"))
+      .select(col("inc_id"), col("hist_id"), col("jaccard"))
+  }
+
   /** File-based entry point: tail a directory of parquet document drops
     * (the crawl-lands-files shape) and write the kept docs to a parquet
     * sink with checkpointing — the full readStream → transform →

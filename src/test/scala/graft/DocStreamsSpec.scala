@@ -89,6 +89,38 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup against the band store equals batch incrementalStored") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    Dedup.buildBandStore(docs.filter(col("doc_id") % 7 =!= 0), store)
+    val incoming = docs.filter(col("doc_id") % 7 === 0).orderBy("doc_id").collect()
+      .map(r => DocIn(r.getAs[Long]("doc_id"),
+        new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    val input = MemoryStream[DocIn]
+    // update mode so in-horizon windows surface (the 1h watermark never
+    // closes inside the test); every pair's bands arrive in ONE micro-batch
+    // (they explode from a single doc row), so each group emits once
+    val q = graft.streaming.DocStreams.dedupAgainstStore(input.toDF(), store)
+      .writeStream.format("memory").queryName("store_dedup_out")
+      .outputMode("update").start()
+    try {
+      // adversarial micro-batch splits, all inside the watermark
+      input.addData(incoming.take(24).toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(incoming.slice(24, 48).toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(incoming.drop(48).toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("store_dedup_out")
+        .select("inc_id", "hist_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).distinct.sorted
+      val batch = Dedup.incrementalStored(docs.filter(col("doc_id") % 7 === 0), store)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ingest equals the batch filter+dedup composite under id-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
