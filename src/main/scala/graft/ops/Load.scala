@@ -29,8 +29,33 @@ object Load {
   /** K2 — fmt="json": the reference writes a single JSON array. Spark has no
     * array-JSON writer (it would serialize the world on one node); we write
     * NDJSON instead — documented deviation (SURVEY.md §7.4), lossless and
-    * scalable. */
+    * scalable. For the reference's literal single-array shape on SMALL
+    * results, use [[jsonArray]]. */
   def json(df: DataFrame, path: String): Unit = ndjson(df, path)
+
+  /** K2 — fmt="json" FAITHFUL form: ONE file holding one JSON array, byte
+    * shape the reference uploads (`salesforce_to_s3_operator.py:84-90`,
+    * `json.dumps(...)` of the record list). Single-writer by construction —
+    * the reference materializes the whole result in driver memory anyway,
+    * so this path is for the same small-result regime (schema dumps,
+    * describe() artifacts, reconcile reports; guarded by `maxRows`). Rows
+    * are serialized by Spark's own JSON encoder (same field formatting as
+    * [[ndjson]]), concatenated on the ONE task of a coalesced partition —
+    * the driver never holds the data; for anything big, use [[ndjson]]. */
+  def jsonArray(df: DataFrame, path: String, maxRows: Long = 100000): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"jsonArray is the small-result single-file sink ($n rows > $maxRows); " +
+      "use ndjson for large results")
+    import df.sparkSession.implicits._
+    df.toJSON.coalesce(1).mapPartitions { it =>
+      val sb = new StringBuilder("[")
+      var first = true
+      it.foreach { s => if (!first) sb.append(','); sb.append(s); first = false }
+      sb.append(']')
+      Iterator(sb.toString)
+    }.write.mode(SaveMode.Overwrite).text(path)
+  }
 
   /** TRUNCATECOLUMNS fidelity (ref COPY option,
     * `salesforce_schema_to_redshift_operator.py:283`): clamp string columns

@@ -85,6 +85,27 @@ class LoadSpec extends AnyFunSuite {
     assert(back.count() === 4)
   }
 
+  test("jsonArray writes ONE file holding one JSON array; guard rejects big results") {
+    val path = tmpdir("jsonarray")
+    Load.jsonArray(fixture, path)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(path)).toArray
+      .map(_.toString).filter(_.endsWith(".txt"))
+    assert(files.length === 1, s"expected one part file, got ${files.toSeq}")
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(files.head)), "UTF-8").trim
+    // the reference's byte shape: a single json.dumps-style array
+    assert(content.startsWith("[") && content.endsWith("]"))
+    assert(!content.contains("\n["), "exactly one array, one line")
+    // read-back: Spark's JSON reader explodes a top-level array per line
+    val back = spark.read.schema(fixture.schema).json(path)
+    assert(back.orderBy("id").collect().toSeq === fixture.orderBy("id").collect().toSeq)
+    // the small-result guard fires rather than serializing the world
+    val e = intercept[IllegalArgumentException] {
+      Load.jsonArray(fixture, path, maxRows = 2)
+    }
+    assert(e.getMessage.contains("small-result"))
+  }
+
   test("varcharClamp truncates only mapped string columns to declared length") {
     val df = Seq(("abcdefgh", "untouched", 7L)).toDF("short", "free", "n")
     val out = Load.varcharClamp(df, Map("short" -> 3)).collect().head

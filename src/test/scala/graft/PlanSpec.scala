@@ -265,4 +265,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges\n$p")
     assert(p.contains("deflatelen"), p)
   }
+
+  test("trained IVF keeps the ivf query shape: broadcast probes, corpus never shuffled as vectors") {
+    val p = plan("pipeline_ann_trained")
+    // candidates come from the broadcast probe equi-join — never a corpus
+    // cross product; the corpus side's only wide op is the top-k window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
+  }
+
+  test("sharded pack: one (source, shard) window shuffle, no joins") {
+    val p = plan("pipeline_pack_sharded")
+    assert(!p.contains("Join"), p)
+    // window-partition shuffle + output sort only
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"$exchanges exchanges\n$p")
+    assert(p.contains("hashpartitioning(source"), s"stream key must shard the window\n$p")
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning") && l.contains("shard")),
+      s"shard key missing from the window partitioning\n$p")
+  }
+
+  test("winnow is a narrow native-expression projection — no shuffle but the output sort") {
+    val p = plan("text_winnow")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"$exchanges exchanges\n$p")
+    assert(p.contains("winnowprints") || p.contains("winnow_prints"), p)
+  }
 }
