@@ -76,6 +76,10 @@ object ExtQueries {
     "text_search"         -> ((s, dir) => TextAnalysis.search(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     "text_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(docs(s, dir))),
+    // canonicalization fingerprint (casefold/strip/collapse -> md5)
+    "text_normalize"    -> ((s, dir) => TextAnalysis.normalize(docs(s, dir))),
+    // tokenizer vocab: top-K corpus tokens with frequency share
+    "text_vocab"        -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -87,6 +91,9 @@ object ExtQueries {
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
     "dedup_keepers"          -> ((s, dir) => Dedup.keepers(docs(s, dir))),
     "dedup_incremental"      -> ((s, dir) => Dedup.incremental(docs(s, dir))),
+    // semantic-dedup decision: components over the >=0.4-cosine pair
+    // relation (dedup_embedding_cosine's bar) -> one keeper per cluster
+    "dedup_embedding_keepers" -> ((s, dir) => Dedup.embeddingKeepers(embs(s, dir))),
     // the stored-index twin: build the historical band store once per
     // fixture CONTENT (the cache key fingerprints the parquet file listing
     // — name/size/mtime — so a regenerated fixture at the same path can
@@ -163,6 +170,8 @@ object ExtQueries {
     "pipeline_pack_sharded"  -> ((s, dir) => Packing.packSharded(docs(s, dir))),
     // source-mixture plan: exact largest-remainder token-budget apportionment
     "pipeline_mixture"       -> ((s, dir) => Packing.mixture(docs(s, dir))),
+    // the plan APPLIED: per-source md5-ordered selection until quota covered
+    "pipeline_mixture_sampled" -> ((s, dir) => Packing.mixtureSampled(docs(s, dir))),
     "pipeline_corpus_stats"  -> ((s, dir) => TextAnalysis.corpusStats(docs(s, dir))),
     "pipeline_quality_prune" -> ((s, dir) => TextAnalysis.qualityPrune(docs(s, dir))),
 
@@ -722,6 +731,75 @@ object ExtQueries {
         |SELECT lang, CAST(rank AS INT) AS rank, doc_id
         |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
 
+    // mixture plan replay (largest remainder) feeding the per-source
+    // md5-ordered greedy selection: doc kept iff tokens BEFORE it < quota
+    "pipeline_mixture_sampled" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |           FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+        |tt AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per),
+        |qq AS (SELECT *, (100000 * n_tokens) // total AS base_quota,
+        |               (100000 * n_tokens) % total AS rem FROM tt),
+        |l AS (SELECT *, 100000 - CAST(sum(base_quota) OVER () AS BIGINT) AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM qq),
+        |quota AS (SELECT source,
+        |            base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota_tokens
+        |          FROM l),
+        |r AS (SELECT t.*,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |      FROM t)
+        |SELECT r.source, CAST(pick_rank AS INT) AS pick_rank, doc_id, n_tokens,
+        |       cum_tokens, quota_tokens
+        |FROM r JOIN quota USING (source)
+        |WHERE cum_tokens - n_tokens < quota_tokens
+        |ORDER BY source, pick_rank""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm
+        |FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(length(norm) AS INT) AS n_chars_norm,
+        |  md5(norm) AS norm_md5,
+        |  CAST(text != norm AS INT) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tf GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c),
+        |r AS (SELECT token, freq,
+        |        row_number() OVER (ORDER BY freq DESC, token ASC) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, token, freq, round(freq / total, 6) AS share
+        |FROM r CROSS JOIN tot WHERE rank <= 200 ORDER BY rank""".stripMargin,
+
+    // the embedding-side keeper decision: recursive closure over the exact
+    // >=0.4-cosine pair relation (quantized-integer scoring core; same bar
+    // as dedup_embedding_cosine, whose pair set this collapses)
+    "dedup_embedding_keepers" ->
+      s"""${quantCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |jp AS (SELECT a, b FROM (
+         |         SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+         |         FROM q q1 JOIN q q2 ON q1.i = q2.i AND q1.vec_id < q2.vec_id
+         |         GROUP BY 1, 2) d
+         |       JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+         |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+         |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, min(id) AS keeper_id, count(*) AS n_members
+         |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
     // shingle hashes (integer shifts — a double would round past 53 bits),
     // the same LCG permutation family, per-source elementwise min (= sketch
@@ -1126,5 +1204,7 @@ object ExtQueries {
     "events_top_users", "events_funnel_steps", "dedup_incremental",
     "text_search", "pipeline_corpus_build",
     "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture",
-    "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded")
+    "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded",
+    "text_normalize", "text_vocab", "pipeline_mixture_sampled",
+    "dedup_embedding_keepers")
 }

@@ -120,12 +120,25 @@ object StreamBench {
           .outputMode("append")
           .option("checkpointLocation", s"$out/ckpt")
           .format("parquet").option("path", s"$out/data").start()
+      }, {
+        // historical band store precomputed in batch (even doc ids), then
+        // ALL docs stream against it: the store-probe path under ~50%
+        // hit load (every even doc self-matches, plus the clone pairs)
+        val histStore = s"$work/band_store"
+        ext.Dedup.buildBandStore(
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"), histStore)
+        runOne(spark, "store_dedup", nDocs, s"$work/out/store_dedup") { out =>
+          streaming.DocStreams.dedupAgainstStore(docStream, histStore).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
       })
 
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup at O(in-horizon candidate pairs) while probing a precomputed band store of n_docs/2 historical docs - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)

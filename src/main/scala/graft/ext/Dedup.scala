@@ -437,6 +437,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
+  /** [[keepers]]' twin on the EMBEDDING side — the semantic-dedup decision:
+    * connected components over [[embeddingCosine]]'s near-parallel pairs
+    * (same min-label propagation as [[clusters]]) collapsed to one row per
+    * cluster with the kept vec_id (min) and member count. The default
+    * threshold matches [[embeddingCosine]]'s — this operator is the
+    * decision layer over whatever pair bar the pipeline runs (raise it for
+    * strict clone families; the pair stage's cost analysis in
+    * [[embeddingCosine]]'s doc applies unchanged). */
+  def embeddingKeepers(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
+    clusters(embeddingCosine(embeddings, threshold).select("a", "b"))
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
   /** Corpus-source overlap estimation: per-source MinHash UNION sketches →
     * pairwise shingle-set Jaccard estimates. Answers "how much do my crawl
     * dumps / data sources overlap?" BEFORE paying for cross-source pair

@@ -122,4 +122,32 @@ object Packing {
         (col("base_quota") + col("extra")).as("quota_tokens"))
       .orderBy(col("source").asc_nulls_last)
   }
+
+  /** [[mixture]] APPLIED — the selection step after the plan: within each
+    * source, documents are taken in deterministic md5(doc_id) order (the
+    * [[Sampling.stratifiedSample]] discipline — RNG-free, layout- and
+    * partitioning-independent) until the source's token quota is covered.
+    * Greedy boundary rule: a doc is selected iff the tokens BEFORE it are
+    * still under the quota, so the final doc may overshoot by part of
+    * itself (token-exact trimming is [[pack]]'s job downstream) and every
+    * quota is covered, never silently under-filled.
+    *
+    * Scale shape: the S-row quota plan broadcasts back onto the corpus
+    * (never a corpus shuffle for the join); selection is one per-source
+    * window (rank + running token sum share the single (source) exchange). */
+  def mixtureSampled(docs: DataFrame, budgetTokens: Long = 100000L): DataFrame = {
+    val quotas = mixture(docs, budgetTokens).select("source", "quota_tokens")
+    val t = docs.select(col("source"), col("doc_id"),
+      expr("size(split(text, ' '))").as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id"))
+    t.join(broadcast(quotas), "source")
+      .withColumn("pick_rank", row_number().over(w))
+      .withColumn("cum", sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") - col("n_tokens") < col("quota_tokens"))
+      .select(col("source"), col("pick_rank"), col("doc_id"), col("n_tokens"),
+        col("cum").cast("long").as("cum_tokens"), col("quota_tokens"))
+      .orderBy("source", "pick_rank")
+  }
 }

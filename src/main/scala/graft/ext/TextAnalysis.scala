@@ -311,6 +311,50 @@ object TextAnalysis {
       .orderBy("a", "b")
   }
 
+  /** Text NORMALIZATION fingerprint — the canonicalization pass that runs
+    * before exact dedup in a crawl pipeline (casefold, strip non-alnum,
+    * collapse whitespace): emits the normalized form's md5 plus before/
+    * after lengths and a changed flag, so a downstream exact-dedup on
+    * `norm_md5` collapses case/punctuation variants the raw prefix key
+    * misses. One narrow codegen'd pass — no shuffle. The character class
+    * is deliberately regex-dialect-neutral ([^a-z0-9 ] means the same in
+    * Java and RE2/DuckDB). */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("norm", expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"))
+      .select(col("doc_id"),
+        expr("length(text)").as("n_chars"),
+        expr("length(norm)").as("n_chars_norm"),
+        expr("md5(norm)").as("norm_md5"),
+        expr("CAST(text != norm AS INT)").as("changed"))
+      .orderBy("doc_id")
+
+  /** Tokenizer VOCABULARY builder: the corpus's top-`topK` tokens by
+    * frequency (ties → token asc) with each token's share of all corpus
+    * tokens — the frequency table a tokenizer build (or an OOV audit)
+    * starts from. Scale shape: one (token) partial-agg shuffle with
+    * map-side combine, a TakeOrdered top-k heap (never a global sort of
+    * the vocabulary), the 1-row total broadcast onto the K survivors, and
+    * a K-row window for the rank. */
+  def vocab(docs: DataFrame, topK: Int = 200): DataFrame = {
+    val counts = Dedup.spread(docs)
+      .select(explode(expr("split(text, ' ')")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum("freq").cast("long").as("total"))
+    val top = counts.orderBy(col("freq").desc, col("token").asc).limit(topK)
+      // constant-valued non-foldable key: one intended partition for the
+      // K-row rank window without the bare-window warning (and without
+      // lit(1), which Catalyst folds back to an empty partition spec)
+      .withColumn("__one", expr("coalesce(length(token) % 1, 0)"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__one").orderBy(col("freq").desc, col("token").asc)))
+      .select(col("rank").cast("int").as("rank"), col("token"), col("freq"),
+        expr("round(freq / total, 6)").as("share"))
+      .orderBy("rank")
+  }
+
   /** Per-source token-distribution DRIFT from the whole corpus — the
     * "which crawl dump went bad" triage signal: a source whose unigram
     * distribution sits far from the corpus-wide one signals language

@@ -237,6 +237,20 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("embeddingKeepers collapses parallel-vector families to one keeper each") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)),    // parallel to 1
+      (3L, Array(3.0f, 0.0f, 0.001f)),  // near-parallel to 1 and 2
+      (4L, Array(0.0f, 5.0f, 0.0f)),
+      (5L, Array(0.0f, 7.0f, 0.0f))     // parallel to 4, orthogonal to 1-3
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingKeepers(df, threshold = 0.99).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Long]("n_members"))).toSet
+    assert(out === Set((1L, 1L, 3L), (4L, 4L, 2L)))
+  }
+
   test("appendToBandStore: day-2 sees day-1 docs, append is increment-sized, old files untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")

@@ -182,6 +182,37 @@ class ExtTextSpec extends AnyFunSuite {
     assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq === Seq((1L, 2L)))
   }
 
+  test("normalize canonicalizes case/punct/whitespace; variants share a fingerprint") {
+    val out = TextAnalysis.normalize(docsDf(
+      1L -> "Hello,  World! 42",
+      2L -> "hello world 42",
+      3L -> "unchanged text")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // case/punct/double-space variant and canonical form converge
+    assert(byId(1L).getAs[String]("norm_md5") === byId(2L).getAs[String]("norm_md5"))
+    assert(byId(1L).getAs[Int]("changed") === 1)
+    assert(byId(2L).getAs[Int]("changed") === 0)
+    assert(byId(3L).getAs[Int]("changed") === 0)
+    assert(byId(1L).getAs[Int]("n_chars_norm") === "hello world 42".length)
+    assert(byId(2L).getAs[String]("norm_md5") ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello world 42".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("vocab ranks tokens by corpus frequency with exact share of total") {
+    val out = TextAnalysis.vocab(docsDf(
+      1L -> "a a a b b c",
+      2L -> "a b z"), topK = 3).collect()
+    // freqs: a=4, b=3, c=1, z=1 (total 9); top-3 tie at freq 1 → 'c' < 'z'
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+      r.getAs[Long]("freq"))).toSeq === Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 1L)))
+    assert(out.head.getAs[Double]("share") === 0.444444)
+    // deterministic under repartitioning
+    val again = TextAnalysis.vocab(
+      docsDf(1L -> "a a a b b c", 2L -> "a b z").repartition(5), topK = 3).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("rolling fingerprint matches a reference computation and md5 is content hash") {
     val text = "ab c"
     val expected = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

@@ -93,6 +93,32 @@ class PackingSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === sharded.map(_.toSeq).toSeq)
   }
 
+  test("mixtureSampled covers every quota greedily in md5 order") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val budget = 10000L
+    val out = Packing.mixtureSampled(docs, budget).collect()
+    val quotas = Packing.mixture(docs, budget).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("quota_tokens")).toMap
+    val srcSizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("pick_rank"))
+      // picks are the md5-rank prefix: contiguous from 1
+      assert(sorted.map(_.getAs[Int]("pick_rank")).toSeq === (1 to rows.length))
+      // greedy rule: every pick started under the quota...
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("cum_tokens") - r.getAs[Int]("n_tokens") < quotas(src))
+      }
+      // ...and the quota is COVERED (or the source ran out of docs)
+      assert(sorted.last.getAs[Long]("cum_tokens") >= quotas(src) ||
+        rows.length.toLong == srcSizes(src), src)
+    }
+    // deterministic under repartitioning (md5 order, no RNG)
+    val again = Packing.mixtureSampled(docs.repartition(13), budget).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("pack result is independent of input partitioning") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val a = Packing.pack(docs).collect()
