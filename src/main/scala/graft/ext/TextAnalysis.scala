@@ -316,19 +316,26 @@ object TextAnalysis {
     * collapse whitespace): emits the normalized form's md5 plus before/
     * after lengths and a changed flag, so a downstream exact-dedup on
     * `norm_md5` collapses case/punctuation variants the raw prefix key
-    * misses. One narrow codegen'd pass — no shuffle. The character class
-    * is deliberately regex-dialect-neutral ([^a-z0-9 ] means the same in
-    * Java and RE2/DuckDB). */
-  def normalize(docs: DataFrame): DataFrame =
+    * misses. One narrow codegen'd pass — no shuffle; the per-row
+    * canonicalization is the `normalize_text` NATIVE expression (one
+    * compiled loop — the two-regex-pass twin below was 31.9 s at the sf10
+    * soak). The character class is deliberately regex-dialect-neutral
+    * ([^a-z0-9 ] means the same in Java and RE2/DuckDB); the SQL twin
+    * stays as the oracle-shaped reference, spec-asserted equal. */
+  val normalizeSqlExpr: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+
+  def normalize(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), col("text"))
-      .withColumn("norm", expr(
-        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"))
+      .withColumn("norm", expr("normalize_text(text)"))
       .select(col("doc_id"),
         expr("length(text)").as("n_chars"),
         expr("length(norm)").as("n_chars_norm"),
         expr("md5(norm)").as("norm_md5"),
         expr("CAST(text != norm AS INT)").as("changed"))
       .orderBy("doc_id")
+  }
 
   /** Tokenizer VOCABULARY builder: the corpus's top-`topK` tokens by
     * frequency (ties → token asc) with each token's share of all corpus

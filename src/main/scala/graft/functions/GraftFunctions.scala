@@ -143,6 +143,34 @@ object MinHashOps {
     new GenericArrayData(arr)
   }
 
+  /** Canonicalized text in ONE pass: lowercase (Spark's own UTF8String
+    * lowering, so Unicode semantics are exactly `lower()`'s), strip
+    * everything outside [a-z0-9 ], collapse space runs, trim. Value-
+    * identical to the regex twin it replaces
+    * (trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ''),
+    * ' +', ' ')), spec-asserted): dropped chars vanish without inserting
+    * a break (regex 1), spaces collapse to one and never lead or trail
+    * (regex 2 + trim) — but one compiled loop instead of two regex
+    * engine passes per row. */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val lower = text.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(lower.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && started) sb.append(' ')
+        sb.append(c)
+        started = true
+        pendingSpace = false
+      } else if (c == ' ') pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 63-bit SimHash of a document in ONE pass: md5 once per distinct
     * token, ±1 fold into 63 counters, sign → bit. Value-identical to the
     * SQL formulation it replaces (aggregate over sequence(0,62) of
@@ -357,6 +385,18 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** normalize_text(text) -> canonicalized string (see
+  * MinHashOps.normalizeText). */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }
 
@@ -584,6 +624,7 @@ object GraftFunctions {
     "winnow_prints" -> { es =>
       WinnowPrints(es.head, es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int]) },
+    "normalize_text" -> { es => NormalizeText(es.head) },
     // raw AggregateFunction: the analyzer's ResolveFunctions wraps it in an
     // AggregateExpression, so `agg(expr("minhash_union(sig)"))` just works
     "minhash_union" -> { es => MinHashUnion(es.head) },

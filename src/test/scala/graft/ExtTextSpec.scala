@@ -199,6 +199,27 @@ class ExtTextSpec extends AnyFunSuite {
         .digest("hello world 42".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("native normalize_text equals the two-regex SQL formulation on real + edge docs") {
+    val spark0 = spark
+    graft.functions.GraftFunctions.register(spark0)
+    import spark0.implicits._
+    val real = Tables.load(spark0, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "!!!"),
+      (9004L, "  Mixed   CASE &*() punct  42  "),
+      (9005L, "tabs\tand\nnewlines stay-out"),
+      (9006L, "ümlaut Σigma ﬁligature İstanbul"))
+      .toDF("doc_id", "text")
+    val both = real.unionByName(edge)
+      .withColumn("native", expr("normalize_text(text)"))
+      .withColumn("sql", expr(TextAnalysis.normalizeSqlExpr))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(2) === r.getString(3), s"doc ${r.getLong(0)}: <${r.getString(1)}>")
+    }
+  }
+
   test("vocab ranks tokens by corpus frequency with exact share of total") {
     val out = TextAnalysis.vocab(docsDf(
       1L -> "a a a b b c",
