@@ -80,6 +80,8 @@ object ExtQueries {
     "text_normalize"    -> ((s, dir) => TextAnalysis.normalize(docs(s, dir))),
     // tokenizer vocab: top-K corpus tokens with frequency share
     "text_vocab"        -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
+    // cross-doc template detector: share of a doc's bigrams unique to it
+    "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -770,6 +772,18 @@ object ExtQueries {
         |  CAST(text != norm AS INT) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
 
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+        |       FROM t WHERE len(w) >= 2),
+        |dfc AS (SELECT bigram, count(*) AS dfreq FROM bg GROUP BY bigram)
+        |SELECT bg.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       round(sum(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) / count(*), 6) AS novelty_ratio
+        |FROM bg JOIN dfc USING (bigram)
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
+
     "text_vocab" ->
       """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tf GROUP BY token),
@@ -1206,5 +1220,5 @@ object ExtQueries {
     "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture",
     "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded",
     "text_normalize", "text_vocab", "pipeline_mixture_sampled",
-    "dedup_embedding_keepers")
+    "dedup_embedding_keepers", "text_novelty")
 }

@@ -337,6 +337,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document BIGRAM NOVELTY — the corpus-relative template detector:
+    * of a doc's distinct bigrams, the fraction appearing in NO other
+    * document (corpus bigram document-frequency = 1). Boilerplate and
+    * templated docs share most of their bigrams with siblings → ratio near
+    * 0; original prose → near 1. Complements [[repetition]] (which only
+    * sees WITHIN-doc structure) and [[compressRatio]] — this is the
+    * cross-doc signal. Docs with <2 tokens emit no row (no bigrams), same
+    * as the oracle's inner join.
+    *
+    * Scale shape: distinct bigrams per doc (narrow), one bigram partial-agg
+    * shuffle for the DF table, a co-partitioned join back (both sides
+    * hash-partitioned on bigram), one doc_id partial-agg — bounded by
+    * corpus bigram volume, no pair enumeration anywhere. */
+  def novelty(docs: DataFrame): DataFrame = {
+    val bg = Dedup.spread(docs)
+      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2 THEN
+          |  array_distinct(transform(sequence(1, size(w) - 1),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("bigram"))
+    val dfc = bg.groupBy("bigram").agg(count(lit(1)).as("dfreq"))
+    bg.join(dfc, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("dfreq") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ratio", expr("round(n_unique / n_bigrams, 6)"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer VOCABULARY builder: the corpus's top-`topK` tokens by
     * frequency (ties → token asc) with each token's share of all corpus
     * tokens — the frequency table a tokenizer build (or an OOV audit)

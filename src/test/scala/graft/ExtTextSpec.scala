@@ -220,6 +220,25 @@ class ExtTextSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: clone family scores 0, unique doc scores 1, short docs drop") {
+    val clone = "alpha beta gamma delta epsilon zeta"
+    val out = TextAnalysis.novelty(docsDf(
+      1L -> clone, 2L -> clone,                  // every bigram shared → 0
+      3L -> "uno dos tres cuatro cinco",         // all bigrams unique → 1
+      4L -> "solo")).collect()                   // <2 tokens → no row
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Double]("novelty_ratio"))).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L))
+    assert(byId(1L) === (5L, 0.0))
+    assert(byId(2L) === (5L, 0.0))
+    assert(byId(3L) === (4L, 1.0))
+    // deterministic under repartitioning
+    val again = TextAnalysis.novelty(docsDf(
+      1L -> clone, 2L -> clone, 3L -> "uno dos tres cuatro cinco", 4L -> "solo")
+      .repartition(7)).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("vocab ranks tokens by corpus frequency with exact share of total") {
     val out = TextAnalysis.vocab(docsDf(
       1L -> "a a a b b c",

@@ -286,6 +286,12 @@ class PlanSpec extends AnyFunSuite {
       s"shard key missing from the window partitioning\n$p")
   }
 
+  test("novelty: co-partitioned bigram join with partial aggs, never a nested loop") {
+    val p = plan("text_novelty")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("winnow is a narrow native-expression projection — no shuffle but the output sort") {
     val p = plan("text_winnow")
     assert(!p.contains("Join"), p)
