@@ -150,6 +150,10 @@ object ExtQueries {
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
     "events_funnel_steps"    -> ((s, dir) => Events.funnelSteps(events(s, dir))),
+    // first-touch attribution: acquisition channel -> later-conversion rate
+    "events_attribution"     -> ((s, dir) => Events.attribution(events(s, dir))),
+    // top consecutive event-type trigrams (user-journey paths)
+    "events_paths"           -> ((s, dir) => Events.topPaths(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     "multimodal_frames"   -> ((s, dir) =>
@@ -1119,6 +1123,35 @@ object ExtQueries {
         |FROM entered LEFT JOIN conv USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // first touch replayed with a row_number window (the engine's partial
+    // min(struct) and the window's rank-1 row agree under the (ms,
+    // event_id) total order); conversion = toType STRICTLY after it
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, ms AS first_ms, event_type AS first_touch FROM
+        |       (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS r
+        |        FROM e) WHERE r = 1),
+        |c AS (SELECT e.user_id, min(e.ms) AS conv_ms
+        |      FROM e JOIN f USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ms > f.first_ms
+        |      GROUP BY e.user_id)
+        |SELECT first_touch, count(*) AS n_users, count(conv_ms) AS n_converted,
+        |       round(count(conv_ms) / count(*), 6) AS conversion
+        |FROM f LEFT JOIN c USING (user_id)
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+
+    // consecutive-type trigrams via two leads over the same (ms, event_id)
+    // user window; ties in the top-k rank break path-asc
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |t AS (SELECT event_type || '>' || lead(event_type, 1) OVER w || '>' ||
+        |             lead(event_type, 2) OVER w AS path,
+        |             lead(event_type, 2) OVER w AS t3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM t WHERE t3 IS NOT NULL GROUP BY path),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, path ASC) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, path, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     // stub embedding = first 64 ASCII bytes as 0..255 floats (small ints —
     // float-exact), then the standard quantized-cosine top-k replay
     "pipeline_embed_ann" ->
@@ -1220,5 +1253,6 @@ object ExtQueries {
     "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture",
     "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded",
     "text_normalize", "text_vocab", "pipeline_mixture_sampled",
-    "dedup_embedding_keepers", "text_novelty")
+    "dedup_embedding_keepers", "text_novelty",
+    "events_attribution", "events_paths")
 }

@@ -235,4 +235,65 @@ object Events {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n"))
       .orderBy("event_type")
+
+  /** FIRST-TOUCH attribution: users grouped by the type of their very
+    * first event (the acquisition channel), with the share who later
+    * convert — a `toType` event STRICTLY after the first touch (a first
+    * touch that is itself a purchase does not self-convert; a later one
+    * does). The marketing-attribution staple next to [[funnel]].
+    *
+    * Scale shape: the first touch is `min(struct(ms, event_id, type))` —
+    * a partial agg with map-side combine, so the raw stream collapses to
+    * one row per user BEFORE the shuffle (no window over raw events); the
+    * conversion probe re-joins events on user_id (both sides hash on
+    * user_id — co-partitioned) and collapses again per user. Final output
+    * is one row per event type. Total order: (ms, event_id) breaks
+    * same-millisecond ties exactly. */
+  def attribution(events: DataFrame, toType: String = "purchase"): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val first = e
+      .groupBy("user_id")
+      .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"))
+      .select(col("user_id"), col("f.ms").as("first_ms"),
+        col("f.event_type").as("first_touch"))
+    val converted = e.filter(col("event_type") === toType)
+      .join(first, "user_id")
+      .filter(col("ms") > col("first_ms"))
+      .groupBy("user_id").agg(min(col("ms")).as("conv_ms"))
+    first.join(converted, Seq("user_id"), "left")
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("n_users"), count(col("conv_ms")).as("n_converted"))
+      .withColumn("conversion", expr("round(n_converted / n_users, 6)"))
+      .orderBy("first_touch")
+  }
+
+  /** Top user-JOURNEY paths: the most frequent trigrams of consecutive
+    * event types within a user's stream (ordered by (ts, event_id)) — the
+    * "what do users actually do" exploration query.
+    *
+    * Scale shape: one user_id window shuffle builds the trigrams (two
+    * lead()s over the same window spec — one exchange, one sort), then a
+    * (path) partial-agg with map-side combine, then a top-k rank over the
+    * bounded path aggregate (at most |types|³ rows). Ties break path-asc
+    * — total order, oracle-deterministic. */
+  def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val tri = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+    val counts = tri.groupBy("path").agg(count(lit(1)).as("n"))
+    // constant-valued non-foldable key: one intended partition for the
+    // tiny rank window (lit(1) would fold back to a bare window spec)
+    val rw = Window.partitionBy("__one").orderBy(col("n").desc, col("path").asc)
+    counts.withColumn("__one", expr("coalesce(length(path) % 1, 0)"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col("path"), col("n"))
+      .orderBy("rank")
+  }
 }

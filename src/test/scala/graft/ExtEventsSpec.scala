@@ -158,4 +158,46 @@ class ExtEventsSpec extends AnyFunSuite {
     out.filter(_.getAs[Long]("hour_ms") < 4 * h)
       .foreach(r => assert(r.getAs[Double]("spike_score") === 0.0))
   }
+
+  test("attribution groups by first event type; conversion is strictly later") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // user 1: view first, purchase later -> view converts
+    // user 2: view first, no purchase -> view doesn't
+    // user 3: purchase first, nothing later -> purchase, NOT self-converted
+    // user 4: purchase first, second purchase later -> purchase, converted
+    // user 5: same-ms tie -> event_id breaks it (click id 10 < view id 11)
+    val rows = Seq(
+      (1L, 1L, "view", 1L), (2L, 1L, "purchase", 5L),
+      (3L, 2L, "view", 1L), (4L, 2L, "click", 5L),
+      (5L, 3L, "purchase", 1L),
+      (6L, 4L, "purchase", 1L), (7L, 4L, "purchase", 9L),
+      (10L, 5L, "click", 7L), (11L, 5L, "view", 7L))
+    val df = rows.map { case (eid, u, t, ms) =>
+      (eid, new java.sql.Timestamp(base + ms), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.attribution(df).collect()
+      .map(r => (r.getAs[String]("first_touch"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_converted"))).toSeq
+    assert(out === Seq(("click", 1L, 0L), ("purchase", 2L, 1L), ("view", 2L, 1L)))
+  }
+
+  test("topPaths counts consecutive trigrams per user in (ms, event_id) order") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // user 1: a b c d -> paths a>b>c, b>c>d ; user 2: a b c -> a>b>c
+    // user 3: only 2 events -> no trigram
+    val rows = Seq(
+      (1L, 1L, "a", 1L), (2L, 1L, "b", 2L), (3L, 1L, "c", 3L), (4L, 1L, "d", 4L),
+      (5L, 2L, "a", 1L), (6L, 2L, "b", 2L), (7L, 2L, "c", 3L),
+      (8L, 3L, "a", 1L), (9L, 3L, "b", 2L))
+    val df = rows.map { case (eid, u, t, ms) =>
+      (eid, new java.sql.Timestamp(base + ms), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.topPaths(df).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
+    assert(out === Seq((1, "a>b>c", 2L), (2, "b>c>d", 1L)))
+  }
 }
