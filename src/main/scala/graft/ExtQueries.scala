@@ -82,6 +82,10 @@ object ExtQueries {
     "text_vocab"        -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
     // cross-doc template detector: share of a doc's bigrams unique to it
     "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
+    // perplexity-style signal: per-doc cross-entropy under the corpus LM
+    "text_unigram_ce"   -> ((s, dir) => TextAnalysis.unigramCE(docs(s, dir))),
+    // curriculum schedule: per-lang quality ntiles -> bucket manifest
+    "pipeline_curriculum" -> ((s, dir) => TextAnalysis.curriculum(docs(s, dir))),
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
@@ -156,6 +160,8 @@ object ExtQueries {
     "events_paths"           -> ((s, dir) => Events.topPaths(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
+    // exact media dedup: collapse bit-identical payloads by content hash
+    "multimodal_dedup" -> ((s, dir) => Multimodal.dedupExact(Multimodal.ingest(docs(s, dir)))),
     "multimodal_frames"   -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.ingest(docs(s, dir)))
         .orderBy("doc_id", "frame_no")),
@@ -1227,6 +1233,43 @@ object ExtQueries {
         |WHERE q.quality_score >= 50.0
         |ORDER BY doc_id""".stripMargin,
 
+    // md5 over the UTF-8 payload bytes = DuckDB md5 of the VARCHAR; the
+    // blob column never crosses the shuffle on the engine side
+    "multimodal_dedup" ->
+      """SELECT keeper_id, content_md5, n_copies, byte_len FROM (
+        |  SELECT md5(text) AS content_md5, min(CAST(doc_id AS BIGINT)) AS keeper_id,
+        |         CAST(count(*) AS BIGINT) AS n_copies,
+        |         CAST(min(strlen(text)) AS BIGINT) AS byte_len
+        |  FROM documents GROUP BY 1)
+        |ORDER BY keeper_id""".stripMargin,
+
+    // corpus-LM cross-entropy: ln of exact BIGINT-ratio doubles; the
+    // per-doc sum is far inside round-6 tolerance
+    "text_unigram_ce" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tk GROUP BY token),
+        |t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(-sum(ln(freq / total)) / count(*), 6) AS ce_nats
+        |FROM tk JOIN f USING (token) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-lang quality ntiles (both engines give earlier buckets the
+    // remainder docs; (score, doc_id) is a total order)
+    "pipeline_curriculum" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             round(100e0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+        |               * least(1e0, len(string_split(text, ' ')) / 30e0), 6) AS quality_score
+        |           FROM documents),
+        |b AS (SELECT *, ntile(10) OVER (PARTITION BY lang ORDER BY quality_score ASC, doc_id ASC) AS bucket
+        |      FROM q)
+        |SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(quality_score) AS min_score, max(quality_score) AS max_score,
+        |       round(avg(quality_score), 6) AS avg_score
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id, media_type, byte_len, content_md5,
         |  CAST(16 + byte_len % 241 AS INT) AS width,
@@ -1254,5 +1297,6 @@ object ExtQueries {
     "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded",
     "text_normalize", "text_vocab", "pipeline_mixture_sampled",
     "dedup_embedding_keepers", "text_novelty",
-    "events_attribution", "events_paths")
+    "events_attribution", "events_paths", "multimodal_dedup",
+    "text_unigram_ce", "pipeline_curriculum")
 }

@@ -116,4 +116,24 @@ object Multimodal {
       .filter(col("frame_no") % stride === 0)
       .select(col("doc_id"), col("frame_no"), expr("octet_length(frame)").as("frame_bytes"),
         expr("md5(frame)").as("frame_md5"))
+
+  /** Exact MEDIA dedup — the first pass of any multimodal corpus build:
+    * collapse blobs by full-content hash (bit-identical payloads — the
+    * same image re-crawled under different doc ids), one row per distinct
+    * content with the kept doc (min id) and copy count. The binary twin of
+    * [[graft.ext.Dedup.exact]]; perceptual near-dup (pHash etc.) would
+    * slot in as another hash column, same plan.
+    *
+    * Scale shape: one narrow pass hashes each blob (the 16-byte md5
+    * crosses the shuffle, never the payload — blob columns stay pruned
+    * after the projection), then a (content_md5) partial agg with
+    * map-side combine. */
+  def dedupExact(blobs: Dataset[MediaBlob]): DataFrame =
+    blobs.toDF()
+      .select(col("doc_id"), col("byte_len"), expr("md5(content)").as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .select(col("keeper_id"), col("content_md5"), col("n_copies"), col("byte_len"))
+      .orderBy("keeper_id")
 }

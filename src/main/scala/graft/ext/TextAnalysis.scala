@@ -367,6 +367,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document CROSS-ENTROPY under the corpus's own unigram LM — the
+    * perplexity-style quality signal (CCNet/Gopher-shape, with the corpus
+    * itself as the model since no external LM ships here): for each doc,
+    * −mean over its tokens of ln P(token), P = corpus frequency / total
+    * tokens. Low CE = made of common words (boilerplate-ish); high CE =
+    * rare-token-heavy (jargon, noise, or genuinely novel text). Every
+    * token is in-vocab by construction (the LM is fit on the same corpus).
+    *
+    * Determinism: the ln arguments are exact BIGINT-ratio doubles,
+    * identical in both engines; the per-doc double sum is ≤ a few hundred
+    * terms, orders of magnitude inside the round-6 tolerance.
+    *
+    * Scale shape: one (token) partial-agg shuffle fits the LM, the
+    * frequency table joins back co-partitioned on token (both sides hash
+    * — no corpus re-shuffle beyond it), the 1-row total broadcasts, and
+    * the per-doc agg is the only other shuffle. Never a pair join. */
+  def unigramCE(docs: DataFrame): DataFrame = {
+    val toks = Dedup.spread(docs)
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum("freq").cast("long").as("total"))
+    toks.join(freq, "token").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("ln(freq / total)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("round(-s / n_tokens, 6)").as("ce_nats"))
+      .orderBy("doc_id")
+  }
+
+  /** CURRICULUM bucketing — the ordering step of curriculum training:
+    * within each language, documents ranked by the composite quality
+    * score ([[qualityScoreExpr]], ties → doc_id) and cut into `nBuckets`
+    * equal ntiles (bucket 1 = worst … n = best, the easy→hard schedule a
+    * trainer consumes bucket by bucket); emitted as the per-bucket
+    * manifest (doc/token counts, score range, mean). Rank-based like
+    * [[qualityPrune]], so it survives cross-language score-distribution
+    * shifts that absolute thresholds mis-bucket.
+    *
+    * Scale shape: one narrow pass scores docs, one lang-partitioned
+    * window ranks them (the [[qualityPrune]] discipline — per-stratum
+    * parallel, no global sort), and the output agg is langs×buckets rows.
+    * Both engines assign ntile identically: earlier buckets take the
+    * remainder docs. */
+  def curriculum(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    val q = docs.select(col("doc_id"), col("lang"),
+      expr("size(split(text, ' '))").as("n_tokens"),
+      expr(qualityScoreExpr).as("quality_score"))
+    val w = Window.partitionBy("lang").orderBy(col("quality_score").asc, col("doc_id").asc)
+    q.withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"),
+        expr("round(avg(quality_score), 6)").as("avg_score"))
+      .withColumn("bucket", col("bucket").cast("int"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Tokenizer VOCABULARY builder: the corpus's top-`topK` tokens by
     * frequency (ties → token asc) with each token's share of all corpus
     * tokens — the frequency table a tokenizer build (or an OOV audit)

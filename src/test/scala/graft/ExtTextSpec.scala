@@ -253,6 +253,46 @@ class ExtTextSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("unigramCE: common-word docs score lower than rare-word docs, exactly") {
+    // corpus: "a a a a b" + "c" -> freqs a=4, b=1, c=1, total=6
+    val out = TextAnalysis.unigramCE(docsDf(1L -> "a a a a b", 2L -> "c")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_tokens"), r.getAs[Double]("ce_nats"))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    val ce1 = -(4 * math.log(4.0 / 6) + math.log(1.0 / 6)) / 5
+    val ce2 = -math.log(1.0 / 6)
+    assert(byId(1L) === ((5L, r6(ce1))))
+    assert(byId(2L) === ((1L, r6(ce2))))
+    assert(byId(1L)._2 < byId(2L)._2) // common words -> lower CE
+    // deterministic under repartitioning
+    val again = TextAnalysis.unigramCE(
+      docsDf(1L -> "a a a a b", 2L -> "c").repartition(5)).collect()
+    assert(again.map(_.toSeq).toSeq === out.sortBy(_.getAs[Long]("doc_id")).map(_.toSeq).toSeq)
+  }
+
+  test("curriculum buckets per-lang quality ntiles with remainder to early buckets") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    // 5 docs, 2 buckets -> ntile gives bucket1 3 docs, bucket2 2 docs;
+    // quality_score is monotone in distinct-word share here
+    val texts = Seq(
+      1L -> "a a a a a a", // low score (1 distinct / 6)
+      2L -> "a a a a a b",
+      3L -> "a a a a b c",
+      4L -> "a a a b c d",
+      5L -> "a a b c d e")
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextAnalysis.curriculum(df, nBuckets = 2).collect()
+    assert(out.map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_docs"))).toSeq
+      === Seq((1, 3L), (2, 2L)))
+    // bucket 1 holds the 3 worst (docs 1-3), bucket 2 the 2 best
+    val b1 = out.head
+    assert(b1.getAs[Long]("n_tokens") === 18L)
+    assert(b1.getAs[Double]("max_score") < out.last.getAs[Double]("min_score"))
+  }
+
   test("rolling fingerprint matches a reference computation and md5 is content hash") {
     val text = "ab c"
     val expected = text.foldLeft(7L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)

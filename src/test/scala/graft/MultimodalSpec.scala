@@ -52,4 +52,24 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.length === expected, s"doc $id")
     }
   }
+
+  test("dedupExact collapses bit-identical payloads to the min-id keeper") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val df = Seq(
+      (7L, "same bytes", "en", "a", 10L),
+      (3L, "same bytes", "en", "b", 10L),
+      (5L, "other bytes", "en", "a", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.dedupExact(Multimodal.ingest(df)).collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keeper_id") === 3L)
+    assert(dup.getAs[Long]("byte_len") === 10L)
+    // keeper order, and the md5 is of the payload bytes
+    assert(out.map(_.getAs[Long]("keeper_id")).toSeq === Seq(3L, 5L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("same bytes".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(dup.getAs[String]("content_md5") === md)
+  }
 }
