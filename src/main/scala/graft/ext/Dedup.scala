@@ -296,11 +296,50 @@ object Dedup {
     * only the increment is scanned and hashed (the store's existing files
     * are untouched — spec-asserted by file listing), and each append lands
     * as its own range-clustered file set, so per-file min/max stats stay
-    * tight per batch and band-probe file pruning keeps working. Compact
-    * (rebuild) when the batch count grows into a small-file problem. */
+    * tight per batch and band-probe file pruning keeps working. When the
+    * batch count grows into a small-file problem, [[compactBandStore]]
+    * restores the single-snapshot layout in place. */
   def appendToBandStore(increment: DataFrame, storeDir: String,
                         numFiles: Int = 1): Unit =
     writeBandStore(increment, storeDir, mode = "append", numFiles = numFiles)
+
+  /** Store COMPACTION — the third verb of the store lifecycle
+    * (build → append daily → compact when the batch count grows into a
+    * small-file problem): rewrite the accumulated band/hash file sets as
+    * ONE freshly range-clustered set each, restoring the single-snapshot
+    * layout ([[buildBandStore]]'s) where every probe key maps to one
+    * file's min/max range instead of one per append batch. Pure layout —
+    * the row set is untouched (spec-asserted: identical probe relation
+    * before/after, exact row counts).
+    *
+    * Publication is rename-based: the new layout is fully written to a
+    * side directory, then swapped in (old → `.old`, new → live, `.old`
+    * deleted). Each rename is atomic; a crash between them leaves a
+    * recoverable `.old` beside the store rather than a half-written live
+    * index. Run it from the same single writer that owns the daily
+    * append loop. */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                       numFiles: Int = 8): Unit = {
+    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Scale.clusteredParquet(
+      spark.read.parquet(s"$storeDir/bands"), s"$tmp/bands",
+      Seq("band", "bsig"), numFiles)
+    graft.ops.Scale.clusteredParquet(
+      spark.read.parquet(s"$storeDir/hashes"), s"$tmp/hashes",
+      Seq("hist_id"), numFiles)
+    val (live, old) = (java.nio.file.Paths.get(storeDir),
+      java.nio.file.Paths.get(s"$storeDir.old"))
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(old.toFile) // a crashed prior compact's leftover
+    java.nio.file.Files.move(live, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rmTree(old.toFile)
+  }
 
   private def writeBandStore(docs: DataFrame, storeDir: String,
                              mode: String, numFiles: Int): Unit = {

@@ -293,6 +293,21 @@ class ExtDedupSpec extends AnyFunSuite {
       s"append rows: before=$bandsBefore after=$bandsAfter rebuild=$bandsRebuild")
     assert(bandsAfter > bandsBefore)
     assert(bandFiles0.subsetOf(files("bands")) && hashFiles0.subsetOf(files("hashes")))
+
+    // compact: pure layout — row set and probe relation unchanged, the
+    // accumulated build+append file sets collapse to numFiles each, and
+    // no .old / .compact-* residue survives the swap
+    val filesBeforeCompact = files("bands").size
+    Dedup.compactBandStore(spark, storeA, numFiles = 4)
+    assert(spark.read.parquet(s"$storeA/bands").count() === bandsAfter)
+    val viaCompacted = Dedup.incrementalStored(probe, storeA).collect().map(_.toSeq).toSeq
+    assert(viaCompacted === viaRebuild)
+    assert(files("bands").size === 4 && files("hashes").size === 4)
+    assert(files("bands").size < filesBeforeCompact)
+    val parent = new java.io.File(storeA).getParentFile.listFiles().map(_.getName)
+    val base = new java.io.File(storeA).getName
+    assert(!parent.exists(n => n.startsWith(base) && n != base),
+      s"compaction residue: ${parent.filter(_.startsWith(base)).mkString(",")}")
   }
 
   test("keepers summarizes clusters: min doc_id kept, member counts add up") {
