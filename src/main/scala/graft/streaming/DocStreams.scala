@@ -1,13 +1,23 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** One document arriving on the ingest stream: the `documents` columns plus
   * the arrival timestamp that drives the dedup watermark. */
 case class DocIn(doc_id: Long, ingest_ts: Timestamp, text: String,
                  lang: String, source: String)
+
+/** Per-source packing cursor: tokens consumed so far in the source's
+  * stream (the prefix sum the next arrival continues from). */
+case class PackState(cum: Long)
+
+/** One packed document: the same row shape as the batch
+  * [[graft.ext.Packing.pack]] plan. */
+case class PackOut(source: String, doc_id: Long, n_tokens: Long,
+                   first_seq: Long, last_seq: Long, n_seqs: Long)
 
 /** Streaming corpus ingest — the continuous version of the batch
   * `pipeline_filter_dedup` composite (quality gate ∧ exact dedup), the
@@ -116,6 +126,47 @@ object DocStreams {
       .groupBy(window(col("ingest_ts"), "10 minutes"), col("inc_id"), col("hist_id"))
       .agg(max(expr("round(jaccard, 6)")).as("jaccard"))
       .select(col("inc_id"), col("hist_id"), col("jaccard"))
+  }
+
+  /** Streaming sequence PACKING — the continuous twin of the batch
+    * [[graft.ext.Packing.pack]] plan: documents are token-counted as they
+    * arrive and assigned their first/last training-sequence indices under
+    * `budget`-token concat-and-chunk packing of their source's stream.
+    * The per-source prefix-sum cursor lives in keyed state, so the
+    * assignment CONTINUES across micro-batches — a training consumer can
+    * tail the output and fill sequences as the crawl lands, instead of
+    * re-packing nightly.
+    *
+    * Equality contract (differential-spec'd): output rows equal the batch
+    * plan's exactly when arrival order follows doc_id per source (the
+    * crawl-ingest norm; in-batch arrivals are sorted by doc_id before
+    * folding, so only CROSS-batch inversions can reorder the stream — in
+    * that case the streaming assignment is the arrival-order packing,
+    * self-consistent but numbered differently from the batch replay).
+    *
+    * Scale shape: one shuffle by source per micro-batch; state is ONE
+    * 8-byte cursor per source (O(sources), not O(docs) — no timeout
+    * needed), executor-partitioned by key. The token count is computed
+    * with the same single-space convention as the batch expression. */
+  def packStream(docs: Dataset[DocIn], budget: Int = 256): Dataset[PackOut] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(budget > 0)
+    def fold(source: String, it: Iterator[DocIn],
+             state: GroupState[PackState]): Iterator[PackOut] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = it.toArray.sortBy(_.doc_id).map { doc =>
+        val n = doc.text.split(" ", -1).length.toLong
+        val first = cum / budget
+        cum += n
+        val last = (cum - 1) / budget
+        PackOut(source, doc.doc_id, n, first, last, last - first + 1)
+      }
+      state.update(PackState(cum))
+      out.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
   /** File-based entry point: tail a directory of parquet document drops

@@ -70,6 +70,40 @@ class DocStreamsSpec extends AnyFunSuite {
       "restart must neither drop the new doc nor re-emit the old one")
   }
 
+  test("packStream equals batch pack on fixture docs under random id-ordered splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val docsDf = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val docs = docsDf.collect().map(r => DocIn(r.getAs[Long]("doc_id"),
+      new Timestamp(1000L + r.getAs[Long]("doc_id")), r.getAs[String]("text"),
+      r.getAs[String]("lang"), r.getAs[String]("source")))
+      .sortBy(_.doc_id) // id-ordered arrival (the equality contract)
+    val input = MemoryStream[DocIn]
+    val q = DocStreams.packStream(input.toDS()).writeStream
+      .format("memory").queryName("pack_stream").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < docs.length) {
+        val n = 1 + rnd.nextInt(60)
+        input.addData(docs.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      val streamed = spark.table("pack_stream").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs"))).sorted
+      val batch = graft.ext.Packing.pack(docsDf).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("n_tokens").toLong, r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs"))).sorted
+      assert(streamed.length === batch.length)
+      assert(streamed.toSeq === batch.toSeq)
+      // the fixture actually exercises boundary-spanning docs
+      assert(streamed.count(_._6 > 1) > 10, "degenerate fixture: no spanning docs")
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags stream docs sharing 5-grams with the static eval set") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "alpha beta gamma delta epsilon zeta eta theta"
