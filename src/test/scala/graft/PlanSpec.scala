@@ -299,4 +299,55 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges\n$p")
     assert(p.contains("winnowprints") || p.contains("winnow_prints"), p)
   }
+
+  test("attribution: first touch is a partial min(struct) — no window over raw events") {
+    val p = plan("events_attribution")
+    assert(p.contains("partial_"), s"first touch must combine map-side\n$p")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"raw-event window crept in\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("paths: both leads share one user window exchange; rank runs over the path aggregate") {
+    val p = plan("events_paths")
+    // one exchange for the user window, one for the path agg, one possible
+    // tiny rank partition + output — but only ONE hashpartitioning(user_id)
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id") && !l.contains("Reused"))
+    assert(userExchanges === 1, s"$userExchanges user_id exchanges\n$p")
+    assert(p.contains("partial_"), s"path counts must combine map-side\n$p")
+  }
+
+  test("unigram CE: co-partitioned token join, broadcast total, partial aggs") {
+    val p = plan("text_unigram_ce")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row total should broadcast\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the token join must not be a nested loop: count the nested-loop joins
+    // (exactly the one 1-row total broadcast is allowed)
+    val nested = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 1, s"$nested nested-loop joins\n$p")
+  }
+
+  test("curriculum: per-lang rank window (stratum-parallel), no global single-partition sort") {
+    val p = plan("pipeline_curriculum")
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(lang")),
+      s"ntile window must partition by lang\n$p")
+    assert(!p.contains("SinglePartition)") ||
+      !p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      s"global-sort ntile\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("multimodal dedup: narrow hash pass + content-key partial agg, blob never shuffles") {
+    val p = plan("multimodal_dedup")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    // the shuffled schema carries the md5, not the payload: no `content`
+    // attribute in any exchange line
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("content#") || exch.contains("content_md5"),
+      s"blob payload crossed an exchange\n$exch")
+  }
 }
