@@ -156,6 +156,8 @@ object ExtQueries {
     "events_funnel_steps"    -> ((s, dir) => Events.funnelSteps(events(s, dir))),
     // first-touch attribution: acquisition channel -> later-conversion rate
     "events_attribution"     -> ((s, dir) => Events.attribution(events(s, dir))),
+    // straggler triage: heavy user_id keys with share + skew factor
+    "events_key_skew"        -> ((s, dir) => graft.ops.Scale.keySkew(events(s, dir), "user_id")),
     // top consecutive event-type trigrams (user-journey paths)
     "events_paths"           -> ((s, dir) => Events.topPaths(events(s, dir))),
     // multimodal plumbing
@@ -1146,6 +1148,18 @@ object ExtQueries {
         |FROM f LEFT JOIN c USING (user_id)
         |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
 
+    // heavy-key report: BIGINT count products, stringified key tiebreak
+    "events_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
+        |             CAST(count(*) AS BIGINT) AS n_rows
+        |           FROM events GROUP BY user_id),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_rows DESC, key_value ASC) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, key_value, n_rows,
+        |       round(n_rows / total, 6) AS share,
+        |       round(n_rows * n_keys / total, 6) AS skew_factor
+        |FROM r CROSS JOIN s WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // consecutive-type trigrams via two leads over the same (ms, event_id)
     // user window; ties in the top-k rank break path-asc
     "events_paths" ->
@@ -1298,5 +1312,5 @@ object ExtQueries {
     "text_normalize", "text_vocab", "pipeline_mixture_sampled",
     "dedup_embedding_keepers", "text_novelty",
     "events_attribution", "events_paths", "multimodal_dedup",
-    "text_unigram_ce", "pipeline_curriculum")
+    "text_unigram_ce", "pipeline_curriculum", "events_key_skew")
 }

@@ -36,6 +36,37 @@ object Scale {
       .drop(ds(key)).drop(fs("__salt")).drop(ds("__salt"))
   }
 
+  /** Join/groupBy KEY-SKEW triage — the diagnosis that decides between
+    * [[saltedJoin]] and AQE: per-key row counts, top-`topK` heavy keys
+    * with each key's share of all rows and its skew factor (count ÷ the
+    * uniform per-key mean). A skew factor of 40 on a join key means that
+    * key's task runs ~40× the average — the straggler report to read
+    * BEFORE a 100 TB shuffle, not after it hangs.
+    *
+    * Scale shape: one (key) partial-agg shuffle with map-side combine
+    * collapses the table to its key cardinality; the top-k is a
+    * TakeOrdered heap over that aggregate (never a global sort); the
+    * 1-row stats (key count, total) broadcast onto the K survivors.
+    * Ties break key-asc on the stringified key — total order. */
+  def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.select(col(key).cast("string").as("key_value"))
+      .groupBy("key_value").agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(count(lit(1)).cast("long").as("n_keys"),
+      sum("n_rows").cast("long").as("total"))
+    val top = counts.orderBy(col("n_rows").desc, col("key_value").asc).limit(topK)
+      // constant-valued non-foldable key: one intended partition for the
+      // K-row rank window (lit(1) folds back to a bare window spec)
+      .withColumn("__one", expr("coalesce(length(key_value) % 1, 0)"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__one").orderBy(col("n_rows").desc, col("key_value").asc)
+    top.crossJoin(broadcast(stats))
+      .withColumn("rank", row_number().over(rw))
+      .select(col("rank").cast("int").as("rank"), col("key_value"), col("n_rows"),
+        expr("round(n_rows / total, 6)").as("share"),
+        expr("round(n_rows * n_keys / total, 6)").as("skew_factor"))
+      .orderBy("rank")
+  }
+
   /** Range-clustered parquet write: range-partition on `clusterCols` and
     * sort within each partition, so every output file covers a tight,
     * near-disjoint key range. Parquet row-group min/max stats on those

@@ -47,4 +47,20 @@ class ScaleSpec extends AnyFunSuite {
     val filesRead = pruned.select(input_file_name()).distinct().count()
     assert(filesRead < ranges.length, s"$filesRead of ${ranges.length} files read")
   }
+
+  test("keySkew ranks heavy keys with exact share and skew factor") {
+    val spark0 = spark
+    import spark0.implicits._
+    // key "hot" = 6 rows, "b" = 2, "a"/"c" = 1 each -> 4 keys, 10 rows,
+    // uniform mean 2.5; skew(hot) = 6/2.5 = 2.4
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("b") ++ Seq("a", "c")).toDF("k")
+    val out = graft.ops.Scale.keySkew(df, "k", topK = 3).collect()
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[String]("key_value"),
+      r.getAs[Long]("n_rows"))).toSeq === Seq((1, "hot", 6L), (2, "b", 2L), (3, "a", 1L)))
+    assert(out.head.getAs[Double]("share") === 0.6)
+    assert(out.head.getAs[Double]("skew_factor") === 2.4)
+    // deterministic under repartitioning
+    val again = graft.ops.Scale.keySkew(df.repartition(5), "k", topK = 3).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }
