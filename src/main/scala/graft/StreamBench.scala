@@ -133,12 +133,20 @@ object StreamBench {
             .option("checkpointLocation", s"$out/ckpt")
             .format("parquet").option("path", s"$out/data").start()
         }
+      },
+      runOne(spark, "pack_stream", nDocs, s"$work/out/pack_stream") { out =>
+        streaming.DocStreams.packStream(
+          docStream.as[streaming.DocIn](
+            org.apache.spark.sql.Encoders.product[streaming.DocIn])).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
       })
 
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup at O(in-horizon candidate pairs) while probing a precomputed band store of n_docs/2 historical docs - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup at O(in-horizon candidate pairs) while probing a precomputed band store of n_docs/2 historical docs, pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)
