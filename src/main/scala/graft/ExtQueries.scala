@@ -222,7 +222,25 @@ object ExtQueries {
       quality.join(keepers, "doc_id")
         .filter(col("quality_score") >= 50.0)
         .orderBy("doc_id")
-    })
+    }),
+    // the NEAR-dup variant of pipeline_filter_dedup: quality gate ∧ drop
+    // every non-keeper of a minhash-LSH cluster (keeper = min doc_id).
+    // The anti-join is co-partitioned on doc_id; the non-keeper set is
+    // bounded by near-dup density, never corpus size
+    "pipeline_near_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cl = Dedup.minhashClusters(d)
+      val nonKeep = cl.withColumn("keeper",
+          org.apache.spark.sql.functions.min(col("doc_id"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+        .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+      TextAnalysis.quality(d).select("doc_id", "quality_score")
+        .join(nonKeep, Seq("doc_id"), "left_anti")
+        .filter(col("quality_score") >= 50.0)
+        .orderBy("doc_id")
+    }),
+    // exact per-type value distribution (count/sum/p50/p90/p99)
+    "events_value_stats" -> ((s, dir) => Events.valueStats(events(s, dir)))
   )
 
   /** Shared oracle fragments. `maxDocFreq` mirrors [[Dedup.ngramJaccard]]'s
@@ -500,6 +518,42 @@ object ExtQueries {
          |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id)
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // near-dup composite: the keepers closure + the quality gate chained;
+    // non-keepers = cluster members above the per-cluster min
+    "pipeline_near_dedup" ->
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+         |jp AS (SELECT a, b
+         |       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+         |       WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |nonkeep AS (SELECT doc_id FROM
+         |             (SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS keeper
+         |              FROM cl) WHERE doc_id != keeper),
+         |q AS (SELECT doc_id,
+         |        round(100e0 * len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+         |          * least(1e0, len(string_split(text, ' ')) / 30e0), 6) AS quality_score
+         |      FROM documents)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE quality_score >= 50.0 AND doc_id NOT IN (SELECT doc_id FROM nonkeep)
+         |ORDER BY doc_id""".stripMargin,
+
+    // exact interpolated quantiles: percentile == quantile_cont definition;
+    // the sum goes through decimals (order-insensitive)
+    "events_value_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value,
+        |       round(quantile_cont(value, 0.5e0), 6) AS p50_value,
+        |       round(quantile_cont(value, 0.9e0), 6) AS p90_value,
+        |       round(quantile_cont(value, 0.99e0), 6) AS p99_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dedup_keepers" ->
       s"""WITH RECURSIVE ${jaccardCtes(None)},
@@ -1312,5 +1366,6 @@ object ExtQueries {
     "text_normalize", "text_vocab", "pipeline_mixture_sampled",
     "dedup_embedding_keepers", "text_novelty",
     "events_attribution", "events_paths", "multimodal_dedup",
-    "text_unigram_ce", "pipeline_curriculum", "events_key_skew")
+    "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
+    "pipeline_near_dedup", "events_value_stats")
 }

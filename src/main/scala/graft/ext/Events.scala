@@ -236,6 +236,25 @@ object Events {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Per-type VALUE distribution report — the revenue/latency dashboard
+    * staple: exact count/sum plus exact interpolated p50/p90/p99 of
+    * `value` per event type. `percentile` is Spark's EXACT
+    * linear-interpolated quantile (same definition as DuckDB's
+    * `quantile_cont`); the sum goes through decimals (order-insensitive).
+    *
+    * Scale shape: one (event_type) shuffle. Exact percentiles buffer each
+    * group's values — right for bounded group counts like event types; for
+    * high-cardinality keys swap `approx_percentile` (documented trade,
+    * same plan). */
+  def valueStats(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      vsum,
+      expr("round(percentile(value, 0.5e0), 6)").as("p50_value"),
+      expr("round(percentile(value, 0.9e0), 6)").as("p90_value"),
+      expr("round(percentile(value, 0.99e0), 6)").as("p99_value"))
+      .orderBy("event_type")
+
   /** FIRST-TOUCH attribution: users grouped by the type of their very
     * first event (the acquisition channel), with the share who later
     * convert — a `toType` event STRICTLY after the first touch (a first

@@ -340,6 +340,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("near-dedup composite: co-partitioned anti-join, no cartesian anywhere") {
+    val p = plan("pipeline_near_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), s"non-keeper drop must be an anti-join\n$p")
+  }
+
   test("multimodal dedup: narrow hash pass + content-key partial agg, blob never shuffles") {
     val p = plan("multimodal_dedup")
     assert(!p.contains("Join"), p)
