@@ -142,6 +142,8 @@ object ExtQueries {
     // quantizer — the two proven parts composed into the pipeline users run
     "pipeline_ann_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))),
     "embedding_cluster_sample" -> ((s, dir) => Similarity.clusterSample(embs(s, dir))),
+    // data-quality triage: bottom-20 vectors by nearest-centroid cosine
+    "embedding_outliers" -> ((s, dir) => Similarity.outliers(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -996,6 +998,24 @@ object ExtQueries {
 
     // IVF: centroids = vec_id in [100, 116); assignment/probes replay the
     // engine's argmax (ties → lower cent_id) via row_number windows.
+    // outlier worklist: same centroid-cosine CTEs as ivf; per-vec best =
+    // rank-1 of (ccos DESC, cent_id ASC) — Spark's array_position first-max
+    "embedding_outliers" ->
+      s"""$quantCte,
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY qv.vec_id, qc.vec_id),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+         |best AS (SELECT vec_id, cent_id AS nearest_list, ccos AS best FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |           FROM ccos) WHERE r = 1),
+         |ranked AS (SELECT *, row_number() OVER (ORDER BY best ASC, vec_id ASC) AS rank FROM best)
+         |SELECT CAST(rank AS INT) AS rank, vec_id, nearest_list, round(best, 6) AS best_cosine
+         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "similarity_ivf" ->
       s"""$quantCte,
          |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
@@ -1367,5 +1387,5 @@ object ExtQueries {
     "dedup_embedding_keepers", "text_novelty",
     "events_attribution", "events_paths", "multimodal_dedup",
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
-    "pipeline_near_dedup", "events_value_stats")
+    "pipeline_near_dedup", "events_value_stats", "embedding_outliers")
 }

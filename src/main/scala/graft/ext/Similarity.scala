@@ -336,6 +336,38 @@ object Similarity {
       .orderBy("cluster_id", "rank")
   }
 
+  /** Embedding OUTLIER report — the data-quality triage of an embedding
+    * corpus: the bottom-`k` vectors by nearest-centroid cosine (vectors
+    * far from EVERY cluster center — encoder failures, corrupted inputs,
+    * genuinely out-of-distribution docs). The fixed-size bottom-k beats a
+    * threshold here: it is non-empty and comparable at every corpus size,
+    * and the analyst reads a ranked worklist, not a guess at a cut.
+    *
+    * Scale shape: the same narrow folded-centroid assignment kernel as
+    * [[ivfTopK]] (no joins on the corpus side), then a TakeOrdered-style
+    * bottom-k over (best_cosine asc, vec_id asc) — never a global sort.
+    * Tie to the argmax centroid is first-max = min cent_id, matching the
+    * oracle's (ccos DESC, cent_id ASC) rank. */
+  def outliers(embeddings: DataFrame, k: Int = 20,
+               nList: Int = 16, centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    val scored = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
+      .withColumn("best", expr("array_max(scores)"))
+      .withColumn("nearest_list",
+        expr(s"element_at(${qz.cid}, CAST(array_position(scores, best) AS INT))"))
+      .select(col("vec_id"), col("nearest_list"), col("best"))
+    val bottom = scored.orderBy(col("best").asc, col("vec_id").asc).limit(k)
+      // constant-valued non-foldable key: one intended partition for the
+      // k-row rank window (lit(1) folds back to a bare window spec)
+      .withColumn("__one", expr("coalesce(vec_id % 1, 0)"))
+    val rw = Window.partitionBy("__one").orderBy(col("best").asc, col("vec_id").asc)
+    bottom.withColumn("rank", row_number().over(rw))
+      .select(col("rank").cast("int").as("rank"), col("vec_id"),
+        col("nearest_list"), expr("round(best, 6)").as("best_cosine"))
+      .orderBy("rank")
+  }
+
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
               bucketTarget: Int = 32, planesOverride: Int = 0): DataFrame = {
     // planesOverride > 0 skips the corpus count: the count() is a
