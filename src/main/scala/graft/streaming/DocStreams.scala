@@ -169,6 +169,56 @@ object DocStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fold)
   }
 
+  /** The full CONTINUOUS CORPUS LOOP — streaming ingest that GROWS the
+    * historical band store it dedups against: per micro-batch,
+    *
+    *   1. reject arrivals near-dup against the store
+    *      ([[graft.ext.Dedup.incrementalStored]] — the store is read, the
+    *      historical text never);
+    *   2. collapse in-batch clone families to their min-id keeper
+    *      ([[graft.ext.Dedup.minhashClusters]] on the batch — two clones
+    *      arriving TOGETHER are invisible to the store probe);
+    *   3. append survivors to the corpus sink AND fold their bands/hashes
+    *      into the store ([[graft.ext.Dedup.appendToBandStore]]), so the
+    *      NEXT batch rejects duplicates of THIS batch.
+    *
+    * `foreachBatch` is the right harness: the loop is a batch composition
+    * per trigger (all three steps reuse the proven batch operators — one
+    * semantics, no streaming twin to drift), checkpointed by batch id.
+    * Semantics note: the two appends are not one atomic transaction; a
+    * crash between them can re-run the batch (at-least-once on the sink,
+    * duplicate band rows in the store — harmless for rejection, compact
+    * folds them out). State lives in the STORE, not the state store —
+    * restart-safe by construction and shared with the batch daily loop. */
+  def runStoreIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                     storeDir: String, outDir: String, ckptDir: String,
+                     threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, min => fmin}
+    val docs = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DocIn].schema)
+      .parquet(srcDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select("doc_id", "text", "lang", "source").localCheckpoint()
+        val hitStore = graft.ext.Dedup
+          .incrementalStored(b.select("doc_id", "text"), storeDir, threshold)
+          .select(col("inc_id").as("doc_id")).distinct()
+        val nonKeep = graft.ext.Dedup.minhashClusters(b.select("doc_id", "text"), threshold)
+          .withColumn("keeper", fmin(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+        val accepted = b
+          .join(hitStore, Seq("doc_id"), "left_anti")
+          .join(nonKeep, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // one materialization feeds both appends
+        accepted.write.mode("append").parquet(outDir)
+        graft.ext.Dedup.appendToBandStore(accepted.select("doc_id", "text"), storeDir)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .start()
+  }
+
   /** File-based entry point: tail a directory of parquet document drops
     * (the crawl-lands-files shape) and write the kept docs to a parquet
     * sink with checkpointing — the full readStream → transform →

@@ -70,6 +70,40 @@ class DocStreamsSpec extends AnyFunSuite {
       "restart must neither drop the new doc nor re-emit the old one")
   }
 
+  test("store ingest loop: rejects store dups, collapses in-batch clones, grows the store") {
+    val base = java.nio.file.Files.createTempDirectory("store_ingest").toString
+    val src = s"$base/src"; val out = s"$base/out"
+    val ckpt = s"$base/ckpt"; val store = s"$base/store"
+    def words(seed: String) = (1 to 40).map(i => s"$seed$i").mkString(" ")
+    val histText = words("hist")
+    // historical store: one doc
+    Dedup.buildBandStore(Seq((100L, histText)).toDF("doc_id", "text"), store)
+
+    // batch 1: doc 1 duplicates the store; docs 2+3 clone each other
+    // (invisible to the store probe — the in-batch stage must catch them);
+    // doc 4 is fresh
+    Seq(d(1, 1000, histText), d(2, 2000, words("pair")), d(3, 3000, words("pair")),
+      d(4, 4000, words("fresh"))).toDS().write.parquet(src)
+    val q1 = DocStreams.runStoreIngest(spark, src, store, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      === Seq(2L, 4L), "batch 1 must keep exactly the pair keeper and the fresh doc")
+
+    // batch 2: doc 5 duplicates batch-1's doc 4 — rejected ONLY because
+    // the store grew; doc 6 is fresh
+    Seq(d(5, 61000, words("fresh")), d(6, 62000, words("novel")))
+      .toDS().write.mode("append").parquet(src)
+    val q2 = DocStreams.runStoreIngest(spark, src, store, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      === Seq(2L, 4L, 6L), "batch 2 must reject the dup of batch-1's kept doc")
+
+    // the store now carries exactly the historical + accepted ids
+    val storeIds = spark.read.parquet(s"$store/hashes")
+      .select("hist_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(storeIds === Seq(2L, 4L, 6L, 100L))
+  }
+
   test("packStream equals batch pack on fixture docs under random id-ordered splits") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(17)
