@@ -38,10 +38,12 @@ object ExtQueries {
     }
     val f = new java.io.File(path)
     require(f.exists(), s"cannot fingerprint missing path $path")
-    val files =
-      if (f.isFile) Array(f)
-      else Option(f.listFiles()).getOrElse(Array.empty)
-        .filter(_.isFile).sortBy(_.getName)
+    // recurse: a hive-partitioned table is a directory of directories —
+    // the fingerprint must reach the leaf files, not stop at subdir names
+    def walk(x: java.io.File): Array[java.io.File] =
+      if (x.isFile) Array(x)
+      else Option(x.listFiles()).getOrElse(Array.empty).flatMap(walk)
+    val files = walk(f).sortBy(_.getAbsolutePath)
     require(files.nonEmpty, s"no files to fingerprint at $path")
     val entries = files.map(x =>
       s"${x.getName}:${x.length}:${x.lastModified}:${footerSample(x)}")
@@ -50,10 +52,8 @@ object ExtQueries {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.ops.Scale.deleteRecursively(f)
 
   private def docs(s: SparkSession, dir: String)   = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String)   = Tables.load(s, dir, "embeddings")
@@ -226,16 +226,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
     // the NEAR-dup variant of pipeline_filter_dedup: quality gate ∧ drop
-    // every non-keeper of a minhash-LSH cluster (keeper = min doc_id).
-    // The anti-join is co-partitioned on doc_id; the non-keeper set is
-    // bounded by near-dup density, never corpus size
+    // every non-keeper of a minhash-LSH cluster. clusters() fixes every
+    // label at its component-MINIMUM doc_id, so keeper == cluster_id by
+    // contract — non-keepers are simply rows where doc_id != cluster_id
+    // (no keeper window, no extra exchange). The anti-join is
+    // co-partitioned on doc_id; the non-keeper set is bounded by near-dup
+    // density, never corpus size
     "pipeline_near_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cl = Dedup.minhashClusters(d)
-      val nonKeep = cl.withColumn("keeper",
-          org.apache.spark.sql.functions.min(col("doc_id"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-        .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+      val nonKeep = Dedup.minhashClusters(d)
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
       TextAnalysis.quality(d).select("doc_id", "quality_score")
         .join(nonKeep, Seq("doc_id"), "left_anti")
         .filter(col("quality_score") >= 50.0)

@@ -329,16 +329,12 @@ object Dedup {
       Seq("hist_id"), numFiles)
     val (live, old) = (java.nio.file.Paths.get(storeDir),
       java.nio.file.Paths.get(s"$storeDir.old"))
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      f.delete(); ()
-    }
-    rmTree(old.toFile) // a crashed prior compact's leftover
+    graft.ops.Scale.deleteRecursively(old.toFile) // a crashed prior compact's leftover
     java.nio.file.Files.move(live, old,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    rmTree(old.toFile)
+    graft.ops.Scale.deleteRecursively(old.toFile)
   }
 
   private def writeBandStore(docs: DataFrame, storeDir: String,

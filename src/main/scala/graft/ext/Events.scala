@@ -306,10 +306,8 @@ object Events {
       .filter(col("t3").isNotNull)
       .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
     val counts = tri.groupBy("path").agg(count(lit(1)).as("n"))
-    // constant-valued non-foldable key: one intended partition for the
-    // tiny rank window (lit(1) would fold back to a bare window spec)
     val rw = Window.partitionBy("__one").orderBy(col("n").desc, col("path").asc)
-    counts.withColumn("__one", expr("coalesce(length(path) % 1, 0)"))
+    counts.withColumn("__one", graft.ops.Scale.constKey(col("n")))
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select(col("rank").cast("int").as("rank"), col("path"), col("n"))

@@ -57,16 +57,6 @@ object Similarity {
   def planesFor(n: Long, bucketTarget: Int = 32): Int =
     math.max(4, math.ceil(math.log(n.toDouble / bucketTarget) / math.log(2)).toInt)
 
-  /** Sign-random-projection (SimHash-for-vectors) bucketed ANN — the scale
-    * path. One narrow codegen'd pass computes each vector's `planes`-bit
-    * bucket (sign of the exact integer dot with each LCG-derived
-    * hyperplane — see [[graft.functions.MinHashOps.srpBucket]]); the tiny
-    * query set is exploded into its multi-probe bucket ring (exact bucket
-    * plus all Hamming-1 neighbors — the standard recall recovery for SRP)
-    * and broadcast, so the corpus is scanned ONCE, never shuffled, and
-    * only bucket-ring candidates are scored and reranked by exact cosine.
-    * With planes ≈ log2(n/32), candidates per query ≈ 32·(planes+1):
-    * sub-linear in n. No corpus shuffle, no cross join, one broadcast. */
   /** IVF (inverted-file) ANN — the other classic scale path, complementing
     * SRP-LSH: a small coarse quantizer of `nList` centroid vectors
     * partitions the corpus into lists; a query probes its `nProbe` nearest
@@ -215,36 +205,6 @@ object Similarity {
       .orderBy("cluster_id", "dim")
   }
 
-  /** k-means to (near-)convergence — `iters` Lloyd rounds from the same
-    * deterministic quantizer as [[kmeansStep]], the loop corpus curation
-    * actually runs. The iteration discipline mirrors [[Dedup.clusters]]'s,
-    * on the vector side:
-    *
-    *  - each round's centroids are collected (nList rows — coarse
-    *    quantizers are RAM-resident by design, same as [[foldQuantizer]])
-    *    and CONSTANT-FOLDED into the next round's assignment expression,
-    *    so every round is one narrow corpus scan + one `vec_sum_agg`
-    *    partial-agg shuffle, and lineage never grows (each plan starts at
-    *    the parquet scan — no localCheckpoint needed);
-    *  - centroids are the UNNORMALIZED member-sum vectors: cosine is
-    *    scale-invariant, so argmax against the sum direction ≡ argmax
-    *    against the mean, while dots/norms stay exact BIGINTs the oracle
-    *    replays bit-for-bit (a mean-vector centroid would need
-    *    order-sensitive double sums in an aggregate — engine-divergent).
-    *    Bound: |component| ≤ members·10⁴, so the squared norm stays in a
-    *    BIGINT while members·10⁴ ≤ √(2⁶³/64) ≈ 3.8e8, i.e. ~3.8e4
-    *    worst-case members per cluster at full-scale components (real
-    *    unit-ish embeddings have components ~10³, giving ~3.8e5) — the
-    *    norm fold below checks this exactly and fails loudly rather than
-    *    wrapping; beyond it, rescale the quantization;
-    *  - early stop on the EXACT fixpoint only (next sums == current
-    *    centroids): further rounds are the identity, so stopping cannot
-    *    diverge from the oracle's fixed iteration count;
-    *  - empty clusters drop out (no members → no sum vector), exactly as
-    *    the oracle's GROUP BY does.
-    *
-    * Output per surviving (cluster, dim): member count after the final
-    * assignment, exact component sum, and the mean component. */
   /** Fold a centroid set into quantizer literals, guarding the BIGINT
     * norm bound loudly (shared by [[kmeansRun]]'s rounds and
     * [[ivfTrainedTopK]]'s trained quantizer). */
@@ -298,6 +258,36 @@ object Similarity {
     step(cents)
   }
 
+  /** k-means to (near-)convergence — `iters` Lloyd rounds from the same
+    * deterministic quantizer as [[kmeansStep]], the loop corpus curation
+    * actually runs. The iteration discipline mirrors [[Dedup.clusters]]'s,
+    * on the vector side:
+    *
+    *  - each round's centroids are collected (nList rows — coarse
+    *    quantizers are RAM-resident by design, same as [[foldQuantizer]])
+    *    and CONSTANT-FOLDED into the next round's assignment expression,
+    *    so every round is one narrow corpus scan + one `vec_sum_agg`
+    *    partial-agg shuffle, and lineage never grows (each plan starts at
+    *    the parquet scan — no localCheckpoint needed);
+    *  - centroids are the UNNORMALIZED member-sum vectors: cosine is
+    *    scale-invariant, so argmax against the sum direction ≡ argmax
+    *    against the mean, while dots/norms stay exact BIGINTs the oracle
+    *    replays bit-for-bit (a mean-vector centroid would need
+    *    order-sensitive double sums in an aggregate — engine-divergent).
+    *    Bound: |component| ≤ members·10⁴, so the squared norm stays in a
+    *    BIGINT while members·10⁴ ≤ √(2⁶³/64) ≈ 3.8e8, i.e. ~3.8e4
+    *    worst-case members per cluster at full-scale components (real
+    *    unit-ish embeddings have components ~10³, giving ~3.8e5) — the
+    *    norm fold below checks this exactly and fails loudly rather than
+    *    wrapping; beyond it, rescale the quantization;
+    *  - early stop on the EXACT fixpoint only (next sums == current
+    *    centroids): further rounds are the identity, so stopping cannot
+    *    diverge from the oracle's fixed iteration count;
+    *  - empty clusters drop out (no members → no sum vector), exactly as
+    *    the oracle's GROUP BY does.
+    *
+    * Output per surviving (cluster, dim): member count after the final
+    * assignment, exact component sum, and the mean component. */
   def kmeansRun(embeddings: DataFrame, nList: Int = 16, centroidBase: Int = 100,
                 iters: Int = 3): DataFrame = {
     lloydFinal(quantized(embeddings), nList, centroidBase, iters)
@@ -358,9 +348,7 @@ object Similarity {
         expr(s"element_at(${qz.cid}, CAST(array_position(scores, best) AS INT))"))
       .select(col("vec_id"), col("nearest_list"), col("best"))
     val bottom = scored.orderBy(col("best").asc, col("vec_id").asc).limit(k)
-      // constant-valued non-foldable key: one intended partition for the
-      // k-row rank window (lit(1) folds back to a bare window spec)
-      .withColumn("__one", expr("coalesce(vec_id % 1, 0)"))
+      .withColumn("__one", graft.ops.Scale.constKey(col("vec_id")))
     val rw = Window.partitionBy("__one").orderBy(col("best").asc, col("vec_id").asc)
     bottom.withColumn("rank", row_number().over(rw))
       .select(col("rank").cast("int").as("rank"), col("vec_id"),
@@ -368,6 +356,16 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** Sign-random-projection (SimHash-for-vectors) bucketed ANN — the scale
+    * path. One narrow codegen'd pass computes each vector's `planes`-bit
+    * bucket (sign of the exact integer dot with each LCG-derived
+    * hyperplane — see [[graft.functions.MinHashOps.srpBucket]]); the tiny
+    * query set is exploded into its multi-probe bucket ring (exact bucket
+    * plus all Hamming-1 neighbors — the standard recall recovery for SRP)
+    * and broadcast, so the corpus is scanned ONCE, never shuffled, and
+    * only bucket-ring candidates are scored and reranked by exact cosine.
+    * With planes ≈ log2(n/32), candidates per query ≈ 32·(planes+1):
+    * sub-linear in n. No corpus shuffle, no cross join, one broadcast. */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
               bucketTarget: Int = 32, planesOverride: Int = 0): DataFrame = {
     // planesOverride > 0 skips the corpus count: the count() is a

@@ -440,10 +440,7 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("freq"))
     val total = counts.agg(sum("freq").cast("long").as("total"))
     val top = counts.orderBy(col("freq").desc, col("token").asc).limit(topK)
-      // constant-valued non-foldable key: one intended partition for the
-      // K-row rank window without the bare-window warning (and without
-      // lit(1), which Catalyst folds back to an empty partition spec)
-      .withColumn("__one", expr("coalesce(length(token) % 1, 0)"))
+      .withColumn("__one", graft.ops.Scale.constKey(col("freq")))
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(
         Window.partitionBy("__one").orderBy(col("freq").desc, col("token").asc)))

@@ -40,21 +40,31 @@ object Load {
     * so this path is for the same small-result regime (schema dumps,
     * describe() artifacts, reconcile reports; guarded by `maxRows`). Rows
     * are serialized by Spark's own JSON encoder (same field formatting as
-    * [[ndjson]]), concatenated on the ONE task of a coalesced partition —
-    * the driver never holds the data; for anything big, use [[ndjson]]. */
+    * [[ndjson]]), concatenated on the one post-shuffle task — the driver
+    * never holds the data; for anything big, use [[ndjson]].
+    *
+    * Execution shape, deliberately: `repartition(1)` (a shuffle), NOT
+    * `coalesce(1)` — coalesce would collapse the upstream narrow lineage
+    * onto the single surviving task, serializing the whole computation
+    * onto one core; the shuffle boundary keeps upstream parallelism. The
+    * serialized strings are cached across the row-count guard and the
+    * write, so the upstream query runs ONCE. */
   def jsonArray(df: DataFrame, path: String, maxRows: Long = 100000): Unit = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"jsonArray is the small-result single-file sink ($n rows > $maxRows); " +
-      "use ndjson for large results")
     import df.sparkSession.implicits._
-    df.toJSON.coalesce(1).mapPartitions { it =>
-      val sb = new StringBuilder("[")
-      var first = true
-      it.foreach { s => if (!first) sb.append(','); sb.append(s); first = false }
-      sb.append(']')
-      Iterator(sb.toString)
-    }.write.mode(SaveMode.Overwrite).text(path)
+    val json = df.toJSON.repartition(1).cache()
+    try {
+      val n = json.count()
+      require(n <= maxRows,
+        s"jsonArray is the small-result single-file sink ($n rows > $maxRows); " +
+        "use ndjson for large results")
+      json.mapPartitions { it =>
+        val sb = new StringBuilder("[")
+        var first = true
+        it.foreach { s => if (!first) sb.append(','); sb.append(s); first = false }
+        sb.append(']')
+        Iterator(sb.toString)
+      }.write.mode(SaveMode.Overwrite).text(path)
+    } finally { json.unpersist(); () }
   }
 
   /** TRUNCATECOLUMNS fidelity (ref COPY option,

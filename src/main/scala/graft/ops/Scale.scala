@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** The rank-window-on-a-tiny-aggregate key: a constant-VALUED but
+    * non-foldable expression over an existing column. `lit(1)` does NOT
+    * work — Catalyst constant-folds it back to an empty partition spec and
+    * WindowExec warns about (and plans) a partitionless window; this
+    * expression survives folding, so the K-row rank window gets its one
+    * INTENDED partition. Shared by every top-k ranking site (vocab, paths,
+    * outliers, key skew, mixture). */
+  def constKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(length(c.cast("string")) % 1, lit(0))
+
+  /** Recursive local-filesystem delete — the store-lifecycle cleanup used
+    * by the band-store race loser and the compaction swap. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Skew-mitigated equi-join of a big `fact` against a big-ish `dim` that
     * is too large to broadcast but has hot join keys on the fact side.
     *
@@ -47,18 +64,21 @@ object Scale {
     * collapses the table to its key cardinality; the top-k is a
     * TakeOrdered heap over that aggregate (never a global sort); the
     * 1-row stats (key count, total) broadcast onto the K survivors.
-    * Ties break key-asc on the stringified key — total order. */
+    * Ties break key-asc NULLS LAST on the stringified key — total order
+    * that matches DuckDB's bare ASC even when the key is NULL. */
   def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     val counts = df.select(col(key).cast("string").as("key_value"))
       .groupBy("key_value").agg(count(lit(1)).as("n_rows"))
     val stats = counts.agg(count(lit(1)).cast("long").as("n_keys"),
       sum("n_rows").cast("long").as("total"))
-    val top = counts.orderBy(col("n_rows").desc, col("key_value").asc).limit(topK)
-      // constant-valued non-foldable key: one intended partition for the
-      // K-row rank window (lit(1) folds back to a bare window spec)
-      .withColumn("__one", expr("coalesce(length(key_value) % 1, 0)"))
+    // asc_nulls_last: a NULL key (the classic skew key this operator
+    // exists to find) must sort where DuckDB's bare ASC puts it (last),
+    // or the topK cut and rank diverge from the oracle on a tie
+    val top = counts
+      .orderBy(col("n_rows").desc, col("key_value").asc_nulls_last).limit(topK)
+      .withColumn("__one", constKey(col("n_rows")))
     val rw = org.apache.spark.sql.expressions.Window
-      .partitionBy("__one").orderBy(col("n_rows").desc, col("key_value").asc)
+      .partitionBy("__one").orderBy(col("n_rows").desc, col("key_value").asc_nulls_last)
     top.crossJoin(broadcast(stats))
       .withColumn("rank", row_number().over(rw))
       .select(col("rank").cast("int").as("rank"), col("key_value"), col("n_rows"),

@@ -101,7 +101,16 @@ object DocStreams {
     * Multi-band collisions produce duplicate candidate pairs; the windowed
     * aggregation folds them (max of the single exact jaccard value), so
     * emission is append-mode and state is bounded by in-horizon pairs, not
-    * store size. */
+    * store size. Stated trade-off vs the batch twin: the batch path
+    * distincts (inc, hist) pairs BEFORE the verify join, paying the
+    * intersect once per pair; here a pair-distinct before the verify would
+    * be a second stateful operator ahead of the windowed agg (an
+    * unsupported stateful ordering), so the verify runs once per COLLIDING
+    * band — bounded at 32× and hot only for true near-dups (which collide
+    * on most bands) — and the agg folds the duplicates. The batch
+    * `incrementalStored` (or [[runStoreIngest]], which uses it per
+    * micro-batch) is the shape to pick when store-probe volume, not
+    * latency, dominates. */
   def dedupAgainstStore(docs: DataFrame, storeDir: String,
                         threshold: Double = 0.8,
                         watermark: String = "1 hour"): DataFrame = {
@@ -193,7 +202,6 @@ object DocStreams {
   def runStoreIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
                      storeDir: String, outDir: String, ckptDir: String,
                      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, min => fmin}
     val docs = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[DocIn].schema)
       .parquet(srcDir)
@@ -203,10 +211,10 @@ object DocStreams {
         val hitStore = graft.ext.Dedup
           .incrementalStored(b.select("doc_id", "text"), storeDir, threshold)
           .select(col("inc_id").as("doc_id")).distinct()
+        // clusters() labels every member with the component-minimum doc_id,
+        // so keeper == cluster_id — non-keepers need no keeper window
         val nonKeep = graft.ext.Dedup.minhashClusters(b.select("doc_id", "text"), threshold)
-          .withColumn("keeper", fmin(col("doc_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
-          .filter(col("doc_id") =!= col("keeper")).select("doc_id")
+          .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
         val accepted = b
           .join(hitStore, Seq("doc_id"), "left_anti")
           .join(nonKeep, Seq("doc_id"), "left_anti")
