@@ -144,6 +144,8 @@ object ExtQueries {
     "embedding_cluster_sample" -> ((s, dir) => Similarity.clusterSample(embs(s, dir))),
     // data-quality triage: bottom-20 vectors by nearest-centroid cosine
     "embedding_outliers" -> ((s, dir) => Similarity.outliers(embs(s, dir))),
+    // compressed-domain ANN: 8x16 PQ codebook, ADC integer scoring
+    "similarity_pq" -> ((s, dir) => Similarity.pqTopK(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -998,6 +1000,30 @@ object ExtQueries {
 
     // IVF: centroids = vec_id in [100, 116); assignment/probes replay the
     // engine's argmax (ties → lower cent_id) via row_number windows.
+    // PQ replay: sub-vector split (m = (i-1)//8, d = 1..8), codeword k =
+    // seed id offset + 1, exact BIGINT L2² per (vec, m, k), code = rank-1
+    // of (d2 ASC, k ASC) ≡ Spark's first-min array_position, ADC = sum of
+    // the query's table entries at the corpus codes — all-integer output
+    "similarity_pq" ->
+      s"""$quantCte,
+         |sub AS (SELECT vec_id, (i - 1) // 8 AS m, i - ((i - 1) // 8) * 8 AS d, x FROM q),
+         |cbk AS (SELECT vec_id - 100 + 1 AS k, m, d, x FROM sub
+         |        WHERE vec_id >= 100 AND vec_id < 116),
+         |dist AS (SELECT s.vec_id, s.m, c.k, CAST(sum((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS d2
+         |         FROM sub s JOIN cbk c ON s.m = c.m AND s.d = c.d
+         |         GROUP BY s.vec_id, s.m, c.k),
+         |codes AS (SELECT vec_id, m, k AS code FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS r
+         |            FROM dist) WHERE r = 1),
+         |adist AS (SELECT qd.vec_id AS query_id, c.vec_id AS vec_id, CAST(sum(qd.d2) AS BIGINT) AS adist
+         |          FROM codes c JOIN dist qd ON qd.m = c.m AND qd.k = c.code
+         |          WHERE qd.vec_id < 10 AND c.vec_id != qd.vec_id
+         |          GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+         |           FROM adist)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // outlier worklist: same centroid-cosine CTEs as ivf; per-vec best =
     // rank-1 of (ccos DESC, cent_id ASC) — Spark's array_position first-max
     "embedding_outliers" ->
@@ -1387,5 +1413,6 @@ object ExtQueries {
     "dedup_embedding_keepers", "text_novelty",
     "events_attribution", "events_paths", "multimodal_dedup",
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
-    "pipeline_near_dedup", "events_value_stats", "embedding_outliers")
+    "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
+    "similarity_pq")
 }

@@ -326,6 +326,73 @@ object Similarity {
       .orderBy("cluster_id", "rank")
   }
 
+  /** PRODUCT-QUANTIZATION ANN — the compressed-domain scale path that
+    * complements [[ivfTopK]] (IVF prunes WHICH vectors to score; PQ makes
+    * each score a few table lookups instead of a 64-dim dot): the 64-dim
+    * space splits into 8 subspaces of 8 dims; each subspace gets a
+    * 16-codeword codebook (the [centroidBase, centroidBase+16) corpus
+    * rows' sub-vectors — the same deterministic seed discipline as IVF,
+    * replayable by the oracle where a trained codebook would converge
+    * engine-specifically); every corpus vector encodes to 8 one-byte
+    * codes (8 bytes per vector — a 10⁹-vector index fits in 8 GB, the
+    * whole point of PQ at 100 TB); a query precomputes per-subspace
+    * distance TABLES (8×16 exact BIGINT L2²) and scores any vector by 8
+    * array lookups + adds (asymmetric distance, ADC). Ranking is BY the
+    * ADC distance — all-integer output, bit-exact against the oracle;
+    * exact rerank of the survivors is [[ivfTopK]]/[[bruteForceTopK]]'s
+    * job downstream.
+    *
+    * Scale shape: the codebook folds to literals (128 sub-codewords);
+    * encoding is one narrow pass (codes never shuffle the vectors); the
+    * 10-query table set broadcasts against ONE corpus scan; only
+    * (query × corpus) scalar adds precede the per-query top-k window.
+    * Ties break to the lower code / lower vec_id everywhere (first-min
+    * array_position ≡ the oracle's (d2 ASC, k ASC) rank). */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+             nSub: Int = 8, nCode: Int = 16, centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val dim = 64
+    require(dim % nSub == 0, s"$dim dims must split evenly into $nSub subspaces")
+    val sd = dim / nSub
+    val cents = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nCode)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == nCode, s"expected $nCode codebook rows, found ${cents.length}")
+    // cb[m+1][k+1] = codeword k's sub-vector for subspace m (1-based SQL)
+    val cb = (0 until nSub).map { m =>
+      cents.map(v => v.slice(m * sd, (m + 1) * sd)
+        .mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    // 8×16 exact L2² distances of each row's sub-vectors to every codeword
+    val distsExpr =
+      s"""transform(sequence(0, ${nSub - 1}), m ->
+         |  transform(sequence(1, $nCode), kk ->
+         |    aggregate(sequence(1, $sd), 0L, (acc, d) ->
+         |      acc + (element_at(q, m * $sd + d) - element_at(element_at(element_at($cb, m + 1), kk), d))
+         |          * (element_at(q, m * $sd + d) - element_at(element_at(element_at($cb, m + 1), kk), d)))))""".stripMargin
+    val withDists = vecs.select(col("vec_id"), col("q"))
+      .withColumn("dists", expr(distsExpr))
+    // corpus side: 8 codes per vector (argmin = first-min, ties -> low k)
+    val encoded = withDists
+      .select(col("vec_id"),
+        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))").as("codes"))
+    // query side: the distance tables themselves
+    val queries = withDists.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("dists").as("dtab"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(1, $nSub), 0L, (acc, m) ->
+           |  acc + element_at(element_at(dtab, m), element_at(codes, m)))""".stripMargin))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding OUTLIER report — the data-quality triage of an embedding
     * corpus: the bottom-`k` vectors by nearest-centroid cosine (vectors
     * far from EVERY cluster center — encoder failures, corrupted inputs,

@@ -340,6 +340,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("PQ: codes encode in a narrow pass, query tables broadcast, corpus never merge-joins") {
+    val p = plan("similarity_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query distance tables must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
+  }
+
   test("near-dedup composite: co-partitioned anti-join, no cartesian anywhere") {
     val p = plan("pipeline_near_dedup")
     assert(!p.contains("CartesianProduct"), p)
