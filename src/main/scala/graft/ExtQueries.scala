@@ -146,6 +146,8 @@ object ExtQueries {
     "embedding_outliers" -> ((s, dir) => Similarity.outliers(embs(s, dir))),
     // compressed-domain ANN: 8x16 PQ codebook, ADC integer scoring
     "similarity_pq" -> ((s, dir) => Similarity.pqTopK(embs(s, dir))),
+    // the production composition: IVF list pruning + PQ ADC scoring
+    "similarity_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -1024,6 +1026,44 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // ivf's assignment/probe CTEs chained into pq's code/table CTEs:
+    // candidates from the probe join, scored by the query's ADC table
+    "similarity_ivfpq" ->
+      s"""$quantCte,
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY qv.vec_id, qc.vec_id),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+         |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+         |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |              FROM ccos) WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+         |sub AS (SELECT vec_id, (i - 1) // 8 AS m, i - ((i - 1) // 8) * 8 AS d, x FROM q),
+         |cbk AS (SELECT vec_id - 100 + 1 AS k, m, d, x FROM sub
+         |        WHERE vec_id >= 100 AND vec_id < 116),
+         |dist AS (SELECT s.vec_id, s.m, c.k, CAST(sum((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS d2
+         |         FROM sub s JOIN cbk c ON s.m = c.m AND s.d = c.d
+         |         GROUP BY s.vec_id, s.m, c.k),
+         |codes AS (SELECT vec_id, m, k AS code FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS r
+         |            FROM dist) WHERE r = 1),
+         |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+         |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+         |adist AS (SELECT cand.query_id AS query_id, cand.vec_id AS vec_id, cand.list_id AS list_id,
+         |            CAST(sum(qd.d2) AS BIGINT) AS adist
+         |          FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+         |                    JOIN dist qd ON qd.vec_id = cand.query_id AND qd.m = c.m AND qd.k = c.code
+         |          GROUP BY 1, 2, 3),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+         |           FROM adist)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist, list_id
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // outlier worklist: same centroid-cosine CTEs as ivf; per-vec best =
     // rank-1 of (ccos DESC, cent_id ASC) — Spark's array_position first-max
     "embedding_outliers" ->
@@ -1414,5 +1454,5 @@ object ExtQueries {
     "events_attribution", "events_paths", "multimodal_dedup",
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
-    "similarity_pq")
+    "similarity_pq", "similarity_ivfpq")
 }

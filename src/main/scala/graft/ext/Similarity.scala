@@ -326,6 +326,38 @@ object Similarity {
       .orderBy("cluster_id", "rank")
   }
 
+  /** Folded PQ codebook: cb[m+1][k+1] = codeword k's sub-vector for
+    * subspace m (1-based SQL indexing), from the [centroidBase,
+    * centroidBase+nCode) corpus rows' sub-vectors. */
+  private final case class PqCodebook(cb: String, nSub: Int, nCode: Int, sd: Int)
+
+  private def foldPqCodebook(vecs: DataFrame, nSub: Int, nCode: Int,
+                             centroidBase: Int, dim: Int = 64): PqCodebook = {
+    require(dim % nSub == 0, s"$dim dims must split evenly into $nSub subspaces")
+    val sd = dim / nSub
+    val cents = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nCode)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cents.length == nCode, s"expected $nCode codebook rows, found ${cents.length}")
+    val cb = (0 until nSub).map { m =>
+      cents.map(v => v.slice(m * sd, (m + 1) * sd)
+        .mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    PqCodebook(cb, nSub, nCode, sd)
+  }
+
+  /** nSub×nCode exact L2² distances of the row's sub-vectors to every
+    * codeword — the shared kernel of [[pqTopK]] (both sides) and
+    * [[ivfPqTopK]]: corpus rows argmin it into codes, query rows carry it
+    * whole as the ADC lookup table. */
+  private def pqDistsExpr(pq: PqCodebook): String =
+    s"""transform(sequence(0, ${pq.nSub - 1}), m ->
+       |  transform(sequence(1, ${pq.nCode}), kk ->
+       |    aggregate(sequence(1, ${pq.sd}), 0L, (acc, d) ->
+       |      acc + (element_at(q, m * ${pq.sd} + d) - element_at(element_at(element_at(${pq.cb}, m + 1), kk), d))
+       |          * (element_at(q, m * ${pq.sd} + d) - element_at(element_at(element_at(${pq.cb}, m + 1), kk), d)))))""".stripMargin
+
   /** PRODUCT-QUANTIZATION ANN — the compressed-domain scale path that
     * complements [[ivfTopK]] (IVF prunes WHICH vectors to score; PQ makes
     * each score a few table lookups instead of a 64-dim dot): the 64-dim
@@ -351,28 +383,8 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
              nSub: Int = 8, nCode: Int = 16, centroidBase: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)
-    val dim = 64
-    require(dim % nSub == 0, s"$dim dims must split evenly into $nSub subspaces")
-    val sd = dim / nSub
-    val cents = vecs
-      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nCode)
-      .orderBy("vec_id").collect()
-      .map(_.getSeq[Long](1).toArray)
-    require(cents.length == nCode, s"expected $nCode codebook rows, found ${cents.length}")
-    // cb[m+1][k+1] = codeword k's sub-vector for subspace m (1-based SQL)
-    val cb = (0 until nSub).map { m =>
-      cents.map(v => v.slice(m * sd, (m + 1) * sd)
-        .mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
-    }.mkString("array(", ", ", ")")
-    // 8×16 exact L2² distances of each row's sub-vectors to every codeword
-    val distsExpr =
-      s"""transform(sequence(0, ${nSub - 1}), m ->
-         |  transform(sequence(1, $nCode), kk ->
-         |    aggregate(sequence(1, $sd), 0L, (acc, d) ->
-         |      acc + (element_at(q, m * $sd + d) - element_at(element_at(element_at($cb, m + 1), kk), d))
-         |          * (element_at(q, m * $sd + d) - element_at(element_at(element_at($cb, m + 1), kk), d)))))""".stripMargin
     val withDists = vecs.select(col("vec_id"), col("q"))
-      .withColumn("dists", expr(distsExpr))
+      .withColumn("dists", expr(pqDistsExpr(foldPqCodebook(vecs, nSub, nCode, centroidBase))))
     // corpus side: 8 codes per vector (argmin = first-min, ties -> low k)
     val encoded = withDists
       .select(col("vec_id"),
@@ -390,6 +402,47 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF+PQ — the two scale paths COMPOSED, the shape a 10⁹-vector
+    * production index actually runs: IVF prunes WHICH vectors to score
+    * (nProbe/nList of the corpus per query), PQ makes each surviving
+    * score 8 lookups+adds instead of a 64-dim dot. One narrow corpus
+    * pass computes BOTH the list assignment and the 8 codes; the probe
+    * ring (with each query's ADC tables) broadcasts; candidates rank by
+    * exact-BIGINT ADC distance. Oracle = the two proven oracles chained
+    * (ivf's assignment/probe CTEs feeding pq's code/table CTEs). */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                nList: Int = 16, nProbe: Int = 4, nSub: Int = 8,
+                nCode: Int = 16, centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    val pq = foldPqCodebook(vecs, nSub, nCode, centroidBase)
+    val base = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
+      .withColumn("dists", expr(pqDistsExpr(pq)))
+    // one narrow pass: list assignment + PQ codes, vectors dropped after
+    val assigned = base
+      .withColumn("list_id",
+        expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+      .select(col("vec_id"), col("list_id"),
+        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))").as("codes"))
+    val probes = base.filter(col("vec_id") < nQueries)
+      .withColumn("list_id", explode(expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${nList - 1}),
+           |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
+           |  p -> element_at(${qz.cid}, p.i + 1))""".stripMargin)))
+      .select(col("vec_id").as("query_id"), col("dists").as("dtab"), col("list_id"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(1, $nSub), 0L, (acc, m) ->
+           |  acc + element_at(element_at(dtab, m), element_at(codes, m)))""".stripMargin))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"), col("list_id"))
       .orderBy("query_id", "rank")
   }
 

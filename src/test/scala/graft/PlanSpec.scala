@@ -347,6 +347,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
   }
 
+  test("IVF+PQ: probe ring broadcast equi-join, no cartesian, corpus never merge-joins") {
+    val p = plan("similarity_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"probe ring must broadcast-equi-join\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
+  }
+
   test("near-dedup composite: co-partitioned anti-join, no cartesian anywhere") {
     val p = plan("pipeline_near_dedup")
     assert(!p.contains("CartesianProduct"), p)
