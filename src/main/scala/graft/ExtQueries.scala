@@ -148,6 +148,9 @@ object ExtQueries {
     "similarity_pq" -> ((s, dir) => Similarity.pqTopK(embs(s, dir))),
     // the production composition: IVF list pruning + PQ ADC scoring
     "similarity_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(embs(s, dir))),
+    // RAG hybrid: rare-term text recall reranked by embedding cosine
+    "pipeline_hybrid_search" -> ((s, dir) =>
+      Similarity.hybridSearch(docs(s, dir), embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
@@ -1026,6 +1029,39 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // rare-3-gram recall (shingle strings replay the engine's distinct
+    // 60-bit hashes — injective at fixture scale, the ngramJaccard
+    // precedent; DF cap mirrored) -> quantized-cosine rerank; candidates
+    // without embeddings drop on both sides' inner join
+    "pipeline_hybrid_search" ->
+      s"""$quantCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shg AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(1, len(w) - 1),
+         |                 i -> array_to_string(w[i:i+2], ' '))) AS g
+         |        FROM toks WHERE len(w) >= 3),
+         |rare AS (SELECT doc_id, g FROM
+         |          (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM shg)
+         |         WHERE df <= 20),
+         |cands AS (SELECT qi.doc_id AS query_id, ri.doc_id AS doc_id,
+         |            CAST(count(*) AS BIGINT) AS n_shared_terms
+         |          FROM rare qi JOIN rare ri ON qi.g = ri.g
+         |          WHERE qi.doc_id < 10 AND ri.doc_id != qi.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |dots AS (SELECT c.query_id, c.doc_id, c.n_shared_terms, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |         FROM cands c JOIN q qq ON qq.vec_id = c.query_id
+         |                      JOIN q qv ON qv.vec_id = c.doc_id AND qq.i = qv.i
+         |         GROUP BY 1, 2, 3),
+         |scored AS (SELECT dots.query_id AS query_id, dots.doc_id AS doc_id, dots.n_shared_terms,
+         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+         |                     JOIN nrm nv ON dots.doc_id = nv.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+         |           FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, n_shared_terms,
+         |       round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // ivf's assignment/probe CTEs chained into pq's code/table CTEs:
     // candidates from the probe join, scored by the query's ADC table
     "similarity_ivfpq" ->
@@ -1454,5 +1490,5 @@ object ExtQueries {
     "events_attribution", "events_paths", "multimodal_dedup",
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
-    "similarity_pq", "similarity_ivfpq")
+    "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search")
 }

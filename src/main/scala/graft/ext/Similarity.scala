@@ -446,6 +446,54 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** HYBRID retrieval — the RAG-stack staple composed from both corpora:
+    * text RECALL (candidate docs sharing ≥ `minShared` distinct RARE
+    * 3-gram shingles with the query doc — rare = document frequency ≤
+    * `maxDocFreq`, the [[Dedup.ngramJaccard]] cap discipline that keeps
+    * the inverted-index self-join linear; shingles, not unigrams, because
+    * phrase overlap is the retrieval signal a 31-word-vocabulary unigram
+    * can't carry) then vector PRECISION (candidates reranked by exact
+    * quantized cosine between the docs' embeddings, top-`k`). Candidates
+    * without an embedding drop (inner join) — both engines agree on the
+    * partial-coverage case.
+    *
+    * Scale shape: the shingle index carries 8-byte 60-bit hashes (never
+    * the phrase strings) and the self-join is DF-capped (never a
+    * hot-phrase quadratic bucket) with the query side's pushed doc_id
+    * filter; the candidate set is bounded by shared-rare-shingle density,
+    * so the embedding rerank joins a SMALL relation against the vectors
+    * (co-partitioned equi-joins on the ids); top-k per query is a window
+    * over candidates only. No corpus-scale pair enumeration anywhere. */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, nQueries: Int = 10,
+                   k: Int = 5, maxDocFreq: Int = 20, minShared: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy("g")
+    val idx = Dedup.spread(docs)
+      .select(col("doc_id"), explode(expr("shingle_hash60(text, 3)")).as("g"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDocFreq)
+      .select("doc_id", "g")
+    val qIdx = idx.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("g"))
+    val cands = qIdx.join(idx, "g")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared_terms"))
+      .filter(col("n_shared_terms") >= minShared)
+    val vecs = quantized(embeddings)
+    val qv = vecs.toDF("query_id", "qq", "nq")
+    val cv = vecs.toDF("doc_id", "qv", "nv")
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id").asc)
+    cands.join(qv, "query_id").join(cv, "doc_id")
+      .withColumn("cosine",
+        expr("vec_dotl(qq, qv) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("n_shared_terms"), expr("round(cosine, 6)").as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding OUTLIER report — the data-quality triage of an embedding
     * corpus: the bottom-`k` vectors by nearest-centroid cosine (vectors
     * far from EVERY cluster center — encoder failures, corrupted inputs,
