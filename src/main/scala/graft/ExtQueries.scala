@@ -146,6 +146,8 @@ object ExtQueries {
     "embedding_outliers" -> ((s, dir) => Similarity.outliers(embs(s, dir))),
     // compressed-domain ANN: 8x16 PQ codebook, ADC integer scoring
     "similarity_pq" -> ((s, dir) => Similarity.pqTopK(embs(s, dir))),
+    // codebook-free SQ8: per-dim affine int8 codes, exact-integer ADC
+    "similarity_sq" -> ((s, dir) => Similarity.sqTopK(embs(s, dir))),
     // the production composition: IVF list pruning + PQ ADC scoring
     "similarity_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(embs(s, dir))),
     // RAG hybrid: rare-term text recall reranked by embedding cosine
@@ -1029,6 +1031,26 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // SQ8: per-dim [min,max] affine codes (no codebook), asymmetric
+    // integer scoring — query exact ×255, corpus dequantized mn·255+c·span;
+    // floor div of non-negatives ≡ Spark's `div`
+    "similarity_sq" ->
+      s"""$quantCte,
+         |st AS (SELECT i, min(x) AS mn, greatest(1, max(x) - min(x)) AS span
+         |       FROM q GROUP BY i),
+         |codes AS (SELECT vec_id, i, ((x - mn) * 255) // span AS code
+         |          FROM q JOIN st USING (i)),
+         |deq AS (SELECT vec_id, i, mn * 255 + code * span AS v
+         |        FROM codes JOIN st USING (i)),
+         |qs AS (SELECT vec_id AS query_id, i, x * 255 AS vq FROM q WHERE vec_id < 10),
+         |sc AS (SELECT query_id, d.vec_id AS vec_id, CAST(sum(vq * v) AS BIGINT) AS adist
+         |       FROM qs JOIN deq d USING (i) WHERE d.vec_id != query_id
+         |       GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist DESC, vec_id ASC) AS rank
+         |           FROM sc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // rare-3-gram recall (shingle strings replay the engine's distinct
     // 60-bit hashes — injective at fixture scale, the ngramJaccard
     // precedent; DF cap mirrored) -> quantized-cosine rerank; candidates
@@ -1490,5 +1512,6 @@ object ExtQueries {
     "events_attribution", "events_paths", "multimodal_dedup",
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
-    "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search")
+    "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
+    "similarity_sq")
 }

@@ -446,6 +446,61 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** SCALAR-QUANTIZATION ANN (SQ8) — the third classic compression path
+    * beside [[pqTopK]] (PQ) and [[ivfTopK]] (IVF): each of the 64
+    * dimensions is independently affine-mapped to an 8-bit code
+    * `(x − min_d) · 255 div span_d` using the corpus-wide per-dimension
+    * [min, max] range, so a vector stores in 64 bytes with NO codebook —
+    * the cheapest index to build and the standard first rung of the
+    * memory/recall ladder (SQ8 → PQ → IVF+PQ). Scoring is asymmetric
+    * (ADC): the query keeps its exact quantized values (scaled ×255 to
+    * stay integral) and each corpus code dequantizes to the integral
+    * `min_d·255 + code·span_d`, so the dot product is an exact BIGINT —
+    * bit-identical to the oracle, fully deterministic ranking (ties →
+    * lower vec_id).
+    *
+    * Scale shape: the per-dimension range is ONE `vec_min_agg`/
+    * `vec_max_agg` partial-agg pass (each task folds to a single
+    * 64-long buffer — the corpus never posexplodes ×64); the folded
+    * [min, span] literals make encoding a narrow per-row pass; the
+    * 10-query set broadcasts against ONE corpus scan; only
+    * (query × corpus) scalar adds precede the per-query top-k window.
+    * Production packs codes to bytes — here they stay array<bigint>
+    * for expression-level arithmetic, same information content. */
+  def sqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val vecs = quantized(embeddings)
+    val Array(mn, mx) = vecs
+      .agg(expr("vec_min_agg(q)").as("mn"), expr("vec_max_agg(q)").as("mx"))
+      .collect()(0) match {
+        case r => Array(r.getSeq[Long](0).toArray, r.getSeq[Long](1).toArray)
+      }
+    val span = mn.indices.map(i => math.max(1L, mx(i) - mn(i))).toArray
+    val dim = mn.length
+    val mnL = mn.mkString("array(", "L,", "L)")
+    val spanL = span.mkString("array(", "L,", "L)")
+    // narrow encode: 8-bit code per dimension (floor div of non-negatives)
+    val encoded = vecs.select(col("vec_id"), expr(
+      s"""transform(sequence(1, $dim), d ->
+         |  ((element_at(q, d) - element_at($mnL, d)) * 255L)
+         |    div element_at($spanL, d))""".stripMargin).as("codes"))
+    // query side keeps exact values, ×255 so both sides share the scale
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(q, x -> x * 255L)").as("vq"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adist").desc, col("vec_id").asc)
+    encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(1, $dim), 0L, (acc, d) ->
+           |  acc + element_at(vq, d) * (element_at($mnL, d) * 255L
+           |      + element_at(codes, d) * element_at($spanL, d)))""".stripMargin))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** HYBRID retrieval — the RAG-stack staple composed from both corpora:
     * text RECALL (candidate docs sharing ≥ `minShared` distinct RARE
     * 3-gram shingles with the query doc — rare = document frequency ≤

@@ -606,6 +606,72 @@ case class VecSumAgg(
   override def prettyName: String = "vec_sum_agg"
 }
 
+/** vec_min_agg / vec_max_agg (array<bigint>) → array<bigint>: elementwise
+  * min/max aggregate of quantized vectors — the per-dimension range pass of
+  * scalar quantization (SQ8). Same partial-agg discipline as [[VecSumAgg]]:
+  * each task folds its rows into ONE dimension-length buffer and the
+  * shuffle carries one partial extreme per (group, task), never a
+  * posexploded row per (vector, dimension). Buffer length adopts the first
+  * input's length; mixed dimensions fail loudly like vec_sum_agg. */
+case class VecExtremeAgg(
+    child: Expression,
+    isMin: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  @inline private def keep(a: Long, b: Long): Long =
+    if (isMin) math.min(a, b) else math.max(a, b)
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val xs = v.asInstanceOf[ArrayData].toLongArray()
+    if (buffer.isEmpty) return xs.clone()
+    require(xs.length == buffer.length,
+      s"$prettyName: mixed vector dimensions (${xs.length} vs ${buffer.length})")
+    var i = 0
+    while (i < buffer.length) { buffer(i) = keep(buffer(i), xs(i)); i += 1 }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    if (buffer.isEmpty) return other
+    if (other.isEmpty) return buffer
+    require(other.length == buffer.length,
+      s"$prettyName: mixed vector dimensions (${other.length} vs ${buffer.length})")
+    var i = 0
+    while (i < buffer.length) { buffer(i) = keep(buffer(i), other(i)); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecExtremeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecExtremeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecExtremeAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = if (isMin) "vec_min_agg" else "vec_max_agg"
+}
+
 /** Registration — on a live session (idempotent) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. Both paths
   * are driven by the same `fns` sequence so they can never diverge. */
@@ -630,6 +696,8 @@ object GraftFunctions {
     "minhash_union" -> { es => MinHashUnion(es.head) },
     "modal_run"     -> { es => ModalRun(es.head) },
     "vec_sum_agg"   -> { es => VecSumAgg(es.head) },
+    "vec_min_agg"   -> { es => VecExtremeAgg(es.head, isMin = true) },
+    "vec_max_agg"   -> { es => VecExtremeAgg(es.head, isMin = false) },
     "deflate_len"   -> { es => DeflateLen(es.head) })
 
   def register(spark: SparkSession): Unit = {

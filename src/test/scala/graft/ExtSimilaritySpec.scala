@@ -155,6 +155,31 @@ class ExtSimilaritySpec extends AnyFunSuite {
       again.map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("sqTopK: hand-computed SQ8 codes, ADC ranking, and fixture sanity") {
+    // 2-dim corpus: dim1 range [-1,1] -> span 20000, dim2 [0,1] -> span 10000
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(0.9f, 0.1f)),   // codes (242, 25)  -> closest
+      (2L, Array(0.1f, 0.9f)),   // codes (140, 229)
+      (3L, Array(-1.0f, 1.0f))   // codes (0, 255)   -> opposite
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sqTopK(df, nQueries = 1, k = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L)))
+    // rank-1 ADC dot, by hand: vq=(2550000,0); deq(v1)=(-2550000+242*20000, 25*10000)
+    assert(out.head.getAs[Long]("adist") === 2550000L * 2290000L)
+    // fixture: contiguous ranks, no self-match, score non-increasing per query
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val rows = Similarity.sqTopK(embs, nQueries = 5, k = 5).collect()
+    assert(rows.length === 25)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 5).toSeq)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getAs[Long]("adist"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("explicit planesOverride skips the sizing count and matches the derived result") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     // planesFor(500, 32) = 4, so overriding with 4 must be byte-identical

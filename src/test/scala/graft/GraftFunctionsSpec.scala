@@ -91,6 +91,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(native.queryExecution.executedPlan.toString.contains("partial_vec_sum_agg"))
   }
 
+  test("vec_min_agg/vec_max_agg equal the exploded per-component extremes") {
+    val vecs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .select((col("vec_id") % 7).as("g"), expr("vec_quantize(embedding)").as("q"))
+    val native = vecs.groupBy("g")
+      .agg(expr("vec_min_agg(q)").as("mn"), expr("vec_max_agg(q)").as("mx"))
+      .select(col("g"), posexplode(arrays_zip(col("mn"), col("mx"))).as(Seq("i", "v")))
+      .select(col("g"), col("i"), col("v.mn"), col("v.mx"))
+    val exploded = vecs.select(col("g"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("g", "i").agg(min("v").as("mn"), max("v").as("mx"))
+    assert(native.exceptAll(exploded).isEmpty && exploded.exceptAll(native).isEmpty)
+    assert(native.queryExecution.executedPlan.toString.contains("partial_vec_min_agg"))
+    // mixed dimensions fail loudly, not silently truncate
+    val mixed = Seq(Array(1L, 2L), Array(1L, 2L, 3L)).toDF("q")
+    val ex = intercept[Exception] {
+      mixed.agg(expr("vec_min_agg(q)")).collect()
+    }
+    assert(ex.getMessage.contains("mixed vector dimensions") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("mixed vector dimensions"))
+  }
+
   test("modal_run equals the sorted-run HOF fold on real docs and edge cases") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(200)
       .select(expr("split(text, ' ')").as("w"))

@@ -347,6 +347,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
   }
 
+  test("SQ: range fold is one partial agg, queries broadcast, corpus never merge-joins") {
+    val p = plan("similarity_sq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
+  }
+
   test("IVF+PQ: probe ring broadcast equi-join, no cartesian, corpus never merge-joins") {
     val p = plan("similarity_ivfpq")
     assert(p.contains("BroadcastHashJoin"), s"probe ring must broadcast-equi-join\n$p")
