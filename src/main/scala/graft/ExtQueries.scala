@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.ext.{Dedup, Events, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
   * search, text analysis, event windows, multimodal plumbing. Every entry
@@ -92,6 +92,10 @@ object ExtQueries {
     "dedup_minhash_lsh"      -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    // duplication STRUCTURE: per-doc triangle count + clustering coeff
+    // over the simhash near-dup graph (degree-ordered orientation)
+    "graph_triangles"        -> ((s, dir) =>
+      Graph.triangles(Dedup.simhashPairs(docs(s, dir)))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
@@ -308,6 +312,20 @@ object ExtQueries {
       |             j -> list_min(hs[j:j+3]))))
       |         ELSE [] END AS prints
       |       FROM hs)""".stripMargin
+
+  // 63-bit simhash of the distinct-token set (md5-nibble sign votes) —
+  // shared by the simhash pair oracle and the triangle-graph oracle
+  private val simhashShCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 63), j ->
+      |      CASE WHEN list_sum(list_transform(
+      |             list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)),
+      |             h -> 2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+      |                        // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1))
+      |           > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+      |      AS BIGINT) AS simhash
+      |  FROM documents)""".stripMargin
 
   private val quantCte =
     """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -929,21 +947,41 @@ object ExtQueries {
     // banded index has guaranteed recall at hd<=3 (pigeonhole over 4 bands),
     // so the oracle is the exact all-pairs Hamming join
     "dedup_simhash_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 63), j ->
-        |      CASE WHEN list_sum(list_transform(
-        |             list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)),
-        |             h -> 2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
-        |                        // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1))
-        |           > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
-        |      AS BIGINT) AS simhash
-        |  FROM documents)
-        |SELECT s1.doc_id AS a, s2.doc_id AS b,
-        |       CAST(bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) AS INT) AS hamming
-        |FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
-        |WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $simhashShCte
+         |SELECT s1.doc_id AS a, s2.doc_id AS b,
+         |       CAST(bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) AS INT) AS hamming
+         |FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+         |WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3
+         |ORDER BY a, b""".stripMargin,
+
+    // the engine's degree-ordered orientation finds each triangle exactly
+    // once; the oracle replays the same orientation with row-value
+    // comparisons, so the two sides agree wedge for wedge
+    "graph_triangles" ->
+      s"""WITH $simhashShCte,
+         |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
+         |      FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+         |      WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
+         |dir AS (SELECT CASE WHEN (da.degree, a) < (db.degree, b) THEN a ELSE b END AS src,
+         |               CASE WHEN (da.degree, a) < (db.degree, b) THEN b ELSE a END AS dst,
+         |               CASE WHEN (da.degree, a) < (db.degree, b) THEN db.degree ELSE da.degree END AS ddeg
+         |        FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |        FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+         |          AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+         |        JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT u AS id FROM tri UNION ALL SELECT v AS id FROM tri
+         |             UNION ALL SELECT w AS id FROM tri) GROUP BY id)
+         |SELECT deg.id AS doc_id, deg.degree,
+         |       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |       CASE WHEN deg.degree >= 2
+         |            THEN round(2e0 * coalesce(tc.n_triangles, 0) / (deg.degree * (deg.degree - 1)), 6)
+         |            ELSE 0e0 END AS clustering
+         |FROM deg LEFT JOIN tc ON tc.id = deg.id
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""$quantCte,
@@ -1513,5 +1551,5 @@ object ExtQueries {
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
-    "similarity_sq")
+    "similarity_sq", "graph_triangles")
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Graph}
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("triangles: hand-built diamond graph (K4 minus one edge)") {
+    // edges: 1-2, 1-3, 2-3, 2-4, 3-4 -> triangles {1,2,3} and {2,3,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val out = Graph.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 1.0),
+      (2L, 3L, 2L, 0.666667),
+      (3L, 3L, 2L, 0.666667),
+      (4L, 2L, 1L, 1.0)))
+  }
+
+  test("triangles: a star has none; degree-1 nodes report clustering 0") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val out = Graph.triangles(star).collect()
+    assert(out.forall(_.getLong(2) === 0L))
+    // hub has degree 4, clustering 0; leaves degree 1, clustering 0
+    assert(out.find(_.getLong(0) == 1L).get.getLong(1) === 4L)
+    assert(out.forall(_.getDouble(3) === 0.0))
+  }
+
+  test("triangles on the simhash graph match a brute-force 3-edge closure") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val edges = Dedup.simhashPairs(docs).select("a", "b")
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    def connected(x: Long, y: Long) = es((math.min(x, y), math.max(x, y)))
+    val brute = nodes.combinations(1).flatMap(_.headOption).map { u =>
+      val nbrs = nodes.filter(v => v != u && connected(u, v))
+      u -> nbrs.combinations(2).count { case Seq(v, w) => connected(v, w) }
+    }.toMap
+    val out = Graph.triangles(edges).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) === brute(r.getLong(0)).toLong,
+        s"node ${r.getLong(0)}: engine ${r.getLong(2)} vs brute ${brute(r.getLong(0))}")
+    }
+    // sum of per-node counts = 3x the number of distinct triangles
+    assert(out.map(_.getLong(2)).sum % 3 === 0)
+  }
+}

@@ -347,6 +347,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled into a merge join\n$p")
   }
 
+  test("triangles: equi-joins only — no cartesian, no nested loop anywhere") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"degree/triangle counts must partial-agg\n$p")
+  }
+
   test("SQ: range fold is one partial agg, queries broadcast, corpus never merge-joins") {
     val p = plan("similarity_sq")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
