@@ -159,6 +159,8 @@ object ExtQueries {
       Similarity.hybridSearch(docs(s, dir), embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
+    // session Markov matrix: within-session next-event counts + P(to|from)
+    "events_transitions"     -> ((s, dir) => Events.transitions(events(s, dir))),
     "events_session_window"  -> ((s, dir) => Events.sessionWindows(events(s, dir))),
     "events_tumbling"        -> ((s, dir) => Events.tumblingHourly(events(s, dir))),
     "events_sliding"         -> ((s, dir) => Events.slidingHourly(events(s, dir))),
@@ -1504,6 +1506,26 @@ object ExtQueries {
         |FROM tk JOIN f USING (token) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // same 30-min-gap session definition as events_sessionize; boundary
+    // transitions dropped via the led new-session flag; p is one IEEE
+    // division of exact counts
+    "events_transitions" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |                     THEN 1 ELSE 0 END AS new_session FROM l),
+        |n AS (SELECT event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |             lead(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_new
+        |      FROM s),
+        |t AS (SELECT event_type AS from_event, next_type AS to_event,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM n WHERE next_type IS NOT NULL AND next_new = 0 GROUP BY 1, 2)
+        |SELECT from_event, to_event, n,
+        |       round(n / sum(n) OVER (PARTITION BY from_event), 6) AS p
+        |FROM t ORDER BY from_event, to_event""".stripMargin,
+
     // per-lang quality ntiles (both engines give earlier buckets the
     // remainder docs; (score, doc_id) is a total order)
     "pipeline_curriculum" ->
@@ -1551,5 +1573,5 @@ object ExtQueries {
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
-    "similarity_sq", "graph_triangles")
+    "similarity_sq", "graph_triangles", "events_transitions")
 }

@@ -313,4 +313,40 @@ object Events {
       .select(col("rank").cast("int").as("rank"), col("path"), col("n"))
       .orderBy("rank")
   }
+
+  /** Session MARKOV TRANSITION matrix: for every ordered pair of event
+    * types, how often the second directly follows the first inside one
+    * session (the [[sessionize]] 30-min-gap definition), with the
+    * conditional probability P(to | from) — the behavioral fingerprint a
+    * product-analytics stack derives funnels and anomaly baselines from.
+    *
+    * Session boundaries WITHOUT a session id: the next event's
+    * new-session flag (computed from the same lag) is led alongside the
+    * next event's type, and boundary-crossing transitions are dropped —
+    * so lag, both leads, and the running flag all share the ONE user_id
+    * window exchange (a second (user_id, session_id) window spec would
+    * plan its own exchange; plan-locked to one).
+    *
+    * Scale shape: one user_id window shuffle, then a (from, to)
+    * partial-agg with map-side combine to at most |types|² rows; the
+    * probability normalization windows over that bounded aggregate.
+    * P(to|from) is ONE IEEE division of exact BIGINTs, round-6 —
+    * bit-identical to the oracle. */
+  def transitions(events: DataFrame, gapMillis: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMillis, 1)
+          .otherwise(0))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_new", lead(col("new_session"), 1).over(byUser))
+      .filter(col("next_type").isNotNull && col("next_new") === 0)
+      .groupBy(col("event_type").as("from_event"), col("next_type").as("to_event"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", expr(
+        "round(n / sum(n) OVER (PARTITION BY from_event), 6)"))
+      .orderBy("from_event", "to_event")
+  }
 }

@@ -200,4 +200,30 @@ class ExtEventsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Int]("rank"), r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
     assert(out === Seq((1, "a>b>c", 2L), (2, "b>c>d", 1L)))
   }
+
+  test("transitions count within-session successors and normalize per from-type") {
+    val base = 1700000000000L
+    val gap = 1800000L
+    // user 1: a b | (gap) c a  -> a>b in session 1; c>a in session 2
+    // user 2: a b            -> a>b
+    // boundary transition b>c (across the gap) must NOT count
+    val rows = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 1000L),
+      (3L, 1L, "c", 1000L + gap + 1000L), (4L, 1L, "a", 1000L + gap + 2000L),
+      (5L, 2L, "a", 0L), (6L, 2L, "b", 500L))
+    val df = rows.map { case (eid, u, t, ms) =>
+      (eid, new java.sql.Timestamp(base + ms), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.transitions(df).collect()
+      .map(r => (r.getAs[String]("from_event"), r.getAs[String]("to_event"),
+        r.getAs[Long]("n"), r.getAs[Double]("p"))).toSeq
+    assert(out === Seq(("a", "b", 2L, 1.0), ("c", "a", 1L, 1.0)))
+    // probabilities sum to 1 per from-type on real data
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val real = Events.transitions(events).collect()
+    assert(real.nonEmpty)
+    real.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+  }
 }

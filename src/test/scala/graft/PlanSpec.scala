@@ -318,6 +318,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"path counts must combine map-side\n$p")
   }
 
+  test("transitions: lag and both leads share one user window exchange") {
+    val p = plan("events_transitions")
+    val userExchanges = p.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id") && !l.contains("Reused"))
+    assert(userExchanges === 1, s"$userExchanges user_id exchanges\n$p")
+    assert(p.contains("partial_count"), s"pair counts must combine map-side\n$p")
+  }
+
   test("unigram CE: co-partitioned token join, broadcast total, partial aggs") {
     val p = plan("text_unigram_ce")
     assert(p.contains("partial_"), p)
