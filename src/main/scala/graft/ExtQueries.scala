@@ -84,6 +84,8 @@ object ExtQueries {
     "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
     // perplexity-style signal: per-doc cross-entropy under the corpus LM
     "text_unigram_ce"   -> ((s, dir) => TextAnalysis.unigramCE(docs(s, dir))),
+    // CCNet-style interpolated bigram LM perplexity filter
+    "text_bigram_ce"    -> ((s, dir) => TextAnalysis.bigramCE(docs(s, dir))),
     // curriculum schedule: per-lang quality ntiles -> bucket manifest
     "pipeline_curriculum" -> ((s, dir) => TextAnalysis.curriculum(docs(s, dir))),
     // E1 — dedup
@@ -1526,6 +1528,27 @@ object ExtQueries {
         |       round(n / sum(n) OVER (PARTITION BY from_event), 6) AS p
         |FROM t ORDER BY from_event, to_event""".stripMargin,
 
+    // interpolated bigram LM: same ln-of-exact-ratio discipline as
+    // text_unigram_ce; 0.75/0.25 are dyadic -> exact doubles both sides
+    "text_bigram_ce" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tk AS (SELECT doc_id, unnest(w) AS token FROM w),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS uf FROM tk GROUP BY token),
+        |t AS (SELECT CAST(sum(uf) AS BIGINT) AS total FROM uni),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |        struct_pack(prev := w[i], cur := w[i + 1]))) AS bg
+        |      FROM w WHERE len(w) >= 2),
+        |bp AS (SELECT doc_id, bg.prev AS prev, bg.cur AS cur FROM b),
+        |bf AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bf FROM bp GROUP BY prev, cur)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(-sum(ln(0.75e0 * (bf.bf / cu.cf) + 0.25e0 * (cu2.uf / t.total)))
+        |             / count(*), 6) AS ce_nats
+        |FROM bp JOIN bf USING (prev, cur)
+        |JOIN (SELECT token AS prev, uf AS cf FROM uni) cu USING (prev)
+        |JOIN (SELECT token AS cur, uf FROM uni) cu2 USING (cur)
+        |CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // per-lang quality ntiles (both engines give earlier buckets the
     // remainder docs; (score, doc_id) is a total order)
     "pipeline_curriculum" ->
@@ -1573,5 +1596,6 @@ object ExtQueries {
     "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
-    "similarity_sq", "graph_triangles", "events_transitions")
+    "similarity_sq", "graph_triangles", "events_transitions",
+    "text_bigram_ce")
 }

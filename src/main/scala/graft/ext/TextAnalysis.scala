@@ -397,6 +397,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM cross-entropy per document — the CCNet-style
+    * LM-perplexity quality filter one rung above [[unigramCE]]: each
+    * in-doc bigram scores `λ·P(cur|prev) + (1−λ)·P(cur)` against the
+    * corpus-wide bigram/unigram tables (λ = 0.75, the classic
+    * interpolation that keeps unseen-context scores finite), and the doc
+    * reports the mean negative log. Template/boilerplate docs score LOW
+    * (their bigrams dominate the corpus LM); out-of-distribution docs
+    * score high — both tails are prune candidates.
+    *
+    * Scale shape: bigrams assemble ARRAY-SIDE in a narrow pass (one
+    * struct array per doc — no window, no per-doc shuffle) before
+    * exploding into the (prev,cur) partial agg; the count tables join
+    * back co-partitioned on their keys (vocab-bounded here, shuffle-keyed
+    * at open vocab); the one-row total broadcasts. Probabilities are
+    * IEEE-exact ratios of BIGINTs combined in a fixed expression shape —
+    * the per-doc ln-sum sits far inside round-6, the [[unigramCE]]
+    * precedent. */
+  def bigramCE(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val lam = s"${lambda}e0"
+    val lam1 = s"${1 - lambda}e0"
+    val w = Dedup.spread(docs).select(col("doc_id"), expr("split(text, ' ')").as("w"))
+    val toks = w.select(col("doc_id"), explode(col("w")).as("token"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("uf"))
+    val total = uni.agg(sum("uf").cast("long").as("total"))
+    val big = w.filter(expr("size(w) >= 2"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 1), i ->
+          |  struct(element_at(w, i) AS prev, element_at(w, i + 1) AS cur))""".stripMargin))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bf = big.groupBy("prev", "cur").agg(count(lit(1)).as("bf"))
+    big.join(bf, Seq("prev", "cur"))
+      .join(uni.select(col("token").as("prev"), col("uf").as("cf")), "prev")
+      .join(uni.select(col("token").as("cur"), col("uf").as("uf")), "cur")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"ln($lam * (bf / cf) + $lam1 * (uf / total))")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("round(-s / n_bigrams, 6)").as("ce_nats"))
+      .orderBy("doc_id")
+  }
+
   /** CURRICULUM bucketing — the ordering step of curriculum training:
     * within each language, documents ranked by the composite quality
     * score ([[qualityScoreExpr]], ties → doc_id) and cut into `nBuckets`

@@ -270,6 +270,30 @@ class ExtTextSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === out.sortBy(_.getAs[Long]("doc_id")).map(_.toSeq).toSeq)
   }
 
+  test("bigramCE interpolates bigram and unigram LMs; 1-token docs drop") {
+    // corpus: "a b a b" + "c c" + "x" -> uni a=2 b=2 c=2 x=1 total=7
+    // doc1 bigrams: (a,b)x2 bf=2, (b,a) bf=1; doc2: (c,c) bf=1; doc3: none
+    val out = TextAnalysis.bigramCE(
+      docsDf(1L -> "a b a b", 2L -> "c c", 3L -> "x")).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ce_nats"))).toMap
+    def r6(d: Double) = math.rint(d * 1e6) / 1e6
+    def p(bf: Long, cf: Long, uf: Long) = 0.75 * (bf.toDouble / cf) + 0.25 * (uf.toDouble / 7)
+    val ce1 = -(2 * math.log(p(2, 2, 2)) + math.log(p(1, 2, 2))) / 3
+    val ce2 = -math.log(p(1, 2, 2))
+    assert(byId(1L) === ((3L, r6(ce1))))
+    assert(byId(2L) === ((1L, r6(ce2))))
+    assert(!byId.contains(3L)) // no bigram -> no row
+    // repetitive text scores lower than a doc whose bigrams are rarer
+    assert(byId(1L)._2 < byId(2L)._2 ||
+      byId(1L)._2 === byId(2L)._2) // both contexts equally sized here
+    // real corpus: every doc present (all >= 2 tokens), CE positive
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val real = TextAnalysis.bigramCE(docs)
+    assert(real.count() === docs.count())
+    assert(real.filter(col("ce_nats") <= 0).count() === 0)
+  }
+
   test("curriculum buckets per-lang quality ntiles with remainder to early buckets") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
