@@ -193,6 +193,8 @@ object ExtQueries {
 
     // exact-quota per-language eval-set selection (md5 total order, no RNG)
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
+    // deterministic training-order shuffle into shard files (seeded md5)
+    "pipeline_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
 
     // eval-set n-gram decontamination (broadcast eval index, corpus scanned
     // once) and token-budget sequence packing (per-source prefix sums)
@@ -831,6 +833,22 @@ object ExtQueries {
         |FROM documents)
         |SELECT lang, CAST(rank AS INT) AS rank, doc_id
         |FROM r WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+
+    // seeded-md5 epoch permutation; shard = first two hex digits % 8
+    // (exact integer nibble arithmetic both engines); pos ranks by the
+    // full md5 key (total order, doc_id tiebreak vs collisions)
+    "pipeline_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5('s42:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |s AS (SELECT doc_id, n_tokens, k,
+        |  CAST(((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
+        |       + strpos('0123456789abcdef', substr(k, 2, 1)) - 1) % 8 AS INT) AS shard_id
+        |  FROM k)
+        |SELECT doc_id, shard_id,
+        |       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
+        |       n_tokens
+        |FROM s ORDER BY shard_id, pos""".stripMargin,
 
     // mixture plan replay (largest remainder) feeding the per-source
     // md5-ordered greedy selection: doc kept iff tokens BEFORE it < quota
@@ -1597,5 +1615,5 @@ object ExtQueries {
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
     "similarity_sq", "graph_triangles", "events_transitions",
-    "text_bigram_ce")
+    "text_bigram_ce", "pipeline_epoch_shuffle")
 }

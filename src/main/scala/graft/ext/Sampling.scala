@@ -71,4 +71,29 @@ object Sampling {
       .select(col("lang"), col("rank").cast("int").as("rank"), col("doc_id"))
       .orderBy("lang", "rank")
   }
+
+  /** EPOCH SHUFFLE — the training-order randomization every run needs:
+    * each doc lands in one of `nShards` shard files at a deterministic
+    * position, keyed by md5(seed:doc_id). Same seed → identical epoch
+    * order across runs/engines/layout (reproducible training); new seed →
+    * a fresh permutation (the next epoch). A trainer streams shard k in
+    * `pos` order; the md5 key decorrelates neighbors, so consecutive
+    * samples mix sources/languages without a global sort.
+    *
+    * Scale shape: the key/shard assignment is a narrow codegen'd
+    * projection; position is a per-SHARD rank window — nShards-way
+    * parallel (in production nShards = output file count, thousands),
+    * never a single global sort. Shard id comes from the first two hex
+    * digits (exact integer arithmetic both engines). */
+  def epochShuffle(docs: DataFrame, nShards: Int = 8, seed: String = "s42"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col("k").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+      .withColumn("k", md5(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("shard_id",
+        expr(s"CAST(CAST(conv(substring(k, 1, 2), 16, 10) AS BIGINT) % $nShards AS INT)"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos"), col("n_tokens"))
+      .orderBy("shard_id", "pos")
+  }
 }

@@ -318,6 +318,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"path counts must combine map-side\n$p")
   }
 
+  test("epoch shuffle: per-shard rank window, never a single global sort window") {
+    val p = plan("pipeline_epoch_shuffle")
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning(shard_id")),
+      s"pos window must partition by shard_id\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      s"global-sort window\n$p")
+  }
+
   test("transitions: lag and both leads share one user window exchange") {
     val p = plan("events_transitions")
     val userExchanges = p.linesIterator

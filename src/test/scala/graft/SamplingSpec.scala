@@ -48,4 +48,27 @@ class SamplingSpec extends AnyFunSuite {
     val again = Sampling.stratifiedSample(docs.repartition(13), perStratum = 7).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq) // layout-independent
   }
+
+  test("epochShuffle is a seeded permutation: exhaustive, contiguous, seed-sensitive") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Sampling.epochShuffle(docs).collect()
+    // every doc exactly once, shards cover 0..7
+    assert(out.length.toLong === docs.count())
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.map(_.getInt(1)).distinct.sorted.toSeq === (0 to 7))
+    // positions are 1..n contiguous per shard
+    out.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // layout-independent, seed-dependent
+    val again = Sampling.epochShuffle(docs.repartition(13)).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    val other = Sampling.epochShuffle(docs, seed = "s43").collect()
+    assert(other.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq !==
+      out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+    // the permutation decorrelates doc order: within a shard, consecutive
+    // positions are not consecutive ids (any fixed stride would be)
+    val shard0 = out.filter(_.getInt(1) == 0).sortBy(_.getLong(2)).map(_.getLong(0))
+    assert(shard0.zip(shard0.tail).count { case (a, b) => b == a + 1 } < shard0.length / 4)
+  }
 }
