@@ -179,6 +179,8 @@ object ExtQueries {
     "events_key_skew"        -> ((s, dir) => graft.ops.Scale.keySkew(events(s, dir), "user_id")),
     // top consecutive event-type trigrams (user-journey paths)
     "events_paths"           -> ((s, dir) => Events.topPaths(events(s, dir))),
+    // DAU / trailing-7-day WAU / stickiness engagement report
+    "events_dau_wau"         -> ((s, dir) => Events.dauWau(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     // exact media dedup: collapse bit-identical payloads by content hash
@@ -1467,6 +1469,17 @@ object ExtQueries {
         |       CAST(sum(CASE WHEN pb < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // trailing-7-day WAU via a bounded 7-way unnest of the DISTINCT
+    // user-day set (mirrors the engine's explode — never a range self-join)
+    "events_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |con AS (SELECT DISTINCT user_id, day + CAST(o AS INT) AS day
+        |        FROM ud CROSS JOIN (SELECT UNNEST(range(7)) AS o) os),
+        |wau AS (SELECT day, count(*) AS wau FROM con GROUP BY day)
+        |SELECT dau.day AS day, dau, wau, round(dau / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
@@ -1615,5 +1628,5 @@ object ExtQueries {
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
     "similarity_sq", "graph_triangles", "events_transitions",
-    "text_bigram_ce", "pipeline_epoch_shuffle")
+    "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau")
 }

@@ -153,6 +153,33 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** DAU / WAU / stickiness — the engagement dashboard staple: per active
+    * calendar day, distinct users that day (DAU), distinct users active in
+    * the trailing 7-day window [day-6, day] (WAU), and DAU/WAU (the
+    * classic stickiness ratio).
+    *
+    * Scale shape: the raw stream collapses to distinct (user_id, day)
+    * FIRST (one partial-agg shuffle) — nothing downstream scales with raw
+    * event count. The trailing window is NOT a range self-join or a per-day
+    * rescan: each user-day row is exploded to the exactly 7 window days it
+    * can serve (a bounded ×7 Generate over the collapsed set), distinct'd
+    * and counted per day — partial aggs end to end. Reported days = days
+    * with any activity (inner join back to DAU). Stickiness is one IEEE
+    * division of exact counts. */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), expr("to_date(ts)").as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("o"), col("day"))
+      .select(col("user_id"), expr("date_add(day, o)").as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", expr("round(dau / wau, 6)"))
+      .select(col("day"), col("dau"), col("wau"), col("stickiness"))
+      .orderBy("day")
+  }
+
   /** Tumbling 1-hour windows per event_type via the native `window()`
     * grouping (maps to a single hash-shuffle on (window, type); at stream
     * time the identical expression runs under a watermark). */

@@ -43,6 +43,28 @@ class ExtEventsSpec extends AnyFunSuite {
     val view = out.filter(_.getAs[String]("event_type") == "view")
     assert(view.map(_.getAs[Long]("user_id")).toSeq === Seq(4L))
   }
+  test("dauWau counts trailing-7-day distinct users and stickiness") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val day = 86400000L
+    val base = 1700006400000L // 2023-11-15 00:00 UTC, mid-day-safe offset
+    // day 0: users 1,2; day 1: user 1 (twice — dedup); day 8: user 3
+    // (day 8 is outside day 0/1's 7-day reach: its WAU is just user 3)
+    val rows = Seq(
+      (1L, 0L * day), (2L, 0L * day), (1L, 1L * day),
+      (1L, 1L * day + 1000L), (3L, 8L * day))
+    val df = rows.zipWithIndex.map { case ((u, off), i) =>
+      (i.toLong, new java.sql.Timestamp(base + off), u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.dauWau(df).collect()
+    assert(out.map(r => (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toSeq
+      === Seq((2L, 2L), (1L, 2L), (1L, 1L)))
+    // day 1: DAU=1 (user 1 deduped), WAU=2 (users 1,2 within window)
+    assert(math.abs(out(1).getAs[Double]("stickiness") - 0.5) < 1e-9)
+    // only active days are reported (days 2..7 have windows but no DAU)
+    assert(out.length === 3)
+  }
+
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

@@ -318,6 +318,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"path counts must combine map-side\n$p")
   }
 
+  test("dau/wau: raw events collapse before the 7-way explode, no range self-join") {
+    val p = plan("events_dau_wau")
+    // the trailing window is a bounded Generate over the DISTINCT user-day
+    // set — assert the explode exists and no join degenerates to a
+    // nested-loop/cartesian range probe
+    assert(p.contains("Generate explode"), s"missing bounded explode\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"range self-join crept in\n$p")
+    assert(p.contains("partial_"), s"aggs must combine map-side\n$p")
+    assert(!p.contains("Window"), s"no window over raw events expected\n$p")
+  }
+
   test("epoch shuffle: per-shard rank window, never a single global sort window") {
     val p = plan("pipeline_epoch_shuffle")
     assert(p.linesIterator.exists(l => l.contains("hashpartitioning(shard_id")),
