@@ -181,6 +181,8 @@ object ExtQueries {
     "events_paths"           -> ((s, dir) => Events.topPaths(events(s, dir))),
     // DAU / trailing-7-day WAU / stickiness engagement report
     "events_dau_wau"         -> ((s, dir) => Events.dauWau(events(s, dir))),
+    // session-level event-type co-occurrence pairs with lift
+    "events_cooccurrence"    -> ((s, dir) => Events.cooccurrence(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     // exact media dedup: collapse bit-identical payloads by content hash
@@ -1469,6 +1471,30 @@ object ExtQueries {
         |       CAST(sum(CASE WHEN pb < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // same 30-min-gap session CTEs as events_sessionize; pairs from the
+    // DISTINCT session-type incidence set; lift = one IEEE division of
+    // exact BIGINT products
+    "events_cooccurrence" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |                     THEN 1 ELSE 0 END AS new_session FROM l),
+        |c AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM c),
+        |tot AS (SELECT count(*) AS s_total FROM (SELECT DISTINCT user_id, session_id FROM st)),
+        |tn AS (SELECT event_type, count(*) AS n FROM st GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |      FROM st a JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |                         AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, na.n AS n_a, nb.n AS n_b,
+        |       round(n_ab * s_total / (na.n * nb.n), 6) AS lift
+        |FROM p JOIN tn na ON p.type_a = na.event_type
+        |       JOIN tn nb ON p.type_b = nb.event_type CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // trailing-7-day WAU via a bounded 7-way unnest of the DISTINCT
     // user-day set (mirrors the engine's explode — never a range self-join)
     "events_dau_wau" ->
@@ -1628,5 +1654,6 @@ object ExtQueries {
     "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
     "similarity_sq", "graph_triangles", "events_transitions",
-    "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau")
+    "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
+    "events_cooccurrence")
 }

@@ -153,6 +153,50 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Session-level event-type CO-OCCURRENCE with lift — the basket-analysis
+    * staple over the 30-min-gap session definition shared with
+    * [[sessionize]]: for every unordered type pair (a < b), the number of
+    * sessions containing BOTH, each type's own session count, and
+    * lift = P(ab) / (P(a)·P(b)) — >1 means the types cluster in the same
+    * sessions beyond chance (feature affinity / abuse-pattern mining).
+    *
+    * Scale shape: the raw stream collapses to the DISTINCT
+    * (user, session, type) incidence set right after the one session
+    * window shuffle (lag + running sum share the user_id exchange) — all
+    * later work is bounded by sessions × |types|, never raw events. The
+    * pair enumeration is an equi-self-join ON the session key
+    * (co-partitioned, per-session fan-out ≤ |types|²); per-type counts and
+    * the one-row session total join back as broadcasts. Lift is one IEEE
+    * division of exact BIGINT products. */
+  def cooccurrence(events: DataFrame, gapMillis: Long = 1800000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val st = events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMillis, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("session_id"), col("event_type"))
+      .distinct()
+    val totals = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("s_total"))
+    val typeN = st.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeN.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(typeN.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", expr("round(n_ab * s_total / (n_a * n_b), 6)"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** DAU / WAU / stickiness — the engagement dashboard staple: per active
     * calendar day, distinct users that day (DAU), distinct users active in
     * the trailing 7-day window [day-6, day] (WAU), and DAU/WAU (the

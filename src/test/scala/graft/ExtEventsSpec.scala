@@ -65,6 +65,32 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(out.length === 3)
   }
 
+  test("cooccurrence counts per-session type pairs and exact lift") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    val h = 3600000L
+    // user 1: {click,view} then (2h later, new session) {click};
+    // user 2: {click,view,purchase} — 3 sessions total
+    val rows = Seq(
+      (1L, 0L, "click"), (1L, 1000L, "view"), (1L, 2000L, "click"),
+      (1L, 2 * h, "click"),
+      (2L, 0L, "click"), (2L, 500L, "view"), (2L, 900L, "purchase"))
+    val df = rows.zipWithIndex.map { case ((u, off, t), i) =>
+      (i.toLong, new java.sql.Timestamp(base + off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.cooccurrence(df).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("lift"))).toMap
+    // click in 3 sessions, view in 2, purchase in 1; S=3
+    assert(byPair(("click", "view")) === (2L, 3L, 2L, 1.0))
+    assert(byPair(("click", "purchase")) === (1L, 3L, 1L, 1.0))
+    assert(byPair(("purchase", "view")) === (1L, 1L, 2L, 1.5))
+    // pairs are unordered and deduped within session (no (view,click) row)
+    assert(out.length === 3)
+  }
+
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

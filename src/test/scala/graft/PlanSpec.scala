@@ -330,6 +330,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window over raw events expected\n$p")
   }
 
+  test("cooccurrence: session-keyed equi pair join, lookups broadcast, one 1-row nested loop") {
+    val p = plan("events_cooccurrence")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop is the one-row session-total broadcast
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins\n$p")
+    // per-type counts join back broadcast (bounded ≤ |types| rows)
+    assert(p.contains("BroadcastHashJoin"), s"type lookups must broadcast\n$p")
+    assert(p.contains("partial_"), s"aggs must combine map-side\n$p")
+  }
+
   test("epoch shuffle: per-shard rank window, never a single global sort window") {
     val p = plan("pipeline_epoch_shuffle")
     assert(p.linesIterator.exists(l => l.contains("hashpartitioning(shard_id")),
