@@ -183,6 +183,8 @@ object ExtQueries {
     "events_dau_wau"         -> ((s, dir) => Events.dauWau(events(s, dir))),
     // session-level event-type co-occurrence pairs with lift
     "events_cooccurrence"    -> ((s, dir) => Events.cooccurrence(events(s, dir))),
+    // signup-cohort time-to-convert percentiles (exact interpolated)
+    "events_conversion_lag"  -> ((s, dir) => Events.conversionLag(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     // exact media dedup: collapse bit-identical payloads by content hash
@@ -1471,6 +1473,23 @@ object ExtQueries {
         |       CAST(sum(CASE WHEN pb < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // first-signup → first-later-purchase lag per signup-day cohort;
+    // percentile ≡ quantile_cont (both linear interpolation over exact
+    // BIGINT lags); mean = one IEEE division
+    "events_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT user_id, min(ms) AS from_ms FROM e
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ms) AS to_ms, min(from_ms) AS from_ms
+        |      FROM e JOIN f USING (user_id)
+        |      WHERE event_type = 'purchase' AND ms > from_ms
+        |      GROUP BY e.user_id)
+        |SELECT CAST(epoch_ms(from_ms) AS DATE) AS cohort_day, count(*) AS n_users,
+        |       round(quantile_cont(to_ms - from_ms, 0.5), 6) AS p50_ms,
+        |       round(quantile_cont(to_ms - from_ms, 0.9), 6) AS p90_ms,
+        |       round(sum(to_ms - from_ms) / count(*), 6) AS mean_ms
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // same 30-min-gap session CTEs as events_sessionize; pairs from the
     // DISTINCT session-type incidence set; lift = one IEEE division of
     // exact BIGINT products
@@ -1655,5 +1674,5 @@ object ExtQueries {
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
     "similarity_sq", "graph_triangles", "events_transitions",
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
-    "events_cooccurrence")
+    "events_cooccurrence", "events_conversion_lag")
 }

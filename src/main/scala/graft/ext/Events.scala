@@ -153,6 +153,40 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Conversion-LAG report — time-to-convert by signup cohort: for each
+    * user whose first `fromType` event is strictly followed by a `toType`
+    * event, the delay from first signup to FIRST subsequent purchase, then
+    * per signup-day cohort the converted-user count and the exact p50/p90/
+    * mean delay (milliseconds) — the growth-analytics companion to
+    * [[funnel]] ("how fast do cohorts convert", not just "how many").
+    *
+    * Scale shape: two filtered partial aggs on user_id (first signup, first
+    * later purchase) chained by ONE co-partitioned user_id join — no window
+    * over raw events; the percentile agg buffers per-cohort lags (bounded
+    * by converting users per day; `approx_percentile` is the documented
+    * high-cardinality swap, same plan). Exact BIGINT lags; interpolated
+    * `percentile` ≡ DuckDB `quantile_cont`; mean = one IEEE division. */
+  def conversionLag(events: DataFrame, fromType: String = "signup",
+                    toType: String = "purchase"): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val first = e.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(col("ms")).as("from_ms"))
+    val conv = e.filter(col("event_type") === toType)
+      .join(first, "user_id")
+      .filter(col("ms") > col("from_ms"))
+      .groupBy("user_id")
+      .agg(min(col("ms")).as("to_ms"), min(col("from_ms")).as("from_ms"))
+    conv
+      .withColumn("lag_ms", col("to_ms") - col("from_ms"))
+      .withColumn("cohort_day", expr("to_date(timestamp_millis(from_ms))"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"),
+        expr("round(percentile(lag_ms, 0.5e0), 6)").as("p50_ms"),
+        expr("round(percentile(lag_ms, 0.9e0), 6)").as("p90_ms"),
+        expr("round(sum(lag_ms) / count(1), 6)").as("mean_ms"))
+      .orderBy("cohort_day")
+  }
+
   /** Session-level event-type CO-OCCURRENCE with lift — the basket-analysis
     * staple over the 30-min-gap session definition shared with
     * [[sessionize]]: for every unordered type pair (a < b), the number of

@@ -91,6 +91,34 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(out.length === 3)
   }
 
+  test("conversionLag measures first-signup to first-later-purchase per cohort") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700006400000L
+    val day = 86400000L
+    // user 1: signup at 0, purchases at +2000 and +5000 → lag 2000
+    // user 2: purchase BEFORE signup only → not converted
+    // user 3: signup day 1, purchase day 1 +4000 → cohort day 1, lag 4000
+    // user 4: two signups (first wins), purchase +3000 after first
+    val rows = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 2000L), (1L, "purchase", 5000L),
+      (2L, "purchase", 0L), (2L, "signup", 1000L),
+      (3L, "signup", day), (3L, "purchase", day + 4000L),
+      (4L, "signup", 100L), (4L, "signup", 900L), (4L, "purchase", 3100L))
+    val df = rows.zipWithIndex.map { case ((u, t, off), i) =>
+      (i.toLong, new java.sql.Timestamp(base + off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.conversionLag(df).collect()
+    assert(out.length === 2)
+    // cohort day 0: users 1 (lag 2000) and 4 (lag 3000) → p50 interpolated 2500
+    assert(out(0).getAs[Long]("n_users") === 2L)
+    assert(out(0).getAs[Double]("p50_ms") === 2500.0)
+    assert(out(0).getAs[Double]("mean_ms") === 2500.0)
+    // cohort day 1: user 3 alone
+    assert(out(1).getAs[Long]("n_users") === 1L)
+    assert(out(1).getAs[Double]("p50_ms") === 4000.0)
+  }
+
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

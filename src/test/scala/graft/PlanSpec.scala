@@ -341,6 +341,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"aggs must combine map-side\n$p")
   }
 
+  test("conversion lag: filtered partial aggs + co-partitioned user join, no raw-event window") {
+    val p = plan("events_conversion_lag")
+    assert(p.contains("partial_"), s"aggs must combine map-side\n$p")
+    assert(!p.contains("Window"), s"no window over raw events expected\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the signup/purchase filters must reach the scan side
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("epoch shuffle: per-shard rank window, never a single global sort window") {
     val p = plan("pipeline_epoch_shuffle")
     assert(p.linesIterator.exists(l => l.contains("hashpartitioning(shard_id")),
