@@ -63,6 +63,12 @@ object ParityQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    // S4+ — PK-chunked parallel extract (Bulk API PK-chunking): 8 disjoint
+    // id-range chunk scans unioned, ≡ the unchunked scan
+    "extract_pk_chunked" -> ((s, dir) =>
+      Extract.pkChunkedScan(s, dir, "orders", "o_orderkey",
+        Seq("o_orderkey", "o_custkey", "o_totalprice")).orderBy("o_orderkey")),
+
     // S2 — empty field list → all fields (get_available_fields fallback)
     "fields_discovery" -> ((s, dir) => {
       val all = Extract.availableFields(s, dir, "part")
@@ -478,6 +484,9 @@ object ParityQueries {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
           |       epoch_ms(l_shipdate) AS l_shipdate
           |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+      "extract_pk_chunked" ->
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey",
 
       "fields_discovery" -> "SELECT * FROM part ORDER BY p_partkey",
 

@@ -43,6 +43,40 @@ object Extract {
     spark.sql(Soql.translate(soqlText, fiscalYearStartMonth))
   }
 
+  /** S4+ — PK-CHUNKED parallel extract: the Bulk API's PK-chunking pattern
+    * (`Sforce-Enable-PKChunking`, the production path for >10M-row object
+    * extracts behind the reference's `query_all` transport,
+    * `salesforce_to_s3_operator.py:50`) — split one big scan into disjoint
+    * primary-key ranges and run each range as an independent chunk query,
+    * unioned. Here each chunk is its own parquet scan with the range
+    * predicate PUSHED to the reader (plan-locked), so a 1000-executor
+    * cluster fans chunks out with row-group/file pruning per chunk instead
+    * of one serial cursor; against a range-clustered layout
+    * ([[graft.ops.Scale.clusteredParquet]]) each chunk touches only its own
+    * files. Result ≡ the unchunked scan (spec + oracle).
+    *
+    * The [lo, hi] bounds come from one 1-row min/max agg — the analogue of
+    * the Bulk API's chunk-planning pass; ranges are equal-width id spans
+    * (the Salesforce semantics: id-ordered fixed-size windows, skew handled
+    * by AQE at execution rather than by re-planning the split). */
+  def pkChunkedScan(spark: SparkSession, dir: String, obj: String, pkCol: String,
+                    fields: Seq[String] = Nil, nChunks: Int = 8): DataFrame = {
+    require(nChunks > 0, s"nChunks must be positive, got $nChunks")
+    val base = objectScan(spark, dir, obj, fields)
+    val bounds = base.agg(org.apache.spark.sql.functions.min(col(pkCol)),
+      org.apache.spark.sql.functions.max(col(pkCol))).head()
+    if (bounds.isNullAt(0)) return base.limit(0) // empty object: no chunks
+    // key may be any integral type (int region keys, bigint order keys)
+    val (lo, hi) = (bounds.getAs[Number](0).longValue(), bounds.getAs[Number](1).longValue())
+    val span = hi - lo + 1
+    val ranges = (0 until nChunks)
+      .map(i => (lo + span * i / nChunks, lo + span * (i + 1) / nChunks))
+      .filter { case (s, e) => e > s } // span < nChunks leaves empty ranges
+    ranges
+      .map { case (s, e) => base.filter(col(pkCol) >= s && col(pkCol) < e) }
+      .reduce(_ unionAll _)
+  }
+
   /** Templated SOQL — the reference's incremental-extract pattern: both S3
     * operators declare `template_fields = ('soql'/'query', …)` so Airflow
     * renders `{{ ds }}`-style params into the SOQL before execution

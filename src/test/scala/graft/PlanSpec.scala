@@ -350,6 +350,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters"), p)
   }
 
+  test("pk-chunked extract: each chunk is its own scan with the range pushed down") {
+    val p = plan("extract_pk_chunked")
+    assert(p.contains("Union"), s"chunks must union\n$p")
+    // every chunk scan pushes its id range to the parquet reader
+    val chunkScans = p.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(o_orderkey"))
+    assert(chunkScans >= 8, s"expected >=8 range-pushed chunk scans, got $chunkScans\n$p")
+    assert(p.contains("ReadSchema"), p)
+  }
+
   test("epoch shuffle: per-shard rank window, never a single global sort window") {
     val p = plan("pipeline_epoch_shuffle")
     assert(p.linesIterator.exists(l => l.contains("hashpartitioning(shard_id")),

@@ -8,6 +8,22 @@ class ShapeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("pkChunkedScan partitions the id space exactly: union ≡ unchunked scan") {
+    val dir = SparkTestSession.sfDir
+    val full = graft.ops.Extract.objectScan(spark, dir, "orders",
+      Seq("o_orderkey", "o_custkey")).collect().map(_.toSeq).sortBy(_.head.toString)
+    val chunked = graft.ops.Extract.pkChunkedScan(spark, dir, "orders", "o_orderkey",
+      Seq("o_orderkey", "o_custkey"), nChunks = 8)
+    assert(chunked.collect().map(_.toSeq).sortBy(_.head.toString).toSeq === full.toSeq)
+    // no row is lost or duplicated across chunk boundaries
+    assert(chunked.select("o_orderkey").distinct().count() === full.length.toLong)
+    // degenerate: more chunks than the key span still covers every row
+    val region = graft.ops.Extract.objectScan(spark, dir, "region", Nil)
+    val rchunk = graft.ops.Extract.pkChunkedScan(spark, dir, "region", "r_regionkey",
+      Nil, nChunks = 64)
+    assert(rchunk.count() === region.count())
+  }
+
   test("dropAttributes removes the envelope column, no-op otherwise") {
     val df = Seq((1, "t")).toDF("id", "attributes")
     assert(Shape.dropAttributes(df).columns.toSeq === Seq("id"))
