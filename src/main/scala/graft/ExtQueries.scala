@@ -80,6 +80,8 @@ object ExtQueries {
     "text_normalize"    -> ((s, dir) => TextAnalysis.normalize(docs(s, dir))),
     // tokenizer vocab: top-K corpus tokens with frequency share
     "text_vocab"        -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
+    // one BPE merge round: top adjacent-pair merge candidates (tokenizer training)
+    "text_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
     // cross-doc template detector: share of a doc's bigrams unique to it
     "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
     // perplexity-style signal: per-doc cross-entropy under the corpus LM
@@ -907,6 +909,21 @@ object ExtQueries {
         |FROM bg JOIN dfc USING (bigram)
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin,
 
+    // adjacent pairs assembled list-side (mirrors the engine's array
+    // transform); pair split back via split_part (tokens are space-free)
+    "text_bpe_merges" ->
+      """WITH bg AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |pf AS (SELECT split_part(bigram, ' ', 1) AS lhs, split_part(bigram, ' ', 2) AS rhs,
+        |              CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pf),
+        |r AS (SELECT lhs, rhs, n,
+        |        row_number() OVER (ORDER BY n DESC, lhs ASC, rhs ASC) AS rank FROM pf)
+        |SELECT CAST(rank AS INT) AS rank, lhs, rhs, n, round(n / total, 6) AS share
+        |FROM r CROSS JOIN tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
     "text_vocab" ->
       """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tf GROUP BY token),
@@ -1674,5 +1691,5 @@ object ExtQueries {
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
     "similarity_sq", "graph_triangles", "events_transitions",
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
-    "events_cooccurrence", "events_conversion_lag")
+    "events_cooccurrence", "events_conversion_lag", "text_bpe_merges")
 }

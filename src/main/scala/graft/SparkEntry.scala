@@ -35,6 +35,7 @@ object SparkEntry {
     "extract_shape_lineitem", "soql_groupby_agg", "soql_having",
     "soql_orderby_limit", "soql_rollup", "soql_count_distinct",
     "relationship_flatten", "soql_child_to_parent", "soql_fact_join",
-    "soql_semi_join", "soql_parent_child_subquery", "soql_dot_path_groupby"
+    "soql_semi_join", "soql_parent_child_subquery", "soql_dot_path_groupby",
+    "extract_pk_chunked"
   ) ++ ExtQueries.benchQueries
 }

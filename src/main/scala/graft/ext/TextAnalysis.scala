@@ -440,6 +440,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** One BPE-TRAINING merge round — the inner loop of byte-pair-encoding
+    * tokenizer training: count every ADJACENT token pair across the corpus
+    * and emit the top-K merge candidates with exact counts and corpus
+    * share (the argmax pair becomes the next merge rule; ties → lhs, rhs
+    * asc so the rule order is deterministic). The pair-unit twin of
+    * [[vocab]] — together they are the tables a tokenizer build iterates.
+    *
+    * Scale shape: pairs assemble ARRAY-SIDE in one narrow pass (text is
+    * split ONCE into `w` — Spark does not CSE inside HOF lambdas, so a
+    * per-element re-split would be quadratic), then one (lhs, rhs)
+    * partial-agg shuffle bounded by the pair vocabulary, a
+    * TakeOrderedAndProject heap for top-K, the K-row rank window on the
+    * non-foldable constant key, and a 1-row total broadcast. */
+  def bpeMerges(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val w = Dedup.spread(docs).select(expr("split(text, ' ')").as("w"))
+    val counts = w.filter(expr("size(w) >= 2"))
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1), i ->
+          |  struct(element_at(w, i) AS lhs, element_at(w, i + 1) AS rhs))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("long").as("total"))
+    val top = counts.orderBy(col("n").desc, col("lhs").asc, col("rhs").asc).limit(topK)
+      .withColumn("__one", graft.ops.Scale.constKey(col("n")))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__one").orderBy(col("n").desc, col("lhs").asc, col("rhs").asc)))
+      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"), col("n"),
+        expr("round(n / total, 6)").as("share"))
+      .orderBy("rank")
+  }
+
   /** CURRICULUM bucketing — the ordering step of curriculum training:
     * within each language, documents ranked by the composite quality
     * score ([[qualityScoreExpr]], ties → doc_id) and cut into `nBuckets`

@@ -253,6 +253,23 @@ class ExtTextSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("bpeMerges counts adjacent pairs with deterministic tie order") {
+    val out = TextAnalysis.bpeMerges(docsDf(
+      1L -> "a b a b c",
+      2L -> "a b",
+      3L -> "x"), topK = 3).collect()
+    // pairs: (a,b)x3, (b,a)x1, (b,c)x1 — total 5; 1-token doc contributes none;
+    // tie at n=1 breaks (b,a) < (b,c)
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[String]("lhs"),
+      r.getAs[String]("rhs"), r.getAs[Long]("n"))).toSeq
+      === Seq((1, "a", "b", 3L), (2, "b", "a", 1L), (3, "b", "c", 1L)))
+    assert(out.head.getAs[Double]("share") === 0.6)
+    // layout-independent
+    val again = TextAnalysis.bpeMerges(docsDf(
+      1L -> "a b a b c", 2L -> "a b", 3L -> "x").repartition(7), topK = 3).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
+
   test("unigramCE: common-word docs score lower than rare-word docs, exactly") {
     // corpus: "a a a a b" + "c" -> freqs a=4, b=1, c=1, total=6
     val out = TextAnalysis.unigramCE(docsDf(1L -> "a a a a b", 2L -> "c")).collect()
