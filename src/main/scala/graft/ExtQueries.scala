@@ -66,6 +66,8 @@ object ExtQueries {
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_df_index"    -> ((s, dir) => TextAnalysis.dfIndex(docs(s, dir))),
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    // langid eval: per (actual, predicted) confusion counts + recall
+    "text_langid_confusion" -> ((s, dir) => TextAnalysis.langidConfusion(docs(s, dir))),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
@@ -278,6 +280,35 @@ object ExtQueries {
     * filtered space). */
   /** CTE chain ending in `inter(a, b, c)` + `sz(doc_id, n_sh)` — shared by
     * the pair queries and the recursive cluster oracle. */
+  /** The trained-langid scoring CTEs (train/test split, integer bigram
+    * weights, per-doc candidate scores ranked to `ranked`) — shared by the
+    * text_langid prediction oracle and the text_langid_confusion eval. */
+  private val langidCtes: String =
+    """WITH bg AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+      |  FROM documents),
+      |train AS (SELECT * FROM bg WHERE doc_id % 5 != 0),
+      |per_lang AS (SELECT lang, bigram, count(*) AS cnt FROM train GROUP BY lang, bigram),
+      |lang_tot AS (SELECT lang, count(*) AS n_l FROM train GROUP BY lang),
+      |per_bg AS (SELECT bigram, count(*) AS cnt_all FROM train GROUP BY bigram),
+      |tot_row AS (SELECT count(*) AS tot FROM train),
+      |weights AS (
+      |  SELECT per_bg.bigram, lang_tot.lang,
+      |    CAST(round(1000 * (1000000.0 * coalesce(per_lang.cnt, 0) / n_l - 1000000.0 * cnt_all / tot)
+      |      / (1000000.0 * coalesce(per_lang.cnt, 0) / n_l + 1000000.0 * cnt_all / tot + 1)) AS BIGINT) AS w
+      |  FROM per_bg CROSS JOIN lang_tot
+      |  LEFT JOIN per_lang ON per_lang.bigram = per_bg.bigram AND per_lang.lang = lang_tot.lang
+      |  CROSS JOIN tot_row),
+      |test_bg AS (SELECT DISTINCT doc_id, lang AS actual, bigram FROM bg WHERE doc_id % 5 = 0),
+      |scores AS (
+      |  SELECT test_bg.doc_id, test_bg.actual, weights.lang AS cand, sum(w) AS score
+      |  FROM test_bg JOIN weights ON test_bg.bigram = weights.bigram
+      |  GROUP BY test_bg.doc_id, test_bg.actual, weights.lang),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+      |           FROM scores)""".stripMargin
+
   private def jaccardCtes(maxDocFreq: Option[Int]): String = {
     val filtered = maxDocFreq match {
       case Some(cap) =>
@@ -481,33 +512,20 @@ object ExtQueries {
         |WHERE r.rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "text_langid" ->
-      """WITH bg AS (
-        |  SELECT doc_id, lang,
-        |         unnest(list_transform(range(1, len(string_split(text, ' '))),
-        |                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
-        |  FROM documents),
-        |train AS (SELECT * FROM bg WHERE doc_id % 5 != 0),
-        |per_lang AS (SELECT lang, bigram, count(*) AS cnt FROM train GROUP BY lang, bigram),
-        |lang_tot AS (SELECT lang, count(*) AS n_l FROM train GROUP BY lang),
-        |per_bg AS (SELECT bigram, count(*) AS cnt_all FROM train GROUP BY bigram),
-        |tot_row AS (SELECT count(*) AS tot FROM train),
-        |weights AS (
-        |  SELECT per_bg.bigram, lang_tot.lang,
-        |    CAST(round(1000 * (1000000.0 * coalesce(per_lang.cnt, 0) / n_l - 1000000.0 * cnt_all / tot)
-        |      / (1000000.0 * coalesce(per_lang.cnt, 0) / n_l + 1000000.0 * cnt_all / tot + 1)) AS BIGINT) AS w
-        |  FROM per_bg CROSS JOIN lang_tot
-        |  LEFT JOIN per_lang ON per_lang.bigram = per_bg.bigram AND per_lang.lang = lang_tot.lang
-        |  CROSS JOIN tot_row),
-        |test_bg AS (SELECT DISTINCT doc_id, lang AS actual, bigram FROM bg WHERE doc_id % 5 = 0),
-        |scores AS (
-        |  SELECT test_bg.doc_id, test_bg.actual, weights.lang AS cand, sum(w) AS score
-        |  FROM test_bg JOIN weights ON test_bg.bigram = weights.bigram
-        |  GROUP BY test_bg.doc_id, test_bg.actual, weights.lang),
-        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
-        |           FROM scores)
+      s"""$langidCtes
         |SELECT doc_id, cand AS pred_lang, actual,
         |       CASE WHEN cand = actual THEN 1 ELSE 0 END AS correct
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the langid CTEs' per-doc argmax grouped into the confusion matrix;
+    // recall = one IEEE division of exact counts
+    "text_langid_confusion" ->
+      s"""$langidCtes,
+        |pred AS (SELECT doc_id, cand AS pred_lang, actual FROM ranked WHERE rn = 1),
+        |n AS (SELECT actual, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+        |t AS (SELECT actual, count(*) AS n_actual FROM pred GROUP BY 1)
+        |SELECT n.actual AS actual, pred_lang, n, n_actual, round(n / n_actual, 6) AS recall
+        |FROM n JOIN t USING (actual) ORDER BY actual, pred_lang""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars, n_copies FROM (
@@ -1691,5 +1709,6 @@ object ExtQueries {
     "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
     "similarity_sq", "graph_triangles", "events_transitions",
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
-    "events_cooccurrence", "events_conversion_lag", "text_bpe_merges")
+    "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
+    "text_langid_confusion")
 }

@@ -690,4 +690,24 @@ object TextAnalysis {
         when(col("cand") === col("actual"), lit(1)).otherwise(lit(0)).as("correct"))
       .orderBy("doc_id")
   }
+
+  /** Language-ID CONFUSION matrix — the eval report for [[langId]]: per
+    * (actual, predicted) pair the held-out doc count, the actual-class
+    * total, and recall (the diagonal is per-language accuracy; off-diagonal
+    * rows show which language pairs the n-gram model confuses — the
+    * classifier-debug table every langid deployment reads first).
+    *
+    * Scale shape: inherits [[langId]]'s (broadcast language profiles, one
+    * test-bigram join); everything after the per-doc argmax is partial
+    * aggs over ≤ langs² rows. Recall is one IEEE division of exact
+    * counts. */
+  def langidConfusion(docs: DataFrame): DataFrame = {
+    val preds = langId(docs)
+    val n = preds.groupBy("actual", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = preds.groupBy("actual").agg(count(lit(1)).as("n_actual"))
+    n.join(broadcast(tot), "actual")
+      .withColumn("recall", expr("round(n / n_actual, 6)"))
+      .select(col("actual"), col("pred_lang"), col("n"), col("n_actual"), col("recall"))
+      .orderBy("actual", "pred_lang")
+  }
 }

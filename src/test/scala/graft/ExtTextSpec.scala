@@ -370,6 +370,29 @@ class ExtTextSpec extends AnyFunSuite {
     assert(out.forall(r => Set(0, 1).contains(r.getAs[Int]("correct"))))
   }
 
+  test("langidConfusion partitions the held-out docs and recall is exact") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = TextAnalysis.langidConfusion(docs).collect()
+    val heldOut = docs.filter(col("doc_id") % 5 === 0).count()
+    // every held-out doc lands in exactly one confusion cell
+    assert(out.map(_.getAs[Long]("n")).sum === heldOut)
+    // per-actual cells sum to that class's total, and recall = n / n_actual
+    out.groupBy(_.getAs[String]("actual")).foreach { case (_, cells) =>
+      val tot = cells.head.getAs[Long]("n_actual")
+      assert(cells.map(_.getAs[Long]("n")).sum === tot)
+      cells.foreach { c =>
+        assert(c.getAs[Double]("recall") ===
+          math.rint(c.getAs[Long]("n").toDouble / tot * 1e6) / 1e6)
+      }
+    }
+    // agrees with the per-doc prediction operator cell by cell
+    val preds = TextAnalysis.langId(docs).collect()
+    val expect = preds.groupBy(r => (r.getAs[String]("actual"), r.getAs[String]("pred_lang")))
+      .view.mapValues(_.length.toLong).toMap
+    assert(out.map(r => (r.getAs[String]("actual"), r.getAs[String]("pred_lang")) ->
+      r.getAs[Long]("n")).toMap === expect)
+  }
+
   test("chunk covers every token with size-stride overlap and exact counts") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(200)
     val out = TextAnalysis.chunk(docs).collect()
