@@ -189,6 +189,8 @@ object ExtQueries {
     "events_cooccurrence"    -> ((s, dir) => Events.cooccurrence(events(s, dir))),
     // signup-cohort time-to-convert percentiles (exact interpolated)
     "events_conversion_lag"  -> ((s, dir) => Events.conversionLag(events(s, dir))),
+    // whale report: event-volume share of the p90/p95/p99 heaviest users
+    "events_user_concentration" -> ((s, dir) => Events.userConcentration(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     // exact media dedup: collapse bit-identical payloads by content hash
@@ -1508,6 +1510,32 @@ object ExtQueries {
         |       CAST(sum(CASE WHEN pb < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // quantile-threshold brackets (never a global user rank); ties at the
+    // threshold included; share = one IEEE division of exact counts
+    "events_user_concentration" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT quantile_cont(n, 0.90) AS t90, quantile_cont(n, 0.95) AS t95,
+        |             quantile_cont(n, 0.99) AS t99,
+        |             CAST(sum(n) AS BIGINT) AS total_events, count(*) AS total_users FROM c),
+        |b AS (
+        |  SELECT CAST(0.90 AS DOUBLE) AS p, t90 AS threshold,
+        |         (SELECT count(*) FROM c WHERE n >= t.t90) AS n_users,
+        |         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c WHERE n >= t.t90) AS n_events,
+        |         total_users, total_events FROM t
+        |  UNION ALL
+        |  SELECT CAST(0.95 AS DOUBLE), t95,
+        |         (SELECT count(*) FROM c WHERE n >= t.t95),
+        |         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c WHERE n >= t.t95),
+        |         total_users, total_events FROM t
+        |  UNION ALL
+        |  SELECT CAST(0.99 AS DOUBLE), t99,
+        |         (SELECT count(*) FROM c WHERE n >= t.t99),
+        |         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM c WHERE n >= t.t99),
+        |         total_users, total_events FROM t)
+        |SELECT p, round(threshold, 6) AS threshold, n_users, n_events,
+        |       total_users, total_events, round(n_events / total_events, 6) AS share
+        |FROM b ORDER BY p""".stripMargin,
+
     // first-signup → first-later-purchase lag per signup-day cohort;
     // percentile ≡ quantile_cont (both linear interpolation over exact
     // BIGINT lags); mean = one IEEE division
@@ -1710,5 +1738,5 @@ object ExtQueries {
     "similarity_sq", "graph_triangles", "events_transitions",
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
-    "text_langid_confusion")
+    "text_langid_confusion", "events_user_concentration")
 }

@@ -153,6 +153,51 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** USER-CONCENTRATION (whale/Pareto) report — how much of the event
+    * volume the heaviest users carry: for each percentile bracket p, the
+    * per-user event-count threshold (exact interpolated p-quantile), the
+    * users at-or-above it, their event volume, and its share of all
+    * events — the abuse/capacity-planning staple ("do 1% of users generate
+    * half the load?").
+    *
+    * Scale shape: brackets are defined by COUNT QUANTILES, not by a global
+    * top-k rank — one (user_id) partial agg collapses the stream to per-user
+    * counts, one percentile agg over that bounded relation produces the
+    * 1-row threshold table, and one conditional-sum pass over the counts
+    * (thresholds broadcast) answers every bracket simultaneously. No
+    * global sort, no rank window over users at any scale; ties at the
+    * threshold are included (deterministic in both engines). */
+  def userConcentration(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val agg = counts
+      .agg(
+        expr("percentile(n, 0.90e0)").as("t90"),
+        expr("percentile(n, 0.95e0)").as("t95"),
+        expr("percentile(n, 0.99e0)").as("t99"),
+        sum("n").cast("long").as("total_events"),
+        count(lit(1)).as("total_users"))
+    val brackets = counts.crossJoin(broadcast(agg))
+      .agg(
+        min(col("t90")).as("t90"), min(col("t95")).as("t95"), min(col("t99")).as("t99"),
+        min(col("total_events")).as("total_events"), min(col("total_users")).as("total_users"),
+        sum(when(col("n") >= col("t90"), 1L).otherwise(0L)).as("u90"),
+        sum(when(col("n") >= col("t90"), col("n")).otherwise(0L)).as("e90"),
+        sum(when(col("n") >= col("t95"), 1L).otherwise(0L)).as("u95"),
+        sum(when(col("n") >= col("t95"), col("n")).otherwise(0L)).as("e95"),
+        sum(when(col("n") >= col("t99"), 1L).otherwise(0L)).as("u99"),
+        sum(when(col("n") >= col("t99"), col("n")).otherwise(0L)).as("e99"))
+    brackets.selectExpr(
+      """stack(3,
+        |  0.90e0, t90, u90, e90,
+        |  0.95e0, t95, u95, e95,
+        |  0.99e0, t99, u99, e99) AS (p, threshold, n_users, n_events)""".stripMargin,
+      "total_users", "total_events")
+      .withColumn("share", expr("round(n_events / total_events, 6)"))
+      .select(col("p"), expr("round(threshold, 6)").as("threshold"), col("n_users"),
+        col("n_events"), col("total_users"), col("total_events"), col("share"))
+      .orderBy("p")
+  }
+
   /** Conversion-LAG report — time-to-convert by signup cohort: for each
     * user whose first `fromType` event is strictly followed by a `toType`
     * event, the delay from first signup to FIRST subsequent purchase, then

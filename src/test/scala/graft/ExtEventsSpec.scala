@@ -119,6 +119,28 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("p50_ms") === 4000.0)
   }
 
+  test("userConcentration brackets by exact count quantiles with ties included") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // 10 users: one whale with 91 events, nine with 1 each (total 100)
+    val rows = (1 to 91).map(i => (100L, i.toLong)) ++ (2 to 10).map(u => (u.toLong, 0L))
+    val df = rows.zipWithIndex.map { case ((u, off), i) =>
+      (i.toLong, new java.sql.Timestamp(base + off), u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.ext.Events.userConcentration(df).collect()
+    assert(out.map(_.getAs[Double]("p")).toSeq === Seq(0.90, 0.95, 0.99))
+    // p99 quantile of {1x9, 91} interpolates above 1 → only the whale
+    val p99 = out.find(_.getAs[Double]("p") == 0.99).get
+    assert(p99.getAs[Long]("n_users") === 1L)
+    assert(p99.getAs[Long]("n_events") === 91L)
+    assert(p99.getAs[Double]("share") === 0.91)
+    assert(p99.getAs[Long]("total_users") === 10L && p99.getAs[Long]("total_events") === 100L)
+    // every bracket nests inside the next-smaller one
+    val us = out.map(_.getAs[Long]("n_users"))
+    assert(us(0) >= us(1) && us(1) >= us(2))
+  }
+
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
