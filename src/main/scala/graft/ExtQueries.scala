@@ -102,6 +102,9 @@ object ExtQueries {
     // over the simhash near-dup graph (degree-ordered orientation)
     "graph_triangles"        -> ((s, dir) =>
       Graph.triangles(Dedup.simhashPairs(docs(s, dir)))),
+    // degree histogram of the near-dup graph (template-farm shape report)
+    "graph_degree_hist"      -> ((s, dir) =>
+      Graph.degreeHist(Dedup.simhashPairs(docs(s, dir)))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
@@ -1048,6 +1051,20 @@ object ExtQueries {
          |FROM deg LEFT JOIN tc ON tc.id = deg.id
          |ORDER BY doc_id""".stripMargin,
 
+    // same simhash edge + degree CTEs as graph_triangles, folded to the
+    // histogram; share = one IEEE division of exact counts
+    "graph_degree_hist" ->
+      s"""WITH $simhashShCte,
+         |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
+         |      FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+         |      WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
+         |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree),
+         |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total_nodes FROM h)
+         |SELECT degree, n_nodes, total_nodes, round(n_nodes / total_nodes, 6) AS share
+         |FROM h CROSS JOIN t ORDER BY degree""".stripMargin,
+
     "dedup_embedding_cosine" ->
       s"""$quantCte,
          |dots AS (SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
@@ -1738,5 +1755,5 @@ object ExtQueries {
     "similarity_sq", "graph_triangles", "events_transitions",
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
-    "text_langid_confusion", "events_user_concentration")
+    "text_langid_confusion", "events_user_concentration", "graph_degree_hist")
 }

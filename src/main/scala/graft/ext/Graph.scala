@@ -69,4 +69,25 @@ object Graph {
         "CASE WHEN degree >= 2 THEN round(2e0 * n_triangles / (degree * (degree - 1)), 6) ELSE 0e0 END"))
       .orderBy("doc_id")
   }
+
+  /** DEGREE HISTOGRAM of a near-dup edge list — the one-glance shape
+    * report read next to [[triangles]]: how many nodes carry each edge
+    * degree, with each bucket's share of all connected nodes. A thin
+    * head + long tail means isolated pairwise collisions; mass at high
+    * degrees means template farms / mirror networks (then [[triangles]]
+    * says how tightly they interconnect).
+    *
+    * Scale shape: one (id) partial-agg shuffle of 8-byte ids → one
+    * (degree) partial agg over the bounded node relation → a 1-row total
+    * broadcast; output bounded by the max degree, never corpus size. */
+  def degreeHist(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum("n_nodes").cast("long").as("total_nodes"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("share", expr("round(n_nodes / total_nodes, 6)"))
+      .select(col("degree"), col("n_nodes"), col("total_nodes"), col("share"))
+      .orderBy("degree")
+  }
 }

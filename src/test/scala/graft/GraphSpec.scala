@@ -29,6 +29,22 @@ class GraphSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(3) === 0.0))
   }
 
+  test("degreeHist buckets node degrees with exact shares") {
+    // star 1-{2,3,4,5}: hub degree 4, four leaves degree 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val out = Graph.degreeHist(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 4L, 5L, 0.8), (4L, 1L, 5L, 0.2)))
+    // histogram mass equals the connected-node count on the real graph
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val edges = Dedup.simhashPairs(docs).select("a", "b")
+    val hist = Graph.degreeHist(edges).collect()
+    val nNodes = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id"))).distinct().count()
+    assert(hist.map(_.getLong(1)).sum === nNodes)
+    assert(hist.forall(_.getLong(2) === nNodes))
+  }
+
   test("triangles on the simhash graph match a brute-force 3-edge closure") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val edges = Dedup.simhashPairs(docs).select("a", "b")
