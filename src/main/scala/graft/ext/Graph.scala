@@ -38,6 +38,11 @@ object Graph {
     * degree-1 nodes), ordered by doc_id. All-integer except the one
     * IEEE division — bit-exact vs the oracle. */
   def triangles(edges: DataFrame): DataFrame = {
+    // NOT localCheckpoint'd: Catalyst already reuses the edge subtree's
+    // exchange across the plan's 4 references (measured: checkpointing is
+    // 1.4 s SLOWER at sf0.1). The wall cost here is the triangles
+    // themselves — the sf0.1 simhash graph is dense (166k edges / 2.6k
+    // nodes, 15M triangles), so ~9 s is the honest closure work.
     val e = edges.select(col("a"), col("b"))
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
