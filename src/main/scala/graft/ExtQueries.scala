@@ -222,6 +222,9 @@ object ExtQueries {
     "pipeline_mixture"       -> ((s, dir) => Packing.mixture(docs(s, dir))),
     // the plan APPLIED: per-source md5-ordered selection until quota covered
     "pipeline_mixture_sampled" -> ((s, dir) => Packing.mixtureSampled(docs(s, dir))),
+    // global-budget quality selection: best docs first until the token
+    // budget is covered (two-phase score-group plan, never a global window)
+    "pipeline_quality_budget" -> ((s, dir) => Packing.qualityBudget(docs(s, dir))),
     "pipeline_corpus_stats"  -> ((s, dir) => TextAnalysis.corpusStats(docs(s, dir))),
     "pipeline_quality_prune" -> ((s, dir) => TextAnalysis.qualityPrune(docs(s, dir))),
 
@@ -880,6 +883,26 @@ object ExtQueries {
         |       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
         |       n_tokens
         |FROM s ORDER BY shard_id, pos""".stripMargin,
+
+    // global-budget quality selection: the oracle states the NAIVE global
+    // window form; the Spark plan reassembles it from score-group offsets
+    // (the scalable two-phase shape) — same rows bit-for-bit
+    "pipeline_quality_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             (100000000 * len(list_distinct(string_split(text, ' ')))
+        |                * least(len(string_split(text, ' ')), 30))
+        |              // (len(string_split(text, ' ')) * 30) AS q_scaled
+        |           FROM documents),
+        |o AS (SELECT *,
+        |        CAST(sum(n_tokens) OVER (ORDER BY q_scaled DESC, doc_id ASC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |        CAST(row_number() OVER (ORDER BY q_scaled DESC, doc_id ASC) AS BIGINT) AS pick_rank
+        |      FROM t)
+        |SELECT pick_rank, doc_id, source, CAST(q_scaled AS BIGINT) AS q_scaled,
+        |       n_tokens, cum_tokens
+        |FROM o WHERE cum_tokens - n_tokens < 20000
+        |ORDER BY pick_rank""".stripMargin,
 
     // mixture plan replay (largest remainder) feeding the per-source
     // md5-ordered greedy selection: doc kept iff tokens BEFORE it < quota
@@ -1755,5 +1778,6 @@ object ExtQueries {
     "similarity_sq", "graph_triangles", "events_transitions",
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
-    "text_langid_confusion", "events_user_concentration", "graph_degree_hist")
+    "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
+    "pipeline_quality_budget")
 }

@@ -123,6 +123,68 @@ object Packing {
       .orderBy(col("source").asc_nulls_last)
   }
 
+  /** Budget-constrained QUALITY selection — the data-selection step of a
+    * corpus build: take the highest-quality documents, best first, until a
+    * global token budget is covered (the "rank by quality, keep the top
+    * slice that fits" discipline of quality-first pretraining data
+    * selection — the global-budget complement of [[mixtureSampled]]'s
+    * per-source quotas and [[graft.ext.TextAnalysis.qualityPrune]]'s
+    * fixed-quantile cut).
+    *
+    * The quality key is the integer-exact quantization of
+    * [[graft.ext.TextAnalysis.qualityScoreExpr]]:
+    * `q_scaled = (1e8 · distinct · least(total, 30)) div (total · 30)`
+    * (= ⌊1e6 · quality_score⌋, all-BIGINT), so ordering, selection and the
+    * DuckDB oracle are bit-deterministic — no IEEE anywhere.
+    *
+    * Selection rule (same boundary discipline as [[mixtureSampled]]): a doc
+    * is selected iff the tokens strictly before it in (q_scaled DESC,
+    * doc_id ASC) order are still under the budget — the last doc may
+    * overshoot by part of itself, the budget is always covered.
+    *
+    * Scale shape — the naive formulation is ONE GLOBAL window (every doc
+    * through one partition); this plan never does that. Phase A aggregates
+    * per distinct score (one partial-agg shuffle, map-side combined) and
+    * prefix-sums the SCORE relation — |distinct scores| rows, bounded by
+    * the 1e8 quantization space and in practice tiny next to the corpus.
+    * Phase B joins docs only to the surviving candidate score-groups
+    * (groups whose tokens-before < budget — the join prunes the corpus to
+    * near-budget size) and ranks within each score group, partitioned by
+    * q_scaled — many bounded partitions, no global funnel. Global rank and
+    * cumulative tokens are reassembled exactly as group-offset + in-group
+    * prefix (spec-asserted ≡ the naive global window). */
+  def qualityBudget(docs: DataFrame, budgetTokens: Long = 20000L): DataFrame = {
+    require(budgetTokens > 0)
+    val t = docs.select(col("doc_id"), col("source"),
+      expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+      expr("""(100000000L * size(array_distinct(split(text, ' ')))
+             |  * least(size(split(text, ' ')), 30))
+             | div (size(split(text, ' ')) * 30L)""".stripMargin).as("q_scaled"))
+    val byScore = t.groupBy("q_scaled")
+      .agg(sum("n_tokens").as("g_tokens"), count(lit(1)).as("g_docs"))
+      .withColumn("__one", graft.ops.Scale.constKey(col("q_scaled")))
+    val wS = Window.partitionBy("__one").orderBy(col("q_scaled").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val candidates = byScore
+      .withColumn("tokens_before", sum("g_tokens").over(wS) - col("g_tokens"))
+      .withColumn("docs_before", sum("g_docs").over(wS) - col("g_docs"))
+      // only groups that still have budget left can contribute a doc; this
+      // filter is what keeps phase B's join near-budget-sized, not corpus-sized
+      .filter(col("tokens_before") < budgetTokens)
+      .select("q_scaled", "tokens_before", "docs_before")
+    val wG = Window.partitionBy("q_scaled").orderBy("doc_id")
+    t.join(candidates, "q_scaled")
+      .withColumn("cum_in_group", sum("n_tokens").over(
+        wG.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rank_in_group", row_number().over(wG))
+      .filter(col("tokens_before") + col("cum_in_group") - col("n_tokens") < budgetTokens)
+      .select(
+        (col("docs_before") + col("rank_in_group")).cast("long").as("pick_rank"),
+        col("doc_id"), col("source"), col("q_scaled"), col("n_tokens"),
+        (col("tokens_before") + col("cum_in_group")).cast("long").as("cum_tokens"))
+      .orderBy("pick_rank")
+  }
+
   /** [[mixture]] APPLIED — the selection step after the plan: within each
     * source, documents are taken in deterministic md5(doc_id) order (the
     * [[Sampling.stratifiedSample]] discipline — RNG-free, layout- and

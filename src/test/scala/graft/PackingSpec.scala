@@ -133,4 +133,32 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(seqs.forall(identity))
   }
+
+  test("qualityBudget two-phase plan equals the naive global-window selection") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val budget = 20000L
+    val out = Packing.qualityBudget(docs, budget).collect()
+    // naive reference: one global window in (q_scaled desc, doc_id) order
+    val naive = docs.selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tokens",
+        """(100000000L * size(array_distinct(split(text, ' ')))
+          |  * least(size(split(text, ' ')), 30))
+          | div (size(split(text, ' ')) * 30L) AS q_scaled""".stripMargin)
+      .selectExpr("*",
+        "CAST(sum(n_tokens) OVER (ORDER BY q_scaled DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS LONG) AS cum_tokens",
+        "CAST(row_number() OVER (ORDER BY q_scaled DESC, doc_id ASC) AS LONG) AS pick_rank")
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .selectExpr("pick_rank", "doc_id", "source", "q_scaled", "n_tokens", "cum_tokens")
+      .orderBy("pick_rank").collect()
+    assert(out.map(_.toSeq).toSeq === naive.map(_.toSeq).toSeq)
+    // the budget is covered: last doc's cum reaches it, one before does not
+    assert(out.last.getAs[Long]("cum_tokens") >= budget)
+    assert(out.last.getAs[Long]("cum_tokens") - out.last.getAs[Long]("n_tokens") < budget)
+    // quality-first: pick order is non-increasing in q_scaled
+    val qs = out.map(_.getAs[Long]("q_scaled"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    // deterministic under repartitioning
+    val again = Packing.qualityBudget(docs.repartition(13), budget).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }
