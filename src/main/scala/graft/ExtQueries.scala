@@ -86,6 +86,8 @@ object ExtQueries {
     "text_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
     // cross-doc template detector: share of a doc's bigrams unique to it
     "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
+    // bigram-LM argmax head: top-3 successors for the 100 hottest contexts
+    "text_next_token"   -> ((s, dir) => TextAnalysis.nextToken(docs(s, dir))),
     // perplexity-style signal: per-doc cross-entropy under the corpus LM
     "text_unigram_ce"   -> ((s, dir) => TextAnalysis.unigramCE(docs(s, dir))),
     // CCNet-style interpolated bigram LM perplexity filter
@@ -1707,6 +1709,24 @@ object ExtQueries {
         |       round(n / sum(n) OVER (PARTITION BY from_event), 6) AS p
         |FROM t ORDER BY from_event, to_event""".stripMargin,
 
+    // bigram-LM argmax head: totally-ordered context cut (count desc,
+    // token asc) and successor rank — exact counts, one round-6 division
+    "text_next_token" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bp AS (SELECT unnest(list_transform(range(1, len(w)), i ->
+        |         struct_pack(prev := w[i], cur := w[i + 1]))) AS bg FROM w),
+        |b AS (SELECT bg.prev AS prev, bg.cur AS cur FROM bp),
+        |bgc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY prev, cur),
+        |top AS (SELECT prev, CAST(sum(n) AS BIGINT) AS ctx_total FROM bgc
+        |        GROUP BY prev ORDER BY ctx_total DESC, prev ASC LIMIT 100),
+        |r AS (SELECT bgc.prev AS prev, cur, n, ctx_total,
+        |        row_number() OVER (PARTITION BY bgc.prev ORDER BY n DESC, cur ASC) AS rank
+        |      FROM bgc JOIN top USING (prev))
+        |SELECT prev, CAST(rank AS INT) AS rank, cur AS next_token, n, ctx_total,
+        |       round(n / ctx_total, 6) AS p
+        |FROM r WHERE rank <= 3 ORDER BY prev, rank""".stripMargin,
+
     // interpolated bigram LM: same ln-of-exact-ratio discipline as
     // text_unigram_ce; 0.75/0.25 are dyadic -> exact doubles both sides
     "text_bigram_ce" ->
@@ -1779,5 +1799,5 @@ object ExtQueries {
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
     "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
-    "pipeline_quality_budget")
+    "pipeline_quality_budget", "text_next_token")
 }

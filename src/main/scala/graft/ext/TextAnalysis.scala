@@ -367,6 +367,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-k continuation table for the corpus's hottest contexts — the
+    * bigram-LM ARGMAX artifact (the draft table a speculative decoder or
+    * an autocomplete surface consumes: for each frequent token, its k most
+    * likely successors with probabilities). The model side of [[bigramCE]]
+    * (which SCORES docs under the LM; this emits the LM's head).
+    *
+    * Determinism: contexts are the `topContexts` tokens by
+    * (continuation-count DESC, token ASC) — a total order, so the boundary
+    * tie is pinned; successor rank is (count DESC, token ASC), same
+    * discipline. Counts are exact BIGINT; `p` is the one IEEE division,
+    * round-6 on both engines.
+    *
+    * Scale shape: ONE corpus-wide (prev, cur) partial-agg shuffle builds
+    * the bigram counts; context totals are a second partial agg over that
+    * already-aggregated relation (vocabulary-sized, not corpus-sized); the
+    * top-context cut is orderBy+limit (TakeOrderedAndProject — per-
+    * partition heaps, no global sort) and BROADCASTS back, so the rank
+    * window only ever sees the ≤ topContexts·|successors-of-hot-tokens|
+    * joined rows — never the full bigram table through one partition. */
+  def nextToken(docs: DataFrame, topContexts: Int = 100, k: Int = 3): DataFrame = {
+    require(topContexts > 0 && k > 0)
+    val bg = Dedup.spread(docs)
+      .select(expr("split(text, ' ')").as("w"))
+      .filter(expr("size(w) >= 2"))
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS prev, element_at(w, i + 1) AS cur))""".stripMargin))
+        .as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bgc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+    val topCtx = bgc.groupBy("prev").agg(sum("n").cast("long").as("ctx_total"))
+      .orderBy(col("ctx_total").desc, col("prev").asc).limit(topContexts)
+    val wk = Window.partitionBy("prev").orderBy(col("n").desc, col("cur").asc)
+    bgc.join(broadcast(topCtx), "prev")
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("prev"), col("rank").cast("int").as("rank"),
+        col("cur").as("next_token"), col("n"), col("ctx_total"),
+        expr("round(n / ctx_total, 6)").as("p"))
+      .orderBy("prev", "rank")
+  }
+
   /** Per-document CROSS-ENTROPY under the corpus's own unigram LM — the
     * perplexity-style quality signal (CCNet/Gopher-shape, with the corpus
     * itself as the model since no external LM ships here): for each doc,

@@ -412,4 +412,31 @@ class ExtTextSpec extends AnyFunSuite {
       assert((sizes.length - 1) * 24 + sizes.last === n, s"doc $id tail")
     }
   }
+
+  test("nextToken emits the argmax head with pinned tie-breaks") {
+    // context 'a': successors b(3), c(2), d(1), e(1) → top-3 = b, c, d
+    // (d beats e on the token-asc tie); context cut keeps the 2 hottest
+    val out = TextAnalysis.nextToken(docsDf(
+      1L -> "a b a b a b a c a c a d a e",
+      2L -> "x y x y z"), topContexts = 2, k = 3).collect()
+    val byCtx = out.groupBy(_.getAs[String]("prev"))
+    // hottest contexts by continuation count: 'a' (7), 'b' (3: 'b a' ×3)
+    assert(byCtx.keySet === Set("a", "b"))
+    val aTop = byCtx("a").sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("next_token"), r.getAs[Long]("n")))
+    assert(aTop.toSeq === Seq(("b", 3L), ("c", 2L), ("d", 1L)))
+    // p is n / ctx_total with ctx_total = all continuations of the context
+    val aRows = byCtx("a")
+    assert(aRows.forall(_.getAs[Long]("ctx_total") == 7L))
+    assert(math.abs(aRows.head.getAs[Double]("p") - aRows.head.getAs[Long]("n") / 7.0) < 1e-6)
+    // determinism under repartitioning, on the real fixture
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val a = TextAnalysis.nextToken(docs).collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.nextToken(docs.repartition(17)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // every context has contiguous ranks from 1
+    a.groupBy(_.head).foreach { case (_, rows) =>
+      assert(rows.map(_(1).asInstanceOf[Int]).sorted === (1 to rows.length).toSeq)
+    }
+  }
 }
