@@ -107,6 +107,9 @@ object ExtQueries {
     // degree histogram of the near-dup graph (template-farm shape report)
     "graph_degree_hist"      -> ((s, dir) =>
       Graph.degreeHist(Dedup.simhashPairs(docs(s, dir)))),
+    // integer-quantized PageRank: the canonical-copy centrality read
+    "graph_pagerank"         -> ((s, dir) =>
+      Graph.pagerank(Dedup.simhashPairs(docs(s, dir)))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
@@ -1078,6 +1081,24 @@ object ExtQueries {
 
     // same simhash edge + degree CTEs as graph_triangles, folded to the
     // histogram; share = one IEEE division of exact counts
+    // floor-division PageRank: the same all-BIGINT recurrence unrolled as
+    // CTEs (3 rounds); undirected edges -> every node gets inbound mass
+    "graph_pagerank" ->
+      s"""WITH $simhashShCte,
+         |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
+         |      FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+         |      WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM u GROUP BY src),
+         |p0 AS (SELECT id, degree, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |p1 AS (SELECT d.id, d.degree, CAST(150000 + (85 * sum(p.pr // p.degree)) // 100 AS BIGINT) AS pr
+         |       FROM u JOIN p0 p ON u.src = p.id JOIN deg d ON u.dst = d.id GROUP BY d.id, d.degree),
+         |p2 AS (SELECT d.id, d.degree, CAST(150000 + (85 * sum(p.pr // p.degree)) // 100 AS BIGINT) AS pr
+         |       FROM u JOIN p1 p ON u.src = p.id JOIN deg d ON u.dst = d.id GROUP BY d.id, d.degree),
+         |p3 AS (SELECT d.id, d.degree, CAST(150000 + (85 * sum(p.pr // p.degree)) // 100 AS BIGINT) AS pr
+         |       FROM u JOIN p2 p ON u.src = p.id JOIN deg d ON u.dst = d.id GROUP BY d.id, d.degree)
+         |SELECT id AS doc_id, degree, pr AS pagerank FROM p3 ORDER BY doc_id""".stripMargin,
+
     "graph_degree_hist" ->
       s"""WITH $simhashShCte,
          |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
@@ -1799,5 +1820,5 @@ object ExtQueries {
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
     "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
-    "pipeline_quality_budget", "text_next_token")
+    "pipeline_quality_budget", "text_next_token", "graph_pagerank")
 }

@@ -75,6 +75,47 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  /** Integer-quantized PAGERANK over an undirected edge list — the
+    * centrality read of the near-dup graph: which documents sit at the
+    * CENTER of a template farm / mirror network (high rank = the canonical
+    * copy everything else collides with; the keeper a curation pass should
+    * prefer, vs [[Dedup.keepers]]' min-id convention).
+    *
+    * Quantization (same discipline as the quantized-cosine family): ranks
+    * live in millionths — pr₀ = 1e6, and each round is
+    * `pr'(v) = 150000 + (85 · Σ_{u~v} (pr(u) div deg(u))) div 100`
+    * (damping 0.85, teleport 0.15·1e6), ALL BIGINT — floor-division
+    * PageRank, bit-identical in any engine and summation order, so the
+    * DuckDB oracle (the same recurrence unrolled as CTEs) hash-matches.
+    * Every node of the edge list has deg ≥ 1 and, undirected, ≥ 1 inbound
+    * contribution — no dangling-mass term.
+    *
+    * Scale shape: per round, ONE co-partitioned equi-join of the directed
+    * edge relation against the rank relation (both hash on the 8-byte id)
+    * + one partial-agg shuffle on dst — Pregel's shape in pure DataFrame
+    * ops, never a collect, never a cartesian; work is Θ(m) per round.
+    * Fixed small iteration count → a linear plan; for rounds ≫ 5 insert a
+    * localCheckpoint every few rounds to cut lineage depth (same plan per
+    * round either way). */
+  def pagerank(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col("a"), col("b"))
+    val und = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+    var pr = deg.select(col("src").as("id"), col("degree"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = pr.select(col("id").as("src"), expr("pr div degree").as("c"))
+      val inbound = und.join(contrib, "src").groupBy("dst").agg(sum("c").as("s"))
+      pr = deg.select(col("src").as("id"), col("degree"))
+        .join(inbound.select(col("dst").as("id"), col("s")), "id")
+        .select(col("id"), col("degree"),
+          expr("150000L + (85L * s) div 100L").as("pr"))
+    }
+    pr.select(col("id").as("doc_id"), col("degree"), col("pr").as("pagerank"))
+      .orderBy("doc_id")
+  }
+
   /** DEGREE HISTOGRAM of a near-dup edge list — the one-glance shape
     * report read next to [[triangles]]: how many nodes carry each edge
     * degree, with each bucket's share of all connected nodes. A thin

@@ -64,4 +64,31 @@ class GraphSpec extends AnyFunSuite {
     // sum of per-node counts = 3x the number of distinct triangles
     assert(out.map(_.getLong(2)).sum % 3 === 0)
   }
+
+  test("pagerank: hand-unrolled floor-division recurrence on a path graph") {
+    // path 1-2-3; pr0 = 1e6 each; pr'(v) = 150000 + 85*sum(pr(u) div deg(u)) div 100
+    // round 1: ends 575000, center 1850000
+    // round 2: ends 936250, center 1127500
+    // round 3: ends 629187 (85*563750 div 100), center 1741625
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Graph.pagerank(edges, iterations = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 629187L), (2L, 2L, 1741625L), (3L, 1L, 629187L)))
+  }
+
+  test("pagerank: symmetric nodes tie; hubs outrank leaves; deterministic") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val out = Graph.pagerank(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Set(out(2L), out(3L), out(4L), out(5L)).size === 1) // leaves identical
+    assert(out(1L) > out(2L))                                  // hub dominates
+    // total quantized mass stays within floor-loss of the initial 5e6
+    assert(out.values.sum <= 5000000L && out.values.sum > 4000000L)
+    // determinism on the real near-dup graph under repartitioning
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val pairs = Dedup.simhashPairs(docs)
+    val a = Graph.pagerank(pairs).collect().map(_.toSeq).toSeq
+    val b = Graph.pagerank(pairs.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
