@@ -193,6 +193,8 @@ object ExtQueries {
     "events_paths"           -> ((s, dir) => Events.topPaths(events(s, dir))),
     // DAU / trailing-7-day WAU / stickiness engagement report
     "events_dau_wau"         -> ((s, dir) => Events.dauWau(events(s, dir))),
+    // per-user trailing-7-day active-day count + gap since previous day
+    "events_rolling_active"  -> ((s, dir) => Events.rollingActive(events(s, dir))),
     // session-level event-type co-occurrence pairs with lift
     "events_cooccurrence"    -> ((s, dir) => Events.cooccurrence(events(s, dir))),
     // signup-cohort time-to-convert percentiles (exact interpolated)
@@ -1651,6 +1653,21 @@ object ExtQueries {
         |SELECT dau.day AS day, dau, wau, round(dau / wau, 6) AS stickiness
         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
+    // RANGE frame over integer epoch-days: calendar-correct rolling count;
+    // both window functions share one (user_id) partition order
+    "events_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT user_id, day,
+        |        date_diff('day', DATE '1970-01-01', day) AS day_no FROM ud),
+        |r AS (SELECT user_id, day, day_no,
+        |        CAST(count(*) OVER (PARTITION BY user_id ORDER BY day_no
+        |          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS active_days_7d,
+        |        CAST(day_no - coalesce(lag(day_no) OVER (PARTITION BY user_id ORDER BY day_no),
+        |          day_no) AS BIGINT) AS gap_days
+        |      FROM d)
+        |SELECT user_id, day, active_days_7d, gap_days
+        |FROM r ORDER BY user_id, day""".stripMargin,
+
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
@@ -1820,5 +1837,6 @@ object ExtQueries {
     "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
     "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
-    "pipeline_quality_budget", "text_next_token", "graph_pagerank")
+    "pipeline_quality_budget", "text_next_token", "graph_pagerank",
+    "events_rolling_active")
 }

@@ -303,6 +303,35 @@ object Events {
       .orderBy("day")
   }
 
+  /** Rolling 7-day activity per user — the engagement-trend/churn-risk
+    * read one level under [[dauWau]]'s corpus aggregate: for every
+    * (user, active day), how many of the trailing `windowDays` days the
+    * user was active (the "active days in last 7" retention feature), plus
+    * the gap since their previous active day (gap > window = a lapsed
+    * user returning — a streak restart).
+    *
+    * The rolling count is a RANGE frame over the integer epoch-day key —
+    * calendar-correct (absent days are absent, not zero-rows), no
+    * explode, no self-join. Exact integers throughout.
+    *
+    * Scale shape: one (user, day) distinct shuffle, then BOTH windows
+    * (range count + lag) share the single (user_id) exchange and its
+    * day_no sort — per-user state is bounded by the user's active-day
+    * count, never materializing the calendar. */
+  def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1)
+    val ud = events.select(col("user_id"), expr("to_date(ts)").as("day")).distinct()
+      .withColumn("day_no", expr("datediff(day, DATE '1970-01-01')"))
+    val wr = Window.partitionBy("user_id").orderBy("day_no")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val wo = Window.partitionBy("user_id").orderBy("day_no")
+    ud.withColumn("active_days_7d", count(lit(1)).over(wr).cast("long"))
+      .withColumn("gap_days",
+        (col("day_no") - coalesce(lag("day_no", 1).over(wo), col("day_no"))).cast("long"))
+      .select(col("user_id"), col("day"), col("active_days_7d"), col("gap_days"))
+      .orderBy("user_id", "day")
+  }
+
   /** Tumbling 1-hour windows per event_type via the native `window()`
     * grouping (maps to a single hash-shuffle on (window, type); at stream
     * time the identical expression runs under a watermark). */

@@ -324,4 +324,31 @@ class ExtEventsSpec extends AnyFunSuite {
       assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-4)
     }
   }
+
+  test("rollingActive counts trailing-window days and flags gaps") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val day = 86400000L
+    val base = 1700000000000L // mid-day UTC anchor
+    // user 1 active on days 0,1,2, then a 10-day lapse, then day 12
+    // (two events that day — must still count once); user 2: day 0 only
+    val rows = Seq((1L, 0), (1L, 1), (1L, 2), (1L, 12), (1L, 12), (2L, 0))
+    val df = rows.zipWithIndex.map { case ((u, d), i) =>
+      (i.toLong, new java.sql.Timestamp(base + d * day), u, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.rollingActive(df, windowDays = 7).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("active_days_7d"),
+        r.getAs[Long]("gap_days")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 1L), // ramp-up, consecutive days
+      (1L, 1L, 10L),                            // lapse: window empty again
+      (2L, 1L, 0L)))
+    // determinism on the real fixture under repartitioning
+    val events = Tables.load(spark0, SparkTestSession.sfDir, "events")
+    val a = Events.rollingActive(events).collect().map(_.toSeq).toSeq
+    val b = Events.rollingActive(events.repartition(11)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // the rolling count never exceeds the window length
+    assert(a.forall(_(2).asInstanceOf[Long] <= 7L))
+  }
 }
