@@ -97,6 +97,8 @@ object ExtQueries {
     // E1 — dedup
     "dedup_exact"            -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "dedup_ngram_jaccard"    -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    // asymmetric containment: the doc-inside-doc (quote/snippet) detector
+    "dedup_containment"      -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_minhash_lsh"      -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -552,6 +554,19 @@ object ExtQueries {
     // so the rule is verified as a no-op here while bounding the self-join
     // skew at scale
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.5", maxDocFreq = Some(50)),
+
+    // asymmetric containment from the SAME intersection relation: both
+    // directions projected, judged separately against the bar
+    "dedup_containment" ->
+      s"""WITH ${jaccardCtes(Some(50))},
+         |sized AS (SELECT a, b, c, sa.n_sh AS na, sb.n_sh AS nb
+         |          FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |                     JOIN sz sb ON inter.b = sb.doc_id),
+         |d AS (SELECT a AS contained, b AS container, c / na AS containment FROM sized
+         |      UNION ALL
+         |      SELECT b AS contained, a AS container, c / nb AS containment FROM sized)
+         |SELECT contained, container, round(containment, 6) AS containment
+         |FROM d WHERE containment >= 0.6 ORDER BY contained, container""".stripMargin,
 
     // MinHash-LSH's oracle is the exact-Jaccard pair set: with 128 perms in
     // 32 bands × 4 rows, P[a J≥0.8 pair misses every band] ≈ 5e-8, and all
@@ -1838,5 +1853,5 @@ object ExtQueries {
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
     "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
     "pipeline_quality_budget", "text_next_token", "graph_pagerank",
-    "events_rolling_active")
+    "events_rolling_active", "dedup_containment")
 }

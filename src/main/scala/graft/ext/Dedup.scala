@@ -120,6 +120,48 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** ASYMMETRIC n-gram CONTAINMENT pairs — the doc-inside-doc detector
+    * symmetric Jaccard structurally misses: a short document quoted whole
+    * inside a long one scores |A∩B|/|A| = 1 on containment but only
+    * |A|/|B| on Jaccard (tiny when lengths differ), so a Jaccard bar never
+    * fires. Containment(a→b) = shared distinct shingles / a's distinct
+    * shingles; each direction is judged separately and a row is emitted
+    * per DIRECTED relation over the threshold — `contained` is the doc
+    * whose shingle set is covered (the quote/snippet side; the natural
+    * drop candidate), `container` the covering one.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — one DF-capped inverted
+    * shingle index (60-bit hashed, 8-byte shuffle keys), pair enumeration
+    * strictly by shingle equi-join (Σ df² expansion, never cartesian); the
+    * direction split is a projection of the SAME intersection relation
+    * (both directions from one join, not two). Same sub-quadratic escape
+    * at scale: [[minhashLsh]]'s banding, with containment verified on the
+    * candidate pairs instead of Jaccard. */
+  def containment(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+                  maxDocFreq: Int = 50): DataFrame = {
+    val w = Window.partitionBy("shingle")
+    val sh = shingleIndex(docs, n)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDocFreq)
+      .select("doc_id", "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.toDF("a", "shingle")
+      .join(sh.toDF("b", "shingle"), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sized = inter
+      .join(sizes.toDF("a", "na"), "a")
+      .join(sizes.toDF("b", "nb"), "b")
+    sized.select(col("a").as("contained"), col("b").as("container"),
+        expr("c / na").as("containment"))
+      .unionAll(sized.select(col("b").as("contained"), col("a").as("container"),
+        expr("c / nb").as("containment")))
+      .filter(col("containment") >= threshold)
+      .select(col("contained"), col("container"),
+        expr("round(containment, 6)").as("containment"))
+      .orderBy("contained", "container")
+  }
+
   /** Eval-set decontamination — the training-corpus hygiene check every LLM
     * pipeline runs before training: flag training documents that share any
     * word n-gram with a held-out evaluation set (Brown et al. 2020 §C /

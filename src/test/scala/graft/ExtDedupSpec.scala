@@ -322,4 +322,29 @@ class ExtDedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_members") === members.length.toLong)
     }
   }
+
+  test("containment fires on doc-inside-doc where the Jaccard bar cannot") {
+    // doc 1 is quoted whole inside doc 2's much longer text: every trigram
+    // of 1 appears in 2, so containment(1→2) = 1.0 while Jaccard = na/nb
+    val quote = "alpha beta gamma delta epsilon"              // 3 trigrams
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")     // disjoint tail
+    val out = Dedup.containment(docsDf(1L -> quote, 2L -> s"$quote $filler"))
+      .collect().map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Double]("containment")))
+    // only the 1→2 direction clears the 0.6 bar (2→1 is 3/42)
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+    // symmetric near-dups emit BOTH directions
+    val both = Dedup.containment(docsDf(
+      3L -> "one two three four five", 4L -> "one two three four six"))
+      .collect().map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container")))
+    assert(both.toSeq === Seq((3L, 4L), (4L, 3L)))
+    // sanity on the real fixture: containment pairs are a superset of the
+    // SAME-threshold Jaccard pairs (containment >= jaccard pointwise)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val cont = Dedup.containment(docs, threshold = 0.5).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.5).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(cont))
+  }
 }
