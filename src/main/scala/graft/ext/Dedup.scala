@@ -149,13 +149,19 @@ object Dedup {
       .join(sh.toDF("b", "shingle"), "shingle")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val sized = inter
+    // both directions from ONE pass over the intersection relation: a
+    // 2-element explode per undirected pair, NOT a self-union (a union's
+    // branches each rebuild the whole join tree pre-AQE; the explode is a
+    // narrow map over rows already in hand)
+    inter
       .join(sizes.toDF("a", "na"), "a")
       .join(sizes.toDF("b", "nb"), "b")
-    sized.select(col("a").as("contained"), col("b").as("container"),
-        expr("c / na").as("containment"))
-      .unionAll(sized.select(col("b").as("contained"), col("a").as("container"),
-        expr("c / nb").as("containment")))
+      .select(explode(array(
+        struct(col("a").as("contained"), col("b").as("container"),
+          expr("c / na").as("containment")),
+        struct(col("b").as("contained"), col("a").as("container"),
+          expr("c / nb").as("containment")))).as("d"))
+      .select("d.*")
       .filter(col("containment") >= threshold)
       .select(col("contained"), col("container"),
         expr("round(containment, 6)").as("containment"))

@@ -442,4 +442,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!exch.contains("content#") || exch.contains("content_md5"),
       s"blob payload crossed an exchange\n$exch")
   }
+
+  test("containment pair enumeration is the shingle equi-join, never a nested loop") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // pair counting aggregates partially before the (a, b) shuffle
+    assert(p.contains("partial_"), p)
+    // the direction split is a narrow 2-row explode of ONE intersection
+    // relation — a self-union would rebuild the whole join tree per branch
+    assert(!p.contains("Union"), s"direction split planned as a union\n$p")
+  }
 }
