@@ -154,6 +154,8 @@ object ExtQueries {
     }),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
+    // contrastive-training negatives: near-dup ceiling, then ranks 6..15
+    "similarity_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
@@ -217,6 +219,9 @@ object ExtQueries {
 
     // exact-quota per-language eval-set selection (md5 total order, no RNG)
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
+    // leakage-free split: membership hashed on the near-dup CLUSTER id, so
+    // a doc and its near-duplicates never straddle train/val/test
+    "pipeline_cluster_split" -> ((s, dir) => Sampling.clusterSplit(docs(s, dir))),
     // deterministic training-order shuffle into shard files (seeded md5)
     "pipeline_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
 
@@ -609,6 +614,34 @@ object ExtQueries {
          |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id)
          |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // leakage-free split: the same transitive-closure cluster labels,
+    // singletons coalesced to their own doc_id, then the SAME md5 hex-region
+    // bucket as pipeline_split_sample — keyed on cluster_id, so cluster
+    // members share a split by construction
+    "pipeline_cluster_split" ->
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+         |jp AS (SELECT a, b
+         |       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+         |       WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |b AS (SELECT doc_id, cluster_id,
+         |  CAST(list_sum(list_transform(range(0, 4), k ->
+         |    CAST(strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+         |      << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 100 AS sb
+         |  FROM lab)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN sb < 10 THEN 'val' WHEN sb < 20 THEN 'test' ELSE 'train' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // near-dup composite: the keepers closure + the quality gate chained;
     // non-keepers = cluster members above the per-cluster min
@@ -1151,6 +1184,23 @@ object ExtQueries {
          |           FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // same exact-integer scoring as similarity_topk; the near-dup ceiling
+    // (cosine < 0.95) applies BEFORE ranking — the cut compares the same
+    // IEEE division in both engines, so the band is bit-identical
+    "similarity_hard_negatives" ->
+      s"""$quantCte,
+         |dots AS (SELECT qq.vec_id AS query_id, qv.vec_id AS vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |         FROM q qq JOIN q qv ON qq.i = qv.i AND qq.vec_id < 10 AND qv.vec_id != qq.vec_id
+         |         GROUP BY qq.vec_id, qv.vec_id),
+         |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+         |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM scored WHERE cosine < 0.95)
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank > 5 AND rank <= 15 ORDER BY query_id, rank""".stripMargin,
 
     // planes derived from corpus size exactly like the engine's planesFor:
     // max(4, ceil(log2(n/32))) — 4 at sf0.01 (n=500), 6 at sf0.1 (n=2000).
@@ -1853,5 +1903,6 @@ object ExtQueries {
     "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
     "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
     "pipeline_quality_budget", "text_next_token", "graph_pagerank",
-    "events_rolling_active", "dedup_containment")
+    "events_rolling_active", "dedup_containment",
+    "pipeline_cluster_split", "similarity_hard_negatives")
 }

@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket 0..99 from hex digits [from, from+4) of md5(doc_id). */
-  private def bucketExpr(from: Int): String =
-    s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), $from, 4), 16, 10) AS BIGINT) % 100"
+  /** Bucket 0..99 from hex digits [from, from+4) of md5(key). */
+  private def bucketExpr(from: Int, key: String = "doc_id"): String =
+    s"CAST(conv(substring(md5(CAST($key AS STRING)), $from, 4), 16, 10) AS BIGINT) % 100"
 
   /** Row-level assignment: `split` (train/val/test by id-hash bucket) and
     * `sampled` (stratum-independent pct downsample flag). Pure projection —
@@ -41,6 +41,45 @@ object Sampling {
           .otherwise(lit("train")))
       .withColumn("sampled", (col("__pb") < samplePct).cast("int"))
       .drop("__sb", "__pb")
+  }
+
+  /** LEAKAGE-FREE train/val/test split: membership is a hash of the
+    * NEAR-DUP CLUSTER id, not the doc id — so a document and its near
+    * duplicates always land in the same split. Per-doc hashing (above)
+    * silently leaks: a val doc's 95%-identical twin lands in train and the
+    * eval score measures memorization, not generalization. This is the
+    * split a training corpus actually needs once dedup clusters exist.
+    *
+    * Mechanics: [[Dedup.minhashClusters]] labels every doc that appears in
+    * a ≥threshold near-dup pair with its component-min cluster id; docs in
+    * no pair are their own singleton cluster (coalesce to doc_id — id
+    * spaces are shared so labels never collide). The split bucket then
+    * hashes the CLUSTER id with the same md5-region scheme as
+    * [[assignSplits]] — singleton docs get exactly the per-doc behavior,
+    * clustered docs move as a unit.
+    *
+    * Scale shape: the cluster-label table is only the docs that appear in
+    * near-dup pairs (≪ corpus, typically low single-digit %), so the left
+    * join back to the corpus broadcasts (hinted; AQE would also pick it) —
+    * the corpus itself is scanned once and never shuffled; the split
+    * assignment is a narrow codegen'd projection on top. The LSH pair
+    * pipeline underneath is the already-soaked sub-quadratic path.
+    *
+    * Leakage invariant (spec-asserted): every cluster maps to exactly one
+    * split — `countDistinct(split) == 1` per cluster_id, always. */
+  def clusterSplit(docs: DataFrame, valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct + testPct < 100, "val + test must leave room for train")
+    val labels = Dedup.minhashClusters(docs)
+    docs.select(col("doc_id"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("__sb", expr(bucketExpr(1, key = "cluster_id")))
+      .withColumn("split",
+        when(col("__sb") < valPct, lit("val"))
+          .when(col("__sb") < valPct + testPct, lit("test"))
+          .otherwise(lit("train")))
+      .drop("__sb")
+      .orderBy("doc_id")
   }
 
   /** Per-(lang, split) membership summary — the corpus-build report card:

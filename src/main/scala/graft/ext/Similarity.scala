@@ -27,26 +27,66 @@ object Similarity {
       .withColumn("nrm", expr("vec_dotl(q, q)"))
   }
 
+  /** Shared exact-scoring kernel: every corpus vector scored against every
+    * query vector (query set broadcast — one scan of the big side, no
+    * shuffle of it). Emits (query_id, vec_id, cosine); the consumers below
+    * differ only in how they slice the per-query ranking. */
+  private def cosineScored(vecs: DataFrame, nQueries: Int): DataFrame = {
+    val queries = vecs.filter(col("vec_id") < nQueries).toDF("query_id", "qq", "nq")
+    vecs.toDF("vec_id", "qv", "nv")
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot", expr("vec_dotl(qq, qv)"))
+      .withColumn("cosine", expr("dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
+  }
+
+  /** Per-query dense rank → the canonical output shape (query_id, rank,
+    * neighbor_id, cosine): a per-query-partition window (top-k heap under
+    * AQE) over whatever candidate slice the caller scored. */
+  private def rankSlice(scored: DataFrame, lo: Int, hi: Int): DataFrame = {
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") > lo && col("rank") <= hi)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        expr("round(cosine, 6)").as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force cosine top-k: the exact baseline. The (small) query set is
     * broadcast against the full corpus — one scan of the big side, no
     * shuffle of it; ranking is a per-query-partition window (top-k heap
     * under AQE). At 1000 executors this is the classic "scan once, rank
     * locally" shape; the LSH variant below is the sub-linear path. */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame = {
-    val vecs = quantized(embeddings)
-    val queries = vecs.filter(col("vec_id") < nQueries).toDF("query_id", "qq", "nq")
-    val scored = vecs.toDF("vec_id", "qv", "nv")
-      .crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("dot", expr("vec_dotl(qq, qv)"))
-      .withColumn("cosine", expr("dot / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nv AS DOUBLE)))"))
-    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(rk))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        expr("round(cosine, 6)").as("cosine"))
-      .orderBy("query_id", "rank")
-  }
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
+    rankSlice(cosineScored(quantized(embeddings), nQueries), 0, k)
+
+  /** HARD-NEGATIVE MINING for retrieval training: per query, the corpus
+    * vectors ranked just BELOW the presumed positives — similar enough to
+    * be informative, ranked low enough to (probably) be wrong answers.
+    * Contrastive training (InfoNCE-style) is dominated by negative quality;
+    * random negatives are too easy, top-ranked ones are false negatives.
+    *
+    * Two-stage slice, mirrored exactly in the oracle:
+    *  1. NEAR-DUP CEILING — candidates with cosine ≥ `dupCeil` are dropped
+    *     BEFORE ranking (they are unlabeled positives/duplicates, not
+    *     negatives; keeping them would poison the training signal);
+    *  2. RANK BAND — of the remainder, skip the top `posK` (likely true
+    *     positives) and emit the next `negK` per query.
+    *
+    * `rank` is the post-ceiling rank (posK+1 … posK+negK), so consumers
+    * can weight negatives by hardness. cosine is the exact-integer IEEE
+    * division shared with [[bruteForceTopK]], so the `< dupCeil` cut and
+    * the ordering are bit-identical across engines.
+    *
+    * Scale shape: identical to the brute-force baseline — broadcast query
+    * set, ONE corpus scan, only candidate rows (not the corpus) reach the
+    * per-query top-k window. For a large query set, swap the scoring stage
+    * for the IVF/LSH candidate generators above; the slice is unchanged. */
+  def hardNegatives(embeddings: DataFrame, nQueries: Int = 10, posK: Int = 5,
+                    negK: Int = 10, dupCeil: Double = 0.95): DataFrame =
+    rankSlice(
+      cosineScored(quantized(embeddings), nQueries).filter(col("cosine") < dupCeil),
+      posK, posK + negK)
 
   /** Hyperplane count scaled to the corpus: enough sign bits that the
     * expected bucket occupancy stays ≈ `bucketTarget` regardless of n

@@ -210,4 +210,34 @@ class ExtSimilaritySpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(got === expected)
   }
+
+  test("hardNegatives slices the post-ceiling rank band and drops near-dups") {
+    // query 0 along x; 1 is a 0.9999-cosine near-dup (above the 0.99
+    // ceiling), the rest fan out at increasing angles
+    val vecs = (0L, Array(1.0f, 0.0f)) +: (1L to 8L).map { i =>
+      val theta = if (i == 1) 0.001 else (i - 1) * 0.2
+      (i, Array(math.cos(theta).toFloat, math.sin(theta).toFloat))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(df, nQueries = 1, posK = 2, negK = 3, dupCeil = 0.99)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // near-dup 1 excluded BEFORE ranking, so ranks 1,2 = vecs 2,3
+    // (positives, skipped) and the band is ranks 3..5 = vecs 4,5,6
+    assert(out.toSeq === Seq((3, 4L), (4, 5L), (5, 6L)))
+  }
+
+  test("hardNegatives band continues exactly where bruteForceTopK's ranking leaves off when no near-dups exist") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    // fixture has no >=0.95-cosine pairs (FIXTURES.md), so the ceiling is
+    // a no-op and the band must equal brute-force ranks posK+1..posK+negK
+    val brute = Similarity.bruteForceTopK(docs, nQueries = 3, k = 15).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 > 5)
+    val hard = Similarity.hardNegatives(docs, nQueries = 3, posK = 5, negK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(hard.toSeq === brute.toSeq)
+    // band bounds: exactly negK rows per query, ranks in (posK, posK+negK]
+    assert(hard.groupBy(_._1).forall(_._2.length == 10))
+    assert(hard.forall(r => r._2 > 5 && r._2 <= 15))
+  }
 }

@@ -71,4 +71,45 @@ class SamplingSpec extends AnyFunSuite {
     val shard0 = out.filter(_.getInt(1) == 0).sortBy(_.getLong(2)).map(_.getLong(0))
     assert(shard0.zip(shard0.tail).count { case (a, b) => b == a + 1 } < shard0.length / 4)
   }
+
+  test("clusterSplit is leakage-free: every near-dup cluster maps to exactly one split") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Sampling.clusterSplit(docs)
+    // the invariant the operator exists for: no cluster straddles splits
+    val leaky = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(leaky.isEmpty, leaky.collect().mkString(", "))
+    // every doc gets exactly one row, and multi-doc clusters exist in the
+    // fixture (otherwise the test proves nothing beyond assignSplits)
+    assert(out.count() === docs.count())
+    val multi = out.groupBy("cluster_id").count().filter(col("count") > 1).count()
+    assert(multi > 0, "fixture has no multi-doc near-dup clusters")
+  }
+
+  test("clusterSplit singletons reproduce the per-doc hash bucket; members follow the cluster") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Sampling.clusterSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val clusterOf = out.map { case (d, c, _) => d -> c }.toMap
+    def splitOf(key: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 4), 16) % 100
+      if (b < 10) "val" else if (b < 20) "test" else "train"
+    }
+    out.foreach { case (doc, cluster, split) =>
+      // split is a pure function of the CLUSTER id (10/10/80 buckets)
+      assert(split === splitOf(cluster), s"doc $doc cluster $cluster")
+      // singletons: cluster_id == doc_id by coalesce
+      if (out.count(_._2 == cluster) == 1) assert(cluster === doc)
+    }
+    // a doc whose own-id split disagrees with its cluster's split proves
+    // the key really is the cluster id, not the doc id
+    val moved = out.exists { case (doc, cluster, _) =>
+      clusterOf(doc) != doc && splitOf(doc) != splitOf(cluster)
+    }
+    assert(moved, "no cluster member's own-id split differs from its cluster's — fixture too weak to distinguish keys")
+  }
 }
