@@ -156,6 +156,8 @@ object ExtQueries {
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     // contrastive-training negatives: near-dup ceiling, then ranks 6..15
     "similarity_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(embs(s, dir))),
+    // index-quality measurement: recall@5 of lsh/ivf vs the exact baseline
+    "similarity_recall_eval" -> ((s, dir) => Similarity.recallEval(embs(s, dir))),
     "similarity_lsh"  -> ((s, dir) => Similarity.lshTopK(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
@@ -1202,6 +1204,82 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank > 5 AND rank <= 15 ORDER BY query_id, rank""".stripMargin,
 
+    // recall@5 eval: replays all three proven algorithms (exact = e_*, IVF
+    // chain verbatim from similarity_ivf, SRP-LSH chain with l_* renames
+    // where names collide) and intersects the top-5 sets
+    "similarity_recall_eval" ->
+      s"""$quantCte,
+         |e_dots AS (SELECT qq.vec_id AS query_id, qv.vec_id AS vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |           FROM q qq JOIN q qv ON qq.i = qv.i AND qq.vec_id < 10 AND qv.vec_id != qq.vec_id
+         |           GROUP BY qq.vec_id, qv.vec_id),
+         |e_scored AS (SELECT e_dots.query_id AS query_id, e_dots.vec_id AS vec_id,
+         |               dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |             FROM e_dots JOIN nrm nq ON e_dots.query_id = nq.vec_id
+         |                         JOIN nrm nv ON e_dots.vec_id = nv.vec_id),
+         |e_top AS (SELECT query_id, vec_id FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM e_scored) WHERE rank <= 5),
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY qv.vec_id, qc.vec_id),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+         |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+         |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |              FROM ccos) WHERE r = 1),
+         |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+         |i_cand AS (SELECT p.query_id, a.vec_id
+         |           FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+         |i_dots AS (SELECT i_cand.query_id, i_cand.vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |           FROM i_cand JOIN q qq ON qq.vec_id = i_cand.query_id
+         |                       JOIN q qv ON qv.vec_id = i_cand.vec_id AND qq.i = qv.i
+         |           GROUP BY i_cand.query_id, i_cand.vec_id),
+         |i_scored AS (SELECT i_dots.query_id AS query_id, i_dots.vec_id AS vec_id,
+         |               dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |             FROM i_dots JOIN nrm nq ON i_dots.query_id = nq.vec_id
+         |                         JOIN nrm nv ON i_dots.vec_id = nv.vec_id),
+         |i_top AS (SELECT query_id, vec_id FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM i_scored) WHERE rank <= 5),
+         |params AS (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 32.0)) AS INT)) AS np FROM embeddings),
+         |planes AS (SELECT p, i, (1103515245 * (p * 64 + i + 1) + 12345) % 2147483648 - 1073741824 AS v
+         |           FROM range(32) t1(p), range(64) t2(i), params WHERE p < params.np),
+         |pdots AS (SELECT q.vec_id, planes.p, CAST(sum(q.x * planes.v) AS BIGINT) AS dot_p
+         |          FROM q JOIN planes ON q.i = planes.i + 1
+         |          GROUP BY q.vec_id, planes.p),
+         |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot_p > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |            FROM pdots GROUP BY vec_id),
+         |l_cand AS (SELECT bq.vec_id AS query_id, bv.vec_id AS vec_id
+         |           FROM buckets bq JOIN buckets bv
+         |             ON bit_count(xor(CAST(bq.bucket AS BIT), CAST(bv.bucket AS BIT))) <= 1
+         |            AND bq.vec_id < 10 AND bv.vec_id != bq.vec_id),
+         |l_dots AS (SELECT l_cand.query_id, l_cand.vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |           FROM l_cand JOIN q qq ON qq.vec_id = l_cand.query_id
+         |                       JOIN q qv ON qv.vec_id = l_cand.vec_id AND qq.i = qv.i
+         |           GROUP BY l_cand.query_id, l_cand.vec_id),
+         |l_scored AS (SELECT l_dots.query_id AS query_id, l_dots.vec_id AS vec_id,
+         |               dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |             FROM l_dots JOIN nrm nq ON l_dots.query_id = nq.vec_id
+         |                         JOIN nrm nv ON l_dots.vec_id = nv.vec_id),
+         |l_top AS (SELECT query_id, vec_id FROM
+         |          (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |           FROM l_scored) WHERE rank <= 5),
+         |m AS (SELECT 'ivf' AS method,
+         |             (SELECT count(*) FROM e_top JOIN i_top USING (query_id, vec_id)) AS hits,
+         |             (SELECT count(*) FROM e_top) AS n_expected
+         |      UNION ALL
+         |      SELECT 'lsh',
+         |             (SELECT count(*) FROM e_top JOIN l_top USING (query_id, vec_id)),
+         |             (SELECT count(*) FROM e_top))
+         |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(n_expected AS BIGINT) AS n_expected,
+         |       round(hits / n_expected, 6) AS recall
+         |FROM m ORDER BY method""".stripMargin,
+
     // planes derived from corpus size exactly like the engine's planesFor:
     // max(4, ceil(log2(n/32))) — 4 at sf0.01 (n=500), 6 at sf0.1 (n=2000).
     // range() only takes constants, so generate a 32-plane superset and
@@ -1904,5 +1982,6 @@ object ExtQueries {
     "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
     "pipeline_quality_budget", "text_next_token", "graph_pagerank",
     "events_rolling_active", "dedup_containment",
-    "pipeline_cluster_split", "similarity_hard_negatives")
+    "pipeline_cluster_split", "similarity_hard_negatives",
+    "similarity_recall_eval")
 }

@@ -660,4 +660,38 @@ object Similarity {
         expr("round(cosine, 6)").as("cosine"), col("bucket"))
       .orderBy("query_id", "rank")
   }
+
+  /** RECALL@k EVAL of the approximate indexes against the exact baseline —
+    * the measurement a corpus team runs before trusting an index at scale
+    * ("measure, don't guess"): per method, how many of the true top-k
+    * neighbors the index's top-k recovers, over the query set.
+    *
+    * hits = |exact-top-k ∩ approx-top-k| per (query, neighbor) pair,
+    * summed over queries; recall = hits / |exact-top-k|. Both sides use
+    * the same exact-integer cosine and (cosine DESC, vec_id ASC) order,
+    * so the comparison is bit-deterministic and the oracle replays all
+    * three algorithms verbatim.
+    *
+    * Scale shape: three independent corpus scans (exact, IVF, SRP-LSH) —
+    * the price of an eval, each the already-proven per-method shape; the
+    * set intersections are left-semi joins of nQueries·k-row results
+    * (trivially broadcast), never anything corpus-sized. */
+  def recallEval(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val methods = Seq(
+      "ivf" -> ivfTopK(embeddings, nQueries, k),
+      "lsh" -> lshTopK(embeddings, nQueries, k))
+    val expected = exact.agg(count(lit(1)).as("n_expected"))
+    methods.map { case (name, approx) =>
+        exact.join(approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(name).as("method"), col("hits"))
+      }
+      .reduce(_ unionAll _)
+      .crossJoin(broadcast(expected))
+      .withColumn("recall", expr("round(hits / n_expected, 6)"))
+      .orderBy("method")
+  }
 }

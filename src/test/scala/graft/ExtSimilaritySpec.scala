@@ -240,4 +240,24 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(hard.groupBy(_._1).forall(_._2.length == 10))
     assert(hard.forall(r => r._2 > 5 && r._2 <= 15))
   }
+
+  test("recallEval reports hits/expected per method; full-probe IVF recovers the exact top-k") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.recallEval(docs).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("ivf", "lsh"))
+    out.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), r.toString)
+      assert(r.getDouble(3) ===
+        math.round(r.getLong(1).toDouble / r.getLong(2) * 1e6) / 1e6, r.toString)
+    }
+    // probing every list degrades IVF to exact search (each vector lives in
+    // exactly one list, all probed) — recall must be exactly 1
+    val exact = Similarity.bruteForceTopK(docs, nQueries = 3, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(docs, nQueries = 3, k = 5, nList = 16, nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+  }
 }
