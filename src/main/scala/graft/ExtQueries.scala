@@ -65,6 +65,8 @@ object ExtQueries {
     "text_tokens"      -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
     "text_df_index"    -> ((s, dir) => TextAnalysis.dfIndex(docs(s, dir))),
+    // per-source distinctive terms: tf x integer rarity (1e6 div df)
+    "text_tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(docs(s, dir))),
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     // langid eval: per (actual, predicted) confusion counts + recall
     "text_langid_confusion" -> ((s, dir) => TextAnalysis.langidConfusion(docs(s, dir))),
@@ -534,6 +536,21 @@ object ExtQueries {
         |SELECT r.doc_id AS doc_id, CAST(r.rank AS INT) AS rank, r.term AS term, r.tf AS tf, dft.df AS df
         |FROM ranked r JOIN dft ON r.term = dft.term
         |WHERE r.rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // same tokenization as text_df_index; idf = the exact integer rarity
+    // weight 1e6 // df (the text_search convention — no libm ln)
+    "text_tfidf_terms" ->
+      """WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
+        |dft AS (SELECT term, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+        |s AS (SELECT source, tf.term AS term, tf, df, tf * (1000000 // df) AS score
+        |      FROM tf JOIN dft ON tf.term = dft.term),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+        |      FROM s)
+        |SELECT source, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
 
     "text_langid" ->
       s"""$langidCtes
@@ -1983,5 +2000,5 @@ object ExtQueries {
     "pipeline_quality_budget", "text_next_token", "graph_pagerank",
     "events_rolling_active", "dedup_containment",
     "pipeline_cluster_split", "similarity_hard_negatives",
-    "similarity_recall_eval")
+    "similarity_recall_eval", "text_tfidf_terms")
 }

@@ -638,6 +638,33 @@ object TextAnalysis {
     * shuffle to (doc_id, term) counts, one partial-agg shuffle to per-term
     * df (hot terms combine map-side), a per-doc top-k window, and a join
     * back to df. No driver state; vocabulary stays distributed. */
+  /** Per-SOURCE distinctive terms — tf-idf with the repo's exact integer
+    * rarity weight (`1e6 div df`, the [[search]] convention: a real idf ln()
+    * is libm-dependent and would break the cross-engine oracle). The corpus
+    * characterization report: which terms mark source S apart from the
+    * rest — topic drift, template leakage, and extraction bugs show up here
+    * as a source whose top terms stop looking like its domain.
+    *
+    * Scale shape: one token explode feeding two partial-agg shuffles
+    * ((source, term) tf and per-doc-distinct df); the joined relation is
+    * sources×vocab / vocab-sized — tiny next to the corpus — and the
+    * top-k window partitions by source. The corpus is scanned once. */
+  def tfidfTerms(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val toks = Dedup.spread(docs)
+      .select(col("doc_id"), col("source"), explode(expr("split(text, ' ')")).as("term"))
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val dft = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("term").asc)
+    tf.join(dft, "term")
+      .withColumn("score", expr("tf * (1000000 div df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank").cast("int").as("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("source", "rank")
+  }
+
   def dfIndex(docs: DataFrame, topK: Int = 5): DataFrame = {
     val tf = Dedup.spread(docs)
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("term"))

@@ -439,4 +439,30 @@ class ExtTextSpec extends AnyFunSuite {
       assert(rows.map(_(1).asInstanceOf[Int]).sorted === (1 to rows.length).toSeq)
     }
   }
+
+  test("tfidfTerms surfaces source-distinctive terms with the integer rarity weight") {
+    // 'zebra' appears only in src A (df=1, rarity 1e6); 'the' spans both
+    // sources (df=3, rarity 333333) — tf=2 'zebra' outranks tf=3 'the' in A
+    val df = Seq(
+      (1L, "A", "zebra zebra the the the"),
+      (2L, "A", "x y"),
+      (3L, "B", "the x"),
+      (4L, "B", "the y")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tfidfTerms(df, topK = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(5)))
+    val a = out.filter(_._1 == "A")
+    assert(a.head === (("A", 1, "zebra", 2L * 1000000L)))
+    assert(a(1)._3 === "the")
+    assert(a(1)._4 === 3L * (1000000L / 3))
+    // determinism under repartitioning on the real fixture
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val p = TextAnalysis.tfidfTerms(docs).collect().map(_.toSeq).toSeq
+    val q = TextAnalysis.tfidfTerms(docs.repartition(17)).collect().map(_.toSeq).toSeq
+    assert(p === q)
+    // exactly topK contiguous ranks per source
+    p.groupBy(_.head).foreach { case (_, rows) =>
+      assert(rows.map(_(1).asInstanceOf[Int]).sorted === (1 to 10).toSeq)
+    }
+  }
 }
