@@ -67,6 +67,8 @@ object ExtQueries {
     "text_df_index"    -> ((s, dir) => TextAnalysis.dfIndex(docs(s, dir))),
     // per-source distinctive terms: tf x integer rarity (1e6 div df)
     "text_tfidf_terms" -> ((s, dir) => TextAnalysis.tfidfTerms(docs(s, dir))),
+    // threshold-tuning report: simhash P/R vs exact Jaccard>=0.8 per bar
+    "dedup_simhash_eval" -> ((s, dir) => Dedup.simhashPrEval(docs(s, dir))),
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     // langid eval: per (actual, predicted) confusion counts + recall
     "text_langid_confusion" -> ((s, dir) => TextAnalysis.langidConfusion(docs(s, dir))),
@@ -1119,6 +1121,42 @@ object ExtQueries {
          |WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3
          |ORDER BY a, b""".stripMargin,
 
+    // simhash P/R per Hamming bar vs exact >=0.8-Jaccard truth: jaccardCtes
+    // supplies tr; the simhash chain is simhashShCte renamed smh (both
+    // define `sh`); bars LEFT JOIN the per-bar aggregate so empty bars
+    // report (0,0) exactly like the engine's bar-table left join
+    "dedup_simhash_eval" ->
+      s"""WITH ${jaccardCtes(None)},
+         |tr AS (SELECT a, b
+         |       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+         |       WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |smh AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 63), j ->
+         |      CASE WHEN list_sum(list_transform(
+         |             list_transform(list_distinct(string_split(text, ' ')), t -> md5(t)),
+         |             h -> 2 * (((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+         |                        // (CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1))
+         |           > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+         |      AS BIGINT) AS simhash
+         |  FROM documents),
+         |sp AS (SELECT s1.doc_id AS a, s2.doc_id AS b,
+         |              CAST(bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) AS INT) AS hamming
+         |       FROM smh s1 JOIN smh s2 ON s1.doc_id < s2.doc_id
+         |       WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |jj AS (SELECT sp.a, sp.b, sp.hamming,
+         |              CASE WHEN tr.a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+         |       FROM sp LEFT JOIN tr ON sp.a = tr.a AND sp.b = tr.b),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+         |agg AS (SELECT v.bar, CAST(coalesce(sum(jj.is_true), 0) AS BIGINT) AS tp,
+         |               CAST(coalesce(sum(1 - jj.is_true), 0) AS BIGINT) AS fp
+         |        FROM (VALUES (1), (2), (3)) v(bar) LEFT JOIN jj ON jj.hamming <= v.bar
+         |        GROUP BY v.bar)
+         |SELECT CAST(bar AS INT) AS bar, tp, fp, n_truth - tp AS fn,
+         |       CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END AS prec,
+         |       CASE WHEN n_truth > 0 THEN round(tp / n_truth, 6) END AS rec
+         |FROM agg CROSS JOIN nt ORDER BY bar""".stripMargin,
+
     // the engine's degree-ordered orientation finds each triangle exactly
     // once; the oracle replays the same orientation with row-value
     // comparisons, so the two sides agree wedge for wedge
@@ -2000,5 +2038,5 @@ object ExtQueries {
     "pipeline_quality_budget", "text_next_token", "graph_pagerank",
     "events_rolling_active", "dedup_containment",
     "pipeline_cluster_split", "similarity_hard_negatives",
-    "similarity_recall_eval", "text_tfidf_terms")
+    "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval")
 }

@@ -626,6 +626,41 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** PRECISION/RECALL of the simhash band detector against the exact
+    * Jaccard ≥ 0.8 truth, one row per Hamming bar 1..maxHamming — the
+    * threshold-TUNING report (the dedup twin of Similarity.recallEval):
+    * before running simhash over 100 TB, this is how the bar is picked.
+    * Truth comes from [[minhashLsh]] (its banded pair set equals the exact
+    * ≥0.8-Jaccard pairs — P[miss] ≈ 5e-8, the same equivalence the
+    * dedup_minhash_lsh oracle rests on).
+    *
+    * Scale shape: both pair generators are the proven band-join paths; the
+    * eval itself joins PAIR-sized relations (never corpus-sized), explodes
+    * each pair to its qualifying bars (≤ maxHamming copies) BEFORE one
+    * partial agg, and left-joins the maxHamming-row bar table onto the
+    * aggregate so an empty bar still reports (0, 0) — identical to the
+    * oracle's LEFT JOIN, with no nested-loop join anywhere. */
+  def simhashPrEval(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val truth = minhashLsh(docs).select(col("a"), col("b"), lit(1).as("is_true"))
+    val joined = simhashPairs(docs, maxHamming)
+      .join(truth, Seq("a", "b"), "left")
+      .withColumn("is_true", coalesce(col("is_true"), lit(0)))
+    val perBar = joined
+      .withColumn("bar", explode(expr(s"filter(sequence(1, $maxHamming), x -> x >= hamming)")))
+      .groupBy("bar").agg(sum("is_true").as("tp"), sum(expr("1 - is_true")).as("fp"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    docs.sparkSession.range(1, maxHamming + 1).toDF("bar")
+      .join(perBar, Seq("bar"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("fp", coalesce(col("fp"), lit(0L)))
+      .crossJoin(broadcast(nTruth))
+      .select(col("bar").cast("int").as("bar"), col("tp"), col("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 6) END").as("prec"),
+        expr("CASE WHEN n_truth > 0 THEN round(tp / n_truth, 6) END").as("rec"))
+      .orderBy("bar")
+  }
+
   /** Embedding-cosine near-dup pairs: vectors quantized to integers
     * (round(x·10⁴)), dot/norms as exact BIGINT sums, cosine as one IEEE
     * division — bit-identical across engines.

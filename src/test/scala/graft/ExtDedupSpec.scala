@@ -347,4 +347,25 @@ class ExtDedupSpec extends AnyFunSuite {
       .map(r => Set(r.getLong(0), r.getLong(1))).toSet
     assert(jac.subsetOf(cont))
   }
+
+  test("simhashPrEval: bars are cumulative, counts reconcile, empty bars report zeros") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = Dedup.simhashPrEval(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    // widening the bar can only add pairs: tp and fp are non-decreasing,
+    // and tp + fn = |truth| is constant across bars
+    assert(out.sliding(2).forall { case Array(lo, hi) => lo._2 <= hi._2 && lo._3 <= hi._3 })
+    val totals = out.map(t => t._2 + t._4).distinct
+    assert(totals.length === 1)
+    // bar 3's (tp + fp) must equal the simhashPairs row count
+    assert(out.last._2 + out.last._3 === Dedup.simhashPairs(docs).count())
+    // a corpus with no near-dups at all: every bar reports (0, 0, 0)
+    import spark.implicits._
+    val distinctDocs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val empty = Dedup.simhashPrEval(distinctDocs).collect()
+    assert(empty.length === 3)
+    assert(empty.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
+  }
 }
