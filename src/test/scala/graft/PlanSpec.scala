@@ -452,4 +452,25 @@ class PlanSpec extends AnyFunSuite {
     // relation — a self-union would rebuild the whole join tree per branch
     assert(!p.contains("Union"), s"direction split planned as a union\n$p")
   }
+
+  test("cluster split: label table broadcast back onto the corpus, no nested loop") {
+    val p = plan("pipeline_cluster_split")
+    // the pair-participant label table joins the corpus as a broadcast —
+    // the corpus itself must never sort-merge for the label attach
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hard negatives keep the brute-force shape: queries broadcast, one corpus scan") {
+    val p = plan("similarity_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // only ONE scan of the embeddings relation feeds the scoring join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("simhash P/R eval: pair-sized equi-joins only, partial agg before the bar rollup") {
+    val p = plan("dedup_simhash_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
 }
