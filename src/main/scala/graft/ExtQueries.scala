@@ -194,6 +194,8 @@ object ExtQueries {
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
+    // A/B readout: deterministic md5 hash cohorts, conversion lift + z
+    "events_ab_lift"         -> ((s, dir) => Events.abLift(events(s, dir))),
     "events_funnel_steps"    -> ((s, dir) => Events.funnelSteps(events(s, dir))),
     // first-touch attribution: acquisition channel -> later-conversion rate
     "events_attribution"     -> ((s, dir) => Events.attribution(events(s, dir))),
@@ -1945,6 +1947,39 @@ object ExtQueries {
         |       round(n / sum(n) OVER (PARTITION BY from_event), 6) AS p
         |FROM t ORDER BY from_event, to_event""".stripMargin,
 
+    // same md5-region cohort hash as the engine (hex digits [1,4] of
+    // md5(user_id) as an integer, % 100, < 50 -> A); metric = per-user
+    // purchase count; moments are exact BIGINTs and mean/diff/z use the
+    // SAME literal IEEE expression shapes (incl. the double-cast square)
+    // so even the Welch z hash-matches
+    "events_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT CASE WHEN CAST(list_sum(list_transform(range(0, 4), k ->
+        |        CAST(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |          << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 100 < 50
+        |        THEN 'A' ELSE 'B' END AS cohort, m FROM u),
+        |a AS (SELECT
+        |        CAST(sum(CASE WHEN cohort = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN cohort = 'A' THEN m ELSE 0 END) AS BIGINT) AS s_a,
+        |        CAST(sum(CASE WHEN cohort = 'A' THEN m * m ELSE 0 END) AS BIGINT) AS ss_a,
+        |        CAST(sum(CASE WHEN cohort = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |        CAST(sum(CASE WHEN cohort = 'B' THEN m ELSE 0 END) AS BIGINT) AS s_b,
+        |        CAST(sum(CASE WHEN cohort = 'B' THEN m * m ELSE 0 END) AS BIGINT) AS ss_b
+        |      FROM c)
+        |SELECT n_a, s_a, round(s_a / n_a, 6) AS mean_a,
+        |       n_b, s_b, round(s_b / n_b, 6) AS mean_b,
+        |       round(s_b / n_b - s_a / n_a, 6) AS diff,
+        |       CASE WHEN n_a > 1 AND n_b > 1
+        |              AND (((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+        |                   + ((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b) > 0
+        |         THEN round((s_b / n_b - s_a / n_a)
+        |                    / sqrt(((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1)) / n_a
+        |                           + ((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1)) / n_b), 6)
+        |       END AS z
+        |FROM a""".stripMargin,
+
     // bigram-LM argmax head: totally-ordered context cut (count desc,
     // token asc) and successor rank — exact counts, one round-6 division
     "text_next_token" ->
@@ -2038,5 +2073,6 @@ object ExtQueries {
     "pipeline_quality_budget", "text_next_token", "graph_pagerank",
     "events_rolling_active", "dedup_containment",
     "pipeline_cluster_split", "similarity_hard_negatives",
-    "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval")
+    "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
+    "events_ab_lift")
 }

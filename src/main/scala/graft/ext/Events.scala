@@ -528,4 +528,55 @@ object Events {
         "round(n / sum(n) OVER (PARTITION BY from_event), 6)"))
       .orderBy("from_event", "to_event")
   }
+
+  /** A/B EXPERIMENT READOUT with deterministic hash cohorts — the product
+    * analytics any event pipeline ends in: users split 50/50 by the same
+    * md5-hex-region bucket the sampling ops use (no RNG — assignment is
+    * reproducible across runs/engines, the experiment-platform property).
+    * Metric = per-user count of `metricType` events (a conversion-RATE
+    * readout saturates on this fixture: every user purchases); the one-row
+    * report carries per-cohort n/total/mean, the mean difference, and the
+    * Welch z statistic.
+    *
+    * Determinism discipline: all moments (n, Σm, Σm²) are exact BIGINTs —
+    * Σm² of integer counts needs no decimal detour — and mean/diff/z are
+    * IEEE expressions written with the SAME literal shape in the oracle
+    * (sqrt is IEEE-correctly-rounded), so even the z hash-matches. The one
+    * deliberate double cast: Σm·Σm would overflow BIGINT at ~10⁹ users, so
+    * the square in the variance is `CAST(s AS DOUBLE) * s` on both sides.
+    * Degenerate edges (cohort of ≤1 user, zero variance) yield NULL, never
+    * ±inf — guarded identically in both engines.
+    *
+    * Scale shape: one partial-agg shuffle on user_id (the per-user metric),
+    * then a global 1-row conditional aggregate — no join, no window,
+    * nothing driver-side. */
+  def abLift(events: DataFrame, metricType: String = "purchase"): DataFrame = {
+    val users = events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === metricType, 1).otherwise(0)).cast("long").as("m"))
+      .withColumn("cohort", when(
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100") < 50,
+        lit("A")).otherwise(lit("B")))
+    // Welch variance term per cohort: ((ss - s²/n) / (n-1)) / n, written
+    // once here and verbatim in the oracle so the IEEE op order matches
+    def vterm(s: String, ss: String, n: String) =
+      s"(($ss - CAST($s AS DOUBLE) * $s / $n) / ($n - 1)) / $n"
+    val va = vterm("s_a", "ss_a", "n_a")
+    val vb = vterm("s_b", "ss_b", "n_b")
+    users.agg(
+        sum(when(col("cohort") === "A", 1).otherwise(0)).cast("long").as("n_a"),
+        sum(when(col("cohort") === "A", col("m")).otherwise(0)).cast("long").as("s_a"),
+        sum(when(col("cohort") === "A", col("m") * col("m")).otherwise(0)).cast("long").as("ss_a"),
+        sum(when(col("cohort") === "B", 1).otherwise(0)).cast("long").as("n_b"),
+        sum(when(col("cohort") === "B", col("m")).otherwise(0)).cast("long").as("s_b"),
+        sum(when(col("cohort") === "B", col("m") * col("m")).otherwise(0)).cast("long").as("ss_b"))
+      .select(col("n_a"), col("s_a"),
+        expr("round(s_a / n_a, 6)").as("mean_a"),
+        col("n_b"), col("s_b"),
+        expr("round(s_b / n_b, 6)").as("mean_b"),
+        expr("round(s_b / n_b - s_a / n_a, 6)").as("diff"),
+        expr(s"""CASE WHEN n_a > 1 AND n_b > 1 AND ($va + $vb) > 0
+                 |  THEN round((s_b / n_b - s_a / n_a) / sqrt($va + $vb), 6)
+                 |END""".stripMargin).as("z"))
+  }
 }

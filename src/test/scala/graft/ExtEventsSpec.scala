@@ -351,4 +351,44 @@ class ExtEventsSpec extends AnyFunSuite {
     // the rolling count never exceeds the window length
     assert(a.forall(_(2).asInstanceOf[Long] <= 7L))
   }
+
+  test("abLift: cohorts partition users, moments reconcile, degenerate cohorts yield NULL z") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val events = Tables.load(spark0, SparkTestSession.sfDir, "events")
+    val r = Events.abLift(events).collect().head
+    val (nA, sA, nB, sB) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    // cohorts partition the user set; totals reconcile with raw counts
+    assert(nA + nB === events.select("user_id").distinct().count())
+    assert(sA + sB === events.filter(col("event_type") === "purchase").count())
+    assert(r.getDouble(2) === math.round(sA.toDouble / nA * 1e6) / 1e6)
+    // z carries diff's sign
+    if (!r.isNullAt(7)) assert(r.getDouble(7).sign === r.getDouble(6).sign)
+    // cohort of one user each: n>1 guard → NULL z, diff still defined.
+    // user ids chosen so md5-bucket(1)=A is false/true appropriately —
+    // derive cohorts the same way the engine does rather than hardcoding
+    def bucketA(u: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 100 < 50
+    }
+    val aUser = (1L to 50L).find(bucketA).get
+    val bUser = (1L to 50L).find(!bucketA(_)).get
+    val base = 1700000000000L
+    def mk(rows: Seq[(Long, String)]) = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, new java.sql.Timestamp(base + i), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tiny = Events.abLift(mk(Seq((aUser, "purchase"), (bUser, "purchase"),
+      (bUser, "purchase")))).collect().head
+    assert(tiny.getLong(0) === 1L && tiny.getLong(3) === 1L)
+    assert(tiny.isNullAt(7), tiny.toString)
+    assert(tiny.getDouble(6) === 1.0)
+    // zero variance (every user identical count): z NULL, not ±inf
+    val aUser2 = (aUser + 1 to 99L).find(bucketA).get
+    val bUser2 = (bUser + 1 to 99L).find(!bucketA(_)).get
+    val flat = Events.abLift(mk(Seq(aUser, aUser2, bUser, bUser2)
+      .map(u => (u, "purchase")))).collect().head
+    assert(flat.getLong(0) === 2L && flat.getLong(3) === 2L)
+    assert(flat.isNullAt(7), flat.toString)
+  }
 }
