@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Test-table access. Mirrors the reference's "Salesforce object" concept
   * (a named table fetched from a source — ref: `/root/reference/operators/
@@ -21,17 +21,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table carries a TIMESTAMP(NANOS) column, which Spark 4's
-    // parquet reader rejects unless nanos are surfaced as long; we convert
-    // back to TimestampType (microsecond precision — Spark's native
-    // resolution) right at the scan so downstream operators see a timestamp.
+    // The events `ts` column has shipped under three legal parquet encodings
+    // across fixture generations; the scan must be agnostic to all of them:
+    //  - TIMESTAMP(NANOS): Spark 4 rejects it unless surfaced as long
+    //    (nanosAsLong), then we convert to native microsecond TimestampType.
+    //  - TIMESTAMP_MICROS with isAdjustedToUTC=0: read as TIMESTAMP_NTZ;
+    //    the session runs UTC, so casting to TimestampType reinterprets the
+    //    wall-clock as the same UTC instant (no shift).
+    //  - TIMESTAMP_MICROS adjusted to UTC: already TimestampType, no-op.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // integer div — a double division of epoch-nanos (~2^60) loses ulps
-      // and can flip the microsecond at the boundary
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        // integer div — a double division of epoch-nanos (~2^60) loses ulps
+        // and can flip the microsecond at the boundary
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view named after the object, so that

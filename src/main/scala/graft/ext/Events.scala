@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -19,6 +19,21 @@ object Events {
   /** Order-insensitive exact sum of the double `value` column. */
   private def vsum = sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value")
 
+  /** THE epoch-ms projection of the event timestamp — the single place the
+    * ts→ms normalization lives. `Tables.load` guarantees `ts` arrives as
+    * TimestampType regardless of the fixture's parquet encoding
+    * (nanos-as-long / TIMESTAMP_NTZ / adjusted-to-UTC — the r5 fixture
+    * regen broke every operator that re-derived this inline); operators
+    * must use `tsMs`/[[withMs]] rather than calling `unix_millis` on `ts`
+    * themselves, so the next encoding drift is one fix, not seven. */
+  private val tsMs: Column = unix_millis(col("ts"))
+
+  /** Project `events` down to `cols` plus the normalized `ms` column —
+    * the shared head of every sequence/funnel-shaped operator. The
+    * (ms, event_id) pair is the class-wide total-order convention. */
+  private def withMs(events: DataFrame, cols: Column*): DataFrame =
+    events.select(cols :+ tsMs.as("ms"): _*)
+
   /** Gap-based sessionization (30-min inactivity): lag + cumulative-sum of
     * session starts over (user_id, ts) — two window passes over one
     * shuffle-by-user, the canonical distributed formulation. At scale this
@@ -26,16 +41,16 @@ object Events {
   def sessionize(events: DataFrame, gapMillis: Long = 1800000L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     events
-      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("prev_ms", lag(tsMs, 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMillis, 1)
+        when(col("prev_ms").isNull || tsMs - col("prev_ms") > gapMillis, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
-        min(unix_millis(col("ts"))).as("start_ms"),
-        max(unix_millis(col("ts"))).as("end_ms"),
+        min(tsMs).as("start_ms"),
+        max(tsMs).as("end_ms"),
         vsum)
       .orderBy("user_id", "session_id")
   }
@@ -54,7 +69,7 @@ object Events {
   def funnelSteps(events: DataFrame,
                   steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
     require(steps.nonEmpty)
-    val e = events.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val e = withMs(events, col("user_id"), col("event_type"))
     // reached(i): per-user earliest completion time of steps 0..i in order —
     // a driver-side fold over the (bounded) step list, building ONE plan;
     // no driver action, no collected data
@@ -118,7 +133,7 @@ object Events {
     * UTC session (DuckDB timestamps are naive — identical calendar math). */
   def funnel(events: DataFrame, fromType: String = "signup",
              toType: String = "purchase", horizonMs: Long = 604800000L): DataFrame = {
-    val e = events.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val e = withMs(events, col("user_id"), col("event_type"))
     val entered = e.groupBy("user_id")
       .agg(min(when(col("event_type") === fromType, col("ms"))).as("from_ms"))
       .filter(col("from_ms").isNotNull)
@@ -213,7 +228,7 @@ object Events {
     * `percentile` ≡ DuckDB `quantile_cont`; mean = one IEEE division. */
   def conversionLag(events: DataFrame, fromType: String = "signup",
                     toType: String = "purchase"): DataFrame = {
-    val e = events.select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val e = withMs(events, col("user_id"), col("event_type"))
     val first = e.filter(col("event_type") === fromType)
       .groupBy("user_id").agg(min(col("ms")).as("from_ms"))
     val conv = e.filter(col("event_type") === toType)
@@ -250,9 +265,9 @@ object Events {
   def cooccurrence(events: DataFrame, gapMillis: Long = 1800000L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val st = events
-      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("prev_ms", lag(tsMs, 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMillis, 1)
+        when(col("prev_ms").isNull || tsMs - col("prev_ms") > gapMillis, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -448,8 +463,7 @@ object Events {
     * is one row per event type. Total order: (ms, event_id) breaks
     * same-millisecond ties exactly. */
   def attribution(events: DataFrame, toType: String = "purchase"): DataFrame = {
-    val e = events.select(col("user_id"), col("event_id"), col("event_type"),
-      unix_millis(col("ts")).as("ms"))
+    val e = withMs(events, col("user_id"), col("event_id"), col("event_type"))
     val first = e
       .groupBy("user_id")
       .agg(min(struct(col("ms"), col("event_id"), col("event_type"))).as("f"))
@@ -477,9 +491,7 @@ object Events {
     * — total order, oracle-deterministic. */
   def topPaths(events: DataFrame, k: Int = 20): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
-    val tri = events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("ms"))
+    val tri = withMs(events, col("user_id"), col("event_id"), col("event_type"))
       .withColumn("t2", lead(col("event_type"), 1).over(w))
       .withColumn("t3", lead(col("event_type"), 2).over(w))
       .filter(col("t3").isNotNull)
@@ -515,9 +527,9 @@ object Events {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      .withColumn("prev_ms", lag(tsMs, 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > gapMillis, 1)
+        when(col("prev_ms").isNull || tsMs - col("prev_ms") > gapMillis, 1)
           .otherwise(0))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
       .withColumn("next_new", lead(col("new_session"), 1).over(byUser))
