@@ -110,6 +110,11 @@ object ExtQueries {
     // over the simhash near-dup graph (degree-ordered orientation)
     "graph_triangles"        -> ((s, dir) =>
       Graph.triangles(Dedup.simhashPairs(docs(s, dir)))),
+    // the 100x-scale guard: per-apex wedge budget of 8 (work O(n·64)
+    // regardless of graph density; documented undercount at apexes with
+    // oriented out-degree > 8 — the oracle replays the identical cap)
+    "graph_triangles_capped" -> ((s, dir) =>
+      Graph.triangles(Dedup.simhashPairs(docs(s, dir)), maxOutDeg = Some(8))),
     // degree histogram of the near-dup graph (template-farm shape report)
     "graph_degree_hist"      -> ((s, dir) =>
       Graph.degreeHist(Dedup.simhashPairs(docs(s, dir)))),
@@ -1188,6 +1193,38 @@ object ExtQueries {
          |FROM deg LEFT JOIN tc ON tc.id = deg.id
          |ORDER BY doc_id""".stripMargin,
 
+    // the capped variant replays the identical (ddeg, dst)-smallest-8
+    // wedge budget via row_number, closure probe uncapped — same
+    // deterministic undercount as the engine
+    "graph_triangles_capped" ->
+      s"""WITH $simhashShCte,
+         |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
+         |      FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
+         |      WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
+         |dir AS (SELECT CASE WHEN (da.degree, a) < (db.degree, b) THEN a ELSE b END AS src,
+         |               CASE WHEN (da.degree, a) < (db.degree, b) THEN b ELSE a END AS dst,
+         |               CASE WHEN (da.degree, a) < (db.degree, b) THEN db.degree ELSE da.degree END AS ddeg
+         |        FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b),
+         |dirc AS (SELECT src, dst, ddeg FROM (
+         |           SELECT dir.*, row_number() OVER (PARTITION BY src ORDER BY ddeg, dst) AS rn
+         |           FROM dir) WHERE rn <= 8),
+         |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |        FROM dirc e1 JOIN dirc e2 ON e1.src = e2.src
+         |          AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
+         |        JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM (SELECT u AS id FROM tri UNION ALL SELECT v AS id FROM tri
+         |             UNION ALL SELECT w AS id FROM tri) GROUP BY id)
+         |SELECT deg.id AS doc_id, deg.degree,
+         |       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |       CASE WHEN deg.degree >= 2
+         |            THEN round(2e0 * coalesce(tc.n_triangles, 0) / (deg.degree * (deg.degree - 1)), 6)
+         |            ELSE 0e0 END AS clustering
+         |FROM deg LEFT JOIN tc ON tc.id = deg.id
+         |ORDER BY doc_id""".stripMargin,
+
     // same simhash edge + degree CTEs as graph_triangles, folded to the
     // histogram; share = one IEEE division of exact counts
     // floor-division PageRank: the same all-BIGINT recurrence unrolled as
@@ -2074,5 +2111,5 @@ object ExtQueries {
     "events_rolling_active", "dedup_containment",
     "pipeline_cluster_split", "similarity_hard_negatives",
     "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
-    "events_ab_lift")
+    "events_ab_lift", "graph_triangles_capped")
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over document-similarity graphs (SURVEY.md §2.8).
@@ -36,8 +37,23 @@ object Graph {
     * Output: `(doc_id, degree, n_triangles, clustering)` for every node
     * with ≥1 edge, clustering = 2·t / (deg·(deg−1)) rounded to 6 (0 for
     * degree-1 nodes), ordered by doc_id. All-integer except the one
-    * IEEE division — bit-exact vs the oracle. */
-  def triangles(edges: DataFrame): DataFrame = {
+    * IEEE division — bit-exact vs the oracle.
+    *
+    * `maxOutDeg` (opt-in) is the 100×-scale guard: the simhash graph's
+    * density grows superlinearly with corpus size on template-heavy data,
+    * and even under degree orientation a wedge apex contributes
+    * out-degree² work. With `Some(k)` each node's ORIENTED out-edge list
+    * is truncated to its k (ddeg, dst)-smallest entries — a deterministic
+    * per-node wedge budget of k², making total work O(n·k²) regardless of
+    * density. EXACTNESS TRADEOFF (documented, spec'd): triangles whose
+    * apex u has oriented out-degree > k and whose other two corners both
+    * fall outside u's kept k are UNDERCOUNTED at u, v, and w alike; the
+    * closure probe stays uncapped, so any k ≥ the graph's max oriented
+    * out-degree reproduces the exact result bit-for-bit. Keeping the
+    * (ddeg, dst)-smallest edges biases retained wedges toward low-degree
+    * corners — the ones most likely to close (template-farm members),
+    * so the cap sheds the least-likely wedges first. */
+  def triangles(edges: DataFrame, maxOutDeg: Option[Int] = None): DataFrame = {
     // NOT localCheckpoint'd: Catalyst already reuses the edge subtree's
     // exchange across the plan's 4 references (measured: checkpointing is
     // 1.4 s SLOWER at sf0.1). The wall cost here is the triangles
@@ -58,8 +74,19 @@ object Graph {
           .otherwise(col("a")).as("dst"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
           .otherwise(col("da")).as("ddeg"))
-    val wedges = dir.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
-      .join(dir.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")), "src")
+    // wedge budget: enumerate wedges only from each apex's k smallest
+    // oriented out-edges; the window shuffles on src — the same key the
+    // wedge self-join hashes on, so the exchange is reused, not added
+    val wedgeSrc = maxOutDeg match {
+      case Some(k) =>
+        require(k >= 1, s"maxOutDeg must be >= 1, got $k")
+        dir.withColumn("rn", row_number().over(
+            Window.partitionBy("src").orderBy(col("ddeg").asc, col("dst").asc)))
+          .filter(col("rn") <= k).drop("rn")
+      case None => dir
+    }
+    val wedges = wedgeSrc.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(wedgeSrc.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")), "src")
       .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
     val tri = wedges.join(
       dir.select(col("dst").as("w"), col("src").as("v")), Seq("v", "w"))
@@ -94,23 +121,29 @@ object Graph {
     * edge relation against the rank relation (both hash on the 8-byte id)
     * + one partial-agg shuffle on dst — Pregel's shape in pure DataFrame
     * ops, never a collect, never a cartesian; work is Θ(m) per round.
-    * Fixed small iteration count → a linear plan; for rounds ≫ 5 insert a
-    * localCheckpoint every few rounds to cut lineage depth (same plan per
-    * round either way). */
-  def pagerank(edges: DataFrame, iterations: Int = 3): DataFrame = {
-    require(iterations >= 1)
+    * Deep iteration: every `checkpointEvery` rounds the rank relation is
+    * localCheckpoint'd (eager, executor-local blocks — no lineage replay,
+    * no HDFS round-trip), so the plan per round stays CONSTANT-depth
+    * instead of growing linearly — at 10+ rounds an unchecked lineage
+    * re-analyzes/re-optimizes an ever-deeper tree and eventually walls on
+    * the optimizer, not the data. Values are bit-identical either way
+    * (checkpointing materializes, never reorders the integer math). */
+  def pagerank(edges: DataFrame, iterations: Int = 3,
+               checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1 && checkpointEvery >= 1)
     val e = edges.select(col("a"), col("b"))
     val und = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
     var pr = deg.select(col("src").as("id"), col("degree"), lit(1000000L).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = pr.select(col("id").as("src"), expr("pr div degree").as("c"))
       val inbound = und.join(contrib, "src").groupBy("dst").agg(sum("c").as("s"))
       pr = deg.select(col("src").as("id"), col("degree"))
         .join(inbound.select(col("dst").as("id"), col("s")), "id")
         .select(col("id"), col("degree"),
           expr("150000L + (85L * s) div 100L").as("pr"))
+      if (i % checkpointEvery == 0 && i < iterations) pr = pr.localCheckpoint()
     }
     pr.select(col("id").as("doc_id"), col("degree"), col("pr").as("pagerank"))
       .orderBy("doc_id")

@@ -65,6 +65,63 @@ class GraphSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum % 3 === 0)
   }
 
+  test("triangles maxOutDeg: k >= max oriented out-degree reproduces the exact result") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val edges = Dedup.simhashPairs(docs).select("a", "b")
+    val exact = Graph.triangles(edges).collect().map(_.toSeq).toSeq
+    // a cap no node reaches must be a bit-for-bit no-op
+    val capped = Graph.triangles(edges, maxOutDeg = Some(1 << 20)).collect().map(_.toSeq).toSeq
+    assert(capped === exact)
+  }
+
+  test("triangles maxOutDeg: a small budget only ever undercounts, never invents") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val edges = Dedup.simhashPairs(docs).select("a", "b")
+    val exact = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val capped = Graph.triangles(edges, maxOutDeg = Some(2)).collect()
+    assert(capped.nonEmpty && capped.length === exact.size) // every node still reported
+    capped.foreach { r =>
+      val (deg, tri) = exact(r.getLong(0))
+      assert(r.getLong(1) === deg, "degrees are never capped, only wedge budgets")
+      assert(r.getLong(2) <= tri, s"node ${r.getLong(0)}: capped ${r.getLong(2)} > exact $tri")
+    }
+    // the diamond graph's max oriented out-degree is 2 -> cap 2 stays exact
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.triangles(diamond, Some(2)).collect().map(_.toSeq).toSeq ===
+      Graph.triangles(diamond).collect().map(_.toSeq).toSeq)
+  }
+
+  test("pagerank: 10 rounds match the reference recurrence; checkpoint bounds the plan") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val pairs = Dedup.simhashPairs(docs).select("a", "b")
+    // driver-side reference: the same all-BIGINT floor-division recurrence
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (es ++ es.map(p => (p._2, p._1))).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var ref = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 10)
+      ref = adj.map { case (v, nbrs) =>
+        v -> (150000L + 85L * nbrs.map(u => ref(u) / deg(u)).sum / 100L)
+      }
+    val out = Graph.pagerank(pairs, iterations = 10)
+    out.collect().foreach { r =>
+      assert(r.getLong(2) === ref(r.getLong(0)),
+        s"node ${r.getLong(0)}: engine ${r.getLong(2)} vs reference ${ref(r.getLong(0))}")
+    }
+    // lineage guard: the every-5-rounds localCheckpoint keeps the final
+    // plan's join count at <= one checkpoint window's worth, instead of
+    // growing linearly with iterations
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val unchecked = Graph.pagerank(pairs, iterations = 10, checkpointEvery = 1000)
+    val window5 = Graph.pagerank(pairs, iterations = 5, checkpointEvery = 1000)
+    assert(joins(out) < joins(unchecked))
+    assert(joins(out) <= joins(window5))
+  }
+
   test("pagerank: hand-unrolled floor-division recurrence on a path graph") {
     // path 1-2-3; pr0 = 1e6 each; pr'(v) = 150000 + 85*sum(pr(u) div deg(u)) div 100
     // round 1: ends 575000, center 1850000
