@@ -86,6 +86,8 @@ object ExtQueries {
     "text_normalize"    -> ((s, dir) => TextAnalysis.normalize(docs(s, dir))),
     // tokenizer vocab: top-K corpus tokens with frequency share
     "text_vocab"        -> ((s, dir) => TextAnalysis.vocab(docs(s, dir))),
+    // Zipf rank-frequency fit: slope/intercept/R^2 of the log-log line
+    "text_zipf"         -> ((s, dir) => TextAnalysis.zipf(docs(s, dir))),
     // one BPE merge round: top adjacent-pair merge candidates (tokenizer training)
     "text_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
     // cross-doc template detector: share of a doc's bigrams unique to it
@@ -126,6 +128,9 @@ object ExtQueries {
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
     "dedup_keepers"          -> ((s, dir) => Dedup.keepers(docs(s, dir))),
     "dedup_incremental"      -> ((s, dir) => Dedup.incremental(docs(s, dir))),
+    // substring-level dedup: cross-doc duplicated 8-token windows merged
+    // into maximal per-doc spans (cut-the-span vs drop-the-doc signal)
+    "dedup_spans"            -> ((s, dir) => Dedup.substringSpans(docs(s, dir))),
     // semantic-dedup decision: components over the >=0.4-cosine pair
     // relation (dedup_embedding_cosine's bar) -> one keeper per cluster
     "dedup_embedding_keepers" -> ((s, dir) => Dedup.embeddingKeepers(embs(s, dir))),
@@ -247,6 +252,9 @@ object ExtQueries {
     "pipeline_pack_sharded"  -> ((s, dir) => Packing.packSharded(docs(s, dir))),
     // source-mixture plan: exact largest-remainder token-budget apportionment
     "pipeline_mixture"       -> ((s, dir) => Packing.mixture(docs(s, dir))),
+    // alpha-temperature source weights: the sampling rule mixture quotas
+    // materialize (alpha=0.3 flattens toward the tail)
+    "pipeline_source_temperature" -> ((s, dir) => Packing.sourceTemperature(docs(s, dir))),
     // the plan APPLIED: per-source md5-ordered selection until quota covered
     "pipeline_mixture_sampled" -> ((s, dir) => Packing.mixtureSampled(docs(s, dir))),
     // global-budget quality selection: best docs first until the token
@@ -611,6 +619,40 @@ object ExtQueries {
     // (doc_id % 7 = 0); the engine's band join has P[miss | J>=0.8] ~ 5e-8
     "dedup_incremental" -> incrementalOracleSql,
 
+    // substring spans: replays the 60-bit md5 window hash (decontaminate's
+    // convention) positionally, the cross-doc dup filter, and the
+    // gap<=k span merge; one IEEE division at the end
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks),
+        |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |           CAST(list_sum(list_transform(range(0, 15), k ->
+        |             CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |               << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |         FROM toks, unnest(range(1, len(w) - 6)) AS r(i)
+        |         WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+        |sp AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS new_span
+        |       FROM hits),
+        |gp AS (SELECT doc_id, pos,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi, count(*) AS nw
+        |          FROM gp GROUP BY doc_id, span_id),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+        |               CAST(sum(hi - lo + 8) AS BIGINT) AS n_dup_tokens
+        |        FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id, b.n_words,
+        |       CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |       round(CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) / b.n_words, 6) AS dup_frac
+        |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     // the stored-index variant computes the SAME relation — the store is a
     // materialization of the historical band index, not a semantic change
     "dedup_incremental_stored" -> incrementalOracleSql,
@@ -943,6 +985,51 @@ object ExtQueries {
         |       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
         |       base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota_tokens
         |FROM l ORDER BY source""".stripMargin,
+
+    // alpha-temperature weights: p and the final normalizations are IEEE
+    // with the same literal shape as the engine; the one order-sensitive
+    // double sum (sum of p^alpha) goes through DECIMAL(38,18) on both sides
+    "pipeline_source_temperature" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |            FROM documents GROUP BY source),
+        |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM per),
+        |w AS (SELECT *, n_tokens / total AS p,
+        |        power(n_tokens / total, 0.3e0) AS wr FROM t),
+        |s AS (SELECT *, CAST(sum(CAST(wr AS DECIMAL(38,18))) OVER () AS DOUBLE) AS wsum FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       round(p, 6) AS share,
+        |       round(wr / wsum, 6) AS weight,
+        |       round((wr / wsum) / p, 6) AS boost,
+        |       round(wr / wsum * total, 2) AS expected_tokens
+        |FROM s ORDER BY source NULLS LAST""".stripMargin,
+
+    // Zipf fit: exact ranks, DECIMAL-routed regression sums, IEEE
+    // slope/intercept/R^2 with identical literal shape
+    "text_zipf" ->
+      """WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |                FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |                GROUP BY tok),
+        |ranked AS (SELECT ln(rank) AS x, ln(cnt) AS y, cnt FROM (
+        |             SELECT cnt, tok,
+        |                    row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+        |             FROM counts)
+        |           WHERE rank <= 1000),
+        |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |               CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |               CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
+        |               CAST(sum(cnt) AS BIGINT) AS ranked_tokens
+        |        FROM ranked),
+        |sl AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM agg)
+        |SELECT CAST(n AS BIGINT) AS vocab_size, ranked_tokens,
+        |       round(slope_raw, 6) AS slope,
+        |       round((sy - slope_raw * sx) / n, 6) AS intercept,
+        |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM sl""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,
@@ -2111,5 +2198,6 @@ object ExtQueries {
     "events_rolling_active", "dedup_containment",
     "pipeline_cluster_split", "similarity_hard_negatives",
     "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
-    "events_ab_lift", "graph_triangles_capped")
+    "events_ab_lift", "graph_triangles_capped", "dedup_spans",
+    "pipeline_source_temperature", "text_zipf")
 }

@@ -709,4 +709,62 @@ object Dedup {
         expr("round(cosine, 6)").as("cosine"))
       .orderBy("a", "b")
   }
+
+  /** EXACT DUPLICATED-SUBSTRING spans — the training-data dedup that exact
+    * whole-doc and near-dup hashing both miss: find every `k`-token window
+    * whose content ALSO appears in at least one other document, and merge
+    * per doc the overlapping/contiguous duplicated windows into maximal
+    * spans (the "remove repeated substrings, not repeated documents"
+    * operation of substring-level corpus dedup — quoted boilerplate,
+    * license headers, syndicated passages).
+    *
+    * Per doc: total words, duplicated-window count, merged span count,
+    * tokens covered by some duplicated span, and the covered fraction —
+    * the decision signal for span-level cutting vs doc-level dropping.
+    *
+    * Scale shape: the corpus-wide work shuffles ONLY the 8-byte 60-bit
+    * window hash (same md5-region discipline as [[shingleIndex]], hash
+    * emitted in the narrow explode — never the window string); the
+    * dup-hash filter is a partial-agg distinct-doc count on that key, the
+    * probe joins back co-partitioned on it, and the span merge windows
+    * over each doc's DUPLICATED positions only (bounded by matches, not
+    * doc length). `toks` is projected once before the window transform —
+    * the per-window lambda slices the materialized array, never re-splits
+    * (HOF lambdas are not CSE'd). Windows are merged when their token
+    * intervals overlap OR touch (gap in start positions ≤ k).
+    *
+    * Determinism: positions/counts exact integers; ONE final IEEE
+    * division; ties impossible (pos is unique per doc). */
+  def substringSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val base = spread(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, CAST(n_words AS INT) - ${k - 1}),
+           |  i -> struct(CAST(i AS LONG) AS pos,
+           |    CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT) AS h))""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hits = wins.join(dup, "h").select("doc_id", "pos")
+    val wo = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(wo) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("nw"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("nw").as("n_dup_windows"),
+        sum(col("hi") - col("lo") + k).as("n_dup_tokens"))
+    base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac", expr("round(n_dup_tokens / n_words, 6)"))
+      .orderBy("doc_id")
+  }
 }

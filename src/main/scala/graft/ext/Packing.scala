@@ -123,6 +123,45 @@ object Packing {
       .orderBy(col("source").asc_nulls_last)
   }
 
+  /** TEMPERATURE-scaled source sampling weights — the α-sampling rule of
+    * multilingual/multi-source pretraining: raw source shares p_i are
+    * flattened to w_i ∝ p_i^α (α < 1 upsamples the tail, α = 1 is
+    * proportional, α = 0 uniform), giving each source its sampling weight,
+    * its boost over natural share, and its expected token draw per epoch.
+    * Decides the mixture [[mixture]] then materializes with integer
+    * quotas.
+    *
+    * Scale shape: ONE partial-agg shuffle to per-source (docs, tokens) —
+    * everything after runs on the |sources|-bounded relation (totals via
+    * the shared `__one` single-exchange window, same discipline as
+    * [[mixture]]).
+    *
+    * Determinism: the two double sums that cross rows (Σ tokens is exact
+    * BIGINT; Σ p^α is order-sensitive IEEE) — the latter goes through
+    * DECIMAL(38,18) so summation order cannot flip a bit; p, p^α, and the
+    * final normalization are IEEE expressions written with the same
+    * literal shape in the oracle (`power` is libm in both engines;
+    * round-6 absorbs the last-ulp divergence). */
+  def sourceTemperature(docs: DataFrame, alpha: Double = 0.3): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0)
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("size(split(text, ' '))")).cast("long").as("n_tokens"))
+      .withColumn("__one", expr("coalesce(length(source) % 1, 0)"))
+    val one = Window.partitionBy("__one")
+    per
+      .withColumn("total", sum("n_tokens").over(one))
+      .withColumn("p", expr("n_tokens / total"))
+      .withColumn("wr", expr(s"power(n_tokens / total, ${alpha}e0)"))
+      .withColumn("wsum", expr("CAST(sum(CAST(wr AS DECIMAL(38,18))) OVER (PARTITION BY __one) AS DOUBLE)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("round(p, 6)").as("share"),
+        expr("round(wr / wsum, 6)").as("weight"),
+        expr("round((wr / wsum) / p, 6)").as("boost"),
+        expr("round(wr / wsum * total, 2)").as("expected_tokens"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
   /** Budget-constrained QUALITY selection — the data-selection step of a
     * corpus build: take the highest-quality documents, best first, until a
     * global token budget is covered (the "rank by quality, keep the top

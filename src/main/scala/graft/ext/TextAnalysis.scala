@@ -779,4 +779,53 @@ object TextAnalysis {
       .select(col("actual"), col("pred_lang"), col("n"), col("n_actual"), col("recall"))
       .orderBy("actual", "pred_lang")
   }
+
+  /** ZIPF-fit corpus health report: the least-squares slope of the
+    * log-log rank–frequency line over the top-`topK` tokens, with
+    * intercept and R² — natural text tracks slope ≈ −1; a flat slope
+    * flags synthetic/templated text, a cliff flags vocabulary collapse
+    * (the one-glance distributional check run next to [[vocab]]'s
+    * head-token list).
+    *
+    * Scale shape: one (token) partial-agg shuffle collapses the corpus to
+    * its vocabulary; the rank window and the single-row regression
+    * aggregate run over the topK-bounded relation — nothing after the
+    * first shuffle scales with corpus size. The rank window uses the
+    * non-foldable constant key (one partition is intended and bounded by
+    * `topK`).
+    *
+    * Determinism: counts and ranks exact (row_number on (cnt DESC, token
+    * ASC) — total order); the six regression sums cross rows through
+    * DECIMAL(38,18) so summation order cannot flip a bit; ln and the
+    * final slope/intercept/R² divisions are IEEE expressions with the
+    * same literal shape in the oracle, round-6. */
+  def zipf(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    require(topK >= 2)
+    val counts = Dedup.spread(docs)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("__one", graft.ops.Scale.constKey(col("cnt")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__one").orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rank") <= topK)
+      .select(expr("ln(rank)").as("x"), expr("ln(cnt)").as("y"), col("cnt"))
+    ranked
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        expr("CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE)").as("sy"),
+        expr("CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)").as("sxx"),
+        expr("CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE)").as("sxy"),
+        expr("CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE)").as("syy"),
+        sum("cnt").cast("long").as("ranked_tokens"))
+      .withColumn("slope_raw", expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"))
+      .select(
+        col("n").cast("long").as("vocab_size"),
+        col("ranked_tokens"),
+        expr("round(slope_raw, 6)").as("slope"),
+        expr("round((sy - slope_raw * sx) / n, 6)").as("intercept"),
+        expr("""round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                |  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)""".stripMargin).as("r2"))
+  }
 }

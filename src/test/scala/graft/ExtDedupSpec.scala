@@ -368,4 +368,62 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(empty.length === 3)
     assert(empty.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0))
   }
+
+  test("substringSpans: hand-built cross-doc dup windows merge into maximal spans") {
+    // k=3; docs 1 and 2 share the trigram "x y z" (one window each); doc 3
+    // shares nothing cross-doc
+    val docs = docsDf(
+      (1L, "a b x y z c d"),   // dup window at pos 3
+      (2L, "x y z q r s t"),   // dup window at pos 1
+      (3L, "u v w u v w u v")) // internal repeat only — NOT cross-doc
+    val out = Dedup.substringSpans(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(1L) === ((7L, 1L, 1L, 3L, 0.428571))) // 3 dup tokens of 7
+    assert(out(2L) === ((7L, 1L, 1L, 3L, 0.428571)))
+    assert(out(3L) === ((8L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("substringSpans: overlapping and touching windows merge; disjoint ones don't") {
+    // k=2; shared bigrams "p q" and "q r" overlap in doc 1 (positions 1,2
+    // -> one span of 3 tokens); "s t" at pos 6 is disjoint -> second span
+    val docs = docsDf(
+      (1L, "p q r m n s t"),
+      (2L, "p q r z z s t"))
+    val out = Dedup.substringSpans(docs, k = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: windows {1,2} merge (gap 1 <= 2), {6} separate -> 2 spans,
+    // dup tokens = (2-1+2) + (6-6+2) = 5
+    assert(out(1L) === ((3L, 2L, 5L)))
+    assert(out(2L) === ((3L, 2L, 5L)))
+  }
+
+  test("substringSpans matches a brute-force span construction on the fixture") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val k = 8
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      (0 to ts.length - k).map(i => (id, i + 1, ts.slice(i, i + k).mkString(" ")))
+    }
+    val dupGrams = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val brute = wins.filter(w => dupGrams(w._3)).groupBy(_._1).map { case (id, ws) =>
+      val ps = ws.map(_._2).distinct.sorted
+      val spans = ps.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
+        acc.lastOption match {
+          case Some((lo, hi)) if p - hi <= k => acc.init :+ (lo, p)
+          case _ => acc :+ (p, p)
+        }
+      }
+      id -> (ws.size.toLong, spans.size.toLong, spans.map { case (lo, hi) => hi - lo + k }.sum.toLong)
+    }
+    val out = Dedup.substringSpans(docs, k).collect()
+    assert(out.nonEmpty && out.length === toks.size)
+    out.foreach { r =>
+      val exp = brute.getOrElse(r.getLong(0), (0L, 0L, 0L))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === exp,
+        s"doc ${r.getLong(0)}: engine (${r.getLong(2)}, ${r.getLong(3)}, ${r.getLong(4)}) vs brute $exp")
+    }
+    // the fixture genuinely exercises the operator: some doc has a dup span
+    assert(out.exists(_.getLong(3) > 0))
+  }
 }

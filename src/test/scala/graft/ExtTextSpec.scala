@@ -465,4 +465,42 @@ class ExtTextSpec extends AnyFunSuite {
       assert(rows.map(_(1).asInstanceOf[Int]).sorted === (1 to 10).toSeq)
     }
   }
+
+  test("zipf: regression matches a driver-side least-squares on the fixture") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val row = TextAnalysis.zipf(docs).collect().head
+    // driver-side reference: same ranks, plain double least squares
+    val counts = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (t, c) => (-c, t) }
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) === counts.length.toLong)          // vocab_size
+    assert(row.getLong(1) === counts.map(_._2).sum)          // ranked_tokens
+    assert(math.abs(row.getDouble(2) - slope) <= 1e-5, s"slope ${row.getDouble(2)} vs $slope")
+    // word-soup corpus still decays: slope strictly negative, r2 in (0, 1]
+    assert(row.getDouble(2) < 0.0)
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+    // deterministic under repartitioning (decimal-routed sums)
+    val again = TextAnalysis.zipf(docs.repartition(13)).collect().head
+    assert(again.toSeq === row.toSeq)
+  }
+
+  test("zipf: topK caps the ranked tail; a 2-token corpus fits the line exactly") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val capped = TextAnalysis.zipf(docs, topK = 10).collect().head
+    assert(capped.getLong(0) === 10L)
+    // two distinct frequencies -> two points -> perfect fit
+    val tiny = docsDf((1L, "x x x x y y"))
+    val r = TextAnalysis.zipf(tiny).collect().head
+    assert(r.getLong(0) === 2L && r.getDouble(4) === 1.0)
+    // slope through (ln1, ln4), (ln2, ln2): (ln2-ln4)/(ln2-ln1) = -1
+    assert(math.abs(r.getDouble(2) - (-1.0)) <= 1e-6)
+  }
 }

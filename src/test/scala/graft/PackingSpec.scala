@@ -161,4 +161,34 @@ class PackingSpec extends AnyFunSuite {
     val again = Packing.qualityBudget(docs.repartition(13), budget).collect()
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
+
+  test("sourceTemperature: alpha=1 reproduces natural shares; alpha<1 boosts the tail") {
+    // 90/10 token split across two sources
+    val docs = docsDf(("big", 1L, 90), ("small", 2L, 10))
+    val natural = Packing.sourceTemperature(docs, alpha = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // weight == share, boost == 1 at alpha=1
+    natural.values.foreach { case (share, weight, boost) =>
+      assert(math.abs(weight - share) <= 1e-6 && math.abs(boost - 1.0) <= 1e-6)
+    }
+    val flat = Packing.sourceTemperature(docs, alpha = 0.3).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // tail source upsampled, head source downsampled; weights still sum to 1
+    assert(flat("small")._3 > 1.0 && flat("big")._3 < 1.0)
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) <= 1e-5)
+    // alpha=0.3 weight for the 90% source: p^.3 / (p^.3 + q^.3)
+    val w90 = math.pow(0.9, 0.3) / (math.pow(0.9, 0.3) + math.pow(0.1, 0.3))
+    assert(math.abs(flat("big")._2 - w90) <= 1e-6)
+  }
+
+  test("sourceTemperature: expected tokens redistribute the real corpus budget") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = Packing.sourceTemperature(docs).collect()
+    val total = out.map(_.getLong(2)).sum
+    // expected_tokens sums back to the corpus total (round-2 tolerance x sources)
+    assert(math.abs(out.map(_.getDouble(6)).sum - total) <= 0.01 * out.length)
+    // deterministic under repartitioning (decimal-routed weight sum)
+    val again = Packing.sourceTemperature(docs.repartition(13)).collect()
+    assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

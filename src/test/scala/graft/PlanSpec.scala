@@ -412,6 +412,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"degree/triangle counts must partial-agg\n$p")
   }
 
+  test("capped triangles keep the equi-join shape; the budget window adds no nested loop") {
+    val p = plan("graph_triangles_capped")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the wedge budget is a row_number window on src — present exactly
+    assert(p.contains("row_number"), s"wedge budget window missing\n$p")
+  }
+
+  test("substring spans: the corpus-wide shuffle carries window hashes, never a nested loop") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair work must be hash-equi-join only\n$p")
+    assert(p.contains("partial_count"), s"dup-hash filter must partial-agg\n$p")
+    // the span-merge window partitions by doc over dup hits only; the raw
+    // text column must not survive into any exchange (hash computed in the
+    // narrow explode before the shuffle)
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exch.contains("text#"), s"raw text crossed a shuffle\n$exch")
+  }
+
+  test("source temperature: one corpus shuffle; windows share the bounded __one exchange") {
+    val p = plan("pipeline_source_temperature")
+    assert(!p.contains("Join"), s"no join belongs in this plan\n$p")
+    assert(p.contains("partial_count"), s"per-source agg must partial-agg\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"$exchanges exchanges (agg + __one window + sort expected)\n$p")
+  }
+
+  test("zipf: vocab agg is the only corpus-scale shuffle; regression runs single-row") {
+    val p = plan("text_zipf")
+    assert(!p.contains("Join"), s"no join belongs in this plan\n$p")
+    assert(p.contains("partial_count"), s"token counts must partial-agg\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // token-count agg + constKey rank window + final single-row agg
+    assert(exchanges <= 4, s"$exchanges exchanges\n$p")
+  }
+
   test("SQ: range fold is one partial agg, queries broadcast, corpus never merge-joins") {
     val p = plan("similarity_sq")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
