@@ -728,22 +728,22 @@ object Dedup {
     * dup-hash filter is a partial-agg distinct-doc count on that key, the
     * probe joins back co-partitioned on it, and the span merge windows
     * over each doc's DUPLICATED positions only (bounded by matches, not
-    * doc length). `toks` is projected once before the window transform —
-    * the per-window lambda slices the materialized array, never re-splits
-    * (HOF lambdas are not CSE'd). Windows are merged when their token
-    * intervals overlap OR touch (gap in start positions ≤ k).
+    * doc length). The per-window hashing is the `shingle_hash60_pos`
+    * NATIVE expression (one compiled md5 loop per row; the SQL
+    * transform-lambda twin below stays as the oracle-shaped reference,
+    * spec-asserted window-identical — the normalize_text discipline).
+    * Windows are merged when their token intervals overlap OR touch (gap
+    * in start positions ≤ k).
     *
     * Determinism: positions/counts exact integers; ONE final IEEE
     * division; ties impossible (pos is unique per doc). */
   def substringSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val base = spread(docs).select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("n_words", size(col("toks")).cast("long"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = spread(docs).select(col("doc_id"), col("text"))
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
     val wins = base.filter(col("n_words") >= k)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, CAST(n_words AS INT) - ${k - 1}),
-           |  i -> struct(CAST(i AS LONG) AS pos,
-           |    CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT) AS h))""".stripMargin)).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+      .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
@@ -767,4 +767,17 @@ object Dedup {
       .withColumn("dup_frac", expr("round(n_dup_tokens / n_words, 6)"))
       .orderBy("doc_id")
   }
+
+  /** The SQL transform-lambda twin of `shingle_hash60_pos` — the
+    * oracle-shaped (doc_id, pos, h) window relation, kept ONLY as the
+    * spec reference the native expression is asserted against. */
+  private[graft] def spanWindowsSql(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .filter(col("n_words") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, CAST(n_words AS INT) - ${k - 1}),
+           |  i -> struct(CAST(i AS LONG) AS pos,
+           |    CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT) AS h))""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
 }

@@ -89,6 +89,41 @@ object MinHashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** POSITIONAL (in-order, non-distinct) 60-bit word-n-gram hashes: the
+    * hash at array index i covers tokens [i+1, i+n] (1-based window start
+    * = index + 1). Per-window value-identical to the SQL pipeline
+    * `transform(sequence(1, m), i -> conv(substring(md5(array_join(
+    * slice(toks, i, n), ' ')), 1, 15), 16, 10))` (spec-asserted), but one
+    * compiled md5 loop per row — no HOF lambda re-evaluation, no boxed
+    * slice/join per window. The substring-span dedup's hot path. */
+  def shingleHashesPos(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val m = words.length - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowed fingerprint prints of a document in ONE pass (Schleimer et
     * al.'s MOSS winnowing, word-`n`-gram hashes, window `w`): positional
     * (non-distinct) 60-bit md5 n-gram hashes, minimum of each w-window of
@@ -385,6 +420,18 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.shingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** shingle_hash60_pos(text, n) -> array<bigint> of positional in-order
+  * 60-bit md5 word n-gram hashes (see MinHashOps.shingleHashesPos). */
+case class ShingleHash60Pos(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.shingleHashesPos(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.shingleHashesPos($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60Pos =
     copy(child = newChild)
 }
 
@@ -685,6 +732,8 @@ object GraftFunctions {
     "vec_dotl"     -> { es => VecDotL(es.head, es(1)) },
     "shingle_hash60" -> { es =>
       ShingleHash60(es.head, es(1).eval().asInstanceOf[Int]) },
+    "shingle_hash60_pos" -> { es =>
+      ShingleHash60Pos(es.head, es(1).eval().asInstanceOf[Int]) },
     "srp_bucket" -> { es =>
       SrpBucket(es.head, es(1).eval().asInstanceOf[Int]) },
     "winnow_prints" -> { es =>

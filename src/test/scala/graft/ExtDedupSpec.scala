@@ -426,4 +426,16 @@ class ExtDedupSpec extends AnyFunSuite {
     // the fixture genuinely exercises the operator: some doc has a dup span
     assert(out.exists(_.getLong(3) > 0))
   }
+
+  test("native shingle_hash60_pos is window-identical to the SQL md5 twin") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    graft.functions.GraftFunctions.register(spark)
+    val native = docs
+      .select(col("doc_id"), posexplode(expr("shingle_hash60_pos(text, 8)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    val sqlTwin = Dedup.spanWindowsSql(docs, 8)
+      .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty && native === sqlTwin)
+  }
 }
