@@ -131,6 +131,9 @@ object ExtQueries {
     // substring-level dedup: cross-doc duplicated 8-token windows merged
     // into maximal per-doc spans (cut-the-span vs drop-the-doc signal)
     "dedup_spans"            -> ((s, dir) => Dedup.substringSpans(docs(s, dir))),
+    // exact cross-source boilerplate matrix: distinct shared 8-token
+    // windows per source pair (the minhash sourceOverlap's exact twin)
+    "dedup_span_overlap"     -> ((s, dir) => Dedup.spanOverlap(docs(s, dir))),
     // semantic-dedup decision: components over the >=0.4-cosine pair
     // relation (dedup_embedding_cosine's bar) -> one keeper per cluster
     "dedup_embedding_keepers" -> ((s, dir) => Dedup.embeddingKeepers(embs(s, dir))),
@@ -652,6 +655,25 @@ object ExtQueries {
         |       round(CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) / b.n_words, 6) AS dup_frac
         |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // span overlap: same 60-bit window hash, distinct (source, h)
+    // incidence, hash-keyed pair self-join, broadcast totals
+    "dedup_span_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |         CAST(list_sum(list_transform(range(0, 15), k ->
+        |           CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |       FROM toks, unnest(range(1, len(w) - 6)) AS r(i)
+        |       WHERE len(w) >= 8),
+        |totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+        |pairs AS (SELECT s1.source AS a, s2.source AS b, CAST(count(*) AS BIGINT) AS n_shared
+        |          FROM sh s1 JOIN sh s2 ON s1.h = s2.h AND s1.source < s2.source
+        |          GROUP BY s1.source, s2.source)
+        |SELECT p.a, p.b, p.n_shared, ta.n AS n_a, tb.n AS n_b,
+        |       round(p.n_shared / least(ta.n, tb.n), 6) AS overlap
+        |FROM pairs p JOIN totals ta ON ta.source = p.a JOIN totals tb ON tb.source = p.b
+        |ORDER BY p.a, p.b""".stripMargin,
 
     // the stored-index variant computes the SAME relation — the store is a
     // materialization of the historical band index, not a semantic change
@@ -2199,5 +2221,5 @@ object ExtQueries {
     "pipeline_cluster_split", "similarity_hard_negatives",
     "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
     "events_ab_lift", "graph_triangles_capped", "dedup_spans",
-    "pipeline_source_temperature", "text_zipf")
+    "pipeline_source_temperature", "text_zipf", "dedup_span_overlap")
 }

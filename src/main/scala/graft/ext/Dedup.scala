@@ -768,6 +768,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SOURCE-pair SPAN overlap — the exact complement of
+    * [[sourceOverlap]]'s minhash estimate: for every source pair, how many
+    * DISTINCT k-token window contents appear in BOTH (cross-source
+    * boilerplate), each side's own distinct window count, and the overlap
+    * coefficient |A∩B| / min(|A|,|B|) — which sources syndicate/mirror
+    * each other, exactly, at window granularity.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (source, h)
+    * incidence set in one partial-agg shuffle of (string, 8-byte) keys —
+    * nothing downstream scales with corpus size; the pair enumeration is
+    * an equi-self-join ON the window hash (per-hash fan-out bounded by
+    * |sources|²), and per-source totals broadcast back. Hashing is the
+    * same native `shingle_hash60_pos` pass as [[substringSpans]].
+    *
+    * Determinism: exact BIGINT counts, ONE IEEE division, (a, b) ordered
+    * pairs with a < b. */
+  def spanOverlap(docs: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = spread(docs)
+      .filter(expr("size(split(text, ' '))") >= k)
+      .select(col("source"), explode(expr(s"shingle_hash60_pos(text, $k)")).as("h"))
+      .distinct()
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("a", "h")
+      .join(sh.toDF("b", "h"), "h")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(totals.select(col("source").as("b"), col("n").as("n_b"))), "b")
+      .withColumn("overlap", expr("round(n_shared / least(n_a, n_b), 6)"))
+      .select(col("a"), col("b"), col("n_shared"), col("n_a"), col("n_b"), col("overlap"))
+      .orderBy("a", "b")
+  }
+
   /** The SQL transform-lambda twin of `shingle_hash60_pos` — the
     * oracle-shaped (doc_id, pos, h) window relation, kept ONLY as the
     * spec reference the native expression is asserted against. */

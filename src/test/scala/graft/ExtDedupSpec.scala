@@ -427,6 +427,36 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(out.exists(_.getLong(3) > 0))
   }
 
+  test("spanOverlap counts shared distinct windows per source pair exactly") {
+    // k=3: sources X and Y share exactly the trigrams of "x y z" and
+    // "y z w" (doc 2 embeds doc 1's tail); source Z shares nothing
+    val docs = Seq(
+      (1L, "X", "a b x y z w"),
+      (2L, "Y", "x y z w q r"),
+      (3L, "Z", "u v t u v t")).toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Dedup.spanOverlap(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // X windows: {a b x, b x y, x y z, y z w}; Y: {x y z, y z w, z w q, w q r}
+    assert(out.toSeq === Seq(("X", "Y", 2L, 4L, 4L, 0.5)))
+    // brute force on the fixture: distinct (source, 8-gram) set intersections
+    val fix = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val bySource = fix.select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        val ts = r.getString(1).split(" ")
+        (0 to ts.length - 8).map(i => r.getString(0) -> ts.slice(i, i + 8).mkString(" "))
+      }.groupBy(_._1).map { case (s, gs) => s -> gs.map(_._2).toSet }
+    val expected = bySource.keys.toSeq.sorted.combinations(2).flatMap { case Seq(a, b) =>
+      val n = (bySource(a) & bySource(b)).size.toLong
+      if (n > 0) Some((a, b, n)) else None
+    }.toSeq
+    val got = Dedup.spanOverlap(fix).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty) // the fixture genuinely has cross-source boilerplate
+  }
+
   test("native shingle_hash60_pos is window-identical to the SQL md5 twin") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     graft.functions.GraftFunctions.register(spark)

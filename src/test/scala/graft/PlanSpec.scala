@@ -432,6 +432,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!exch.contains("text#"), s"raw text crossed a shuffle\n$exch")
   }
 
+  test("span overlap: hash-keyed pair self-join, totals broadcast, no nested loop") {
+    val p = plan("dedup_span_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair work must be hash-equi-join only\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-source totals must broadcast\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString("\n")
+    assert(!exch.contains("text#"), s"raw text crossed a shuffle\n$exch")
+  }
+
   test("source temperature: one corpus shuffle; windows share the bounded __one exchange") {
     val p = plan("pipeline_source_temperature")
     assert(!p.contains("Join"), s"no join belongs in this plan\n$p")
