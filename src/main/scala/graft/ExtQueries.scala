@@ -258,6 +258,11 @@ object ExtQueries {
     // alpha-temperature source weights: the sampling rule mixture quotas
     // materialize (alpha=0.3 flattens toward the tail)
     "pipeline_source_temperature" -> ((s, dir) => Packing.sourceTemperature(docs(s, dir))),
+    // packing-efficiency report: fragmentation + tail waste per source
+    "pipeline_pack_stats"    -> ((s, dir) => Packing.packStats(docs(s, dir))),
+    // embedding-geometry health: cosine histogram over a deterministic
+    // stride-pair sample (collapse/anisotropy detector)
+    "embedding_geometry"     -> ((s, dir) => Similarity.geometry(embs(s, dir))),
     // the plan APPLIED: per-source md5-ordered selection until quota covered
     "pipeline_mixture_sampled" -> ((s, dir) => Packing.mixtureSampled(docs(s, dir))),
     // global-budget quality selection: best docs first until the token
@@ -1008,6 +1013,24 @@ object ExtQueries {
         |       base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota_tokens
         |FROM l ORDER BY source""".stripMargin,
 
+    // packing stats: the pack CTE rolled up per source; two IEEE divisions
+    "pipeline_pack_stats" ->
+      """WITH t AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+        |p AS (SELECT source, n_tokens, (cum - 1) // 256 AS last_seq,
+        |        (cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS doc_seqs FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+        |       CAST(sum(CASE WHEN doc_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        |       round(CAST(sum(CASE WHEN doc_seqs > 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS split_frac,
+        |       CAST((max(last_seq) + 1) * 256 - sum(n_tokens) AS BIGINT) AS tail_waste,
+        |       round(CAST(sum(n_tokens) AS BIGINT) / ((max(last_seq) + 1) * 256), 6) AS fill_rate
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
     // alpha-temperature weights: p and the final normalizations are IEEE
     // with the same literal shape as the engine; the one order-sensitive
     // double sum (sum of p^alpha) goes through DECIMAL(38,18) on both sides
@@ -1389,6 +1412,28 @@ object ExtQueries {
          |           FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // geometry: same quantized-integer cosine, deterministic stride-997
+    // partner pairs, width-0.1 buckets; the IEEE division has identical
+    // literal shape so bucket boundaries agree bit-for-bit
+    "embedding_geometry" ->
+      s"""$quantCte,
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |ids AS (SELECT DISTINCT vec_id FROM q),
+         |pr AS (SELECT ids.vec_id AS a, (ids.vec_id + 997) % cnt.n AS b
+         |       FROM ids, cnt WHERE (ids.vec_id + 997) % cnt.n != ids.vec_id),
+         |dots AS (SELECT pr.a, pr.b, CAST(sum(qa.x * qb.x) AS BIGINT) AS dot
+         |         FROM pr JOIN q qa ON qa.vec_id = pr.a JOIN q qb ON qb.vec_id = pr.b AND qb.i = qa.i
+         |         GROUP BY pr.a, pr.b),
+         |sc AS (SELECT dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cosine
+         |       FROM dots JOIN nrm na ON na.vec_id = dots.a JOIN nrm nb ON nb.vec_id = dots.b),
+         |hist AS (SELECT CAST(least(floor(cosine * 10e0), 9) AS INT) AS bucket,
+         |                CAST(count(*) AS BIGINT) AS n_pairs
+         |         FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs FROM hist)
+         |SELECT bucket, round(bucket / 10e0, 1) AS bucket_lo, n_pairs, total_pairs,
+         |       round(n_pairs / total_pairs, 6) AS share
+         |FROM hist CROSS JOIN tot ORDER BY bucket""".stripMargin,
 
     // same exact-integer scoring as similarity_topk; the near-dup ceiling
     // (cosine < 0.95) applies BEFORE ranking — the cut compares the same
@@ -2221,5 +2266,6 @@ object ExtQueries {
     "pipeline_cluster_split", "similarity_hard_negatives",
     "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
     "events_ab_lift", "graph_triangles_capped", "dedup_spans",
-    "pipeline_source_temperature", "text_zipf", "dedup_span_overlap")
+    "pipeline_source_temperature", "text_zipf", "dedup_span_overlap",
+    "pipeline_pack_stats", "embedding_geometry")
 }

@@ -123,6 +123,32 @@ object Packing {
       .orderBy(col("source").asc_nulls_last)
   }
 
+  /** PACKING-efficiency report — the tuning read for [[pack]]'s
+    * split-across-boundaries discipline: per source, how many docs got
+    * FRAGMENTED across a sequence boundary (the training-quality cost of
+    * split packing — attention never sees the cut halves together), the
+    * split fraction, the tail padding waste (split packing wastes ONLY
+    * the final partial sequence), and the fill rate. The report a corpus
+    * build reads before choosing budget size.
+    *
+    * Scale shape: [[pack]]'s one source-keyed window shuffle, then a
+    * per-source partial agg — output bounded by |sources|. Exact integers
+    * plus two IEEE divisions. */
+  def packStats(docs: DataFrame, budget: Int = 256): DataFrame =
+    pack(docs, budget)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"),
+        (max("last_seq") + 1).cast("long").as("n_seqs"),
+        sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).cast("long").as("n_split_docs"))
+      .withColumn("split_frac", expr("round(n_split_docs / n_docs, 6)"))
+      .withColumn("tail_waste", expr(s"n_seqs * ${budget}L - total_tokens"))
+      .withColumn("fill_rate", expr(s"round(total_tokens / (n_seqs * $budget), 6)"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+        col("n_split_docs"), col("split_frac"), col("tail_waste"), col("fill_rate"))
+      .orderBy("source")
+
   /** TEMPERATURE-scaled source sampling weights — the α-sampling rule of
     * multilingual/multi-source pretraining: raw source shares p_i are
     * flattened to w_i ∝ p_i^α (α < 1 upsamples the tail, α = 1 is

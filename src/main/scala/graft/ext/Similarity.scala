@@ -694,4 +694,42 @@ object Similarity {
       .withColumn("recall", expr("round(hits / n_expected, 6)"))
       .orderBy("method")
   }
+
+  /** EMBEDDING-GEOMETRY health check — the collapse/anisotropy detector
+    * run before trusting an embedding column at scale: the cosine
+    * distribution over a DETERMINISTIC sample of pairs (each vector
+    * paired with the one `stride` ids ahead, mod corpus size — a fixed
+    * stride is as unstructured as RNG for this read but reproducible
+    * across runs/engines), bucketed to width-0.1 cosine bands with
+    * counts and shares. Healthy high-dim embeddings put nearly all mass
+    * near 0; mass piling toward +1 means representation collapse, and a
+    * shifted mode means anisotropy — both invisible to top-k evals.
+    *
+    * Scale shape: one narrow quantize pass, ONE co-partitioned self-join
+    * on the 8-byte partner id (the corpus is never scored all-pairs — the
+    * sample is exactly n pairs), a bucket partial agg, and a 1-row total
+    * broadcast. Quantized-integer dots → IEEE cosine, identical literal
+    * shape in the oracle, so even bucket-boundary cosines land the same
+    * side in both engines. */
+  def geometry(embeddings: DataFrame, stride: Long = 997L): DataFrame = {
+    require(stride >= 1)
+    val q = quantized(embeddings)
+    val cnt = embeddings.agg(count(lit(1)).cast("long").as("n"))
+    val pairs = q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na"))
+      .crossJoin(broadcast(cnt))
+      .withColumn("b", expr(s"(a + ${stride}L) % n"))
+      .filter(col("b") =!= col("a"))
+    val hist = pairs
+      .join(q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb")), "b")
+      .withColumn("cosine",
+        expr("vec_dotl(qa, qb) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
+      .withColumn("bucket", expr("CAST(least(floor(cosine * 10e0), 9) AS INT)"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val tot = hist.agg(sum("n_pairs").cast("long").as("total_pairs"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("share", expr("round(n_pairs / total_pairs, 6)"))
+      .select(col("bucket"), expr("round(bucket / 10e0, 1)").as("bucket_lo"),
+        col("n_pairs"), col("total_pairs"), col("share"))
+      .orderBy("bucket")
+  }
 }

@@ -260,4 +260,36 @@ class ExtSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full === exact)
   }
+
+  test("geometry matches a brute-force stride-pair cosine histogram on the fixture") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.geometry(embs).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // driver-side reference with the same quantization (round HALF_UP)
+    val vecs = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(f =>
+        BigDecimal(f.toDouble * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .toMap
+    val n = vecs.size.toLong
+    val brute = vecs.keys.toSeq.flatMap { a =>
+      val b = (a + 997L) % n
+      if (b == a || !vecs.contains(b)) None
+      else {
+        val (qa, qb) = (vecs(a), vecs(b))
+        val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+        val cos = dot / (math.sqrt(qa.map(x => x * x).sum.toDouble) *
+          math.sqrt(qb.map(x => x * x).sum.toDouble))
+        Some(math.min(math.floor(cos * 10).toInt, 9))
+      }
+    }.groupBy(identity).map { case (bk, xs) => bk -> xs.size.toLong }
+    assert(out === brute)
+    // sanity: the sampled pair count is the corpus size (dense ids) and
+    // a synthetic clustered corpus is NOT collapsed: mass is spread
+    assert(out.values.sum === n)
+    assert(out.size >= 2)
+    // degenerate corpus: identical vectors collapse into the top bucket
+    val same = (0L to 9L).map(i => (i, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val c = Similarity.geometry(same, stride = 3).collect()
+    assert(c.length === 1 && c.head.getInt(0) === 9 && c.head.getLong(2) === 10L)
+  }
 }

@@ -162,6 +162,31 @@ class PackingSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
+  test("packStats: fragmentation, tail waste, and fill rate from the pack relation") {
+    // one source, budget 10: docs 6+6+7+3 tokens -> cum 6,12,19,22.
+    // doc2 spans seqs 0-1 (split), doc3 spans 1-1? cum-1=18 -> seq 1,
+    // first = 12 div 10 = 1 -> not split; doc4 cum-1=21 -> seq 2, first 19 div 10=1 -> split.
+    val docs = docsDf(("s", 1L, 6), ("s", 2L, 6), ("s", 3L, 7), ("s", 4L, 3))
+    val r = Packing.packStats(docs, budget = 10).collect().head
+    assert(r.getString(0) === "s")
+    assert(r.getLong(1) === 4L)           // n_docs
+    assert(r.getLong(2) === 22L)          // total_tokens
+    assert(r.getLong(3) === 3L)           // n_seqs (last cum 22 -> seq 2)
+    assert(r.getLong(4) === 2L)           // docs 2 and 4 split
+    assert(r.getDouble(5) === 0.5)        // split_frac
+    assert(r.getLong(6) === 8L)           // 3*10 - 22
+    assert(r.getDouble(7) === 0.733333)   // fill
+    // invariant on the fixture: waste < budget per source (split packing
+    // wastes only the final partial sequence)
+    val fix = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = Packing.packStats(fix).collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      assert(row.getLong(6) >= 0 && row.getLong(6) < 256,
+        s"${row.getString(0)}: tail_waste ${row.getLong(6)} outside [0, budget)")
+    }
+  }
+
   test("sourceTemperature: alpha=1 reproduces natural shares; alpha<1 boosts the tail") {
     // 90/10 token split across two sources
     val docs = docsDf(("big", 1L, 90), ("small", 2L, 10))

@@ -432,6 +432,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!exch.contains("text#"), s"raw text crossed a shuffle\n$exch")
   }
 
+  test("geometry: one partner equi-join on the 8-byte id — the corpus is never scored all-pairs") {
+    val p = plan("embedding_geometry")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins allowed are the 1-row count/total
+    // broadcasts (cnt, tot, and cnt's reuse under the partner branch)
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 3, s"$bnl nested-loop joins (only the 1-row broadcasts allowed)\n$p")
+    // the partner probe itself must be a hash equi-join, never merged/looped
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin("),
+      s"partner join missing\n$p")
+    assert(p.contains("partial_count"), s"bucket histogram must partial-agg\n$p")
+  }
+
+  test("pack stats ride pack's single source-keyed window exchange") {
+    val p = plan("pipeline_pack_stats")
+    assert(!p.contains("Join"), s"no join belongs in this plan\n$p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"$exchanges exchanges (window + agg + sort expected)\n$p")
+  }
+
   test("span overlap: hash-keyed pair self-join, totals broadcast, no nested loop") {
     val p = plan("dedup_span_overlap")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
