@@ -1055,11 +1055,12 @@ object ExtQueries {
       """WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
         |                FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |                GROUP BY tok),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM counts),
+        |top AS (SELECT cnt, tok FROM counts ORDER BY cnt DESC, tok ASC LIMIT 1000),
         |ranked AS (SELECT ln(rank) AS x, ln(cnt) AS y, cnt FROM (
         |             SELECT cnt, tok,
         |                    row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
-        |             FROM counts)
-        |           WHERE rank <= 1000),
+        |             FROM top)),
         |agg AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |               CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
         |               CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
@@ -1068,13 +1069,14 @@ object ExtQueries {
         |               CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy,
         |               CAST(sum(cnt) AS BIGINT) AS ranked_tokens
         |        FROM ranked),
-        |sl AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM agg)
-        |SELECT CAST(n AS BIGINT) AS vocab_size, ranked_tokens,
+        |sl AS (SELECT * FROM agg CROSS JOIN tot),
+        |sl2 AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw FROM sl)
+        |SELECT vocab_size, CAST(n AS BIGINT) AS n_points, ranked_tokens,
         |       round(slope_raw, 6) AS slope,
         |       round((sy - slope_raw * sx) / n, 6) AS intercept,
         |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-        |FROM sl""".stripMargin,
+        |FROM sl2""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -30,6 +30,10 @@ object Tables {
     //    wall-clock as the same UTC instant (no shift).
     //  - TIMESTAMP_MICROS adjusted to UTC: already TimestampType, no-op.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->TimestampType cast below is instant-preserving ONLY in a UTC
+    // session; pin it here (not just in entry points) so any future caller
+    // cannot silently shift event timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name != "events") df
     else df.schema("ts").dataType match {

@@ -178,7 +178,10 @@ object Packing {
     per
       .withColumn("total", sum("n_tokens").over(one))
       .withColumn("p", expr("n_tokens / total"))
-      .withColumn("wr", expr(s"power(n_tokens / total, ${alpha}e0)"))
+      // pow(col, lit(alpha)) — NOT string interpolation: a Double whose
+      // toString is scientific notation (e.g. 1.0E-4) would render an
+      // unparseable SQL literal like "1.0E-4e0"
+      .withColumn("wr", pow(expr("n_tokens / total"), lit(alpha)))
       .withColumn("wsum", expr("CAST(sum(CAST(wr AS DECIMAL(38,18))) OVER (PARTITION BY __one) AS DOUBLE)"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("round(p, 6)").as("share"),

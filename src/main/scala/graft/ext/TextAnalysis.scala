@@ -788,27 +788,38 @@ object TextAnalysis {
     * head-token list).
     *
     * Scale shape: one (token) partial-agg shuffle collapses the corpus to
-    * its vocabulary; the rank window and the single-row regression
-    * aggregate run over the topK-bounded relation — nothing after the
-    * first shuffle scales with corpus size. The rank window uses the
-    * non-foldable constant key (one partition is intended and bounded by
-    * `topK`).
+    * its vocabulary; the top-`topK` cut is a TakeOrderedAndProject heap
+    * (NEVER a rank window over the full vocabulary — at web-corpus vocab
+    * sizes a single-partition rank would funnel billions of rows through
+    * one task); only the K-row survivor relation passes through the rank
+    * window (non-foldable constant key — one partition intended, bounded
+    * by `topK`). The uncapped vocabulary size is a separate 1-row
+    * partial-agg fold of the same counts relation, broadcast onto the
+    * single regression row.
     *
-    * Determinism: counts and ranks exact (row_number on (cnt DESC, token
-    * ASC) — total order); the six regression sums cross rows through
-    * DECIMAL(38,18) so summation order cannot flip a bit; ln and the
-    * final slope/intercept/R² divisions are IEEE expressions with the
-    * same literal shape in the oracle, round-6. */
+    * Determinism: counts and ranks exact (the heap and the window share
+    * the total order (cnt DESC, token ASC)); the six regression sums
+    * cross rows through DECIMAL(38,18) so summation order cannot flip a
+    * bit; ln and the final slope/intercept/R² divisions are IEEE
+    * expressions with the same literal shape in the oracle, round-6. */
   def zipf(docs: DataFrame, topK: Int = 1000): DataFrame = {
     require(topK >= 2)
     val counts = Dedup.spread(docs)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // uncapped vocabulary size: 1-row fold, broadcast onto the result.
+    // The cnt>=1 filter is a semantic no-op (counts are >=1 by
+    // construction) that keeps `cnt` referenced, so column pruning cannot
+    // rewrite this branch's counts subtree — both branches shuffle the
+    // IDENTICAL exchange and ReuseExchange collapses them to one corpus
+    // scan instead of two.
+    val totals = counts.filter(col("cnt") >= 1)
+      .agg(count(lit(1)).cast("long").as("vocab_size"))
     val ranked = counts
+      .orderBy(col("cnt").desc, col("tok").asc).limit(topK)
       .withColumn("__one", graft.ops.Scale.constKey(col("cnt")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("__one").orderBy(col("cnt").desc, col("tok").asc)))
-      .filter(col("rank") <= topK)
       .select(expr("ln(rank)").as("x"), expr("ln(cnt)").as("y"), col("cnt"))
     ranked
       .agg(
@@ -819,9 +830,11 @@ object TextAnalysis {
         expr("CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE)").as("sxy"),
         expr("CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE)").as("syy"),
         sum("cnt").cast("long").as("ranked_tokens"))
+      .crossJoin(broadcast(totals))
       .withColumn("slope_raw", expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"))
       .select(
-        col("n").cast("long").as("vocab_size"),
+        col("vocab_size"),
+        col("n").cast("long").as("n_points"),
         col("ranked_tokens"),
         expr("round(slope_raw, 6)").as("slope"),
         expr("round((sy - slope_raw * sx) / n, 6)").as("intercept"),

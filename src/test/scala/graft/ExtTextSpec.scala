@@ -474,19 +474,23 @@ class ExtTextSpec extends AnyFunSuite {
       .groupBy("t").count().collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy { case (t, c) => (-c, t) }
-    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+    val top = counts.take(1000)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
       (math.log(i + 1.0), math.log(c.toDouble)) }
     val n = pts.length.toDouble
     val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
     val sxx = pts.map(p => p._1 * p._1).sum
     val sxy = pts.map(p => p._1 * p._2).sum
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    assert(row.getLong(0) === counts.length.toLong)          // vocab_size
-    assert(row.getLong(1) === counts.map(_._2).sum)          // ranked_tokens
-    assert(math.abs(row.getDouble(2) - slope) <= 1e-5, s"slope ${row.getDouble(2)} vs $slope")
+    assert(row.getAs[Long]("vocab_size") === counts.length.toLong)  // UNCAPPED vocab
+    assert(row.getAs[Long]("n_points") === top.length.toLong)       // min(vocab, topK)
+    assert(row.getAs[Long]("ranked_tokens") === top.map(_._2).sum)
+    assert(math.abs(row.getAs[Double]("slope") - slope) <= 1e-5,
+      s"slope ${row.getAs[Double]("slope")} vs $slope")
     // word-soup corpus still decays: slope strictly negative, r2 in (0, 1]
-    assert(row.getDouble(2) < 0.0)
-    assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+    assert(row.getAs[Double]("slope") < 0.0)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0)
     // deterministic under repartitioning (decimal-routed sums)
     val again = TextAnalysis.zipf(docs.repartition(13)).collect().head
     assert(again.toSeq === row.toSeq)
@@ -494,13 +498,17 @@ class ExtTextSpec extends AnyFunSuite {
 
   test("zipf: topK caps the ranked tail; a 2-token corpus fits the line exactly") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val fullVocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select("t").distinct().count()
     val capped = TextAnalysis.zipf(docs, topK = 10).collect().head
-    assert(capped.getLong(0) === 10L)
+    assert(capped.getAs[Long]("n_points") === 10L)           // heap-capped points
+    assert(capped.getAs[Long]("vocab_size") === fullVocab)   // vocab stays uncapped
     // two distinct frequencies -> two points -> perfect fit
     val tiny = docsDf((1L, "x x x x y y"))
     val r = TextAnalysis.zipf(tiny).collect().head
-    assert(r.getLong(0) === 2L && r.getDouble(4) === 1.0)
+    assert(r.getAs[Long]("vocab_size") === 2L && r.getAs[Long]("n_points") === 2L)
+    assert(r.getAs[Double]("r2") === 1.0)
     // slope through (ln1, ln4), (ln2, ln2): (ln2-ln4)/(ln2-ln1) = -1
-    assert(math.abs(r.getDouble(2) - (-1.0)) <= 1e-6)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) <= 1e-6)
   }
 }

@@ -469,13 +469,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"$exchanges exchanges (agg + __one window + sort expected)\n$p")
   }
 
-  test("zipf: vocab agg is the only corpus-scale shuffle; regression runs single-row") {
+  test("zipf: heap cut feeds the rank window; vocab branch reuses the token shuffle") {
+    // the topK cut MUST be a TakeOrderedAndProject heap — a rank window
+    // over the full vocabulary would funnel every distinct token through
+    // one task at web-corpus scale
+    val df = SparkEntry.queries("text_zipf")(spark, dir)
     val p = plan("text_zipf")
-    assert(!p.contains("Join"), s"no join belongs in this plan\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"topK cut must be a TakeOrderedAndProject heap, not a full-vocab window\n$p")
+    // only the 1-row vocab-total broadcast may join; nothing shuffles into a merge join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"only the broadcast 1-row totals join belongs here\n$p")
     assert(p.contains("partial_count"), s"token counts must partial-agg\n$p")
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
-    // token-count agg + constKey rank window + final single-row agg
-    assert(exchanges <= 4, s"$exchanges exchanges\n$p")
+    // after execution, AQE must have collapsed the uncapped-vocab branch
+    // onto the SAME token-count shuffle (one corpus scan total)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      s"vocab_size branch must reuse the token-count exchange, not rescan the corpus\n$fin")
   }
 
   test("SQ: range fold is one partial agg, queries broadcast, corpus never merge-joins") {
