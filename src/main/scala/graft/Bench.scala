@@ -29,10 +29,19 @@ object Bench {
     // cost, not query cost — r5's 4.22 s artifact outlier was the cold build
     // landing inside a measured rep); warming it makes both reps measure the
     // documented daily-run probe shape.
-    Seq("extract_shape_lineitem", "dedup_incremental_stored").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
+    // warmup status is RECORDED in both JSON outputs (not just stderr): a
+    // swallowed warmup failure would silently land the one-time cold
+    // band-store build inside measured rep 1 with no trace in the artifact
+    val warmup = Seq("extract_shape_lineitem", "dedup_incremental_stored").map { w =>
+      try {
+        SparkEntry.queries(w)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        w -> "ok"
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup $w failed: ${e.getMessage}")
+          w -> s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}"
+      }
     }
     // optional 2nd arg: comma-separated name substrings for targeted
     // profiling — matched against ALL queries, not just the headline set
@@ -45,7 +54,7 @@ object Bench {
     // two full passes, min per query: a single pass lets one GC/JIT hiccup
     // misreport a query by 4-5x (observed); min-of-2 reports steady state
     val reps = 2
-    val results = (1 to reps).flatMap { _ =>
+    val results = (1 to reps).flatMap { rep =>
       bq.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -55,18 +64,40 @@ object Bench {
             if (!errors.contains(name)) errors += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (name, rep, (System.nanoTime() - t0) / 1e9)
       }
     }
     // failed queries are excluded from totals and flagged in "errors" so the
     // JSON can never pass off a failure as a timing
-    val ok = results.filterNot { case (k, _) => errors.contains(k) }
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val ok = results.filterNot { case (k, _, _) => errors.contains(k) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._3).min }
     val qs = bq.filter(ok.contains)
       .map(k => "\"" + k + "\":" + ok(k)).mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val warmJson = warmup.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = ok.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"warmup":$warmJson,"reps":$reps,"sf":"$sfDir"}"""
+    println(line)
+    // Self-sufficient artifact alongside stdout: the driver's BENCH_r{N}
+    // capture truncates long runs to a tail, which has repeatedly cost a
+    // round's per-query comparability. This file carries EVERY rep of
+    // EVERY query plus config, so adjudication never depends on the
+    // truncated capture. Path override: SPARK_GRAFT_BENCH_OUT.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val perRep = (1 to reps).map { r =>
+      val m = results.collect { case (k, `r`, s) => "\"" + k + "\":" + s }
+        .mkString("{", ",", "}")
+      s""""rep$r":$m"""
+    }.mkString(",")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps":$reps,
+         |"warmup":$warmJson,"errors":$errJson,
+         |"queries":$qs,
+         |$perRep}""".stripMargin
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full)
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -137,6 +137,13 @@ object ExtQueries {
     // semantic-dedup decision: components over the >=0.4-cosine pair
     // relation (dedup_embedding_cosine's bar) -> one keeper per cluster
     "dedup_embedding_keepers" -> ((s, dir) => Dedup.embeddingKeepers(embs(s, dir))),
+    // the metric-pruned twins: identical exact results (recall-1 angular
+    // triangle-inequality prune over IVF lists), sub-quadratic tile work
+    // on clustered corpora — the 100-TB default for semantic dedup
+    "dedup_embedding_cosine_pruned" -> ((s, dir) =>
+      Dedup.embeddingCosinePruned(embs(s, dir))),
+    "dedup_embedding_keepers_pruned" -> ((s, dir) =>
+      Dedup.embeddingKeepersPruned(embs(s, dir))),
     // the stored-index twin: build the historical band store once per
     // fixture CONTENT (the cache key fingerprints the parquet file listing
     // — name/size/mtime — so a regenerated fixture at the same path can
@@ -428,6 +435,40 @@ object ExtQueries {
       |                  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS x
       |           FROM embeddings),
       |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n FROM q GROUP BY vec_id)""".stripMargin
+
+  /** Exact all-pairs >=0.4-cosine pair relation — the oracle of BOTH
+    * `dedup_embedding_cosine` and its metric-pruned twin (the prune is
+    * recall-1 by the spherical triangle inequality, so the pruned plan
+    * must hash-match the all-pairs SQL). */
+  private val embCosineOracleSql: String =
+    s"""$quantCte,
+       |dots AS (SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+       |         FROM q q1 JOIN q q2 ON q1.i = q2.i AND q1.vec_id < q2.vec_id
+       |         GROUP BY q1.vec_id, q2.vec_id)
+       |SELECT a, b, round(dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))), 6) AS cosine
+       |FROM dots JOIN nrm na ON dots.a = na.vec_id JOIN nrm nb ON dots.b = nb.vec_id
+       |WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4
+       |ORDER BY a, b""".stripMargin
+
+  /** Recursive closure + keeper agg over the exact pair relation — the
+    * oracle of BOTH `dedup_embedding_keepers` and its pruned twin. */
+  private val embKeepersOracleSql: String =
+    s"""${quantCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |jp AS (SELECT a, b FROM (
+       |         SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+       |         FROM q q1 JOIN q q2 ON q1.i = q2.i AND q1.vec_id < q2.vec_id
+       |         GROUP BY 1, 2) d
+       |       JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
+       |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
+       |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+       |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+       |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id, min(id) AS keeper_id, count(*) AS n_members
+       |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
     * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
@@ -1199,23 +1240,7 @@ object ExtQueries {
     // the embedding-side keeper decision: recursive closure over the exact
     // >=0.4-cosine pair relation (quantized-integer scoring core; same bar
     // as dedup_embedding_cosine, whose pair set this collapses)
-    "dedup_embedding_keepers" ->
-      s"""${quantCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |jp AS (SELECT a, b FROM (
-         |         SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
-         |         FROM q q1 JOIN q q2 ON q1.i = q2.i AND q1.vec_id < q2.vec_id
-         |         GROUP BY 1, 2) d
-         |       JOIN nrm na ON d.a = na.vec_id JOIN nrm nb ON d.b = nb.vec_id
-         |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
-         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
-         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
-         |reach(id, label) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
-         |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
-         |SELECT cluster_id, min(id) AS keeper_id, count(*) AS n_members
-         |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "dedup_embedding_keepers" -> embKeepersOracleSql,
 
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
     // shingle hashes (integer shifts — a double would round past 53 bits),
@@ -1391,15 +1416,12 @@ object ExtQueries {
          |SELECT degree, n_nodes, total_nodes, round(n_nodes / total_nodes, 6) AS share
          |FROM h CROSS JOIN t ORDER BY degree""".stripMargin,
 
-    "dedup_embedding_cosine" ->
-      s"""$quantCte,
-         |dots AS (SELECT q1.vec_id AS a, q2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
-         |         FROM q q1 JOIN q q2 ON q1.i = q2.i AND q1.vec_id < q2.vec_id
-         |         GROUP BY q1.vec_id, q2.vec_id)
-         |SELECT a, b, round(dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))), 6) AS cosine
-         |FROM dots JOIN nrm na ON dots.a = na.vec_id JOIN nrm nb ON dots.b = nb.vec_id
-         |WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4
-         |ORDER BY a, b""".stripMargin,
+    "dedup_embedding_cosine" -> embCosineOracleSql,
+    // the metric-pruned twin is EXACT (recall-1 triangle-inequality prune),
+    // so its oracle is the identical all-pairs SQL — the strongest check:
+    // pruning must change nothing
+    "dedup_embedding_cosine_pruned" -> embCosineOracleSql,
+    "dedup_embedding_keepers_pruned" -> embKeepersOracleSql,
 
     "similarity_topk" ->
       s"""$quantCte,
@@ -2269,5 +2291,6 @@ object ExtQueries {
     "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
     "events_ab_lift", "graph_triangles_capped", "dedup_spans",
     "pipeline_source_temperature", "text_zipf", "dedup_span_overlap",
-    "pipeline_pack_stats", "embedding_geometry")
+    "pipeline_pack_stats", "embedding_geometry",
+    "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned")
 }

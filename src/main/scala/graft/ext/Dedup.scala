@@ -534,6 +534,144 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
+  /** Quantized vectors with per-row norm and list assignment against the
+    * `nList` seeded centroids (corpus rows [centroidBase, centroidBase +
+    * nList), id order — the [[Similarity.ivfTopK]] determinism discipline),
+    * plus the row's ANGLE to its assigned centroid. Shared by
+    * [[embeddingCosinePruned]]'s prune and candidate stages. */
+  private def assignedWithAngle(embeddings: DataFrame, nList: Int,
+                                centroidBase: Int): (DataFrame, Array[Array[Long]]) = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = spread(embeddings)
+      .select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
+      .withColumn("nrm", expr("vec_dotl(q, q)"))
+    // bounded fold: nList centroid rows -> array literals (coarse
+    // quantizers are RAM-resident by design, ≈√n rows even at 10⁹ vectors)
+    val cents = q
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
+    val cq = cents.map(_.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
+    val cn = cents.map(v => v.map(x => x * x).sum).mkString("array(", "L, ", "L)")
+    val scores =
+      s"""transform(sequence(0, ${nList - 1}), i ->
+         |  vec_dotl(q, element_at($cq, i + 1))
+         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at($cn, i + 1) AS DOUBLE))))""".stripMargin
+    val assigned = q
+      .withColumn("scores", expr(scores))
+      .withColumn("list", expr("CAST(array_position(scores, array_max(scores)) AS INT) - 1"))
+      .withColumn("ang", expr("acos(greatest(-1.0e0, least(1.0e0, array_max(scores))))"))
+      .drop("scores")
+    (assigned, cents)
+  }
+
+  /** The tiny (≤ nList(nList+1)/2-row) SURVIVING list-pair relation of the
+    * metric prune: centroid-pair angles θ_ij (driver-computed from the
+    * folded centroids — exact integer dots, one acos each) joined with the
+    * data-derived per-list angular radii, kept iff
+    * θ_ij − r_i − r_j ≤ arccos(threshold) + ε. Exposed for the spec that
+    * asserts the prune actually prunes on clustered data. */
+  private[graft] def prunedListPairs(embeddings: DataFrame, threshold: Double,
+                                     nList: Int, centroidBase: Int): DataFrame = {
+    val (assigned, cents) = assignedWithAngle(embeddings, nList, centroidBase)
+    prunedListPairsFrom(assigned, cents, threshold)
+  }
+
+  private def prunedListPairsFrom(assigned: DataFrame, cents: Array[Array[Long]],
+                                  threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val nList = cents.length
+    val radii = assigned.groupBy("list").agg(max(col("ang")).as("r"))
+    val thetas = (for { i <- 0 until nList; j <- i until nList } yield {
+      var dot = 0L; var ni = 0L; var nj = 0L
+      var d = 0
+      while (d < cents(i).length) {
+        dot += cents(i)(d) * cents(j)(d)
+        ni += cents(i)(d) * cents(i)(d); nj += cents(j)(d) * cents(j)(d)
+        d += 1
+      }
+      val c = dot.toDouble / (math.sqrt(ni.toDouble) * math.sqrt(nj.toDouble))
+      (i, j, math.acos(math.max(-1.0, math.min(1.0, c))))
+    }).toDF("i", "j", "theta")
+    // ε absorbs acos ulp error so a borderline qualifying pair can never
+    // be pruned; pruning stays conservative (recall-1 proof in
+    // [[embeddingCosinePruned]]'s doc)
+    val maxAngle = math.acos(math.max(-1.0, math.min(1.0, threshold))) + 1e-9
+    thetas
+      .join(radii.select(col("list").as("i"), col("r").as("ri")), Seq("i"))
+      .join(radii.select(col("list").as("j"), col("r").as("rj")), Seq("j"))
+      .filter(col("theta") - col("ri") - col("rj") <= lit(maxAngle))
+      .select("i", "j")
+  }
+
+  /** [[embeddingCosine]]'s SCALE-PATH twin — the sub-quadratic-by-pruning
+    * semantic near-dup pair stage, returning the IDENTICAL exact result
+    * (the oracle for this query IS the all-pairs SQL).
+    *
+    * Why not LSH/IVF *candidate* generation: at a genuine semantic bar
+    * (this corpus qualifies pairs at cosine 0.40–0.51, ~64°) any
+    * probabilistic bucketing either misses qualifying pairs (SRP recall
+    * (1−p^b)^T stays material at useful selectivity) or generates more
+    * candidates than the all-pairs scan (the ρ ≈ 0.66 analysis in
+    * [[embeddingCosine]]'s doc). This operator instead prunes with a
+    * METRIC BOUND that cannot miss: vectors are assigned to their nearest
+    * of `nList` seeded centroids; for lists a, b with angular radii r_a,
+    * r_b and centroid separation θ_ab, the spherical triangle inequality
+    * gives angle(x, y) ≥ θ_ab − r_a − r_b for every x∈a, y∈b — so any
+    * list pair with θ_ab − r_a − r_b > arccos(threshold) provably contains
+    * NO qualifying pair and is never scored. Recall is 1 by construction;
+    * precision work collapses to Σ_{surviving (a,b)} m_a·m_b.
+    *
+    * At 100×: real embedding corpora are CLUSTERED (that is why semantic
+    * dedup works at all) — tight per-list radii prune the vast majority of
+    * the nList² block pairs, and nList scales as ≈√n, so scored-pair work
+    * is sub-quadratic in practice while staying exact. The adversarial
+    * worst case (uniformly random vectors, radii ≈ π/2) degrades to
+    * exactly [[embeddingCosine]]'s balanced blocked join — never worse,
+    * and inherent: exact threshold-cosine over data with no structure IS
+    * Θ(n²·d).
+    *
+    * Plan shape: one narrow assignment pass (corpus never shuffled as
+    * vectors until the pair join), one ≤nList-row radius partial-agg, the
+    * tiny surviving-pair relation broadcast onto both member streams, and
+    * a hash equi-join on the (i, j) block key — the [[embeddingCosine]]
+    * tile discipline with provably-empty tiles deleted. */
+  def embeddingCosinePruned(embeddings: DataFrame, threshold: Double = 0.4,
+                            nList: Int = 16, centroidBase: Int = 100): DataFrame = {
+    val (assigned, cents) = assignedWithAngle(embeddings, nList, centroidBase)
+    val keep = prunedListPairsFrom(assigned, cents, threshold)
+    val left = assigned.select(col("vec_id").as("lid"), col("q").as("lq"),
+        col("nrm").as("ln"), col("list").as("i"))
+      .join(broadcast(keep), Seq("i"))
+    val right = assigned.select(col("vec_id").as("rid"), col("q").as("rq"),
+        col("nrm").as("rn"), col("list").as("j"))
+      .join(broadcast(keep), Seq("j"))
+    left.join(right, Seq("i", "j"))
+      // same-list tiles meet both orientations; cross-list tiles exactly once
+      .filter(col("i") < col("j") || col("lid") < col("rid"))
+      .withColumn("dot", expr("vec_dotl(lq, rq)"))
+      .withColumn("cosine", expr("dot / (sqrt(CAST(ln AS DOUBLE)) * sqrt(CAST(rn AS DOUBLE)))"))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("lid"), col("rid")).as("a"), greatest(col("lid"), col("rid")).as("b"),
+        expr("round(cosine, 6)").as("cosine"))
+      .orderBy("a", "b")
+  }
+
+  /** [[embeddingKeepers]]' SCALE-PATH twin — the semantic-dedup DECISION
+    * over [[embeddingCosinePruned]]'s exact pair relation: identical
+    * clusters, identical keepers (hash-matched by the all-pairs oracle),
+    * with the pair stage's quadratic tile work cut down by the metric
+    * prune. This is the default a 100-TB corpus build should call. */
+  def embeddingKeepersPruned(embeddings: DataFrame, threshold: Double = 0.4,
+                             nList: Int = 16, centroidBase: Int = 100): DataFrame =
+    clusters(embeddingCosinePruned(embeddings, threshold, nList, centroidBase)
+        .select("a", "b"))
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
   /** Corpus-source overlap estimation: per-source MinHash UNION sketches →
     * pairwise shingle-set Jaccard estimates. Answers "how much do my crawl
     * dumps / data sources overlap?" BEFORE paying for cross-source pair
@@ -608,14 +746,28 @@ object Dedup {
     * key (pigeonhole; the classic Manku-Jarvelin-Sarma web-dedup layout) —
     * then verified with bit_count(xor). Shuffle is on the band key only;
     * never an all-pairs scan. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBandBucket: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = spread(docs).select(col("doc_id"), expr("simhash63(text)").as("simhash"))
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    val allBands = sh.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3), b ->
           |  concat(b, ':', shiftright(simhash, CAST(b * 16 AS INT)) & 65535))""".stripMargin))
         .as("bkey"))
+    // Band-bucket density cap — the [[minhashLsh]] maxBandBucket guard
+    // applied to the simhash index: an m-doc template family collides on
+    // every band, so pair OUTPUT is inherently Θ(m²); at sf10 the family
+    // density made the uncapped pair build the whole soak's bottleneck.
+    // Buckets above the cap are boilerplate by construction; their pairs
+    // belong to cluster-keeper handling, not exhaustive listing. The
+    // count window shares the bkey partitioning the join needs — no
+    // extra shuffle. Default None = exact (the oracle's semantics).
+    val bands = maxBandBucket.fold(allBands) { cap =>
+      val w = Window.partitionBy("bkey")
+      allBands.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
     bands.select(col("bkey"), col("doc_id").as("a"), col("simhash").as("sa"))
       .join(bands.select(col("bkey"), col("doc_id").as("b"), col("simhash").as("sb")), "bkey")
       .filter(col("a") < col("b"))

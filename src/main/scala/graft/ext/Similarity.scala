@@ -486,6 +486,131 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-subspace Lloyd-TRAINED PQ codebook — the training step the seeded
+    * [[pqTopK]] codebook stands in for: each subspace m gets `iters`
+    * k-means rounds over the corpus's sub-vectors, seeded from the same
+    * deterministic [centroidBase, centroidBase+nCode) rows. One corpus
+    * pass per round: every row's nSub codes come from the folded codebook
+    * literals (narrow), the (m, code) partial agg folds each task's
+    * members into one sd-long `vec_sum_agg` buffer, and the ≤ nSub·nCode
+    * aggregate rows fold into the next round's literals. Codeword update
+    * is the TRUNCATING integer mean (sum/n toward zero — Scala `/` here,
+    * a CASE'd `//` in the oracle) so every round stays exact-integer;
+    * empty codewords drop out (both engines' GROUP BY). Early stop on
+    * exact fixpoint only — indistinguishable from the oracle's fixed
+    * iteration count. Returns per-subspace codeword lists ordered by
+    * seed id (positions are the code values; argmin ties break to the
+    * first position ≡ the oracle's (d2 ASC, k ASC) rank). */
+  private def pqLloyd(vecs: DataFrame, nSub: Int, nCode: Int, centroidBase: Int,
+                      iters: Int, dim: Int = 64): Array[Array[Array[Long]]] = {
+    require(iters >= 1 && dim % nSub == 0)
+    val sd = dim / nSub
+    val seeds = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nCode)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(seeds.length == nCode, s"expected $nCode codebook rows, found ${seeds.length}")
+    var books: Array[Array[Array[Long]]] =
+      Array.tabulate(nSub)(m => seeds.map(_.slice(m * sd, (m + 1) * sd)))
+
+    // one Lloyd round: per-row positional codes against the folded
+    // codebook (narrow), then the (m, code) partial agg — the collect is
+    // bounded by nSub·nCode rows
+    def step(bs: Array[Array[Array[Long]]]): Map[(Int, Int), (Long, Array[Long])] = {
+      vecs
+        .withColumn("dists", expr(trainedPqDistsExpr(bs, sd)))
+        .withColumn("codes",
+          expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))"))
+        .select(col("vec_id"), col("q"), posexplode(col("codes")).as(Seq("m", "code")))
+        .withColumn("subvec", expr(s"slice(q, m * $sd + 1, $sd)"))
+        .groupBy("m", "code")
+        .agg(count(lit(1)).as("n"), expr("vec_sum_agg(subvec)").as("sums"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getSeq[Long](3).toArray))
+        .toMap
+    }
+
+    var it = 1
+    var done = false
+    while (!done) {
+      val agg = step(books)
+      val next = Array.tabulate(nSub) { m =>
+        books(m).indices
+          .flatMap { p =>
+            agg.get((m, p + 1)).map { case (n, sums) => sums.map(_ / n) }
+          }.toArray
+      }
+      val fixpoint = next.indices.forall(m =>
+        next(m).length == books(m).length &&
+          next(m).zip(books(m)).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+      books = next
+      if (fixpoint || it >= iters) done = true else it += 1
+    }
+    books
+  }
+
+  /** nSub per-subspace exact L2² distance lists against a TRAINED
+    * (variable-width — empty codewords drop) codebook literal; positions
+    * are the code values, argmin ties break to the first position. */
+  private def trainedPqDistsExpr(bs: Array[Array[Array[Long]]], sd: Int): String = {
+    val cb = bs.map(_.map(_.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    s"""transform(sequence(0, ${bs.length - 1}), m ->
+       |  transform(element_at($cb, m + 1), cw ->
+       |    aggregate(sequence(1, $sd), 0L, (acc, d) ->
+       |      acc + (element_at(q, m * $sd + d) - element_at(cw, d))
+       |          * (element_at(q, m * $sd + d) - element_at(cw, d)))))""".stripMargin
+  }
+
+  /** IVF+PQ with BOTH stages TRAINED — [[ivfTrainedTopK]]'s Lloyd coarse
+    * quantizer composed with [[pqLloyd]]'s per-subspace codebooks: the
+    * full train-then-search pipeline a production index runs (train on a
+    * corpus sample, assign + encode the corpus in one narrow pass, probe
+    * with ADC tables). Same plan shape as [[ivfPqTopK]] — training only
+    * changes the folded literals, never the query-path topology. Oracle =
+    * the kmeans CTEs and the per-subspace PQ-Lloyd CTEs chained into the
+    * proven ivf+pq assignment/probe/ADC CTEs. */
+  def ivfPqTrainedTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                       nList: Int = 16, nProbe: Int = 4, nSub: Int = 8,
+                       nCode: Int = 16, centroidBase: Int = 100,
+                       iters: Int = 3): DataFrame = {
+    val vecs = quantized(embeddings)
+    val cents = lloydFinal(vecs, nList, centroidBase, iters)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    require(cents.length >= nProbe,
+      s"only ${cents.length} surviving clusters < nProbe=$nProbe")
+    val qz = centroidLits(cents)
+    val n = cents.length
+    val books = pqLloyd(vecs, nSub, nCode, centroidBase, iters)
+    val sd = 64 / nSub
+    val base = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
+      .withColumn("dists", expr(trainedPqDistsExpr(books, sd)))
+    val assigned = base
+      .withColumn("list_id",
+        expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+      .select(col("vec_id"), col("list_id"),
+        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))").as("codes"))
+    val probes = base.filter(col("vec_id") < nQueries)
+      .withColumn("list_id", explode(expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${n - 1}),
+           |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
+           |  p -> element_at(${qz.cid}, p.i + 1))""".stripMargin)))
+      .select(col("vec_id").as("query_id"), col("dists").as("dtab"), col("list_id"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(1, $nSub), 0L, (acc, m) ->
+           |  acc + element_at(element_at(dtab, m), element_at(codes, m)))""".stripMargin))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adist"), col("list_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** SCALAR-QUANTIZATION ANN (SQ8) — the third classic compression path
     * beside [[pqTopK]] (PQ) and [[ivfTopK]] (IVF): each of the 64
     * dimensions is independently affine-mapped to an 8-bit code

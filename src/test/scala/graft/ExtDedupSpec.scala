@@ -192,6 +192,33 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("simhashPairs band-bucket cap: high cap exact, low cap suppresses the clone family") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // cap >= the largest band bucket -> identical to uncapped (exactness
+    // escape valve, the wedge-budget discipline)
+    val uncapped = Dedup.simhashPairs(docs).collect().map(_.toSeq).toSeq
+    val high = Dedup.simhashPairs(docs, maxBandBucket = Some(1000000))
+      .collect().map(_.toSeq).toSeq
+    assert(high === uncapped)
+    // a 30-clone template family: every clone shares all 4 band buckets;
+    // cap=8 suppresses those buckets entirely, organic pairs survive
+    import spark.implicits._
+    val family = (0L until 30L).map(i =>
+      (1000L + i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val organic = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine eleven"))
+    val corpus = (family ++ organic).toDF("doc_id", "text")
+    val all = Dedup.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(corpus, maxBandBucket = Some(8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.count(p => p._1 >= 1000L && p._2 >= 1000L) === 30 * 29 / 2)
+    assert(capped.forall(p => p._1 < 1000L && p._2 < 1000L),
+      s"family pairs must be suppressed at cap=8: $capped")
+    assert(capped === all.filter(p => p._1 < 1000L && p._2 < 1000L))
+  }
+
   test("minhashLsh band-bucket cap drops mega-cluster pairs, leaves the rest exact") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     // a generous cap changes nothing (no real bucket is that hot)
@@ -235,6 +262,46 @@ class ExtDedupSpec extends AnyFunSuite {
     val rescan = Dedup.incremental(docs).collect().map(_.toSeq).toSeq
     assert(stored === rescan)
     assert(stored.nonEmpty)
+  }
+
+  test("embeddingCosinePruned equals the exact all-pairs result on the fixture") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    for (t <- Seq(0.4, 0.6)) {
+      val exact = Dedup.embeddingCosine(embs, threshold = t).collect().map(_.toSeq).toSeq
+      val pruned = Dedup.embeddingCosinePruned(embs, threshold = t).collect().map(_.toSeq).toSeq
+      assert(pruned === exact, s"threshold $t: pruned result diverged from exact")
+    }
+  }
+
+  test("embeddingKeepersPruned equals exact keepers on the fixture at threshold 0.4") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val exact = Dedup.embeddingKeepers(embs).collect().map(_.toSeq).toSeq
+    val pruned = Dedup.embeddingKeepersPruned(embs).collect().map(_.toSeq).toSeq
+    assert(pruned === exact)
+    assert(pruned.nonEmpty)
+  }
+
+  test("metric prune removes provably-empty list pairs on clustered data, result stays exact") {
+    // two tight antipodal-ish clusters + their two seed centroids: every
+    // cross-cluster list pair is provably empty at threshold 0.9 and must
+    // be pruned; within-cluster pairs survive and verify exactly
+    val mk = (base: Float, i: Int) =>
+      Array(base + i * 0.001f, 1.0f - base, 0.05f * (i % 3))
+    val rows = (0 until 40).map(i => (i.toLong, mk(0.9f, i))) ++       // cluster A
+      (40 until 80).map(i => (i.toLong, mk(-0.9f, i))) ++             // cluster B
+      Seq((100L, mk(0.9f, 0)), (101L, mk(-0.9f, 0)))                  // the 2 seeds
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.prunedListPairs(df, threshold = 0.9, nList = 2, centroidBase = 100)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j"))).toSet
+    // 3 unordered list pairs exist for nList=2; the cross pair (0,1) is
+    // pruned (θ≈151° minus two tight radii ≫ arccos 0.9)
+    assert(!kept.contains((0, 1)), s"cross-cluster pair not pruned: $kept")
+    assert(kept.size < 3)
+    val exact = Dedup.embeddingCosine(df, threshold = 0.9).collect().map(_.toSeq).toSeq
+    val pruned = Dedup.embeddingCosinePruned(df, threshold = 0.9, nList = 2, centroidBase = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(pruned === exact)
+    assert(pruned.nonEmpty)
   }
 
   test("embeddingKeepers collapses parallel-vector families to one keeper each") {

@@ -39,13 +39,31 @@ class SmokeSpec extends AnyFunSuite {
     // assertion from the artifact: find the newest BENCH_r*.json, pull the
     // embedded {"metric":...} line out of its "tail", and require
     // BASELINE.md to quote exactly "<n> queries, <total> s total".
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // Bench.scala now writes its own complete artifact (BENCH_full.json —
+    // every rep of every query, config, warmup status); when present it is
+    // the source of truth and the truncated driver-capture fallback below
+    // never runs.
+    val fullArtifact = new java.io.File("BENCH_full.json")
+    if (fullArtifact.exists()) {
+      val metric = om.readTree(fullArtifact)
+      val n = metric.get("queries").size()
+      val total = f"${metric.get("value").asDouble()}%.2f"
+      val baseline = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+      assert(baseline.contains(s"$n queries, $total s total"),
+        s"BASELINE.md round-context row is stale: regenerate it from " +
+          s"BENCH_full.json ($n queries, $total s total)")
+    } else checkDriverCapture(om)
+  }
+
+  private def checkDriverCapture(om: com.fasterxml.jackson.databind.ObjectMapper): Unit = {
     val benches = new java.io.File(".").listFiles()
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       // numeric round sort: lexicographic getName breaks at width changes
       // (BENCH_r10 < BENCH_r04; BENCH_r100 < BENCH_r99)
       .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
     assume(benches.nonEmpty, "no driver BENCH artifact yet")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     // A driver artifact's "tail" is the LAST n bytes of sbt output — a long
     // run (r5: 616 s, errors array) can push the {"metric"} line off the
     // front. Fall back to the newest artifact that still carries one, and
