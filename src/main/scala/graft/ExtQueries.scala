@@ -189,6 +189,9 @@ object ExtQueries {
     // train-then-search: kmeansRun's converged centroids as the IVF
     // quantizer — the two proven parts composed into the pipeline users run
     "pipeline_ann_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))),
+    // BOTH ANN stages trained: Lloyd coarse quantizer + per-subspace
+    // Lloyd PQ codebooks, composed into the ivf+pq ADC query path
+    "similarity_ivfpq_trained" -> ((s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))),
     "embedding_cluster_sample" -> ((s, dir) => Similarity.clusterSample(embs(s, dir))),
     // data-quality triage: bottom-20 vectors by nearest-centroid cosine
     "embedding_outliers" -> ((s, dir) => Similarity.outliers(embs(s, dir))),
@@ -563,6 +566,71 @@ object ExtQueries {
        |       round(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** `iters` chained per-subspace PQ-Lloyd rounds, replaying
+    * [[graft.ext.Similarity.ivfPqTrainedTopK]]'s codebook training: k1 =
+    * the seed rows' sub-vectors keyed by (m, k); each round computes exact
+    * L2² distances (pd_t), the argmin assignment with lower-k tie-break
+    * (pa_t), and the next codebook's TRUNCATING integer means (k_{t+1} —
+    * the CASE'd `//` is trunc-toward-zero, matching Scala Long division).
+    * Empty codewords drop via GROUP BY on both engines. */
+  private def pqLloydCtes(iters: Int): String = {
+    val blocks = (1 to iters).map { t =>
+      s"""pd$t AS (SELECT s.vec_id, s.m, c.k, CAST(sum((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS d2
+         |         FROM sub s JOIN k$t c ON s.m = c.m AND s.d = c.d GROUP BY 1, 2, 3),
+         |pa$t AS (SELECT vec_id, m, k FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS r
+         |           FROM pd$t) WHERE r = 1),
+         |pn$t AS (SELECT m, k, CAST(count(*) AS BIGINT) AS n FROM pa$t GROUP BY m, k),
+         |k${t + 1} AS (SELECT a.m, a.k, s.d,
+         |           CAST(CASE WHEN sum(s.x) >= 0 THEN sum(s.x) // pn.n
+         |                ELSE -((-sum(s.x)) // pn.n) END AS BIGINT) AS x
+         |         FROM pa$t a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+         |              JOIN pn$t pn ON pn.m = a.m AND pn.k = a.k
+         |         GROUP BY a.m, a.k, s.d, pn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""sub AS (SELECT vec_id, (i - 1) // 8 AS m, i - ((i - 1) // 8) * 8 AS d, x FROM q),
+       |k1 AS (SELECT vec_id - 100 + 1 AS k, m, d, x FROM sub
+       |       WHERE vec_id >= 100 AND vec_id < 116),
+       |$blocks""".stripMargin
+  }
+
+  /** Both ANN stages trained: the kmeans coarse-quantizer CTEs and the
+    * PQ-Lloyd codebook CTEs chained into the proven trained-IVF
+    * assignment/probe CTEs and PQ ADC scoring. */
+  private def ivfPqTrainedOracleSql(iters: Int): String =
+    s"""${kmeansCtes(iters)},
+       |cf AS (SELECT cluster_id, i, x FROM c${iters + 1}),
+       |nf AS (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM cf GROUP BY cluster_id),
+       |cdots AS (SELECT qv.vec_id, cf.cluster_id AS cent_id, CAST(sum(qv.x * cf.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN cf ON qv.i = cf.i GROUP BY 1, 2),
+       |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+       |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nf.n AS DOUBLE))) AS ccos
+       |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+       |                    JOIN nf ON cdots.cent_id = nf.cluster_id),
+       |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+       |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |              FROM ccos) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+       |${pqLloydCtes(iters)},
+       |fd AS (SELECT s.vec_id, s.m, c.k, CAST(sum((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS d2
+       |       FROM sub s JOIN k${iters + 1} c ON s.m = c.m AND s.d = c.d GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, m, k AS code FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, k ASC) AS r
+       |            FROM fd) WHERE r = 1),
+       |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+       |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+       |adist AS (SELECT cand.query_id AS query_id, cand.vec_id AS vec_id, cand.list_id AS list_id,
+       |            CAST(sum(qd.d2) AS BIGINT) AS adist
+       |          FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+       |                    JOIN fd qd ON qd.vec_id = cand.query_id AND qd.m = c.m AND qd.k = c.code
+       |          GROUP BY 1, 2, 3),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+       |           FROM adist)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, adist, list_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "text_quality" ->
       """SELECT doc_id,
@@ -734,6 +802,7 @@ object ExtQueries {
 
     // trained-quantizer IVF: kmeans CTEs chained into the ivf CTEs
     "pipeline_ann_trained" -> ivfTrainedOracleSql(3),
+    "similarity_ivfpq_trained" -> ivfPqTrainedOracleSql(3),
 
     // the engine's banded LSH has P[miss | J>=0.8] ~ 5e-8, so the pair set
     // equals the exact-Jaccard pairs; the cluster ids are then the TRUE
@@ -2292,5 +2361,6 @@ object ExtQueries {
     "events_ab_lift", "graph_triangles_capped", "dedup_spans",
     "pipeline_source_temperature", "text_zipf", "dedup_span_overlap",
     "pipeline_pack_stats", "embedding_geometry",
-    "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned")
+    "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
+    "similarity_ivfpq_trained")
 }

@@ -20,7 +20,7 @@ object Similarity {
     * query and corpus branches derive from this relation; the corpus side
     * is scanned exactly once per consumer (the query branch reads with a
     * pushed vec_id filter). */
-  private def quantized(embeddings: DataFrame): DataFrame = {
+  private[graft] def quantized(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     Dedup.spread(embeddings)
       .select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
@@ -501,7 +501,7 @@ object Similarity {
     * iteration count. Returns per-subspace codeword lists ordered by
     * seed id (positions are the code values; argmin ties break to the
     * first position ≡ the oracle's (d2 ASC, k ASC) rank). */
-  private def pqLloyd(vecs: DataFrame, nSub: Int, nCode: Int, centroidBase: Int,
+  private[graft] def pqLloyd(vecs: DataFrame, nSub: Int, nCode: Int, centroidBase: Int,
                       iters: Int, dim: Int = 64): Array[Array[Array[Long]]] = {
     require(iters >= 1 && dim % nSub == 0)
     val sd = dim / nSub
