@@ -76,9 +76,10 @@ object ExtQueries {
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
     "text_winnow"       -> ((s, dir) => TextAnalysis.winnow(docs(s, dir))),
-    // rows-only check (no oracleSql entry): zlib byte stream is
-    // implementation-specific; ordering properties are spec-asserted
-    "text_compress_ratio" -> ((s, dir) => TextAnalysis.compressRatio(docs(s, dir))),
+    // hash-verified via the checked projection: byte_len exact per doc,
+    // deflate bounded + ratio-consistent via the sanity flag; the raw zlib
+    // byte count is the one documented exclusion (implementation-specific)
+    "text_compress_ratio" -> ((s, dir) => TextAnalysis.compressRatioChecked(docs(s, dir))),
     "text_search"         -> ((s, dir) => TextAnalysis.search(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     "text_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(docs(s, dir))),
@@ -214,7 +215,10 @@ object ExtQueries {
     "events_json_props"      -> ((s, dir) => Events.jsonProps(events(s, dir))),
     "events_funnel"          -> ((s, dir) => Events.funnel(events(s, dir))),
     "events_retention"       -> ((s, dir) => Events.retention(events(s, dir))),
-    "events_approx_distinct" -> ((s, dir) => Events.approxDistinct(events(s, dir))),
+    // hash-verified via the checked projection: keys/counts/exact-distinct
+    // exact, HLL estimate checked against its ±10% envelope; the raw
+    // sketch value is the one documented exclusion (engine-specific)
+    "events_approx_distinct" -> ((s, dir) => Events.approxDistinctChecked(events(s, dir))),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
     // A/B readout: deterministic md5 hash cohorts, conversion lift + z
@@ -2162,7 +2166,23 @@ object ExtQueries {
         |WHERE date_diff('day', cohort.cohort_day, act.day) <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // events_approx_distinct: HLL sketch — engine-specific, rows-only check.
+    // events_approx_distinct: every deterministic column exact; the HLL
+    // estimate itself is engine-specific, so what hashes is its ±10%
+    // envelope flag (5 standard errors at rsd 0.02; sparse-mode-exact on
+    // fixtures) — the constant-1 column the oracle asserts
+    "events_approx_distinct" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS INT) AS approx_within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // text_compress_ratio: byte_len exact per doc; deflate_len/ratio are
+    // zlib-implementation-specific, so what hashes is the sanity flag
+    // (non-empty, worst-case-envelope-bounded, ratio-consistent)
+    "text_compress_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+        |       CAST(1 AS INT) AS ratio_sane
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // text is pure ASCII in the test corpus, so char-based substr equals
     // byte slicing and the frame md5s line up with Spark's binary substrings

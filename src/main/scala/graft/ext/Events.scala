@@ -430,6 +430,31 @@ object Events {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** [[approxDistinct]]'s ORACLE-CHECKABLE projection: every deterministic
+    * column verified exactly (group keys, row count, and the exact
+    * distinct-user count the sketch approximates), plus a bounds flag on
+    * the one engine-specific value — `approx_within_10pct` = 1 iff the
+    * HLL++ estimate lands within ±10% of the exact count. At rsd = 0.02
+    * that bound is 5 standard errors, and HLL++'s sparse mode is EXACT
+    * below ~6k distinct values, so the flag is deterministically 1 on any
+    * fixture; the oracle asserts exactly that. The raw `approx_users`
+    * value itself is the documented exclusion (sketches are
+    * engine-specific byte layouts, not portable numbers) — this projection
+    * turns the former rows-only check into a hash-verified row where only
+    * the sketch VALUE, never the sketch's correctness envelope, is
+    * unchecked. Exact count-distinct here is verification-scale cost;
+    * the production op remains [[approxDistinct]], which never pays it. */
+  def approxDistinctChecked(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        when(expr("abs(CAST(approx_users AS DOUBLE) - exact_users) <= 0.1e0 * exact_users"), 1)
+          .otherwise(0).cast("int").as("approx_within_10pct"))
+      .orderBy("event_type")
+
   /** Per-type VALUE distribution report — the revenue/latency dashboard
     * staple: exact count/sum plus exact interpolated p50/p90/p99 of
     * `value` per event type. `percentile` is Spark's EXACT

@@ -244,6 +244,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[compressRatio]]'s ORACLE-CHECKABLE projection: the deterministic
+    * column (`byte_len`) verified exactly per doc, plus a sanity flag on
+    * the engine-specific pair — `ratio_sane` = 1 iff the deflate output is
+    * non-empty, within the DEFLATE worst-case envelope (stored-block
+    * overhead is ≤ 5 bytes per 16 KiB plus a fixed header, so ≤ byte_len +
+    * 64 for any input a fixture holds), and `compress_ratio` is internally
+    * consistent with `deflate_len / byte_len`. The raw deflate byte count
+    * is the documented exclusion (zlib's exact stream length is
+    * implementation-specific); everything about it that is PORTABLE — that
+    * it exists, is bounded, and the ratio is derived from it correctly —
+    * hashes against the oracle's constant-1 column. Empty docs check only
+    * the envelope (ratio is NULL by 0-division). */
+  def compressRatioChecked(docs: DataFrame): DataFrame =
+    compressRatio(docs)
+      .select(col("doc_id"), col("byte_len"),
+        when(expr(
+          """deflate_len > 0 AND deflate_len <= byte_len + 64
+            |AND (byte_len = 0 OR compress_ratio = round(deflate_len / byte_len, 6))""".stripMargin), 1)
+          .otherwise(0).cast("int").as("ratio_sane"))
+      .orderBy("doc_id")
+
   /** Winnowed fingerprint set as a column expression: positional (NOT
     * distinct) 60-bit 3-gram hashes, then the minimum of each `w`=4-window
     * of consecutive hashes, deduplicated and sorted. Guarantees of the

@@ -239,6 +239,20 @@ class ExtEventsSpec extends AnyFunSuite {
     }
   }
 
+  test("approxDistinctChecked: exact columns match the exact agg, envelope flag always 1") {
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val out = Events.approxDistinctChecked(events)
+    assert(out.columns.toSeq === Seq("event_type", "n", "exact_users", "approx_within_10pct"))
+    assert(out.filter(col("approx_within_10pct") =!= 1).count() === 0L)
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"), count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("u"), r.getAs[Long]("c"))).toMap
+    out.collect().foreach { r =>
+      val (u, c) = exact(r.getString(0))
+      assert(r.getAs[Long]("exact_users") === u && r.getAs[Long]("n") === c)
+    }
+  }
+
   test("anomalyHourly scores a burst hour against its trailing baseline") {
     val h = 3600000L
     // hours 0-3: 2 events each (baseline); hour 4: 10 events (spike)

@@ -131,6 +131,18 @@ class ExtTextSpec extends AnyFunSuite {
       TextAnalysis.compressRatio(docsDf(1L -> spammy, 2L -> diverse)).collect().map(_.toSeq).toSeq)
   }
 
+  test("compressRatioChecked flags every real-corpus doc sane and keeps byte_len exact") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = TextAnalysis.compressRatioChecked(docs)
+    assert(out.columns.toSeq === Seq("doc_id", "byte_len", "ratio_sane"))
+    assert(out.filter(col("ratio_sane") =!= 1).count() === 0L)
+    // byte_len is the deterministic column the oracle hashes — exact match
+    val mism = out.join(
+      docs.select(col("doc_id"), expr("CAST(octet_length(text) AS BIGINT)").as("bl")), "doc_id")
+      .filter(col("byte_len") =!= col("bl")).count()
+    assert(mism === 0L)
+  }
+
   test("winnow: identical docs share the full print set; disjoint docs share none") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val b = "uno dos tres cuatro cinco seis siete ocho nueve diez"
