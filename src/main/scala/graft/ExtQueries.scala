@@ -113,17 +113,31 @@ object ExtQueries {
     // over the simhash near-dup graph (degree-ordered orientation)
     "graph_triangles"        -> ((s, dir) =>
       Graph.triangles(Dedup.simhashPairs(docs(s, dir)))),
-    // the 100x-scale guard: per-apex wedge budget of 8 (work O(n·64)
-    // regardless of graph density; documented undercount at apexes with
-    // oriented out-degree > 8 — the oracle replays the identical cap)
+    // the 100x-scale guard, BOTH caps on: band-bucket density cap of 64
+    // in the edge build (a template family of m docs collides on every
+    // band — pair output is inherently Θ(m²) without it; at sf10 the
+    // uncapped pair build was the whole soak's bottleneck) plus the
+    // per-apex wedge budget of 8 (work O(n·64) regardless of density).
+    // Documented undercounts at over-cap buckets/apexes — the oracle
+    // replays BOTH caps exactly
     "graph_triangles_capped" -> ((s, dir) =>
-      Graph.triangles(Dedup.simhashPairs(docs(s, dir)), maxOutDeg = Some(8))),
+      Graph.triangles(Dedup.simhashPairs(docs(s, dir), maxBandBucket = Some(64)),
+        maxOutDeg = Some(8))),
     // degree histogram of the near-dup graph (template-farm shape report)
     "graph_degree_hist"      -> ((s, dir) =>
       Graph.degreeHist(Dedup.simhashPairs(docs(s, dir)))),
     // integer-quantized PageRank: the canonical-copy centrality read
     "graph_pagerank"         -> ((s, dir) =>
       Graph.pagerank(Dedup.simhashPairs(docs(s, dir)))),
+    // the scale-path twins over the band-capped edge relation: identical
+    // algorithms, edge build bounded at 64 docs per band bucket so the
+    // pair stage stays near-linear on template-heavy corpora (the sf10
+    // soak shape); over-cap families are cluster-keeper business, not
+    // exhaustive graph edges — the oracle replays the cap
+    "graph_pagerank_capped"  -> ((s, dir) =>
+      Graph.pagerank(Dedup.simhashPairs(docs(s, dir), maxBandBucket = Some(64)))),
+    "graph_degree_hist_capped" -> ((s, dir) =>
+      Graph.degreeHist(Dedup.simhashPairs(docs(s, dir), maxBandBucket = Some(64)))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
@@ -436,6 +450,22 @@ object ExtQueries {
       |           > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
       |      AS BIGINT) AS simhash
       |  FROM documents)""".stripMargin
+
+  // Band-capped simhash edge relation — the DuckDB replay of
+  // Dedup.simhashPairs(maxBandBucket = Some(64)): explode the 4×16-bit
+  // band keys, DROP every (band, value) bucket holding more than 64 docs
+  // BEFORE the pair join, keep pairs that survive via any uncapped band
+  // (the DISTINCT), verify hamming ≤ 3. Composes after simhashShCte.
+  private val cappedSimhashEdgeCte =
+    """bb AS (SELECT doc_id, simhash, r.b AS band,
+      |          (simhash >> (r.b * 16)) & 65535 AS bv
+      |       FROM sh, unnest(range(0, 4)) AS r(b)),
+      |bok AS (SELECT band, bv FROM bb GROUP BY band, bv HAVING count(*) <= 64),
+      |bc AS (SELECT bb.* FROM bb JOIN bok USING (band, bv)),
+      |e AS (SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      |      FROM bc b1 JOIN bc b2 ON b1.band = b2.band AND b1.bv = b2.bv
+      |        AND b1.doc_id < b2.doc_id
+      |      WHERE bit_count(xor(CAST(b1.simhash AS BIT), CAST(b2.simhash AS BIT))) <= 3)""".stripMargin
 
   private val quantCte =
     """WITH q AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -1425,14 +1455,13 @@ object ExtQueries {
          |FROM deg LEFT JOIN tc ON tc.id = deg.id
          |ORDER BY doc_id""".stripMargin,
 
-    // the capped variant replays the identical (ddeg, dst)-smallest-8
-    // wedge budget via row_number, closure probe uncapped — same
-    // deterministic undercount as the engine
+    // the capped variant replays BOTH engine caps: the 64-doc band-bucket
+    // density cap in the edge build, then the (ddeg, dst)-smallest-8
+    // wedge budget via row_number (closure probe uncapped) — same
+    // deterministic undercounts as the engine
     "graph_triangles_capped" ->
       s"""WITH $simhashShCte,
-         |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
-         |      FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
-         |      WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |$cappedSimhashEdgeCte,
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
          |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
          |dir AS (SELECT CASE WHEN (da.degree, a) < (db.degree, b) THEN a ELSE b END AS src,
@@ -1482,6 +1511,32 @@ object ExtQueries {
          |e AS (SELECT s1.doc_id AS a, s2.doc_id AS b
          |      FROM sh s1 JOIN sh s2 ON s1.doc_id < s2.doc_id
          |      WHERE bit_count(xor(CAST(s1.simhash AS BIT), CAST(s2.simhash AS BIT))) <= 3),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
+         |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree),
+         |t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS total_nodes FROM h)
+         |SELECT degree, n_nodes, total_nodes, round(n_nodes / total_nodes, 6) AS share
+         |FROM h CROSS JOIN t ORDER BY degree""".stripMargin,
+
+    // the band-capped twins: identical recurrence/histogram SQL, edge
+    // CTE swapped for the 64-doc-bucket-capped replay
+    "graph_pagerank_capped" ->
+      s"""WITH $simhashShCte,
+         |$cappedSimhashEdgeCte,
+         |u AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree FROM u GROUP BY src),
+         |p0 AS (SELECT id, degree, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |p1 AS (SELECT d.id, d.degree, CAST(150000 + (85 * sum(p.pr // p.degree)) // 100 AS BIGINT) AS pr
+         |       FROM u JOIN p0 p ON u.src = p.id JOIN deg d ON u.dst = d.id GROUP BY d.id, d.degree),
+         |p2 AS (SELECT d.id, d.degree, CAST(150000 + (85 * sum(p.pr // p.degree)) // 100 AS BIGINT) AS pr
+         |       FROM u JOIN p1 p ON u.src = p.id JOIN deg d ON u.dst = d.id GROUP BY d.id, d.degree),
+         |p3 AS (SELECT d.id, d.degree, CAST(150000 + (85 * sum(p.pr // p.degree)) // 100 AS BIGINT) AS pr
+         |       FROM u JOIN p2 p ON u.src = p.id JOIN deg d ON u.dst = d.id GROUP BY d.id, d.degree)
+         |SELECT id AS doc_id, degree, pr AS pagerank FROM p3 ORDER BY doc_id""".stripMargin,
+
+    "graph_degree_hist_capped" ->
+      s"""WITH $simhashShCte,
+         |$cappedSimhashEdgeCte,
          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
          |        FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) GROUP BY id),
          |h AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree),
@@ -2382,5 +2437,6 @@ object ExtQueries {
     "pipeline_source_temperature", "text_zipf", "dedup_span_overlap",
     "pipeline_pack_stats", "embedding_geometry",
     "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
-    "similarity_ivfpq_trained")
+    "similarity_ivfpq_trained", "graph_pagerank_capped",
+    "graph_degree_hist_capped")
 }

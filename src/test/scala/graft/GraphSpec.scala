@@ -148,4 +148,28 @@ class GraphSpec extends AnyFunSuite {
     val b = Graph.pagerank(pairs.repartition(13)).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("band-capped edges: graph ops equal the same ops on the organically surviving pairs") {
+    // a 30-clone template family saturates its band buckets (cap=8 drops
+    // them); graph ops over the capped edge relation must equal the same
+    // ops run on the manually filtered pair list — the composition the
+    // graph_*_capped queries rely on
+    val family = (0L until 30L).map(i =>
+      (1000L + i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val organic = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine eleven"))
+    val corpus = (family ++ organic).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(corpus, maxBandBucket = Some(8))
+    val manual = Dedup.simhashPairs(corpus)
+      .filter(col("a") < 1000L && col("b") < 1000L)
+    assert(Graph.degreeHist(capped).collect().map(_.toSeq).toSeq ===
+      Graph.degreeHist(manual).collect().map(_.toSeq).toSeq)
+    assert(Graph.pagerank(capped).collect().map(_.toSeq).toSeq ===
+      Graph.pagerank(manual).collect().map(_.toSeq).toSeq)
+    assert(Graph.triangles(capped, maxOutDeg = Some(8)).collect().map(_.toSeq).toSeq ===
+      Graph.triangles(manual, maxOutDeg = Some(8)).collect().map(_.toSeq).toSeq)
+    // the family really was dense enough to bind: uncapped sees its pairs
+    assert(Dedup.simhashPairs(corpus).filter(col("a") >= 1000L).count() === 30L * 29L / 2L)
+  }
 }
