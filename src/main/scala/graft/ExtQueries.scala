@@ -191,6 +191,29 @@ object ExtQueries {
       }
       Dedup.incrementalStored(d.filter(col("doc_id") % 7 === 0), store)
     }),
+    // substring-span dedup against the stored window-hash index: the
+    // incremental twin of dedup_spans (historical text never rescanned —
+    // the probe reads the 8-byte hash store); same content-keyed cache +
+    // atomic-publish discipline as the band store above
+    "dedup_spans_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = s"/tmp/graft_span_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
+      val storePath = java.nio.file.Paths.get(store)
+      if (!java.nio.file.Files.exists(storePath.resolve("winhashes/_SUCCESS"))) {
+        val tmp = java.nio.file.Paths.get(
+          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        Dedup.buildSpanStore(d.filter(col("doc_id") % 7 =!= 0), tmp.toString)
+        try java.nio.file.Files.move(tmp, storePath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            require(java.nio.file.Files.exists(storePath.resolve("winhashes/_SUCCESS")),
+              s"span-store publish failed and no winner exists at $store")
+            deleteRecursively(tmp.toFile)
+        }
+      }
+      Dedup.spansAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
+    }),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     // contrastive-training negatives: near-dup ceiling, then ranks 6..15
@@ -803,6 +826,42 @@ object ExtQueries {
         |       round(CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) / b.n_words, 6) AS dup_frac
         |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // spans against the stored index: store = distinct window hashes of
+    // the %7!=0 slice, probe = %7==0 docs; the span merge is replayed
+    // with lag/sum windows — DIFFERENT machinery than the engine's
+    // aggregate-HOF fold, so a hash match also cross-checks the fold
+    "dedup_spans_stored" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |           CAST(list_sum(list_transform(range(0, 15), k ->
+        |             CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |               << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |         FROM toks, unnest(range(1, len(w) - 6)) AS r(i)
+        |         WHERE len(w) >= 8),
+        |stored AS (SELECT DISTINCT h FROM wins WHERE doc_id % 7 != 0),
+        |inc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks WHERE doc_id % 7 = 0),
+        |hits AS (SELECT DISTINCT doc_id, pos FROM wins JOIN stored USING (h)
+        |         WHERE doc_id % 7 = 0),
+        |sp AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS new_span
+        |       FROM hits),
+        |gp AS (SELECT doc_id, pos,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi, count(*) AS nw
+        |          FROM gp GROUP BY doc_id, span_id),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+        |               CAST(sum(hi - lo + 8) AS BIGINT) AS n_dup_tokens
+        |        FROM spans GROUP BY doc_id)
+        |SELECT inc.doc_id AS doc_id, inc.n_words,
+        |       CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        |       round(CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) / inc.n_words, 6) AS dup_frac
+        |FROM inc LEFT JOIN per ON per.doc_id = inc.doc_id
+        |ORDER BY inc.doc_id""".stripMargin,
 
     // span overlap: same 60-bit window hash, distinct (source, h)
     // incidence, hash-keyed pair self-join, broadcast totals
@@ -2438,5 +2497,5 @@ object ExtQueries {
     "pipeline_pack_stats", "embedding_geometry",
     "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
     "similarity_ivfpq_trained", "graph_pagerank_capped",
-    "graph_degree_hist_capped")
+    "graph_degree_hist_capped", "dedup_spans_stored")
 }

@@ -955,6 +955,100 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Span-merge FOLD over a sorted, distinct position array `ps` — ONE
+    * definition of [[substringSpans]]' merge rule (consecutive duplicated
+    * `k`-windows whose start positions differ by ≤ k coalesce; each span
+    * covers hi − lo + k tokens) as a Catalyst `aggregate` HOF, shared by
+    * the batch [[spansAgainstStore]] and the streaming twin
+    * ([[graft.streaming.DocStreams.spansAgainstStore]]) so the two paths
+    * CANNOT diverge (the qualityScoreExpr discipline). Streaming needs
+    * the fold form because rank/lag windows are unsupported on streaming
+    * DataFrames; the batch path uses the same expression so the
+    * differential spec compares logic, not two reimplementations.
+    * Returns struct(n_spans BIGINT, n_dup_tokens BIGINT). */
+  private[graft] def spanFoldExpr(k: Int, ps: String = "ps"): String =
+    s"""aggregate($ps,
+       |  named_struct('ns', CAST(0 AS BIGINT), 'tok', CAST(0 AS BIGINT),
+       |               'lo', CAST(-1 AS BIGINT), 'hi', CAST(-1 AS BIGINT)),
+       |  (a, p) -> CASE
+       |    WHEN a.lo < 0 THEN named_struct('ns', CAST(1 AS BIGINT),
+       |      'tok', CAST(0 AS BIGINT), 'lo', p, 'hi', p)
+       |    WHEN p - a.hi <= $k THEN named_struct('ns', a.ns, 'tok', a.tok,
+       |      'lo', a.lo, 'hi', p)
+       |    ELSE named_struct('ns', a.ns + CAST(1 AS BIGINT),
+       |      'tok', a.tok + a.hi - a.lo + $k, 'lo', p, 'hi', p) END,
+       |  a -> CASE WHEN a.lo < 0
+       |    THEN named_struct('n_spans', CAST(0 AS BIGINT), 'n_dup_tokens', CAST(0 AS BIGINT))
+       |    ELSE named_struct('n_spans', a.ns,
+       |      'n_dup_tokens', a.tok + a.hi - a.lo + $k) END)""".stripMargin
+
+  /** WINDOW-HASH STORE lifecycle — the [[buildBandStore]] pattern for
+    * substring-span dedup: the historical corpus collapses to its DISTINCT
+    * 60-bit `k`-token window hashes (8 bytes per distinct window — ~1% of
+    * corpus bytes), range-clustered by `h` so a probe's equi-join prunes
+    * store files by min/max stats. Build once; [[appendToSpanStore]] adds
+    * each day's increment at O(increment) cost (existing files untouched,
+    * each batch its own tight-range file set). Probes tolerate duplicate
+    * hashes across appended batches by construction (position sets are
+    * collected DISTINCT), so no compaction is ever needed for correctness
+    * — only for file-count hygiene. */
+  def buildSpanStore(hist: DataFrame, storeDir: String, k: Int = 8,
+                     numFiles: Int = 8): Unit =
+    writeSpanStore(hist, storeDir, k, "overwrite", numFiles)
+
+  def appendToSpanStore(increment: DataFrame, storeDir: String, k: Int = 8,
+                        numFiles: Int = 1): Unit =
+    writeSpanStore(increment, storeDir, k, "append", numFiles)
+
+  private def writeSpanStore(docs: DataFrame, storeDir: String, k: Int,
+                             mode: String, numFiles: Int): Unit = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.ops.Scale.clusteredParquet(
+      spread(docs)
+        .select(explode(expr(s"shingle_hash60_pos(text, $k)")).as("h"))
+        .distinct(),
+      s"$storeDir/winhashes", Seq("h"), numFiles, mode)
+  }
+
+  /** [[substringSpans]] against a PRECOMPUTED window-hash store — the
+    * incremental substring dedup: for each INCOMING doc, which of its
+    * `k`-token windows already exist in the historical corpus, merged to
+    * maximal spans (same output shape and merge rule as
+    * [[substringSpans]]; "duplicated" here means "against the store").
+    * The historical text is never rescanned — the probe reads 8-byte
+    * hashes only, so the daily cost is O(increment) like
+    * [[incrementalStored]].
+    *
+    * Scale shape: the incoming side pays one narrow native-hash pass; the
+    * corpus-wide work is ONE equi-join on the 8-byte hash against the
+    * range-clustered store (file-pruned by min/max), then a per-doc fold
+    * over its DISTINCT hit positions (bounded by doc length, collected in
+    * one partial-agg shuffle on doc_id). Span merging is the shared
+    * [[spanFoldExpr]] — identical logic to the streaming twin. */
+  def spansAgainstStore(incoming: DataFrame, storeDir: String,
+                        k: Int = 8): DataFrame = {
+    val spark = incoming.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val store = spark.read.parquet(s"$storeDir/winhashes")
+    val base = spread(incoming).select(col("doc_id"), col("text"))
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val per = wins.join(store, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_dup_windows"),
+        expr(spanFoldExpr(k)).as("sp"))
+    base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("sp.n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("sp.n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac", expr("round(n_dup_tokens / n_words, 6)"))
+      .orderBy("doc_id")
+  }
+
   /** The SQL transform-lambda twin of `shingle_hash60_pos` — the
     * oracle-shaped (doc_id, pos, h) window relation, kept ONLY as the
     * spec reference the native expression is asserted against. */

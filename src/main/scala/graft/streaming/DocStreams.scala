@@ -137,6 +137,53 @@ object DocStreams {
       .select(col("inc_id"), col("hist_id"), col("jaccard"))
   }
 
+  /** Streaming SUBSTRING-SPAN dedup against the PRECOMPUTED window-hash
+    * store ([[graft.ext.Dedup.buildSpanStore]]) — the continuous twin of
+    * the batch [[graft.ext.Dedup.spansAgainstStore]]: each arriving doc's
+    * `k`-token windows are hashed (the same native `shingle_hash60_pos`
+    * pass), probed against the stored historical hash set via a
+    * stream-static LEFT join on the 8-byte key, and the hit positions are
+    * merged to maximal spans with the SHARED
+    * [[graft.ext.Dedup.spanFoldExpr]] — one merge-rule definition for
+    * both paths, because rank/lag windows are unsupported on streaming
+    * DataFrames and a reimplementation could drift. Emits one row per
+    * (doc, arrival window) with the batch twin's exact columns —
+    * batch-equal under any micro-batch split (spec-asserted), since all
+    * of a doc's windows explode from its single arrival row and therefore
+    * land in one micro-batch.
+    *
+    * Scale shape: the static store side re-plans per micro-batch, so its
+    * range-clustering prunes probe files batch by batch; the LEFT join
+    * keeps no-hit docs flowing (their span counts are 0, same as the
+    * batch left-join), and state is bounded by in-horizon docs under the
+    * watermark. Duplicate store hashes from appended batches fold away in
+    * the DISTINCT position set (`collect_set`). */
+  def spansAgainstStore(docs: DataFrame, storeDir: String, k: Int = 8,
+                        watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val store = spark.read.parquet(s"$storeDir/winhashes")
+      .withColumn("hit", lit(1))
+    val wins = docs
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+      // posexplode_outer: a doc shorter than k windows still emits one
+      // null-position row, so zero-hit docs surface with zero counts
+      .select(col("doc_id"), col("ingest_ts"), col("n_words"),
+        posexplode_outer(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), col("ingest_ts"), col("n_words"),
+        (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    wins.join(store, Seq("h"), "left_outer")
+      .groupBy(window(col("ingest_ts"), "10 minutes"), col("doc_id"), col("n_words"))
+      .agg(sort_array(collect_set(when(col("hit") === 1, col("pos")))).as("ps"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("ps")).cast("long").as("n_dup_windows"),
+        expr(graft.ext.Dedup.spanFoldExpr(k)).as("sp"))
+      .select(col("doc_id"), col("n_words"), col("n_dup_windows"),
+        col("sp.n_spans").as("n_spans"), col("sp.n_dup_tokens").as("n_dup_tokens"))
+      .withColumn("dup_frac", expr("round(n_dup_tokens / n_words, 6)"))
+  }
+
   /** Streaming sequence PACKING — the continuous twin of the batch
     * [[graft.ext.Packing.pack]] plan: documents are token-counted as they
     * arrive and assigned their first/last training-sequence indices under

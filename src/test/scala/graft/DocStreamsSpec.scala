@@ -189,6 +189,64 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming spans against the window-hash store equal batch spansAgainstStore") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_span_store").toString
+    Dedup.buildSpanStore(docs.filter(col("doc_id") % 7 =!= 0), store)
+    val incoming = docs.filter(col("doc_id") % 7 === 0).orderBy("doc_id").collect()
+      .map(r => DocIn(r.getAs[Long]("doc_id"),
+        new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    val input = MemoryStream[DocIn]
+    val q = DocStreams.spansAgainstStore(input.toDF(), store)
+      .writeStream.format("memory").queryName("span_store_out")
+      .outputMode("update").start()
+    try {
+      // random-but-deterministic micro-batch splits (seeded), all inside
+      // the watermark — a doc's windows always co-arrive (one source row),
+      // so any split must reproduce the batch result row-for-row
+      val rnd = new scala.util.Random(7)
+      var rest = incoming.toIndexedSeq
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(math.min(25, rest.size))
+        input.addData(rest.take(n): _*); q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      val cols = Seq("doc_id", "n_words", "n_dup_windows", "n_spans", "n_dup_tokens", "dup_frac")
+      val streamed = spark.table("span_store_out")
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq).distinct.sortBy(_.head.asInstanceOf[Long])
+      val batch = Dedup.spansAgainstStore(docs.filter(col("doc_id") % 7 === 0), store)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(streamed.toSeq === batch)
+      assert(batch.exists(r => r(3).asInstanceOf[Long] > 0L), "fixture must contain stored spans")
+      assert(batch.exists(r => r(3).asInstanceOf[Long] === 0L), "fixture must contain clean docs")
+    } finally q.stop()
+  }
+
+  test("span store lifecycle: append is O(increment) and probes tolerate duplicate hashes") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_span_store_lc").toString
+    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    Dedup.buildSpanStore(hist.filter(col("doc_id") % 2 === 1), store)
+    val before = new java.io.File(s"$store/winhashes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // append the even half PLUS a slice that was already stored — the
+    // resulting store holds duplicate hashes across file sets
+    Dedup.appendToSpanStore(hist.filter(col("doc_id") % 2 === 0), store)
+    Dedup.appendToSpanStore(hist.filter(col("doc_id") % 14 === 1), store)
+    val after = new java.io.File(s"$store/winhashes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.subsetOf(after), "append must not rewrite existing store files")
+    // probe result equals a fresh single-build store's despite the dups
+    val clean = java.nio.file.Files.createTempDirectory("graft_span_store_cl").toString
+    Dedup.buildSpanStore(hist, clean)
+    val inc = docs.filter(col("doc_id") % 7 === 0)
+    assert(Dedup.spansAgainstStore(inc, store).collect().map(_.toSeq).toSeq ===
+      Dedup.spansAgainstStore(inc, clean).collect().map(_.toSeq).toSeq)
+  }
+
   test("streaming ingest equals the batch filter+dedup composite under id-ordered arrival") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")

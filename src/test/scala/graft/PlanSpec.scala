@@ -242,6 +242,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!stored.contains("CartesianProduct") && !stored.contains("BroadcastNestedLoopJoin"), stored)
   }
 
+  test("stored span probe reads the hash store, never the historical documents text") {
+    val p = plan("dedup_spans_stored")
+    // historical side = the persisted winhashes store...
+    assert(p.contains("graft_span_store"), p)
+    // ...and no more documents scans than plain dedup_spans needs for its
+    // own base+wins pair — i.e. the incoming slice's only, the historical
+    // corpus text never rescanned
+    def docScans(q: String) =
+      q.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans(p) <= docScans(plan("dedup_spans")),
+      s"stored span probe rescans historical documents\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kmeans run keeps the per-round shape: array-typed partial sum, no corpus joins") {
     val p = plan("embedding_kmeans_run")
     assert(p.contains("partial_vec_sum_agg"), p)
