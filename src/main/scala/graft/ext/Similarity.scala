@@ -423,14 +423,15 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
              nSub: Int = 8, nCode: Int = 16, centroidBase: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)
-    val withDists = vecs.select(col("vec_id"), col("q"))
-      .withColumn("dists", expr(pqDistsExpr(foldPqCodebook(vecs, nSub, nCode, centroidBase))))
-    // corpus side: 8 codes per vector (argmin = first-min, ties -> low k)
-    val encoded = withDists
-      .select(col("vec_id"),
-        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))").as("codes"))
-    // query side: the distance tables themselves
-    val queries = withDists.filter(col("vec_id") < nQueries)
+    val pq = foldPqCodebook(vecs, nSub, nCode, centroidBase)
+    // corpus side: 8 codes per vector via the native compiled argmin loop
+    // (argmin = first-min, ties -> low k — bit-identical to the HOF twin)
+    val encoded = vecs
+      .select(col("vec_id"), expr(s"pq_codes(q, ${pq.cb}, ${pq.sd})").as("codes"))
+    // query side: the nQueries rows carry the full distance tables (HOF —
+    // table-sized work on a handful of rows)
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .withColumn("dists", expr(pqDistsExpr(pq)))
       .select(col("vec_id").as("query_id"), col("dists").as("dtab"))
     val rk = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
     encoded.crossJoin(broadcast(queries))
@@ -460,14 +461,15 @@ object Similarity {
     val qz = foldQuantizer(vecs, nList, centroidBase)
     val pq = foldPqCodebook(vecs, nSub, nCode, centroidBase)
     val base = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
-      .withColumn("dists", expr(pqDistsExpr(pq)))
-    // one narrow pass: list assignment + PQ codes, vectors dropped after
+    // one narrow pass: list assignment + native-loop PQ codes, vectors
+    // dropped after; only the probe rows build full ADC tables
     val assigned = base
       .withColumn("list_id",
         expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
       .select(col("vec_id"), col("list_id"),
-        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))").as("codes"))
+        expr(s"pq_codes(q, ${pq.cb}, ${pq.sd})").as("codes"))
     val probes = base.filter(col("vec_id") < nQueries)
+      .withColumn("dists", expr(pqDistsExpr(pq)))
       .withColumn("list_id", explode(expr(
         s"""transform(slice(array_sort(transform(sequence(0, ${nList - 1}),
            |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
@@ -518,9 +520,10 @@ object Similarity {
     // bounded by nSub·nCode rows
     def step(bs: Array[Array[Array[Long]]]): Map[(Int, Int), (Long, Array[Long])] = {
       vecs
-        .withColumn("dists", expr(trainedPqDistsExpr(bs, sd)))
-        .withColumn("codes",
-          expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))"))
+        // native encode: one compiled argmin loop per row (the HOF
+        // distance-list formulation ran nSub·nCode·sd interpreted lambda
+        // calls per row per round — the whole training wall at any scale)
+        .withColumn("codes", expr(s"pq_codes(q, ${trainedCbLit(bs)}, $sd)"))
         .select(col("vec_id"), col("q"), posexplode(col("codes")).as(Seq("m", "code")))
         .withColumn("subvec", expr(s"slice(q, m * $sd + 1, $sd)"))
         .groupBy("m", "code")
@@ -550,12 +553,20 @@ object Similarity {
     books
   }
 
+  /** The trained codebook as a nested SQL array literal (constant-folded
+    * by Catalyst into one Literal) — shared by [[trainedPqDistsExpr]]
+    * (query-side ADC tables) and the native `pq_codes` encode. */
+  private def trainedCbLit(bs: Array[Array[Array[Long]]]): String =
+    bs.map(_.map(_.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
   /** nSub per-subspace exact L2² distance lists against a TRAINED
     * (variable-width — empty codewords drop) codebook literal; positions
-    * are the code values, argmin ties break to the first position. */
+    * are the code values, argmin ties break to the first position. Query
+    * rows only — corpus rows encode through the native `pq_codes` loop
+    * (bit-identical codes, spec-asserted). */
   private def trainedPqDistsExpr(bs: Array[Array[Array[Long]]], sd: Int): String = {
-    val cb = bs.map(_.map(_.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
+    val cb = trainedCbLit(bs)
     s"""transform(sequence(0, ${bs.length - 1}), m ->
        |  transform(element_at($cb, m + 1), cw ->
        |    aggregate(sequence(1, $sd), 0L, (acc, d) ->
@@ -586,13 +597,16 @@ object Similarity {
     val books = pqLloyd(vecs, nSub, nCode, centroidBase, iters)
     val sd = 64 / nSub
     val base = vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
-      .withColumn("dists", expr(trainedPqDistsExpr(books, sd)))
+    // corpus rows never build the nSub×nCode ADC distance lists — the
+    // native pq_codes loop assigns the 8 codes directly; only the
+    // nQueries probe rows pay the full-table HOF below
     val assigned = base
       .withColumn("list_id",
         expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
       .select(col("vec_id"), col("list_id"),
-        expr("transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))").as("codes"))
+        expr(s"pq_codes(q, ${trainedCbLit(books)}, $sd)").as("codes"))
     val probes = base.filter(col("vec_id") < nQueries)
+      .withColumn("dists", expr(trainedPqDistsExpr(books, sd)))
       .withColumn("list_id", explode(expr(
         s"""transform(slice(array_sort(transform(sequence(0, ${n - 1}),
            |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),

@@ -376,6 +376,44 @@ object MinHashOps {
     d.end()
     total
   }
+
+  /** PQ code assignment: for each subspace m (sub-dimension `sd`,
+    * codewords `cb(m)` — possibly variable-width after empty-codeword
+    * drops), the 1-BASED index of the codeword with minimum exact L2²
+    * distance to the row's m-th sub-vector, FIRST index on ties — the
+    * compiled twin of the HOF formulation
+    * `transform(dists, ds -> CAST(array_position(ds, array_min(ds)) AS INT))`
+    * over per-subspace distance lists (same arithmetic to the bit, same
+    * tie rule, so the DuckDB oracles are unchanged). One primitive loop
+    * per row replaces nSub·nCode·sd interpreted lambda calls — the
+    * corpus-side encode cost of the PQ family. */
+  def pqCodes(q: ArrayData, cb: Array[Array[Array[Long]]], sd: Int): ArrayData = {
+    val x = q.toLongArray()
+    val out = new Array[Int](cb.length)
+    var m = 0
+    while (m < cb.length) {
+      val cws = cb(m)
+      val off = m * sd
+      var best = Long.MaxValue
+      var bi = 0
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var d2 = 0L
+        var d = 0
+        while (d < sd) {
+          val t = x(off + d) - cw(d)
+          d2 += t * t
+          d += 1
+        }
+        if (d2 < best) { best = d2; bi = c }
+        c += 1
+      }
+      out(m) = bi + 1
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** minhash_sig(array<bigint>) → array<bigint>[128] */
@@ -503,6 +541,34 @@ case class SrpBucket(child: Expression, planes: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps$$.MODULE$$.srpBucket($c, $planes)")
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
     copy(child = newChild)
+}
+
+/** pq_codes(array<bigint> q, array<array<array<bigint>>> cb, sd) ->
+  * array<int> of 1-based per-subspace argmin-L2² codes (see
+  * MinHashOps.pqCodes). `cb` must be FOLDABLE (a codebook literal): it is
+  * materialized to a primitive long[][][] once per expression instance —
+  * never per row — and shipped to codegen as a reference object, so the
+  * per-row work is one compiled loop over nSub·nCode·sd primitives. */
+case class PqCodes(left: Expression, right: Expression, sd: Int)
+    extends BinaryExpression {
+  require(right.foldable, "pq_codes codebook argument must be foldable")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val cb: Array[Array[Array[Long]]] = {
+    val outer = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { m =>
+      val mid = outer.getArray(m)
+      Array.tabulate(mid.numElements())(c => mid.getArray(c).toLongArray())
+    }
+  }
+  override protected def nullSafeEval(q: Any, ignored: Any): Any =
+    MinHashOps.pqCodes(q.asInstanceOf[ArrayData], cb, sd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "long[][][]")
+    defineCodeGen(ctx, ev, (q, _) =>
+      s"graft.functions.MinHashOps$$.MODULE$$.pqCodes($q, $cbRef, $sd)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqCodes =
+    copy(left = l, right = r)
 }
 
 /** deflate_len(text) -> bigint: zlib-compressed byte length (see
@@ -747,7 +813,9 @@ object GraftFunctions {
     "vec_sum_agg"   -> { es => VecSumAgg(es.head) },
     "vec_min_agg"   -> { es => VecExtremeAgg(es.head, isMin = true) },
     "vec_max_agg"   -> { es => VecExtremeAgg(es.head, isMin = false) },
-    "deflate_len"   -> { es => DeflateLen(es.head) })
+    "deflate_len"   -> { es => DeflateLen(es.head) },
+    "pq_codes"      -> { es =>
+      PqCodes(es.head, es(1), es(2).eval().asInstanceOf[Int]) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -134,6 +134,32 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(eout(3).getStruct(0).isNullAt(0) && eout(3).getStruct(0).getLong(1) === 0L)
   }
 
+  test("pq_codes equals the HOF distance-list argmin on real embeddings, incl. ties") {
+    val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(200)
+    // a small 2-subspace, 3-codeword book with a deliberate duplicate
+    // codeword (positions 1 and 2 identical) so the first-min tie rule is
+    // exercised, plus a variable-width second subspace (2 codewords)
+    val cb = "array(array(array(1L,2L), array(1L,2L), array(9L,9L)), " +
+      "array(array(0L,0L), array(5L,5L)))"
+    val q = e.select(col("vec_id"),
+      expr("slice(vec_quantize(embedding), 1, 4)").as("q"))
+    val out = q.select(
+      expr(s"pq_codes(q, $cb, 2)").as("native"),
+      expr(s"""transform(
+              |  transform(sequence(0, 1), m ->
+              |    transform(element_at($cb, m + 1), cw ->
+              |      aggregate(sequence(1, 2), 0L, (acc, d) ->
+              |        acc + (element_at(q, m * 2 + d) - element_at(cw, d))
+              |            * (element_at(q, m * 2 + d) - element_at(cw, d))))),
+              |  ds -> CAST(array_position(ds, array_min(ds)) AS INT))""".stripMargin).as("hof"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+    // every row minimizing on the duplicated codeword must report position
+    // 1, never 2 — the tie rule the Lloyd training and oracles rely on
+    assert(out.forall(_.getSeq[Int](0).head != 2))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
     val plan = e.select(expr("vec_normq(embedding)").as("n"))
