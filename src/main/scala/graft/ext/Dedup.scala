@@ -1000,6 +1000,30 @@ object Dedup {
                         numFiles: Int = 1): Unit =
     writeSpanStore(increment, storeDir, k, "append", numFiles)
 
+  /** Span-store COMPACTION — [[compactBandStore]]'s discipline for the
+    * window-hash index: rewrite the accumulated per-append file sets as
+    * ONE freshly range-clustered set, ALSO collapsing the duplicate
+    * hashes appends accumulate (probes tolerate them; compaction is when
+    * they're paid down). Rename-based publication: fully written to a
+    * side directory, then two atomic moves (old → `.old`, new → live) —
+    * a crash between them leaves a recoverable `.old`, never a
+    * half-written live index. Single-writer, like the daily append. */
+  def compactSpanStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                       numFiles: Int = 8): Unit = {
+    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Scale.clusteredParquet(
+      spark.read.parquet(s"$storeDir/winhashes").distinct(),
+      s"$tmp/winhashes", Seq("h"), numFiles)
+    val (live, old) = (java.nio.file.Paths.get(storeDir),
+      java.nio.file.Paths.get(s"$storeDir.old"))
+    graft.ops.Scale.deleteRecursively(old.toFile)
+    java.nio.file.Files.move(live, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.Scale.deleteRecursively(old.toFile)
+  }
+
   private def writeSpanStore(docs: DataFrame, storeDir: String, k: Int,
                              mode: String, numFiles: Int): Unit = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

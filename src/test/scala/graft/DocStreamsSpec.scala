@@ -243,8 +243,17 @@ class DocStreamsSpec extends AnyFunSuite {
     val clean = java.nio.file.Files.createTempDirectory("graft_span_store_cl").toString
     Dedup.buildSpanStore(hist, clean)
     val inc = docs.filter(col("doc_id") % 7 === 0)
-    assert(Dedup.spansAgainstStore(inc, store).collect().map(_.toSeq).toSeq ===
-      Dedup.spansAgainstStore(inc, clean).collect().map(_.toSeq).toSeq)
+    val probe = Dedup.spansAgainstStore(inc, store).collect().map(_.toSeq).toSeq
+    assert(probe === Dedup.spansAgainstStore(inc, clean).collect().map(_.toSeq).toSeq)
+    // compaction: pure layout+dedup — distinct hash set and probe result
+    // unchanged, duplicate rows paid down, file count restored
+    val rowsBefore = spark.read.parquet(s"$store/winhashes").count()
+    val distinctBefore = spark.read.parquet(s"$store/winhashes").distinct().count()
+    assert(rowsBefore > distinctBefore, "appends must have accumulated duplicate hashes")
+    Dedup.compactSpanStore(spark, store)
+    assert(spark.read.parquet(s"$store/winhashes").count() === distinctBefore)
+    assert(Dedup.spansAgainstStore(inc, store).collect().map(_.toSeq).toSeq === probe)
+    assert(!new java.io.File(s"$store.old").exists())
   }
 
   test("streaming ingest equals the batch filter+dedup composite under id-ordered arrival") {
