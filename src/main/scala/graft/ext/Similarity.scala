@@ -800,6 +800,48 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** CORPUS-WIDE k-NN GRAPH — every vector's top-k cosine neighbors from
+    * its SRP bucket ring (own bucket + every 1-bit flip), the
+    * all-vectors materialization of [[lshTopK]] (spec: restricted to the
+    * query slice it equals lshTopK row-for-row). The k-NN graph is the
+    * curation primitive downstream of embeddings — semantic-dup cluster
+    * seeds, diversity sampling, graph-based outlier detection all read
+    * it — and at corpus scale it CANNOT be a broadcast (the "query" set
+    * IS the corpus), which is the structural difference from lshTopK:
+    *
+    * Scale shape: the probe ring explodes each vector to planes+1 bucket
+    * keys and the join is a plain shuffled equi-join on the 8-byte
+    * bucket — corpus×corpus work bounded by ring×bucket occupancy
+    * (≈ (planes+1)·bucketTarget candidates per vector, constant across
+    * corpus sizes because planes grows with log n), never an all-pairs
+    * product (plan-locked: no cartesian). Candidate scoring is the
+    * native integer dot; per-vector top-k is a rank window over
+    * candidates only. Ties break (cosine DESC, neighbor ASC) — the
+    * oracle replays bucket ring and ranking exactly. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3, bucketTarget: Int = 32,
+               planesOverride: Int = 0): DataFrame = {
+    val planes =
+      if (planesOverride > 0) planesOverride
+      else planesFor(embeddings.count(), bucketTarget)
+    val vecs = quantized(embeddings)
+      .withColumn("bucket", expr(s"srp_bucket(q, $planes)"))
+    val probes = vecs.toDF("a", "qa", "na", "abucket")
+      .select(col("a"), col("qa"), col("na"), explode(expr(
+        s"concat(array(abucket), transform(sequence(0, ${planes - 1}), p -> abucket ^ shiftleft(CAST(1 AS BIGINT), p)))"))
+        .as("bucket"))
+    val rk = Window.partitionBy("a").orderBy(col("cosine").desc, col("b").asc)
+    vecs.toDF("b", "qb", "nb", "bucket")
+      .join(probes, "bucket")
+      .filter(col("a") =!= col("b"))
+      .withColumn("cosine",
+        expr("vec_dotl(qa, qb) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("rank").cast("int").as("rank"),
+        col("b").as("neighbor_id"), expr("round(cosine, 6)").as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** RECALL@k EVAL of the approximate indexes against the exact baseline —
     * the measurement a corpus team runs before trusting an index at scale
     * ("measure, don't guess"): per method, how many of the true top-k

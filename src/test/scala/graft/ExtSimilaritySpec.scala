@@ -23,6 +23,24 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(cosines.sameElements(cosines.sorted.reverse))
   }
 
+  test("knnGraph restricted to the query slice equals lshTopK row-for-row") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val knn = Similarity.knnGraph(embs, k = 5)
+      .filter(col("vec_id") < 10)
+      .select("vec_id", "rank", "neighbor_id", "cosine")
+      .collect().map(_.toSeq).toSeq
+    val lsh = Similarity.lshTopK(embs, nQueries = 10, k = 5)
+      .select(col("query_id").as("vec_id"), col("rank").cast("int"),
+        col("neighbor_id"), col("cosine"))
+      .collect().map(_.toSeq).toSeq
+    assert(knn === lsh)
+    // and it really is corpus-wide: (nearly) every vector has neighbors
+    val n = embs.count()
+    val covered = Similarity.knnGraph(embs, k = 5)
+      .select("vec_id").distinct().count()
+    assert(covered > n * 9 / 10, s"$covered of $n vectors have ring neighbors")
+  }
+
   test("lshTopK pairs vectors within the multi-probe bucket ring and reranks exactly") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val out = Similarity.lshTopK(embs, nQueries = 5, k = 5)

@@ -256,6 +256,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("knn graph: bucket equi-join only — never an all-pairs product") {
+    val p = plan("similarity_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("srpbucket"), p)
+  }
+
   test("kmeans run keeps the per-round shape: array-typed partial sum, no corpus joins") {
     val p = plan("embedding_kmeans_run")
     assert(p.contains("partial_vec_sum_agg"), p)
