@@ -225,6 +225,12 @@ object ExtQueries {
     // ring — the all-vectors lshTopK (no broadcast possible: the query
     // set IS the corpus; shuffled 8-byte-bucket equi-join instead)
     "similarity_knn_graph" -> ((s, dir) => Similarity.knnGraph(embs(s, dir))),
+    // the scale-path twin: buckets above 64 members are dropped from
+    // candidate generation (per-bucket pair work is Θ(m²); a mega-bucket
+    // is a dense cluster the hash can't split — cluster-path business);
+    // members keep neighbors found via their under-cap ring probes
+    "similarity_knn_graph_capped" -> ((s, dir) =>
+      Similarity.knnGraph(embs(s, dir), maxBucket = Some(64))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
@@ -1810,6 +1816,39 @@ object ExtQueries {
          |       round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // capped twin: identical CTEs, candidate generation restricted to
+    // join-key buckets holding <= 64 corpus vectors
+    "similarity_knn_graph_capped" ->
+      s"""$quantCte,
+         |params AS (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 32.0)) AS INT)) AS np FROM embeddings),
+         |planes AS (SELECT p, i, (1103515245 * (p * 64 + i + 1) + 12345) % 2147483648 - 1073741824 AS v
+         |           FROM range(32) t1(p), range(64) t2(i), params WHERE p < params.np),
+         |pdots AS (SELECT q.vec_id, planes.p, CAST(sum(q.x * planes.v) AS BIGINT) AS dot_p
+         |          FROM q JOIN planes ON q.i = planes.i + 1
+         |          GROUP BY q.vec_id, planes.p),
+         |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot_p > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |            FROM pdots GROUP BY vec_id),
+         |okb AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 64),
+         |cand AS (SELECT ba.vec_id AS a, bb.vec_id AS b
+         |         FROM buckets ba JOIN buckets bb
+         |           ON bit_count(xor(CAST(ba.bucket AS BIT), CAST(bb.bucket AS BIT))) <= 1
+         |          AND bb.vec_id != ba.vec_id
+         |         JOIN okb ON okb.bucket = bb.bucket),
+         |dots AS (SELECT cand.a, cand.b, CAST(sum(qa.x * qb.x) AS BIGINT) AS dot
+         |         FROM cand JOIN q qa ON qa.vec_id = cand.a
+         |                   JOIN q qb ON qb.vec_id = cand.b AND qa.i = qb.i
+         |         GROUP BY cand.a, cand.b),
+         |scored AS (SELECT dots.a, dots.b,
+         |             dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm na ON dots.a = na.vec_id
+         |                     JOIN nrm nb ON dots.b = nb.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rank
+         |           FROM scored)
+         |SELECT a AS vec_id, CAST(rank AS INT) AS rank, b AS neighbor_id,
+         |       round(cosine, 6) AS cosine
+         |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
     // IVF: centroids = vec_id in [100, 116); assignment/probes replay the
     // engine's argmax (ties → lower cent_id) via row_number windows.
     // PQ replay: sub-vector split (m = (i-1)//8, d = 1..8), codeword k =
@@ -2532,5 +2571,6 @@ object ExtQueries {
     "pipeline_pack_stats", "embedding_geometry",
     "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
     "similarity_ivfpq_trained", "graph_pagerank_capped",
-    "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph")
+    "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
+    "similarity_knn_graph_capped")
 }

@@ -819,22 +819,46 @@ object Similarity {
     * candidates only. Ties break (cosine DESC, neighbor ASC) — the
     * oracle replays bucket ring and ranking exactly. */
   def knnGraph(embeddings: DataFrame, k: Int = 3, bucketTarget: Int = 32,
-               planesOverride: Int = 0): DataFrame = {
+               planesOverride: Int = 0,
+               maxBucket: Option[Int] = None): DataFrame = {
     val planes =
       if (planesOverride > 0) planesOverride
       else planesFor(embeddings.count(), bucketTarget)
     val vecs = quantized(embeddings)
       .withColumn("bucket", expr(s"srp_bucket(q, $planes)"))
+    // Bucket-occupancy cap — the [[graft.ext.Dedup.minhashLsh]]
+    // maxBandBucket discipline applied to the kNN join: per-bucket pair
+    // work is Θ(m²), and on CLUSTERED corpora (the realistic case) a tight
+    // semantic cluster lands thousands of vectors in one bucket no matter
+    // how deep the hash — the sf10 soak fixture's 10-cluster structure ran
+    // the exact join 118× longer at 10× data. Buckets above the cap are
+    // dropped from candidate generation (filtering the corpus side alone
+    // filters the JOIN — probes into a dropped bucket match nothing);
+    // members still find neighbors through their under-cap ring probes.
+    // A mega-bucket means the hash did not separate a dense clump — those
+    // vectors' neighborhoods belong to the cluster path (kmeansRun /
+    // dedup_embedding family), not an exhaustive within-bucket scan.
+    // Default None = exact (the oracle twin's semantics).
+    val corpus0 = vecs.toDF("b", "qb", "nb", "bucket")
+    val corpus = maxBucket.fold(corpus0) { cap =>
+      val w = Window.partitionBy("bucket")
+      corpus0.withColumn("__bc", count(lit(1)).over(w))
+        .filter(col("__bc") <= cap).drop("__bc")
+    }
     val probes = vecs.toDF("a", "qa", "na", "abucket")
       .select(col("a"), col("qa"), col("na"), explode(expr(
         s"concat(array(abucket), transform(sequence(0, ${planes - 1}), p -> abucket ^ shiftleft(CAST(1 AS BIGINT), p)))"))
         .as("bucket"))
     val rk = Window.partitionBy("a").orderBy(col("cosine").desc, col("b").asc)
-    vecs.toDF("b", "qb", "nb", "bucket")
+    corpus
       .join(probes, "bucket")
       .filter(col("a") =!= col("b"))
       .withColumn("cosine",
         expr("vec_dotl(qa, qb) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"))
+      // project the vectors away BEFORE the rank window: the window
+      // shuffles whole rows, and candidates × two 64-long vectors is a
+      // ~70 GB exchange at 200k vectors where (a, b, cosine) is ~2 GB
+      .select("a", "b", "cosine")
       .withColumn("rank", row_number().over(rk))
       .filter(col("rank") <= k)
       .select(col("a").as("vec_id"), col("rank").cast("int").as("rank"),

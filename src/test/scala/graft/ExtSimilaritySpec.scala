@@ -41,6 +41,26 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(covered > n * 9 / 10, s"$covered of $n vectors have ring neighbors")
   }
 
+  test("knnGraph bucket cap: high cap exact; over-cap bucket drops from candidate generation") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val exact = Similarity.knnGraph(embs).collect().map(_.toSeq).toSeq
+    val high = Similarity.knnGraph(embs, maxBucket = Some(1000000))
+      .collect().map(_.toSeq).toSeq
+    assert(high === exact)
+    // a fixture where one bucket is a 100-clone mega-cluster: capped at 8,
+    // those clones supply no candidates; the organic pair still pairs up
+    val clones = (0 until 100).map(i => (1000L + i, Array.fill(64)(1.0f)))
+    val organic = Seq(
+      (1L, Array.fill(64)(-1.0f)),
+      (2L, Array.tabulate(64)(d => if (d == 0) -0.9f else -1.0f)))
+    val df = (clones ++ organic).toDF("vec_id", "embedding")
+    val capped = Similarity.knnGraph(df, maxBucket = Some(8)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(capped.forall { case (a, b) => a < 1000L && b < 1000L },
+      s"clone-bucket candidates must be dropped: $capped")
+    assert(capped === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("lshTopK pairs vectors within the multi-probe bucket ring and reranks exactly") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val out = Similarity.lshTopK(embs, nQueries = 5, k = 5)

@@ -260,6 +260,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("similarity_knn_graph")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("srpbucket"), p)
+    // the per-vector rank window must shuffle only (a, b, cosine) — an
+    // exchange on a that still lists a quantized vector column would be a
+    // candidates × 1 KB exchange (the 70 GB mistake at 200k vectors)
+    val rankExchanges = p.linesIterator.filter(l =>
+      l.contains("hashpartitioning(a#")).toSeq
+    assert(rankExchanges.nonEmpty, p)
+    assert(rankExchanges.forall(l => !l.contains("qa") && !l.contains("qb")),
+      s"rank window shuffles vector payloads\n$p")
   }
 
   test("kmeans run keeps the per-round shape: array-typed partial sum, no corpus joins") {
