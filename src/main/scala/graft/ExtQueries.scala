@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import graft.ext.{Dedup, Events, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
@@ -373,6 +373,12 @@ object ExtQueries {
     // (no keeper window, no extra exchange). The anti-join is
     // co-partitioned on doc_id; the non-keeper set is bounded by near-dup
     // density, never corpus size
+    // span-level curation manifest: ACTION the dedup_spans signal — drop
+    // docs mostly made of corpus-duplicated spans (dup_frac > 0.5), cut
+    // the spans out of partially-duplicated docs (tokens_kept = n_words −
+    // n_dup_tokens), keep clean docs whole; the "remove repeated
+    // substrings, not repeated documents" decision as one plan
+    "pipeline_span_clean" -> ((s, dir) => Dedup.spanClean(docs(s, dir))),
     "pipeline_near_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val nonKeep = Dedup.minhashClusters(d)
@@ -836,6 +842,39 @@ object ExtQueries {
         |       round(CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) / b.n_words, 6) AS dup_frac
         |FROM base b LEFT JOIN per ON per.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // span clean: dedup_spans CTEs + the action CASE; unrounded dup_frac
+    // comparison on both sides (n_dup_tokens/n_words > 0.5 exactly)
+    "pipeline_span_clean" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks),
+        |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |           CAST(list_sum(list_transform(range(0, 15), k ->
+        |             CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |               << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |         FROM toks, unnest(range(1, len(w) - 6)) AS r(i)
+        |         WHERE len(w) >= 8),
+        |dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+        |sp AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS new_span
+        |       FROM hits),
+        |gp AS (SELECT doc_id, pos,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi, count(*) AS nw
+        |          FROM gp GROUP BY doc_id, span_id),
+        |per AS (SELECT doc_id, CAST(sum(hi - lo + 8) AS BIGINT) AS n_dup_tokens
+        |        FROM spans GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.n_words,
+        |             CAST(coalesce(per.n_dup_tokens, 0) AS BIGINT) AS ndt
+        |      FROM base b LEFT JOIN per ON per.doc_id = b.doc_id)
+        |SELECT doc_id, n_words, round(ndt / n_words, 6) AS dup_frac,
+        |       CASE WHEN 2 * ndt > n_words THEN 'drop'
+        |            WHEN ndt > 0 THEN 'cut' ELSE 'keep' END AS action,
+        |       CASE WHEN 2 * ndt > n_words THEN CAST(0 AS BIGINT)
+        |            ELSE n_words - ndt END AS tokens_kept
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // spans against the stored index: store = distinct window hashes of
     // the %7!=0 slice, probe = %7==0 docs; the span merge is replayed
@@ -2572,5 +2611,5 @@ object ExtQueries {
     "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
     "similarity_ivfpq_trained", "graph_pagerank_capped",
     "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
-    "similarity_knn_graph_capped")
+    "similarity_knn_graph_capped", "pipeline_span_clean")
 }

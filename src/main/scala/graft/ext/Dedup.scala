@@ -955,6 +955,24 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SPAN-CLEAN curation manifest — [[substringSpans]]' signal ACTIONED
+    * into the per-doc decision a corpus build executes: `drop` docs
+    * mostly made of corpus-duplicated spans, `cut` the spans out of
+    * partially-duplicated docs (`tokens_kept` = words minus span tokens),
+    * `keep` clean docs whole — "remove repeated substrings, not repeated
+    * documents", as one declarative plan. The threshold compare runs in
+    * EXACT integers (2·n_dup_tokens > n_words ⇔ frac > 1/2): a
+    * rounded-double compare could flip at the boundary. */
+  def spanClean(docs: DataFrame, k: Int = 8): DataFrame =
+    substringSpans(docs, k)
+      .select(col("doc_id"), col("n_words"), col("dup_frac"),
+        when(col("n_dup_tokens") * 2 > col("n_words"), "drop")
+          .when(col("n_dup_tokens") > 0, "cut")
+          .otherwise("keep").as("action"),
+        when(col("n_dup_tokens") * 2 > col("n_words"), lit(0L))
+          .otherwise(col("n_words") - col("n_dup_tokens")).as("tokens_kept"))
+      .orderBy("doc_id")
+
   /** Span-merge FOLD over a sorted, distinct position array `ps` — ONE
     * definition of [[substringSpans]]' merge rule (consecutive duplicated
     * `k`-windows whose start positions differ by ≤ k coalesce; each span

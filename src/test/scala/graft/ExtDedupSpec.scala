@@ -450,6 +450,31 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(out(3L) === ((8L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("spanClean actions the span signal: keep / cut / drop with integer threshold") {
+    // k=3: doc 1 shares one trigram with doc 2 (cut both: 3 of 7 dup);
+    // docs 4/5 are clones (every window dup -> drop); doc 3 clean (keep)
+    val docs = docsDf(
+      (1L, "a b x y z c d"),
+      (2L, "x y z q r s t"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, "m n o p m n o p"),
+      (5L, "m n o p m n o p"))
+    val out = Dedup.spanClean(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(out(1L) === (("cut", 4L)))   // 7 words - 3 dup tokens
+    assert(out(2L) === (("cut", 4L)))
+    assert(out(3L) === (("keep", 8L)))
+    assert(out(4L) === (("drop", 0L)) && out(5L) === (("drop", 0L)))
+    // exactly-half duplication is NOT a drop (strict integer threshold):
+    // docs 6/7 share the first 4 tokens of 8 (one 4-token span, k=4)
+    val half = docsDf(
+      (6L, "h1 h2 h3 h4 a1 a2 a3 a4"),
+      (7L, "h1 h2 h3 h4 b1 b2 b3 b4"))
+    val o2 = Dedup.spanClean(half, k = 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(o2(6L) === (("cut", 4L)) && o2(7L) === (("cut", 4L)))
+  }
+
   test("substringSpans: overlapping and touching windows merge; disjoint ones don't") {
     // k=2; shared bigrams "p q" and "q r" overlap in doc 1 (positions 1,2
     // -> one span of 3 tokens); "s t" at pos 6 is disjoint -> second span
