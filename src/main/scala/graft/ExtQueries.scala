@@ -231,6 +231,9 @@ object ExtQueries {
     // members keep neighbors found via their under-cap ring probes
     "similarity_knn_graph_capped" -> ((s, dir) =>
       Similarity.knnGraph(embs(s, dir), maxBucket = Some(64))),
+    // the cap's measured recall cost: exact-vs-capped pair overlap in one
+    // summary row — run this on a sample before trusting the cap at scale
+    "similarity_knn_recall" -> ((s, dir) => Similarity.knnCapRecall(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
@@ -1888,6 +1891,50 @@ object ExtQueries {
          |       round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // knn cap recall: both ranked chains share the bucket CTEs; the
+    // summary folds exact-vs-capped pair overlap to one row
+    "similarity_knn_recall" ->
+      s"""$quantCte,
+         |params AS (SELECT GREATEST(4, CAST(ceil(log2(count(*) / 32.0)) AS INT)) AS np FROM embeddings),
+         |planes AS (SELECT p, i, (1103515245 * (p * 64 + i + 1) + 12345) % 2147483648 - 1073741824 AS v
+         |           FROM range(32) t1(p), range(64) t2(i), params WHERE p < params.np),
+         |pdots AS (SELECT q.vec_id, planes.p, CAST(sum(q.x * planes.v) AS BIGINT) AS dot_p
+         |          FROM q JOIN planes ON q.i = planes.i + 1
+         |          GROUP BY q.vec_id, planes.p),
+         |buckets AS (SELECT vec_id, CAST(sum(CASE WHEN dot_p > 0
+         |              THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |            FROM pdots GROUP BY vec_id),
+         |okb AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 64),
+         |cand AS (SELECT ba.vec_id AS a, bb.vec_id AS b,
+         |                CASE WHEN okb.bucket IS NOT NULL THEN 1 ELSE 0 END AS in_cap
+         |         FROM buckets ba JOIN buckets bb
+         |           ON bit_count(xor(CAST(ba.bucket AS BIT), CAST(bb.bucket AS BIT))) <= 1
+         |          AND bb.vec_id != ba.vec_id
+         |         LEFT JOIN okb ON okb.bucket = bb.bucket),
+         |dots AS (SELECT cand.a, cand.b, cand.in_cap, CAST(sum(qa.x * qb.x) AS BIGINT) AS dot
+         |         FROM cand JOIN q qa ON qa.vec_id = cand.a
+         |                   JOIN q qb ON qb.vec_id = cand.b AND qa.i = qb.i
+         |         GROUP BY cand.a, cand.b, cand.in_cap),
+         |scored AS (SELECT dots.a, dots.b, dots.in_cap,
+         |             dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm na ON dots.a = na.vec_id
+         |                     JOIN nrm nb ON dots.b = nb.vec_id),
+         |e AS (SELECT a, b FROM (SELECT a, b,
+         |        row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rank
+         |      FROM scored) WHERE rank <= 3),
+         |c AS (SELECT a, b FROM (SELECT a, b,
+         |        row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rank
+         |      FROM scored WHERE in_cap = 1) WHERE rank <= 3),
+         |per AS (SELECT e.a, CAST(count(*) AS BIGINT) AS n_exact,
+         |               CAST(sum(CASE WHEN c.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |        FROM e LEFT JOIN c ON c.a = e.a AND c.b = e.b GROUP BY e.a)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(sum(n_exact) AS BIGINT) AS n_pairs_exact,
+         |       CAST(sum(n_hit) AS BIGINT) AS n_pairs_hit,
+         |       CAST(sum(CASE WHEN n_hit = n_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_full_recall,
+         |       round(sum(n_hit) / sum(n_exact), 6) AS recall
+         |FROM per""".stripMargin,
+
     // IVF: centroids = vec_id in [100, 116); assignment/probes replay the
     // engine's argmax (ties → lower cent_id) via row_number windows.
     // PQ replay: sub-vector split (m = (i-1)//8, d = 1..8), codeword k =
@@ -2611,5 +2658,5 @@ object ExtQueries {
     "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
     "similarity_ivfpq_trained", "graph_pagerank_capped",
     "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
-    "similarity_knn_graph_capped", "pipeline_span_clean")
+    "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall")
 }

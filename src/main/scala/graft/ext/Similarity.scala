@@ -866,6 +866,33 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** RECALL COST of the kNN bucket cap, corpus-wide — the
+    * [[recallEval]] discipline applied to [[knnGraph]]'s density guard:
+    * before running the capped graph over 100 TB, measure what the cap
+    * costs against the exact ring on a sample. One summary row:
+    * vectors with exact-ring neighbors, exact/recovered pair counts,
+    * micro-averaged recall (Σhit/Σexact — ONE IEEE division over exact
+    * BIGINT sums), and how many vectors keep their full top-k.
+    *
+    * Scale shape: two runs of the proven knnGraph plan (exact + capped —
+    * the price of an eval) joined on (vec_id, neighbor): pair-sized
+    * relations only, one partial agg to a single row. */
+  def knnCapRecall(embeddings: DataFrame, k: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val exact = knnGraph(embeddings, k).select("vec_id", "neighbor_id")
+    val capped = knnGraph(embeddings, k, maxBucket = Some(maxBucket))
+      .select(col("vec_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    exact.join(capped, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("n_exact").cast("long").as("n_pairs_exact"),
+        sum("n_hit").cast("long").as("n_pairs_hit"),
+        sum(when(col("n_hit") === col("n_exact"), 1L).otherwise(0L)).as("n_full_recall"))
+      .withColumn("recall", expr("round(n_pairs_hit / n_pairs_exact, 6)"))
+  }
+
   /** RECALL@k EVAL of the approximate indexes against the exact baseline —
     * the measurement a corpus team runs before trusting an index at scale
     * ("measure, don't guess"): per method, how many of the true top-k
