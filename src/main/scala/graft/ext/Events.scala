@@ -616,4 +616,96 @@ object Events {
                  |  THEN round((s_b / n_b - s_a / n_a) / sqrt($va + $vb), 6)
                  |END""".stripMargin).as("z"))
   }
+
+  /** AS-OF JOIN — for every `leftType` event, the most recent `rightTypes`
+    * event by the same user strictly before it in the (ms, event_id) total
+    * order (the last-touch lookup every attribution/enrichment pipeline
+    * needs; Spark has no ASOF JOIN operator, so this is the composed
+    * formulation).
+    *
+    * Implementation is the union-tag + ignore-nulls-window pattern, NOT a
+    * join: both sides land in ONE relation, one shuffle on user_id, and a
+    * running `last(..., ignoreNulls)` over the ordered per-user scan
+    * carries the latest right-side attributes forward; filtering back to
+    * the left side yields exactly the as-of match. A range/inequality join
+    * would rescan right-side history per left row (quadratic per user);
+    * the window formulation is linear in events and never materializes
+    * candidate pairs — THE scalable as-of shape at 100 TB, where the only
+    * cost is the single user_id exchange that sessionize already pays.
+    *
+    * Determinism: matches are defined on the (ms, event_id) total order —
+    * equal-timestamp events resolve by event_id, and the frame stops at
+    * `1 PRECEDING` so an equal-key right event that sorts after the left
+    * event never matches backwards. `lag_ms` is exact BIGINT arithmetic;
+    * unmatched left events keep NULL match columns (left-as-of, not
+    * inner). */
+  def asofJoin(events: DataFrame,
+               leftType: String = "purchase",
+               rightTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    require(rightTypes.nonEmpty && !rightTypes.contains(leftType))
+    val t = withMs(events.filter(col("event_type").isin(leftType +: rightTypes: _*)),
+      col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val isRight = col("event_type").isin(rightTypes: _*)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("match_event_id", last(when(isRight, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("match_type", last(when(isRight, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("match_ms", last(when(isRight, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("ms"), col("value"),
+        col("match_event_id"), col("match_type"), col("match_ms"),
+        (col("ms") - col("match_ms")).as("lag_ms"))
+      .orderBy("event_id")
+  }
+
+  /** RANGE (interval-overlap) JOIN via bucketization — events joined
+    * against derived incident windows (±5 min around the top-`topK`
+    * `anchorType` events by value), aggregated to one blast-radius row per
+    * incident: events/users/errors inside the window plus the exact value
+    * sum. The interval-containment join Spark would otherwise plan as a
+    * broadcast nested loop.
+    *
+    * Implementation: both sides are mapped to coarse time buckets (bucket
+    * width = the interval width, so an interval overlaps at most 2
+    * buckets) and joined on the BUCKET as an equi-key, with the exact
+    * `lo <= ms < hi` predicate applied after. This is the generic
+    * scale-safe range-join shape: the equi-join shuffles/hashes on bucket
+    * regardless of interval count, so it survives the case where the
+    * interval side is far too big to broadcast (here it is also tiny, so
+    * Catalyst broadcasts the exploded 2·topK-row side on top — both
+    * optimizations compose). Point events land in exactly ONE bucket and
+    * an interval's exploded buckets are distinct, so no pair can appear
+    * twice and no post-join dedup is needed (interval×interval overlap
+    * WOULD need one — documented asymmetry of the pattern).
+    *
+    * Determinism: anchors are a heap cut on (value DESC, event_id) —
+    * TakeOrderedAndProject, never a global sort; window bounds and the
+    * bucket math are exact BIGINT; the value sum crosses rows as
+    * DECIMAL(18,6). */
+  def rangeJoin(events: DataFrame,
+                anchorType: String = "error",
+                halfWidthMs: Long = 300000L,
+                topK: Int = 20): DataFrame = {
+    val width = 2 * halfWidthMs
+    val e = withMs(events, col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val anchors = e.filter(col("event_type") === anchorType)
+      .orderBy(col("value").desc, col("event_id").asc).limit(topK)
+      .select(col("event_id").as("anchor_id"),
+        (col("ms") - halfWidthMs).as("lo"), (col("ms") + halfWidthMs).as("hi"))
+    // interval → its covered coarse buckets (≤2 by construction: hi-lo ==
+    // bucket width); sequence() is inclusive so the hi-1 end handles the
+    // exactly-aligned interval without a third bucket
+    val ibuckets = anchors.withColumn("bucket",
+      explode(expr(s"sequence(CAST(floor(lo / $width) AS BIGINT), CAST(floor((hi - 1) / $width) AS BIGINT))")))
+    val ebuckets = e.withColumn("bucket", expr(s"CAST(floor(ms / $width) AS BIGINT)"))
+    ebuckets.join(ibuckets, Seq("bucket"))
+      .filter(col("ms") >= col("lo") && col("ms") < col("hi"))
+      .groupBy(col("anchor_id"), col("lo").as("window_start_ms"), col("hi").as("window_end_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("event_type") === anchorType, 1).otherwise(0)).cast("long").as("n_errors"),
+        vsum)
+      .orderBy("anchor_id")
+  }
 }

@@ -743,6 +743,52 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Full BM25 ranking (k1 = 1.2, b = 0.75, the BM25+ idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)` that stays positive for common
+    * terms) — the real-scoring counterpart of [[search]]'s integer-rarity
+    * skeleton. [[search]]'s doc note about ln() breaking the cross-engine
+    * oracle is relaxed here by the discipline [[zipf]] proved out (round
+    * 6): each per-term contribution is an IEEE expression with the SAME
+    * literal shape in the oracle, rounded to 9 dp BEFORE the cross-row
+    * sum, which then crosses rows as DECIMAL(38,12) so summation order
+    * cannot flip a bit; the final score rounds to 6 dp.
+    *
+    * Scale shape (inherited from [[search]]): the term filter pushes below
+    * the explode, so the tf index is queryTerms-sized; df and the corpus
+    * scalars (N, Σlen) are broadcast 1-row/|terms|-row folds; length
+    * normalization uses the exact `len · N / Σlen` form (one double
+    * division, no precomputed IEEE average crossing the join). Top-k is
+    * the orderBy+limit heap cut; only the k-row survivor relation sees
+    * the rank window. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String] = Seq("spark", "window", "join"),
+           k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty)
+    val base = Dedup.spread(docs)
+      .select(col("doc_id"), expr("CAST(size(split(text, ' ')) AS BIGINT)").as("len"),
+        split(col("text"), " ").as("toks"))
+    val totals = base.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("len")).cast("long").as("sum_len"))
+    val tf = base.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib", expr(
+        """round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2)
+          |  / (tf + 1.2 * (0.25 + 0.75 * (CAST(len * n_docs AS DOUBLE) / sum_len))), 9)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(expr("round(CAST(sum(CAST(contrib AS DECIMAL(38, 12))) AS DOUBLE), 6)").as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("score"), col("n_terms_hit"))
+      .orderBy("rank")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))

@@ -560,4 +560,25 @@ class ExtDedupSpec extends AnyFunSuite {
       .orderBy("doc_id", "pos").collect().map(_.toSeq).toSeq
     assert(native.nonEmpty && native === sqlTwin)
   }
+
+  test("paragraphs keeps first occurrence per chunk and reassembles in order") {
+    // width=3 chunks: doc 0 = [a b c][d e f]; doc 1 repeats doc 0's first
+    //   chunk then adds a fresh one; doc 2 is ENTIRELY chunks seen earlier
+    //   (both of doc 0's) → zero kept, empty clean_text; doc 3 has a short
+    //   tail chunk (2 words) that must survive intact
+    val docs = docsDf(
+      0L -> "a b c d e f",
+      1L -> "a b c x y z",
+      2L -> "a b c d e f",
+      3L -> "x y z p q")
+    val out = Dedup.paragraphs(docs, width = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text")))).toMap
+    assert(out(0L) === ((2L, 2L, 0L, "a b c d e f")))
+    assert(out(1L) === ((2L, 1L, 1L, "x y z")))
+    assert(out(2L) === ((2L, 0L, 2L, "")))
+    // doc 3: "x y z" was first kept by doc 1 → dropped; tail "p q" kept
+    assert(out(3L) === ((2L, 1L, 1L, "p q")))
+  }
 }

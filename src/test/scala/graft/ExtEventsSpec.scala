@@ -405,4 +405,60 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(flat.getLong(0) === 2L && flat.getLong(3) === 2L)
     assert(flat.isNullAt(7), flat.toString)
   }
+
+  test("asofJoin matches the latest strictly-prior right event per user") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // user 1: click@10 (id 0), view@20 (id 1), purchase@25 (id 2) → view
+    //         purchase@20 (id 3): SAME ms as view but view has LOWER id →
+    //         view sorts before in (ms, event_id), so it DOES match;
+    //         click@20 (id 4) sorts after purchase id 3 → must not match it
+    // user 2: purchase with no prior right event → NULL match columns
+    // user 3: right events only after the purchase → NULL too
+    val rows = Seq(
+      (0L, 10L, 1L, "click"), (1L, 20L, 1L, "view"), (2L, 25L, 1L, "purchase"),
+      (3L, 20L, 1L, "purchase"), (4L, 20L, 1L, "click"),
+      (5L, 10L, 2L, "purchase"),
+      (6L, 10L, 3L, "purchase"), (7L, 20L, 3L, "click"))
+    val df = rows.map { case (id, off, u, t) =>
+      (id, new java.sql.Timestamp(base + off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.asofJoin(df).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("match_event_id"))) None
+         else Some((r.getAs[Long]("match_event_id"), r.getAs[Long]("lag_ms")))))
+      .toMap
+    assert(out(2L) === Some((4L, 5L)))  // click id 4 at (20,4) is the latest prior
+    assert(out(3L) === Some((1L, 0L))) // equal-ms view, lower id → matches
+    assert(out(5L) === None)
+    assert(out(6L) === None)
+    // non-purchase rows never appear on the left
+    assert(out.keySet === Set(2L, 3L, 5L, 6L))
+  }
+
+  test("rangeJoin window bounds are [lo, hi) and anchors are a value-desc heap cut") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // anchor: error id 0 @ t=0 value 9.0 → window [-5min, +5min)
+    // in: event exactly at lo (id 1, t=-300000) — inclusive
+    // out: event exactly at hi (id 2, t=+300000) — exclusive
+    // in: the anchor itself counts (n_errors ≥ 1)
+    // second error id 3 value 1.0 @ t=10^9 off: topK=1 keeps only value 9.0
+    val rows = Seq(
+      (0L, 0L, "error", 9.0), (1L, -300000L, "click", 1.0),
+      (2L, 300000L, "click", 1.0), (3L, 1000000000L, "error", 1.0))
+    val df = rows.map { case (id, off, t, v) =>
+      (id, new java.sql.Timestamp(base + off), 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.rangeJoin(df, topK = 1).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("anchor_id") === 0L)
+    assert(r.getAs[Long]("n_events") === 2L)   // anchor + lo-boundary click
+    assert(r.getAs[Long]("n_errors") === 1L)
+    assert(r.getAs[Long]("window_start_ms") === base - 300000L)
+    assert(r.getAs[Long]("window_end_ms") === base + 300000L)
+  }
 }

@@ -523,4 +523,25 @@ class ExtTextSpec extends AnyFunSuite {
     // slope through (ln1, ln4), (ln2, ln2): (ln2-ln4)/(ln2-ln1) = -1
     assert(math.abs(r.getAs[Double]("slope") - (-1.0)) <= 1e-6)
   }
+
+  test("bm25 scores match the closed-form formula and rank deterministically") {
+    // doc 0: tf(spark)=2, tf(join)=1, len 4; doc 1: tf(spark)=1, len 8;
+    // doc 2: no query term → absent from the result entirely
+    val docs = docsDf(
+      0L -> "spark spark join x",
+      1L -> "spark y y y y y y y",
+      2L -> "z z")
+    val out = TextAnalysis.bm25(docs, Seq("spark", "window", "join"), k = 10).collect()
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (nDocs, sumLen) = (3L, 14L)
+    def contrib(tf: Long, df: Long, len: Long) =
+      r9(math.log((nDocs - df + 0.5) / (df + 0.5) + 1) * (tf * 2.2)
+        / (tf + 1.2 * (0.25 + 0.75 * ((len * nDocs).toDouble / sumLen))))
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s0 = r6(BigDecimal(contrib(2, 2, 4)) + BigDecimal(contrib(1, 1, 4)))
+    val s1 = r6(BigDecimal(contrib(1, 2, 8)))
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+      r.getAs[Double]("score"), r.getAs[Long]("n_terms_hit"))).toSeq
+      === Seq((1, 0L, s0, 2L), (2, 1L, s1, 1L)))
+  }
 }
