@@ -578,4 +578,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_"), p)
   }
+
+  test("as-of join is a window over ONE user shuffle — no join operator at all") {
+    val p = plan("events_asof_join")
+    assert(!p.contains("Join"), s"as-of must be the union-tag window, never a join\n$p")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx == 1, s"$hashEx hash exchanges (want exactly the user_id window shuffle)\n$p")
+  }
+
+  test("range join equi-joins on the time bucket — never a nested-loop/cartesian plan") {
+    val p = plan("events_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must ride the bucket equi-key\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"anchor cut must be a heap, not a global sort\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("bm25 heap-cuts before the rank window and broadcasts df + corpus scalars") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"df/totals joins must broadcast (bounded relations)\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("paragraph dedup is two shuffles (chunk-hash window, doc_id reassembly) and no joins") {
+    val p = plan("dedup_paragraphs")
+    assert(!p.contains("Join"), p)
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx <= 2, s"$hashEx hash exchanges (want keeper window + reassembly only)\n$p")
+  }
 }
