@@ -83,6 +83,8 @@ object ExtQueries {
     "text_search"         -> ((s, dir) => TextAnalysis.search(docs(s, dir))),
     // real BM25 (ln idf + length norm), 9-dp-rounded terms summed exactly
     "text_bm25"           -> ((s, dir) => TextAnalysis.bm25(docs(s, dir))),
+    // hashing-trick doc vectors: signed md5 buckets, sparse long format
+    "text_feature_hash"   -> ((s, dir) => TextAnalysis.featureHash(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
     "text_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(docs(s, dir))),
     // canonicalization fingerprint (casefold/strip/collapse -> md5)
@@ -140,6 +142,10 @@ object ExtQueries {
       Graph.pagerank(Dedup.simhashPairs(docs(s, dir), maxBandBucket = Some(64)))),
     "graph_degree_hist_capped" -> ((s, dir) =>
       Graph.degreeHist(Dedup.simhashPairs(docs(s, dir), maxBandBucket = Some(64)))),
+    // component census over the capped graph: per-cluster node/edge counts
+    // + density (near-clique template farms vs stringy closure chains)
+    "graph_components"       -> ((s, dir) =>
+      Graph.components(Dedup.simhashPairs(docs(s, dir), maxBandBucket = Some(64)))),
     "dedup_embedding_cosine" -> ((s, dir) => Dedup.embeddingCosine(embs(s, dir))),
     "dedup_source_overlap"   -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "dedup_clusters"         -> ((s, dir) => Dedup.minhashClusters(docs(s, dir))),
@@ -1707,6 +1713,47 @@ object ExtQueries {
          |SELECT degree, n_nodes, total_nodes, round(n_nodes / total_nodes, 6) AS share
          |FROM h CROSS JOIN t ORDER BY degree""".stripMargin,
 
+    // component labels = the dedup_clusters recursive closure over the
+    // capped edge relation; edges counted by their a-side label (every
+    // edge is intra-component by closure)
+    "graph_components" ->
+      s"""WITH RECURSIVE $simhashShCte,
+         |$cappedSimhashEdgeCte,
+         |nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+         |ed AS (SELECT a AS id, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT ed.id, r.label FROM ed JOIN reach r ON ed.nbr = r.id),
+         |lab AS (SELECT id, CAST(min(label) AS BIGINT) AS component_id FROM reach GROUP BY id),
+         |nn AS (SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1),
+         |ne AS (SELECT l.component_id, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM e JOIN lab l ON e.a = l.id GROUP BY 1)
+         |SELECT nn.component_id, nn.n_nodes, ne.n_edges,
+         |       round(2 * ne.n_edges / (nn.n_nodes * (nn.n_nodes - 1)), 6) AS density
+         |FROM nn JOIN ne ON nn.component_id = ne.component_id
+         |ORDER BY nn.component_id""".stripMargin,
+
+    // signed md5 feature hashing: bucket = hex[1..4] via exact bigint
+    // shifts (the split_sample derivation) mod 64, sign = hex digit 5
+    // parity; zero buckets dropped on both sides, norm exact BIGINT
+    "text_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, md5(t) AS h
+        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+        |m AS (SELECT doc_id,
+        |        CAST(list_sum(list_transform(range(0, 4), k ->
+        |          CAST(strpos('0123456789abcdef', substr(h, CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |            << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 64 AS dim,
+        |        CASE WHEN (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) % 2 = 0
+        |             THEN 1 ELSE -1 END AS sgn
+        |      FROM tok),
+        |w AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w FROM m
+        |      GROUP BY 1, 2 HAVING sum(sgn) != 0),
+        |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS ss FROM w GROUP BY 1)
+        |SELECT w.doc_id, w.dim, w.w, round(w.w / sqrt(CAST(nrm.ss AS DOUBLE)), 6) AS w_norm
+        |FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+        |ORDER BY w.doc_id, w.dim""".stripMargin,
+
     "dedup_embedding_cosine" -> embCosineOracleSql,
     // the metric-pruned twin is EXACT (recall-1 triangle-inequality prune),
     // so its oracle is the identical all-pairs SQL — the strongest check:
@@ -2745,5 +2792,6 @@ object ExtQueries {
     "similarity_ivfpq_trained", "graph_pagerank_capped",
     "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
     "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
-    "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25")
+    "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
+    "graph_components", "text_feature_hash")
 }

@@ -159,6 +159,40 @@ object Graph {
     * Scale shape: one (id) partial-agg shuffle of 8-byte ids → one
     * (degree) partial agg over the bounded node relation → a 1-row total
     * broadcast; output bounded by the max degree, never corpus size. */
+  /** CONNECTED-COMPONENT SUMMARY of a near-dup edge list — the cluster
+    * census read after [[degreeHist]]/[[triangles]]: one row per component
+    * with node/edge counts and edge density 2m/(n(n−1)). Near-cliques
+    * (density → 1) are template farms to collapse to one keeper; stringy
+    * low-density chains are transitive-closure accidents worth a
+    * threshold re-check before deduping through them.
+    *
+    * Labels come from [[Dedup.clusters]] — the shared min-label
+    * propagation + pointer-doubling closure (O(log diameter) rounds, one
+    * co-partitioned join + partial-min shuffle per round) — so there is
+    * exactly ONE closure implementation in the engine; this operator adds
+    * two bounded partial aggs (nodes by label, edges by their `a`-side
+    * label — every edge is intra-component by closure, so one endpoint
+    * suffices). The component id IS the member-minimum doc_id (the
+    * [[Dedup.keepers]] convention), so downstream keeper joins need no
+    * extra lookup.
+    *
+    * Determinism: counts exact; density is the one IEEE division, rounded
+    * to 6 with the same literal shape in the oracle (every node has an
+    * edge, so n_nodes ≥ 2 — no zero denominator). */
+  def components(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val labs = Dedup.clusters(e)
+      .select(col("doc_id").as("id"), col("cluster_id").as("component_id"))
+    val nEdges = e.join(labs.select(col("id").as("a"), col("component_id")), "a")
+      .groupBy("component_id").agg(count(lit(1)).as("n_edges"))
+    labs.groupBy("component_id")
+      .agg(count(lit(1)).as("n_nodes"))
+      .join(nEdges, "component_id")
+      .withColumn("density", expr("round(2 * n_edges / (n_nodes * (n_nodes - 1)), 6)"))
+      .select(col("component_id"), col("n_nodes"), col("n_edges"), col("density"))
+      .orderBy("component_id")
+  }
+
   def degreeHist(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))

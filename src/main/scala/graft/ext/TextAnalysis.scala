@@ -789,6 +789,41 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** FEATURE-HASHING document vectors (the hashing trick): each token is
+    * signed-hashed into `dim` buckets (bucket = md5 hex[1..4] mod dim,
+    * sign = parity of hex digit 5 — the same md5-region derivations the
+    * sampling ops use, so no RNG and any engine reproduces them), weights
+    * summed per (doc, bucket), emitted SPARSE in long format with the
+    * L2-normalized value alongside. The deterministic no-model embedding
+    * that bridges the text family to the similarity family — top-k cosine
+    * / kNN-graph ops consume it unchanged.
+    *
+    * Scale shape: one narrow hash projection (no joins, nothing
+    * driver-side), one (doc_id, bucket) partial-agg shuffle, and a
+    * co-partitioned doc_id join for the norm — the long format keeps the
+    * shuffle rows 24 bytes each instead of moving dense arrays. Exact-zero
+    * buckets (signs cancel) are dropped on BOTH sides — sparse semantics.
+    *
+    * Determinism: weights and the squared-norm are exact BIGINTs; the
+    * normalized value is the one IEEE sqrt+division, rounded to 6 with
+    * the identical literal shape in the oracle. */
+  def featureHash(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 2)
+    val tok = Dedup.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) % $dim").as("dim"),
+        expr("CASE WHEN CAST(conv(substring(h, 5, 1), 16, 10) AS BIGINT) % 2 = 0 THEN 1L ELSE -1L END").as("sgn"))
+    val w = tok.groupBy("doc_id", "dim").agg(sum("sgn").cast("long").as("w"))
+      .filter(col("w") =!= 0)
+    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).cast("long").as("ss"))
+    w.join(nrm, "doc_id")
+      .withColumn("w_norm", expr("round(w / sqrt(CAST(ss AS DOUBLE)), 6)"))
+      .select(col("doc_id"), col("dim"), col("w"), col("w_norm"))
+      .orderBy("doc_id", "dim")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))

@@ -544,4 +544,26 @@ class ExtTextSpec extends AnyFunSuite {
       r.getAs[Double]("score"), r.getAs[Long]("n_terms_hit"))).toSeq
       === Seq((1, 0L, s0, 2L), (2, 1L, s1, 1L)))
   }
+
+  test("featureHash emits unit-norm sparse vectors; identical text → identical vector") {
+    val docs = docsDf(
+      0L -> "alpha beta gamma alpha",
+      1L -> "alpha beta gamma alpha", // same multiset → identical rows
+      2L -> "solo")
+    val out = TextAnalysis.featureHash(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("dim"), r.getAs[Long]("w"),
+        r.getAs[Double]("w_norm"))).sortBy(_._1).toSeq).toMap
+    assert(out(0L) === out(1L))
+    // single token: exactly one bucket, |w| = 1, normalized to ±1
+    assert(out(2L).length === 1 && math.abs(out(2L).head._2) === 1L
+      && math.abs(out(2L).head._3) === 1.0)
+    // L2 norm of every doc's w_norm column is 1 (to rounding)
+    out.values.foreach { rows =>
+      val n2 = rows.map(r => r._3 * r._3).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"norm² $n2")
+    }
+    // weights are exact token-count sums: doc 0 total |w| mass ≤ 4 tokens
+    assert(out(0L).map(r => math.abs(r._2)).sum <= 4L)
+  }
 }

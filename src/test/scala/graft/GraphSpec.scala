@@ -172,4 +172,13 @@ class GraphSpec extends AnyFunSuite {
     // the family really was dense enough to bind: uncapped sees its pairs
     assert(Dedup.simhashPairs(corpus).filter(col("a") >= 1000L).count() === 30L * 29L / 2L)
   }
+
+  test("components: per-cluster census with density; id = member minimum") {
+    // triangle {1,2,3} (clique, density 1) + path 10-11-12 (density 2/3)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val out = Graph.components(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 3L, 3L, 1.0), (10L, 3L, 2L, 0.666667)))
+  }
 }
