@@ -47,6 +47,28 @@ case class RetentionHit(user_id: Long, cohort_day: java.sql.Date, day_offset: In
   * conversion under out-of-order delivery (kept sorted, capped). */
 case class FunnelState(fromMs: Long, converted: Boolean, pendingTo: Seq[Long])
 
+/** A buffered right-side (match-candidate) event for the streaming as-of
+  * join: its position in the (ms, event_id) total order plus the type. */
+case class RightEvt(ms: Long, id: Long, typ: String)
+
+/** A left-side event awaiting watermark finalization. */
+case class PendingLeft(ms: Long, id: Long, value: Double)
+
+/** Per-user as-of state: the single best (latest in (ms, id) order)
+  * right event already BELOW the watermark (older rights can never beat
+  * it and late arrivals below the watermark are dropped, so one tuple
+  * suffices), the in-watermark right buffer (any of these may be the
+  * match of a future left event), the left events not yet finalized, and
+  * the max event time seen (retention clock). */
+case class AsofState(best: Option[RightEvt], rights: Seq[RightEvt],
+                     pending: Seq[PendingLeft], lastMs: Long)
+
+/** One finalized as-of match (stream twin of the batch
+  * [[graft.ext.Events.asofJoin]] row). */
+case class AsofOut(event_id: Long, user_id: Long, ms: Long, value: Double,
+                   match_event_id: Option[Long], match_type: Option[String],
+                   match_ms: Option[Long], lag_ms: Option[Long])
+
 /** Structured Streaming versions of the event analytics (SURVEY.md §2.8
   * E4). The reference is strictly batch (one Airflow `execute()` per run —
   * SURVEY.md §2.7); streaming is part of the north-star extension surface.
@@ -174,6 +196,118 @@ object EventStreams {
 
     events
       .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Streaming AS-OF enrichment — the stream twin of the batch
+    * [[graft.ext.Events.asofJoin]]: every `leftType` event is matched to
+    * the latest `rightTypes` event by the same user strictly before it in
+    * the (ms, event_id) total order.
+    *
+    * Finalization discipline: a left event is emitted only once the
+    * watermark has passed its event time — at that point any still-to-
+    * arrive right event must carry ms ≥ watermark > left.ms, so it sorts
+    * AFTER the left event and cannot change the match; the emitted row
+    * therefore equals the batch result under ANY assignment of
+    * in-watermark events to micro-batches, including a match-candidate
+    * arriving batches after the left event it enriches. The price is one
+    * watermark delay of emission latency (same contract as
+    * [[funnelConversions]]).
+    *
+    * State per user is three parts, each bounded: (1) ONE `best` right
+    * event already below the watermark — rights older than it can never
+    * beat it for any future left (future lefts sit at or above the
+    * watermark, hence above every compacted right), and late rights below
+    * the watermark are dropped by the engine, so a single tuple replaces
+    * the entire right-side history; (2) the in-watermark right buffer
+    * (any entry may be the match of a future left), compacted into `best`
+    * as the watermark passes it — CRUCIALLY only ever below the
+    * watermark, which by the finalize-first invariant is ≤ every still-
+    * pending left, so compaction can never swallow a right that a pending
+    * left still needs; (3) the pending lefts themselves. `maxRights` caps
+    * buffer (1024): overflow folds the (ms, id)-smallest rights into
+    * `best` early — exact for every left above the fold point, documented
+    * precision trade-off for a user carrying >maxRights rights inside one
+    * watermark horizon. An empty state keeps `best` as a memory tombstone
+    * for `retentionMs` past the last event (a left arriving after a long
+    * idle gap still matches across it, as batch does), then expires —
+    * state stays O(users active within retention). */
+  def asofEnrich(events: Dataset[Event],
+                 leftType: String = "purchase",
+                 rightTypes: Seq[String] = Seq("click", "view"),
+                 watermark: String = "2 hours",
+                 maxRights: Int = 1024,
+                 retentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[AsofOut] = {
+    require(rightTypes.nonEmpty && !rightTypes.contains(leftType))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rightSet = rightTypes.toSet
+
+    def ordLt(aMs: Long, aId: Long, bMs: Long, bId: Long): Boolean =
+      aMs < bMs || (aMs == bMs && aId < bId)
+
+    def finalizeAndCompact(userId: Long, st0: AsofState, wm: Long,
+        out: scala.collection.mutable.ArrayBuffer[AsofOut]): AsofState = {
+      // finalize BEFORE compacting: all lefts below the watermark emit
+      // against the full buffer, so the compaction bound (watermark) is
+      // ≤ every left that remains pending
+      val (done, keep) = st0.pending.partition(_.ms < wm)
+      for (p <- done.sortBy(x => (x.ms, x.id))) {
+        var m = st0.best.filter(r => ordLt(r.ms, r.id, p.ms, p.id))
+        for (r <- st0.rights if ordLt(r.ms, r.id, p.ms, p.id))
+          if (m.forall(b => ordLt(b.ms, b.id, r.ms, r.id))) m = Some(r)
+        out += AsofOut(p.id, userId, p.ms, p.value,
+          m.map(_.id), m.map(_.typ), m.map(_.ms), m.map(r => p.ms - r.ms))
+      }
+      val (old, fresh) = st0.rights.partition(_.ms < wm)
+      var best = st0.best
+      for (r <- old) if (best.forall(b => ordLt(b.ms, b.id, r.ms, r.id))) best = Some(r)
+      AsofState(best, fresh, keep, st0.lastMs)
+    }
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[AsofState]): Iterator[AsofOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      val wm = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(AsofState(None, Nil, Nil, 0L))
+      if (!state.hasTimedOut) {
+        var rights = st.rights
+        var pending = st.pending
+        var last = st.lastMs
+        for (e <- it) {
+          val ms = e.ts.getTime
+          if (rightSet(e.event_type)) rights = rights :+ RightEvt(ms, e.event_id, e.event_type)
+          else pending = pending :+ PendingLeft(ms, e.event_id, e.value)
+          last = math.max(last, ms)
+        }
+        st = AsofState(st.best, rights, pending, last)
+      }
+      st = finalizeAndCompact(userId, st, wm, out)
+      if (st.rights.size > maxRights) {
+        val sorted = st.rights.sortBy(r => (r.ms, r.id))
+        val (dropped, kept) = sorted.splitAt(sorted.size - maxRights)
+        var best = st.best
+        for (r <- dropped) if (best.forall(b => ordLt(b.ms, b.id, r.ms, r.id))) best = Some(r)
+        st = st.copy(best = best, rights = kept)
+      }
+      if (st.pending.isEmpty && st.rights.isEmpty &&
+          (st.best.isEmpty || wm >= st.lastMs + retentionMs)) {
+        state.remove()
+      } else {
+        state.update(st)
+        val target =
+          if (st.pending.nonEmpty) st.pending.map(_.ms).min + 1
+          else if (st.rights.nonEmpty) st.rights.map(_.ms).max + 1
+          else st.lastMs + retentionMs
+        // re-arming at or below the watermark throws on bursty loads
+        state.setTimeoutTimestamp(math.max(target, wm + 1))
+      }
+      out.iterator
+    }
+
+    events.filter(e => e.event_type == leftType || rightSet(e.event_type))
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }

@@ -569,4 +569,75 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got.exists { case (ms, t, n, _, _) => ms == 4 * h && t == "click" && n == 9L })
     } finally q.stop()
   }
+
+  test("asofEnrich equals batch asofJoin under RANDOM micro-batch splits (300 events)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val types = Seq("click", "view", "purchase", "error")
+    var t = 1000L
+    val events = (1 to 300).map { i =>
+      t += rnd.nextInt(30 * 60 * 1000).toLong
+      Event(i.toLong, new Timestamp(t), 1L + rnd.nextInt(6),
+        types(rnd.nextInt(types.length)), rnd.nextInt(100) / 10.0)
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(input.toDS(), retentionMs = 400L * 86400000L)
+      .writeStream.format("memory").queryName("asof_rand").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < events.length) {
+        val n = 1 + rnd.nextInt(25)
+        input.addData(events.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      for (k <- 1 to 3) {
+        input.addData(Event(10000L + k, new Timestamp(t + k * 36000000L), 9999L, "click", 1.0))
+        q.processAllAvailable()
+      }
+      def optLong(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+        if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+      val streamed = spark.table("asof_rand").collect()
+        .filter(_.getAs[Long]("user_id") != 9999L)
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("ms"),
+          optLong(r, "match_event_id"), optLong(r, "match_ms"), optLong(r, "lag_ms")))
+        .sortBy(_._1)
+      val batch = graft.ext.Events.asofJoin(events.toDF()).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"), r.getAs[Long]("ms"),
+          optLong(r, "match_event_id"), optLong(r, "match_ms"), optLong(r, "lag_ms")))
+        .sortBy(_._1)
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length > 30, s"degenerate fixture: ${streamed.length} purchases")
+      assert(streamed.count(_._4.isEmpty) > 0, "fixture never exercised the unmatched path")
+    } finally q.stop()
+  }
+
+  test("asofEnrich matches a right event arriving a batch AFTER its left event") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(input.toDS())
+      .writeStream.format("memory").queryName("asof_late").outputMode("append").start()
+    try {
+      // batch 1: the purchase (user 1) and a right-less purchase (user 2)
+      input.addData(
+        Event(2L, new Timestamp(base + 3600000L), 1L, "purchase", 5.0),
+        Event(5L, new Timestamp(base + 3600000L), 2L, "purchase", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1's click, EARLIER in event time but within watermark
+      input.addData(Event(1L, new Timestamp(base), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // flush: advance the watermark far past both purchases
+      input.addData(Event(99L, new Timestamp(base + 48L * 3600000L), 9999L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_late").collect()
+        .filter(_.getAs[Long]("user_id") != 9999L)
+        .map(r => (r.getAs[Long]("event_id"),
+          if (r.isNullAt(r.fieldIndex("match_event_id"))) None
+          else Some((r.getAs[Long]("match_event_id"), r.getAs[Long]("lag_ms")))))
+        .toMap
+      assert(rows(2L) === Some((1L, 3600000L)), "late-arriving right must still match")
+      assert(rows(5L) === None)
+    } finally q.stop()
+  }
 }
