@@ -314,6 +314,9 @@ object ExtQueries {
     "multimodal_frames"   -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.ingest(docs(s, dir)))
         .orderBy("doc_id", "frame_no")),
+    // shared-segment near-dup: frame-hash inverted-index join with a
+    // hot-frame cap; containment score (pHash would swap in for frame md5)
+    "multimodal_near_dedup" -> ((s, dir) => Multimodal.nearDedup(docs(s, dir))),
 
     // deterministic train/val/test assignment + stratified-sample report —
     // reproducible subsets via id-hash buckets, no RNG
@@ -1734,6 +1737,25 @@ object ExtQueries {
          |FROM nn JOIN ne ON nn.component_id = ne.component_id
          |ORDER BY nn.component_id""".stripMargin,
 
+    // frame-hash inverted-index self-join (64-byte frames, DISTINCT per
+    // doc), hot-frame df cap at 50, shared >= 2, containment over the
+    // capped frame space — strlen == octet_length on the ASCII payload
+    "multimodal_near_dedup" ->
+      """WITH fr AS (SELECT DISTINCT doc_id,
+        |        unnest(list_transform(range(0, (strlen(text) + 63) // 64),
+        |          f -> md5(substr(text, CAST(f * 64 + 1 AS INT), 64)))) AS fh
+        |      FROM documents),
+        |cap AS (SELECT fh FROM fr GROUP BY fh HAVING count(*) <= 50),
+        |fc AS (SELECT fr.* FROM fr JOIN cap USING (fh)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fc GROUP BY 1),
+        |p AS (SELECT f1.doc_id AS a, f2.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_frames
+        |      FROM fc f1 JOIN fc f2 ON f1.fh = f2.fh AND f1.doc_id < f2.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.a, p.b, p.shared_frames,
+        |       round(p.shared_frames / least(sa.nf, sb.nf), 6) AS containment
+        |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        |ORDER BY p.a, p.b""".stripMargin,
+
     // signed md5 feature hashing: bucket = hex[1..4] via exact bigint
     // shifts (the split_sample derivation) mod 64, sign = hex digit 5
     // parity; zero buckets dropped on both sides, norm exact BIGINT
@@ -2793,5 +2815,5 @@ object ExtQueries {
     "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
     "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
-    "graph_components", "text_feature_hash")
+    "graph_components", "text_feature_hash", "multimodal_near_dedup")
 }

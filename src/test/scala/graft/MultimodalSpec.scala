@@ -72,4 +72,45 @@ class MultimodalSpec extends AnyFunSuite {
       .digest("same bytes".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(dup.getAs[String]("content_md5") === md)
   }
+
+  test("nearDedup pairs blobs on shared whole frames with containment scores") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4-char frames over 3-char words + space: one frame per word. Docs 1
+    // and 2 share 399 of 400 frames (word 200 differs); doc 3 is an exact
+    // copy of doc 1 (containment 1.0); doc 4's frame set is disjoint.
+    // The 400-frame repeat of word patterns stays under the df cap
+    // because frames are DISTINCT per doc and df counts docs, not uses.
+    val base = (0 until 400).map(i => f"$i%03d")
+    val variant = base.updated(200, "zzz")
+    val other = (0 until 400).map(i => f"x${i % 100}%02d") // disjoint frame set
+    val docs = Seq(
+      (1L, base.mkString(" ") + " "),     // trailing space keeps frames 4-aligned
+      (2L, variant.mkString(" ") + " "),
+      (3L, base.mkString(" ") + " "),
+      (4L, other.mkString(" ") + " ")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.nearDedup(docs, frameChars = 4).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared_frames"), r.getAs[Double]("containment")))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 399L, 0.9975), (1L, 3L, 400L, 1.0), (2L, 3L, 399L, 0.9975)),
+      out.mkString(","))
+  }
+
+  test("nearDedup df cap drops boilerplate frames from pair generation and sizes") {
+    val spark0 = spark
+    import spark0.implicits._
+    // frame "bbb " appears in ALL 5 docs → df 5 > cap 4 → dropped; docs 1/2
+    // still pair on their 2 organic shared frames; containment counts the
+    // CAPPED frame space (3 frames each, not 4)
+    val docs = Seq(
+      (1L, "bbb aaa ccc ddd "), (2L, "bbb aaa ccc eee "),
+      (3L, "bbb p01 p02 p03 "), (4L, "bbb q01 q02 q03 "), (5L, "bbb r01 r02 r03 ")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.nearDedup(docs, frameChars = 4, maxFrameFreq = 4).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared_frames"), r.getAs[Double]("containment")))
+    assert(out.toSeq === Seq((1L, 2L, 2L, 0.666667)), out.mkString(","))
+  }
 }
