@@ -318,6 +318,9 @@ object ExtQueries {
     // hot-frame cap; containment score (pHash would swap in for frame md5)
     "multimodal_near_dedup" -> ((s, dir) => Multimodal.nearDedup(docs(s, dir))),
 
+    // the dataset-card release artifact: corpus scale, length distribution,
+    // language shares, source count, exact-dup + paragraph-dup health rates
+    "pipeline_dataset_card" -> ((s, dir) => TextAnalysis.datasetCard(docs(s, dir))),
     // deterministic train/val/test assignment + stratified-sample report —
     // reproducible subsets via id-hash buckets, no RNG
     "pipeline_split_sample" -> ((s, dir) => Sampling.splitSummary(docs(s, dir))),
@@ -1756,6 +1759,39 @@ object ExtQueries {
         |FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
         |ORDER BY p.a, p.b""".stripMargin,
 
+    // dataset card: every metric an exact fold; shares/fractions single
+    // IEEE divisions rounded 6; p50 = quantile_cont ≡ Spark percentile
+    "pipeline_dataset_card" ->
+      """WITH toks AS (SELECT doc_id, lang, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+        |corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |        CAST(max(n_toks) AS BIGINT) AS max_tokens,
+        |        round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens,
+        |        round(quantile_cont(n_toks, 0.5e0), 6) AS p50_tokens,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM toks),
+        |scalars AS (
+        |  SELECT 'corpus' AS section, 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM corpus
+        |  UNION ALL SELECT 'corpus', 'n_tokens', CAST(n_tokens AS DOUBLE) FROM corpus
+        |  UNION ALL SELECT 'corpus', 'avg_doc_tokens', avg_doc_tokens FROM corpus
+        |  UNION ALL SELECT 'length', 'max_tokens', CAST(max_tokens AS DOUBLE) FROM corpus
+        |  UNION ALL SELECT 'length', 'p50_tokens', p50_tokens FROM corpus
+        |  UNION ALL SELECT 'source', 'n_sources', CAST(n_sources AS DOUBLE) FROM corpus),
+        |langs AS (SELECT 'lang' AS section, lang AS metric,
+        |        round(count(*) / (SELECT n_docs FROM corpus), 6) AS value
+        |      FROM toks GROUP BY lang),
+        |ex AS (SELECT 'dedup' AS section, 'exact_dup_docs' AS metric,
+        |        CAST(count(*) - count(DISTINCT md5(substr(text, 1, 80))) AS DOUBLE) AS value
+        |      FROM documents),
+        |ch AS (SELECT 'dedup' AS section, 'paragraph_dup_frac' AS metric,
+        |        round((count(*) - count(DISTINCT c)) / count(*), 6) AS value
+        |      FROM (SELECT unnest(list_transform(range((len(string_split(text, ' ')) + 14) // 15),
+        |              i -> md5(array_to_string((string_split(text, ' '))[(i*15+1):(i*15+15)], ' ')))) AS c
+        |            FROM documents))
+        |SELECT * FROM scalars UNION ALL SELECT * FROM langs
+        |UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM ch
+        |ORDER BY section, metric""".stripMargin,
+
     // signed md5 feature hashing: bucket = hex[1..4] via exact bigint
     // shifts (the split_sample derivation) mod 64, sign = hex digit 5
     // parity; zero buckets dropped on both sides, norm exact BIGINT
@@ -2815,5 +2851,6 @@ object ExtQueries {
     "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
     "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
-    "graph_components", "text_feature_hash", "multimodal_near_dedup")
+    "graph_components", "text_feature_hash", "multimodal_near_dedup",
+    "pipeline_dataset_card")
 }

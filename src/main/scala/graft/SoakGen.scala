@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Deterministic ~10×-of-sf0.1 soak fixture generator for the dedup/ANN
-  * heavy hitters (`documents` + `embeddings` only — the soak queries read
-  * nothing else). Usage: `runMain graft.SoakGen /tmp/sf1 [docs] [vecs]`.
+  * heavy hitters (`documents` + `embeddings`) plus, since r7, an `events`
+  * table mirroring the driver fixture's density (so the events family —
+  * previously "no /tmp soak fixture" in BENCH_sf10's note — soaks too).
+  * Usage: `runMain graft.SoakGen /tmp/sf1 [docs] [vecs] [events]`.
   *
   * Mirrors the driver fixture's measured shape (sf0.1: 5,000 docs over a
   * 31-word vocab, ~54 tokens/doc, 5 langs, 20 sources, seeded exact +
@@ -108,7 +110,26 @@ object SoakGen extends Serializable {
     }.toDF("vec_id", "embedding", "label")
     vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"""{"out":"$out","docs":$nDocs,"vecs":$nVecs}""")
+    // events: the driver fixture's measured shape scaled — ~67 events/user
+    // (sf0.1: 100k events / 1,500 users over a 30-day January), 5 types
+    // uniform, value in [0, 100) with 2 decimals, tiny JSON props. User
+    // COUNT scales with volume while per-user density stays constant, so
+    // per-user window costs scale the way a real product's would (more
+    // users, not deeper histories).
+    val nEvents = if (args.length > 3) args(3).toInt else nDocs * 20
+    val eventTypes = Array("view", "click", "purchase", "signup", "error")
+    val nUsers = math.max(150L, nEvents / 67L)
+    val baseMs = 1704067200000L // 2024-01-01 00:00 UTC
+    val events = spark.range(0, nEvents.toLong, 1, 32).map { id =>
+      val ts = new java.sql.Timestamp(baseMs + rand(id * 13L + 11L, 0) % (30L * 86400000L))
+      val user = rand(id, 20) % nUsers
+      val typ = eventTypes((rand(id, 21) % eventTypes.length).toInt)
+      val value = (rand(id, 22) % 10000) / 100.0
+      (id, ts, user, typ, value, s"""{"plan":"p${rand(id, 23) % 3}"}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"""{"out":"$out","docs":$nDocs,"vecs":$nVecs,"events":$nEvents}""")
     spark.stop()
   }
 }

@@ -824,6 +824,66 @@ object TextAnalysis {
       .orderBy("doc_id", "dim")
   }
 
+  /** DATASET CARD — the one-artifact corpus summary an LLM data release
+    * publishes: corpus scale (docs/tokens/avg), length distribution (p50
+    * exact-interpolated + max), language shares, source count, and the
+    * two dedup health rates (exact-dup docs on the 80-char content key;
+    * corpus paragraph-duplication fraction over 15-word chunks — the
+    * [[graft.ext.Dedup.paragraphs]] unit). Long format (section, metric,
+    * value DOUBLE — counts are ≤2⁵³ so the cast is exact), totally
+    * ordered by (section, metric).
+    *
+    * Scale shape: every metric is a partial-agg fold — three bounded
+    * aggregations over the tokenized projection (corpus scalars, lang
+    * shares, chunk distinct-rate) plus one over raw docs; no joins except
+    * the 1-row total broadcast under the lang shares; output rows =
+    * 8 + |langs|. The exact p50 buffers per-task token counts the same
+    * way [[graft.ext.Events.valueStats]] does (approx_percentile is the
+    * documented swap at extreme cardinality).
+    *
+    * Determinism: counts exact; avg/shares/fractions are single IEEE
+    * divisions of exact BIGINTs, rounded to 6 with the same literal shape
+    * in the oracle; p50 is the interpolated percentile both engines
+    * define identically (percentile ≡ quantile_cont). */
+  def datasetCard(docs: DataFrame, paragraphWidth: Int = 15): DataFrame = {
+    val toks = Dedup.spread(docs).select(col("doc_id"), col("lang"), col("source"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
+    val corpus = toks.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_toks").cast("long").as("n_tokens"),
+        max("n_toks").cast("long").as("max_tokens"),
+        expr("round(CAST(sum(n_toks) AS DOUBLE) / count(1), 6)").as("avg_doc_tokens"),
+        expr("round(percentile(n_toks, 0.5e0), 6)").as("p50_tokens"),
+        countDistinct(col("source")).cast("long").as("n_sources"))
+      .selectExpr(
+        """stack(6,
+          |  'corpus', 'n_docs', CAST(n_docs AS DOUBLE),
+          |  'corpus', 'n_tokens', CAST(n_tokens AS DOUBLE),
+          |  'corpus', 'avg_doc_tokens', avg_doc_tokens,
+          |  'length', 'max_tokens', CAST(max_tokens AS DOUBLE),
+          |  'length', 'p50_tokens', p50_tokens,
+          |  'source', 'n_sources', CAST(n_sources AS DOUBLE)
+          |) AS (section, metric, value)""".stripMargin)
+    val total = toks.agg(count(lit(1)).cast("long").as("n_docs"))
+    val langs = toks.groupBy("lang").agg(count(lit(1)).cast("long").as("n"))
+      .crossJoin(broadcast(total))
+      .select(lit("lang").as("section"), col("lang").as("metric"),
+        expr("round(n / n_docs, 6)").as("value"))
+    val exactDup = docs.agg(
+        (count(lit(1)) - countDistinct(expr("md5(substring(text, 1, 80))")))
+          .cast("double").as("value"))
+      .select(lit("dedup").as("section"), lit("exact_dup_docs").as("metric"), col("value"))
+    val chunks = docs
+      .select(explode(expr(
+        s"""transform(sequence(0, CAST((size(split(text, ' ')) + ${paragraphWidth - 1}) / $paragraphWidth AS INT) - 1),
+           |  i -> md5(array_join(slice(split(text, ' '), i * $paragraphWidth + 1, $paragraphWidth), ' ')))""".stripMargin))
+        .as("ch"))
+      .agg(expr("round((count(1) - count(DISTINCT ch)) / count(1), 6)").as("value"))
+      .select(lit("dedup").as("section"), lit("paragraph_dup_frac").as("metric"), col("value"))
+    corpus.unionAll(langs).unionAll(exactDup).unionAll(chunks)
+      .orderBy("section", "metric")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))

@@ -566,4 +566,31 @@ class ExtTextSpec extends AnyFunSuite {
     // weights are exact token-count sums: doc 0 total |w| mass ≤ 4 tokens
     assert(out(0L).map(r => math.abs(r._2)).sum <= 4L)
   }
+
+  test("datasetCard reports exact scale, shares, and dedup rates on a known fixture") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    // d0/d1 identical (exact-dup pair AND duplicated paragraph chunk);
+    // tokens 3,3,4,2 → avg 3, p50 = 3, max 4; langs 2/2; sources 2
+    val docs = Seq(
+      (0L, "a b c", "en", "s1"),
+      (1L, "a b c", "en", "s1"),
+      (2L, "d e f g", "de", "s2"),
+      (3L, "h i", "de", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.datasetCard(docs).collect()
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric"),
+        r.getAs[Double]("value")))
+    assert(out.toSeq === Seq(
+      ("corpus", "avg_doc_tokens", 3.0),
+      ("corpus", "n_docs", 4.0),
+      ("corpus", "n_tokens", 12.0),
+      ("dedup", "exact_dup_docs", 1.0),
+      ("dedup", "paragraph_dup_frac", 0.25),
+      ("lang", "de", 0.5),
+      ("lang", "en", 0.5),
+      ("length", "max_tokens", 4.0),
+      ("length", "p50_tokens", 3.0),
+      ("source", "n_sources", 2.0)), out.mkString(","))
+  }
 }

@@ -604,6 +604,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("feature hashing never joins beyond the co-partitioned norm; partial aggs everywhere") {
+    val p = plan("text_feature_hash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("media near-dup equi-joins on the frame hash — never all-pairs") {
+    val p = plan("multimodal_near_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("dataset card joins nothing bigger than the broadcast 1-row total") {
+    val p = plan("pipeline_dataset_card")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"only the 1-row totals broadcast belongs here\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
   test("paragraph dedup is two shuffles (chunk-hash window, doc_id reassembly) and no joins") {
     val p = plan("dedup_paragraphs")
     assert(!p.contains("Join"), p)
