@@ -95,6 +95,9 @@ object ExtQueries {
     "text_zipf"         -> ((s, dir) => TextAnalysis.zipf(docs(s, dir))),
     // one BPE merge round: top adjacent-pair merge candidates (tokenizer training)
     "text_bpe_merges"   -> ((s, dir) => TextAnalysis.bpeMerges(docs(s, dir))),
+    // tokenizer ENCODE: the learned merges applied greedily in rank order;
+    // full encoding hash-verified via the per-doc md5
+    "text_bpe_encode"   -> ((s, dir) => TextAnalysis.bpeEncode(docs(s, dir))),
     // cross-doc template detector: share of a doc's bigrams unique to it
     "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
     // bigram-LM argmax head: top-3 successors for the 100 hottest contexts
@@ -1506,6 +1509,38 @@ object ExtQueries {
         |SELECT CAST(rank AS INT) AS rank, lhs, rhs, n, round(n / total, 6) AS share
         |FROM r CROSS JOIN tot WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+    // the bpe_merges rule CTEs + a recursive encode over rule ranks: each
+    // round's list_reduce replays the same leftmost-greedy accumulator
+    // fold (merge the pair when the running last symbol is lhs and the
+    // next is rhs); the md5 of the final sequence checks every merge
+    // decision on every doc. Terminates at max(rank) so a pair vocab
+    // smaller than topK still verifies.
+    "text_bpe_encode" ->
+      """WITH RECURSIVE bg AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |         i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |pf AS (SELECT split_part(bigram, ' ', 1) AS lhs, split_part(bigram, ' ', 2) AS rhs,
+        |              CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+        |rk AS (SELECT lhs, rhs, row_number() OVER (ORDER BY n DESC, lhs ASC, rhs ASC) AS rank FROM pf),
+        |rules AS (SELECT CAST(rank AS INT) AS rank, lhs, rhs FROM rk WHERE rank <= 50),
+        |enc(doc_id, n_words, rr, s) AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT), 0,
+        |         array_to_string(string_split(text, ' '), chr(31)) FROM documents
+        |  UNION ALL
+        |  SELECT e.doc_id, e.n_words, e.rr + 1,
+        |    list_reduce(string_split(e.s, chr(31)), (acc, x) ->
+        |      CASE WHEN x = ru.rhs AND (acc = ru.lhs OR ends_with(acc, chr(31) || ru.lhs))
+        |        THEN CASE WHEN acc = ru.lhs THEN ru.lhs || '_' || ru.rhs
+        |             ELSE left(acc, len(acc) - len(ru.lhs)) || ru.lhs || '_' || ru.rhs END
+        |      ELSE acc || chr(31) || x END)
+        |  FROM enc e JOIN rules ru ON ru.rank = e.rr + 1)
+        |SELECT doc_id, n_words,
+        |       CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,
+        |       CAST(n_words - len(string_split(s, chr(31))) AS BIGINT) AS n_merges,
+        |       md5(replace(s, chr(31), ' ')) AS encoded_md5
+        |FROM enc WHERE rr = (SELECT max(rank) FROM rules) ORDER BY doc_id""".stripMargin,
+
     "text_vocab" ->
       """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tf GROUP BY token),
@@ -2852,5 +2887,5 @@ object ExtQueries {
     "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
-    "pipeline_dataset_card")
+    "pipeline_dataset_card", "text_bpe_encode")
 }

@@ -536,6 +536,47 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Tokenizer ENCODE — applying the [[bpeMerges]] rules completes the
+    * learn→encode tokenizer story: each document's word sequence is
+    * greedily merged rule-by-rule in rank order (rule k's pass replaces
+    * every leftmost non-overlapping adjacent (lhs, rhs) with the fused
+    * symbol — the classic BPE apply loop, here at word level to match the
+    * word-level learner). Emits per doc the pre/post symbol counts, the
+    * merge count, and the md5 of the encoded sequence — the full encoding
+    * is hash-verified without shipping a second text column.
+    *
+    * Plan-pure rule handling: the learned K-row rule table folds into ONE
+    * array via sort_array(collect_list(...)) and broadcasts — no driver
+    * collect; the encode is then a single narrow pass, O(K·len) per doc
+    * (K bounded at `topK`), with the double fold expressed as nested
+    * aggregate() HOFs. The oracle replays the same greedy fold as a
+    * recursive CTE over rule ranks with a list_reduce inner pass, so the
+    * md5 hash-match checks every merge decision on every document.
+    *
+    * Determinism: rule order is the bpeMerges total order (n DESC, lhs,
+    * rhs); the fold is leftmost-greedy by construction (an accumulator
+    * scan, not a regex); merged symbols are `lhs_rhs` and rules only ever
+    * name RAW words, so a fused symbol can never chain-merge — identical
+    * in both engines. */
+  def bpeEncode(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val rules = bpeMerges(docs, topK)
+      .agg(expr("sort_array(collect_list(struct(rank, lhs, rhs)))").as("rules"))
+    Dedup.spread(docs).crossJoin(broadcast(rules))
+      .withColumn("syms", split(col("text"), " "))
+      .withColumn("enc", expr(
+        """aggregate(rules, syms, (s, ru) ->
+          |  aggregate(slice(s, 2, size(s) - 1), slice(s, 1, 1), (acc, x) ->
+          |    IF(x = ru.rhs AND element_at(acc, -1) = ru.lhs,
+          |       concat(slice(acc, 1, size(acc) - 1), array(concat(ru.lhs, '_', ru.rhs))),
+          |       concat(acc, array(x)))))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(size(syms) AS BIGINT)").as("n_words"),
+        expr("CAST(size(enc) AS BIGINT)").as("n_symbols"),
+        expr("CAST(size(syms) - size(enc) AS BIGINT)").as("n_merges"),
+        expr("md5(array_join(enc, ' '))").as("encoded_md5"))
+      .orderBy("doc_id")
+  }
+
   /** CURRICULUM bucketing — the ordering step of curriculum training:
     * within each language, documents ranked by the composite quality
     * score ([[qualityScoreExpr]], ties → doc_id) and cut into `nBuckets`

@@ -567,6 +567,36 @@ class ExtTextSpec extends AnyFunSuite {
     assert(out(0L).map(r => math.abs(r._2)).sum <= 4L)
   }
 
+  test("bpeEncode applies learned merges greedily in rank order") {
+    // pairs: (a,b) n=3 → rank 1; (b,c) n=2 and (c,a) n=2 tie → lhs order
+    // puts (b,c) at rank 2. Encoding with topK=2:
+    //   doc 0 "a b c a b" → rule1 → "a_b c a_b" (rule2 finds no bare b·c)
+    //   doc 1 "b c a b x" → rule1 → "b c a_b x" → rule2 merges the bare
+    //   b·c → "b_c a_b x" (2 merges, 3 symbols)
+    val docs = docsDf(0L -> "a b c a b", 1L -> "b c a b x")
+    val out = TextAnalysis.bpeEncode(docs, topK = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_symbols"), r.getAs[Long]("n_merges"),
+        r.getAs[String]("encoded_md5")))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq === Seq(
+      (0L, 5L, 3L, 2L, md5("a_b c a_b")),
+      (1L, 5L, 3L, 2L, md5("b_c a_b x"))), out.mkString(","))
+  }
+
+  test("bpeEncode: a chained run merges leftmost non-overlapping, single-word docs pass through") {
+    // "a a a a a" with rule (a,a) ranked 1: leftmost greedy → [a_a, a_a, a]
+    val docs = docsDf(0L -> "a a a a a", 1L -> "solo")
+    val out = TextAnalysis.bpeEncode(docs, topK = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_symbols"),
+        r.getAs[String]("encoded_md5")))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq === Seq((0L, 3L, md5("a_a a_a a")), (1L, 1L, md5("solo"))),
+      out.mkString(","))
+  }
+
   test("datasetCard reports exact scale, shares, and dedup rates on a known fixture") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
