@@ -230,6 +230,9 @@ object ExtQueries {
     }),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
+    // radius search: all neighbors within cosine >= 0.3 — the unranked
+    // query mode; scan → score → filter, no per-query window at all
+    "similarity_range_search" -> ((s, dir) => Similarity.rangeSearch(embs(s, dir))),
     // contrastive-training negatives: near-dup ceiling, then ranks 6..15
     "similarity_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(embs(s, dir))),
     // index-quality measurement: recall@5 of lsh/ivf vs the exact baseline
@@ -1907,6 +1910,20 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank > 5 AND rank <= 15 ORDER BY query_id, rank""".stripMargin,
 
+    // radius search: the same exact-integer scoring, a >= 0.3 predicate
+    // instead of a rank window, rounded after the cut
+    "similarity_range_search" ->
+      s"""$quantCte,
+         |dots AS (SELECT qq.vec_id AS query_id, qv.vec_id AS vec_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |         FROM q qq JOIN q qv ON qq.i = qv.i AND qq.vec_id < 10 AND qv.vec_id != qq.vec_id
+         |         GROUP BY qq.vec_id, qv.vec_id),
+         |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id,
+         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+         |                     JOIN nrm nv ON dots.vec_id = nv.vec_id)
+         |SELECT query_id, vec_id AS neighbor_id, round(cosine, 6) AS cosine
+         |FROM scored WHERE cosine >= 0.3e0 ORDER BY query_id, neighbor_id""".stripMargin,
+
     // recall@5 eval: replays all three proven algorithms (exact = e_*, IVF
     // chain verbatim from similarity_ivf, SRP-LSH chain with l_* renames
     // where names collide) and intersects the top-5 sets
@@ -2887,5 +2904,5 @@ object ExtQueries {
     "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
-    "pipeline_dataset_card", "text_bpe_encode")
+    "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search")
 }

@@ -60,6 +60,33 @@ object Similarity {
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 10): DataFrame =
     rankSlice(cosineScored(quantized(embeddings), nQueries), 0, k)
 
+  /** RADIUS (range) search — the other query mode every vector store
+    * serves next to top-k: ALL corpus vectors within cosine ≥ `threshold`
+    * of each query, unranked (result size is data-dependent, which is the
+    * point — "everything at least this similar", the retrieval mode
+    * dedup-audit and recall-floor workflows need; top-k would truncate a
+    * dense neighborhood and pad a sparse one).
+    *
+    * Scale shape: the shared exact-scoring kernel — broadcast query set,
+    * ONE corpus scan, no shuffle of the big side — then a predicate
+    * instead of [[rankSlice]]'s window: NO per-query ranking at all, so
+    * the plan is fully pipelined (scan → score → filter, one
+    * whole-stage-codegen span; nothing accumulates per query). For large
+    * query sets, swap the scoring stage for the IVF/LSH candidate
+    * generators, threshold unchanged.
+    *
+    * Determinism: the exact-integer quantized dot and the one IEEE
+    * division shared with [[bruteForceTopK]]; the `>= threshold` cut
+    * compares the same double both engines compute, and output rounds to
+    * 6 after the cut. */
+  def rangeSearch(embeddings: DataFrame, nQueries: Int = 10,
+                  threshold: Double = 0.3): DataFrame =
+    cosineScored(quantized(embeddings), nQueries)
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("round(cosine, 6)").as("cosine"))
+      .orderBy("query_id", "neighbor_id")
+
   /** HARD-NEGATIVE MINING for retrieval training: per query, the corpus
     * vectors ranked just BELOW the presumed positives — similar enough to
     * be informative, ranked low enough to (probably) be wrong answers.

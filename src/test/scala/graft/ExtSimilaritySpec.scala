@@ -377,4 +377,32 @@ class ExtSimilaritySpec extends AnyFunSuite {
       assert(rows.map(_(1).asInstanceOf[Int]).sorted === (1 to 5))
     }
   }
+
+  test("rangeSearch emits exactly the neighbors at or above the cosine threshold") {
+    val spark0 = spark
+    import spark0.implicits._
+    // query v0 = (1,0): v1 at cos ~0.866, v2 at cos ~0.5, v3 at cos 0,
+    // v4 opposite at cos -1 — threshold 0.6 keeps only v1
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.866f, 0.5f)),
+      (2L, Array(0.5f, 0.866f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val hit = Similarity.rangeSearch(df, nQueries = 1, threshold = 0.6).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(hit.toSeq === Seq((0L, 1L)))
+    // dropping the threshold admits v2; v3 (cos 0) and v4 (cos -1) need <= 0
+    val loose = Similarity.rangeSearch(df, nQueries = 1, threshold = 0.4).collect()
+      .map(_.getAs[Long]("neighbor_id"))
+    assert(loose.toSeq === Seq(1L, 2L))
+    // the result set equals brute-force top-k filtered at the threshold
+    val brute = Similarity.bruteForceTopK(df, nQueries = 1, k = 4).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.4)
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    val rs = Similarity.rangeSearch(df, nQueries = 1, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    assert(rs === brute)
+  }
 }
