@@ -545,13 +545,18 @@ object TextAnalysis {
     * merge count, and the md5 of the encoded sequence — the full encoding
     * is hash-verified without shipping a second text column.
     *
-    * Plan-pure rule handling: the learned K-row rule table folds into ONE
-    * array via sort_array(collect_list(...)) and broadcasts — no driver
-    * collect; the encode is then a single narrow pass, O(K·len) per doc
-    * (K bounded at `topK`), with the double fold expressed as nested
-    * aggregate() HOFs. The oracle replays the same greedy fold as a
-    * recursive CTE over rule ranks with a list_reduce inner pass, so the
-    * md5 hash-match checks every merge decision on every document.
+    * Rule handling is the PQ-codebook bounded-collect discipline: the
+    * K-row learned rule table (K ≤ `topK`, tiny by construction) folds to
+    * literal arrays once per PLAN, and the encode runs as the native
+    * compiled `bpe_encode_syms` expression — one primitive loop per rule
+    * instead of K·len interpreted lambda frames per document (the nested
+    * aggregate() HOF twin below measured 26.9 s at 50k docs; the native
+    * pass is the same cut winnow_prints/pq_codes took). The oracle
+    * replays the same greedy fold as a recursive CTE over rule ranks
+    * with a list_reduce inner pass, so the md5 hash-match checks every
+    * merge decision on every document; [[bpeEncodeSql]] is the
+    * value-identical HOF reference the spec asserts the native
+    * expression against.
     *
     * Determinism: rule order is the bpeMerges total order (n DESC, lhs,
     * rhs); the fold is leftmost-greedy by construction (an accumulator
@@ -559,6 +564,30 @@ object TextAnalysis {
     * name RAW words, so a fused symbol can never chain-merge — identical
     * in both engines. */
   def bpeEncode(docs: DataFrame, topK: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ruleRows = bpeMerges(docs, topK).select("rank", "lhs", "rhs").collect()
+      .sortBy(_.getInt(0))
+    def arrLit(xs: Array[String]) =
+      xs.map(s => "'" + s.replace("'", "''") + "'").mkString("array(", ",", ")")
+    val rulesLit =
+      if (ruleRows.isEmpty) "array(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>))"
+      else s"array(${arrLit(ruleRows.map(_.getString(1)))}, ${arrLit(ruleRows.map(_.getString(2)))})"
+    Dedup.spread(docs)
+      .withColumn("syms", split(col("text"), " "))
+      .withColumn("enc", expr(s"bpe_encode_syms(text, $rulesLit)"))
+      .select(col("doc_id"),
+        expr("CAST(size(syms) AS BIGINT)").as("n_words"),
+        expr("CAST(size(enc) AS BIGINT)").as("n_symbols"),
+        expr("CAST(size(syms) - size(enc) AS BIGINT)").as("n_merges"),
+        expr("md5(array_join(enc, ' '))").as("encoded_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The nested-HOF twin of the native `bpe_encode_syms` pass — kept ONLY
+    * as the value-identical reference the spec asserts the compiled
+    * expression against (the oracle-shaped formulation; 26.9 s at 50k
+    * docs vs the native loop, so never the production path). */
+  private[graft] def bpeEncodeSql(docs: DataFrame, topK: Int = 50): DataFrame = {
     val rules = bpeMerges(docs, topK)
       .agg(expr("sort_array(collect_list(struct(rank, lhs, rhs)))").as("rules"))
     Dedup.spread(docs).crossJoin(broadcast(rules))

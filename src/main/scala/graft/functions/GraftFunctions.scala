@@ -414,6 +414,36 @@ object MinHashOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Greedy word-level BPE encode: apply each (lhs(k), rhs(k)) rule in
+    * order as ONE leftmost-non-overlapping pass — an accumulator scan
+    * where a pair merges exactly when the running last symbol is lhs and
+    * the next is rhs, producing `lhs_rhs` (which, naming only RAW words
+    * on both sides of every rule, can never chain-merge). Identical
+    * semantics to the nested aggregate() HOF twin
+    * ([[graft.ext.TextAnalysis.bpeEncodeSql]]) and to the oracle's
+    * recursive list_reduce — one compiled loop per rule instead of
+    * K·len interpreted lambda frames per document (the encode cost that
+    * measured 26.9 s at 50k docs in HOF form). */
+  def bpeEncode(text: UTF8String, lhs: Array[String], rhs: Array[String]): ArrayData = {
+    var cur: Array[String] = text.toString.split(" ", -1)
+    var k = 0
+    while (k < lhs.length) {
+      val l = lhs(k)
+      val r = rhs(k)
+      val out = new Array[String](cur.length)
+      var n = 0
+      var i = 0
+      while (i < cur.length) {
+        if (n > 0 && out(n - 1) == l && cur(i) == r) out(n - 1) = l + "_" + r
+        else { out(n) = cur(i); n += 1 }
+        i += 1
+      }
+      cur = java.util.Arrays.copyOf(out, n)
+      k += 1
+    }
+    new GenericArrayData(cur.map(UTF8String.fromString))
+  }
 }
 
 /** minhash_sig(array<bigint>) → array<bigint>[128] */
@@ -785,6 +815,35 @@ case class VecExtremeAgg(
   override def prettyName: String = if (isMin) "vec_min_agg" else "vec_max_agg"
 }
 
+/** bpe_encode_syms(text, rules) → array<string>: greedy rank-ordered BPE
+  * encode (see MinHashOps.bpeEncode). `rules` must be a FOLDABLE
+  * array<array<string>> of [lhs..., rhs...] parallel arrays — the
+  * bounded-collect-to-literal discipline the PQ codebook established, so
+  * the rule table folds once per plan, not per row. */
+case class BpeEncodeSyms(left: Expression, right: Expression)
+    extends BinaryExpression {
+  require(right.foldable, "bpe_encode_syms rules argument must be foldable")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val rules: (Array[String], Array[String]) = {
+    val outer = right.eval().asInstanceOf[ArrayData]
+    val l = outer.getArray(0)
+    val r = outer.getArray(1)
+    require(l.numElements() == r.numElements(), "lhs/rhs rule arrays must align")
+    (Array.tabulate(l.numElements())(i => l.getUTF8String(i).toString),
+     Array.tabulate(r.numElements())(i => r.getUTF8String(i).toString))
+  }
+  override protected def nullSafeEval(t: Any, ignored: Any): Any =
+    MinHashOps.bpeEncode(t.asInstanceOf[UTF8String], rules._1, rules._2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpelhs", rules._1, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bperhs", rules._2, "java.lang.String[]")
+    defineCodeGen(ctx, ev, (t, _) =>
+      s"graft.functions.MinHashOps$$.MODULE$$.bpeEncode($t, $lRef, $rRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeEncodeSyms =
+    copy(left = l, right = r)
+}
+
 /** Registration — on a live session (idempotent) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. Both paths
   * are driven by the same `fns` sequence so they can never diverge. */
@@ -815,7 +874,8 @@ object GraftFunctions {
     "vec_max_agg"   -> { es => VecExtremeAgg(es.head, isMin = false) },
     "deflate_len"   -> { es => DeflateLen(es.head) },
     "pq_codes"      -> { es =>
-      PqCodes(es.head, es(1), es(2).eval().asInstanceOf[Int]) })
+      PqCodes(es.head, es(1), es(2).eval().asInstanceOf[Int]) },
+    "bpe_encode_syms" -> { es => BpeEncodeSyms(es.head, es(1)) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

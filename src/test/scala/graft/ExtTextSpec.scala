@@ -597,6 +597,13 @@ class ExtTextSpec extends AnyFunSuite {
       out.mkString(","))
   }
 
+  test("native bpe_encode_syms equals the nested-HOF twin row-for-row on the corpus") {
+    val docs = Tables.load(SparkTestSession.spark, SparkTestSession.sfDir, "documents")
+    val native = TextAnalysis.bpeEncode(docs).collect().map(_.toSeq).toSeq
+    val hof = TextAnalysis.bpeEncodeSql(docs).collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty && native === hof)
+  }
+
   test("datasetCard reports exact scale, shares, and dedup rates on a known fixture") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
