@@ -312,6 +312,38 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 
+  /** Streaming INCIDENT TAGGING — the stream twin of the batch
+    * [[graft.ext.Events.rangeJoin]]'s interval join: every arriving event
+    * is tagged with the static incident window(s) containing it, via the
+    * same bucketization (both sides mapped to coarse time buckets, an
+    * EQUI-join on the bucket, the exact `lo <= ms < hi` predicate after).
+    * The static side is re-broadcast per micro-batch — a stream-static
+    * join carries NO state at all (the [[graft.streaming.DocStreams]]
+    * decontamination shape), so this is exactly-once-per-arrival and
+    * needs no watermark: an event matches purely on its own timestamp
+    * against the static intervals, so output equals the batch join under
+    * ANY micro-batch split, trivially. An interval spanning multiple
+    * buckets explodes to each (the sequence covers arbitrary interval
+    * lengths); a point event has ONE bucket, so no pair can duplicate.
+    *
+    * The batch operator's blast-radius AGGREGATE stays batch (or lands
+    * downstream on this stream): the tagging join is the per-event verb a
+    * live pipeline acts on — route, alert, annotate. */
+  def tagIncidents(events: Dataset[Event], anchors: DataFrame,
+                   bucketMs: Long = 600000L): DataFrame = {
+    require(bucketMs >= 1)
+    val ib = anchors.select(col("anchor_id"), col("lo"), col("hi"))
+      .withColumn("bucket", explode(expr(
+        s"sequence(CAST(floor(lo / $bucketMs) AS BIGINT), CAST(floor((hi - 1) / $bucketMs) AS BIGINT))")))
+    events.toDF()
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("bucket", expr(s"CAST(floor(ms / $bucketMs) AS BIGINT)"))
+      .join(ib, Seq("bucket"))
+      .filter(col("ms") >= col("lo") && col("ms") < col("hi"))
+      .select(col("event_id"), col("user_id"), col("ms"), col("event_type"),
+        col("anchor_id"), col("lo").as("window_start_ms"), col("hi").as("window_end_ms"))
+  }
+
   /** Streaming funnel — the exact stream twin of the batch
     * [[graft.ext.Events.funnel]] pre-aggregation: per user, `from_ms` is
     * the MINIMUM `fromType` event time and `to_ms` the minimum `toType`

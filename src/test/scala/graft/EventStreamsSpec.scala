@@ -640,4 +640,45 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows(5L) === None)
     } finally q.stop()
   }
+
+  test("tagIncidents equals the batch interval join under random micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val base = 1700000000000L
+    val types = Seq("click", "view", "error")
+    val events = (1 to 200).map { i =>
+      Event(i.toLong, new Timestamp(base + rnd.nextInt(4 * 3600 * 1000)), 1L + rnd.nextInt(4),
+        types(rnd.nextInt(types.length)), 1.0)
+    }
+    // static incident windows incl. one spanning multiple buckets and one
+    // aligned exactly on a bucket boundary
+    val anchors = Seq(
+      (100L, base + 600000L, base + 1200000L),            // bucket-aligned
+      (101L, base + 1000000L, base + 3500000L),           // spans 5 buckets
+      (102L, base + 7200000L, base + 7200000L + 250000L)  // inside one bucket
+    ).toDF("anchor_id", "lo", "hi")
+    val input = MemoryStream[Event]
+    val q = EventStreams.tagIncidents(input.toDS(), anchors).writeStream
+      .format("memory").queryName("tag_inc").outputMode("append").start()
+    try {
+      var idx = 0
+      while (idx < events.length) {
+        val n = 1 + rnd.nextInt(30)
+        input.addData(events.slice(idx, idx + n): _*)
+        q.processAllAvailable()
+        idx += n
+      }
+      val streamed = spark.table("tag_inc").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("anchor_id"))).sorted.toSeq
+      val batch = events.toDF()
+        .withColumn("ms", unix_millis(col("ts")))
+        .join(anchors, col("ms") >= col("lo") && col("ms") < col("hi"))
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("anchor_id"))).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty, "degenerate fixture: no event landed in any window")
+      // boundary semantics: an event exactly at lo matches, exactly at hi does not
+      val b = streamed.count(_._2 == 100L)
+      assert(b === batch.count(_._2 == 100L))
+    } finally q.stop()
+  }
 }
