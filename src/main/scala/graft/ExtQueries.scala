@@ -310,6 +310,8 @@ object ExtQueries {
     // as-of join: each purchase matched to the latest prior click/view by
     // the same user (union-tag + ignore-nulls window — no join operator)
     "events_asof_join"       -> ((s, dir) => Events.asofJoin(events(s, dir))),
+    // SCD2-style status history: per-user run-length validity intervals
+    "events_status_history"  -> ((s, dir) => Events.statusHistory(events(s, dir))),
     // bucketized interval-overlap join: incident windows around the top-20
     // errors, blast-radius aggregates per window
     "events_range_join"      -> ((s, dir) => Events.rangeJoin(events(s, dir))),
@@ -2420,6 +2422,25 @@ object ExtQueries {
         |       ms - match_ms AS lag_ms
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    // the same change-predicate windows: lag over (ms, event_id), running
+    // sum run ids, per-run agg, lead for the [from, to) interval
+    "events_status_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT *, lag(event_type) OVER w AS prev_type FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |c AS (SELECT *, CASE WHEN prev_type IS NULL OR prev_type != event_type
+        |                     THEN 1 ELSE 0 END AS chg FROM l),
+        |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM c),
+        |runs AS (SELECT user_id, run_id, min(event_type) AS status,
+        |                CAST(min(ms) AS BIGINT) AS valid_from_ms,
+        |                count(*) AS n_events
+        |         FROM r GROUP BY user_id, run_id)
+        |SELECT user_id, run_id, status, valid_from_ms,
+        |       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_ms,
+        |       n_events
+        |FROM runs ORDER BY user_id, run_id""".stripMargin,
+
     // the range join replayed as a plain inequality join (DuckDB's IEJoin
     // handles it); the Spark side's bucket trick is plan shape, not
     // semantics, so the direct join is the honest oracle
@@ -2904,5 +2925,6 @@ object ExtQueries {
     "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
-    "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search")
+    "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
+    "events_status_history")
 }

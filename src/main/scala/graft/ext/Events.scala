@@ -617,6 +617,44 @@ object Events {
                  |END""".stripMargin).as("z"))
   }
 
+  /** STATUS HISTORY — SCD2-style validity intervals from an event stream:
+    * per user, consecutive runs of the same event_type (in the (ms,
+    * event_id) total order) collapse to one row carrying the status, its
+    * [valid_from, valid_to) interval (valid_to = the NEXT run's start,
+    * NULL while current — the open row of a type-2 dimension), and the
+    * run's event count. The warehouse history-building verb: the same
+    * run-length encoding that turns a CDC/change feed into queryable
+    * state intervals.
+    *
+    * Scale shape: the sessionize discipline on a different change
+    * predicate — lag + running sum over ONE user_id window shuffle, a
+    * co-partitioned (user, run) partial agg, and the valid_to lead over
+    * the RUN relation (bounded by run count, not raw events) which reuses
+    * the same user_id partitioning. Nothing driver-side, no joins.
+    *
+    * Determinism: run boundaries are exact comparisons on the total
+    * order; all outputs are exact BIGINTs (no IEEE anywhere). */
+  def statusHistory(events: DataFrame): DataFrame = {
+    val e = withMs(events, col("user_id"), col("event_id"), col("event_type"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ms").asc, col("event_id").asc)
+    val runs = e
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(min(col("event_type")).as("status"),
+        min(col("ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("run_id").asc)))
+      .select(col("user_id"), col("run_id"), col("status"),
+        col("valid_from_ms"), col("valid_to_ms"), col("n_events"))
+      .orderBy("user_id", "run_id")
+  }
+
   /** AS-OF JOIN — for every `leftType` event, the most recent `rightTypes`
     * event by the same user strictly before it in the (ms, event_id) total
     * order (the last-touch lookup every attribution/enrichment pipeline

@@ -437,6 +437,31 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(out.keySet === Set(2L, 3L, 5L, 6L))
   }
 
+  test("statusHistory collapses runs into [from, to) intervals with an open current row") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // user 1: click,click → view → click (three runs; the type REVISITS so
+    // run identity is positional, not by type); user 2: one run, open
+    val rows = Seq(
+      (0L, 0L, 1L, "click"), (1L, 10L, 1L, "click"), (2L, 20L, 1L, "view"),
+      (3L, 30L, 1L, "click"),
+      (4L, 0L, 2L, "view"))
+    val df = rows.map { case (id, off, u, t) =>
+      (id, new java.sql.Timestamp(base + off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.statusHistory(df).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[String]("status"), r.getAs[Long]("valid_from_ms"),
+        if (r.isNullAt(r.fieldIndex("valid_to_ms"))) None else Some(r.getAs[Long]("valid_to_ms")),
+        r.getAs[Long]("n_events")))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "click", base, Some(base + 20L), 2L),
+      (1L, 2L, "view", base + 20L, Some(base + 30L), 1L),
+      (1L, 3L, "click", base + 30L, None, 1L),
+      (2L, 1L, "view", base, None, 1L)))
+  }
+
   test("rangeJoin window bounds are [lo, hi) and anchors are a value-desc heap cut") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
