@@ -587,6 +587,12 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"$hashEx hash exchanges (want exactly the user_id window shuffle)\n$p")
   }
 
+  test("status history is windows + one partial agg over the user shuffle — no joins") {
+    val p = plan("events_status_history")
+    assert(!p.contains("Join"), s"run-length history must never join\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
   test("range join equi-joins on the time bucket — never a nested-loop/cartesian plan") {
     val p = plan("events_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
