@@ -340,6 +340,8 @@ object ExtQueries {
     "pipeline_cluster_split" -> ((s, dir) => Sampling.clusterSplit(docs(s, dir))),
     // deterministic training-order shuffle into shard files (seeded md5)
     "pipeline_epoch_shuffle" -> ((s, dir) => Sampling.epochShuffle(docs(s, dir))),
+    // stride-scheduled source-balanced training order (vt = rank/n_src)
+    "pipeline_interleave"    -> ((s, dir) => Sampling.interleave(docs(s, dir))),
 
     // eval-set n-gram decontamination (broadcast eval index, corpus scanned
     // once) and token-budget sequence packing (per-source prefix sums)
@@ -1427,6 +1429,19 @@ object ExtQueries {
         |       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT) AS pos,
         |       n_tokens
         |FROM s ORDER BY shard_id, pos""".stripMargin,
+
+    // stride schedule: same per-source md5 rank/count windows, ordered by
+    // the EXACT vt double (identical IEEE division both engines), rounded
+    // only in the emitted column
+    "pipeline_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank, n_src,
+        |       round(CAST(src_rank AS DOUBLE) / n_src, 6) AS vt
+        |FROM r ORDER BY CAST(src_rank AS DOUBLE) / n_src, source, doc_id""".stripMargin,
 
     // global-budget quality selection: the oracle states the NAIVE global
     // window form; the Spark plan reassembles it from score-group offsets
@@ -2926,5 +2941,5 @@ object ExtQueries {
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
-    "events_status_history")
+    "events_status_history", "pipeline_interleave")
 }

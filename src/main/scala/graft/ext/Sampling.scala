@@ -135,4 +135,38 @@ object Sampling {
       .select(col("doc_id"), col("shard_id"), col("pos"), col("n_tokens"))
       .orderBy("shard_id", "pos")
   }
+
+  /** SOURCE-BALANCED INTERLEAVE — the training-ORDER verb next to
+    * [[epochShuffle]]'s random sharding and Packing's mixture QUOTAS:
+    * stride scheduling assigns doc r of source s (1-based, in the
+    * deterministic md5 order the sampling family shares) virtual time
+    * `vt = r / n_s`, and the schedule is the ascending-vt order — every
+    * source is stretched evenly across the whole epoch, so no source
+    * clumps at the front or exhausts early, and any prefix of the
+    * schedule holds each source's docs in proportion to its size (±1,
+    * the stride-scheduling lag bound; spec-asserted). The row order IS
+    * the manifest a trainer consumes.
+    *
+    * Scale shape: per-source rank + count windows (stratum-parallel, the
+    * [[stratifiedSample]] discipline — never a global rank window); the
+    * final ascending-vt arrangement is a DISTRIBUTED range-partitioned
+    * SORT, which scales, precisely NOT a global row_number (which would
+    * funnel the corpus through one task — the text_zipf lesson). No
+    * joins, nothing driver-side.
+    *
+    * Determinism: vt is one IEEE division of exact BIGINTs — identical
+    * doubles in both engines, so the sort order matches bit-for-bit; ties
+    * (equal rationals like 1/2 across sources) break on (source, doc_id);
+    * vt is ROUNDED only in the emitted column, never in the sort key. */
+  def interleave(docs: DataFrame): DataFrame = {
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val rk = bySrc.orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(rk).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(bySrc))
+      .withColumn("vt", expr("CAST(src_rank AS DOUBLE) / n_src"))
+      .orderBy(col("vt").asc, col("source").asc, col("doc_id").asc)
+      .select(col("doc_id"), col("source"), col("src_rank"), col("n_src"),
+        expr("round(vt, 6)").as("vt"))
+  }
 }

@@ -112,4 +112,36 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(moved, "no cluster member's own-id split differs from its cluster's — fixture too weak to distinguish keys")
   }
+
+  test("interleave stride-schedules sources evenly with deterministic tie-breaks") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    // source a: 4 docs (vt .25 .5 .75 1), source b: 2 docs (vt .5 1) →
+    // schedule a a b a a b (ties at .5 and 1.0 break to source 'a')
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "x", "a"), (3L, "x", "a"), (4L, "x", "a"),
+      (5L, "x", "b"), (6L, "x", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = Sampling.interleave(docs).collect()
+    assert(out.map(_.getAs[String]("source")).toSeq === Seq("a", "a", "b", "a", "a", "b"))
+    // vt is non-decreasing down the schedule and per-source ranks are 1..n
+    val vts = out.map(_.getAs[Double]("vt"))
+    assert(vts.zip(vts.tail).forall { case (x, y) => x <= y })
+    assert(out.filter(_.getAs[String]("source") == "a").map(_.getAs[Long]("src_rank")).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // prefix proportionality on the real corpus: any prefix holds each
+    // source within ±2 of its proportional share (the stride lag bound)
+    val corpus = Tables.load(spark0, SparkTestSession.sfDir, "documents")
+    val sched = Sampling.interleave(corpus).collect()
+    val total = sched.length
+    val share = sched.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    val running = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    sched.zipWithIndex.foreach { case (r, i) =>
+      val s = r.getAs[String]("source")
+      running(s) += 1
+      val expect = (i + 1).toDouble * share(s) / total
+      assert(math.abs(running(s) - expect) <= 2.0,
+        s"source $s drifted to ${running(s)} vs $expect at prefix ${i + 1}")
+    }
+  }
 }
