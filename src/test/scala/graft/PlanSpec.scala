@@ -587,6 +587,14 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"$hashEx hash exchanges (want exactly the user_id window shuffle)\n$p")
   }
 
+  test("interleave never funnels through a single partition — stratum windows + range sort") {
+    val p = plan("pipeline_interleave")
+    assert(!p.contains("SinglePartition"),
+      s"the schedule must be a distributed range sort, never a one-partition window\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("rangepartitioning"), s"final arrangement should be a range sort\n$p")
+  }
+
   test("status history is windows + one partial agg over the user shuffle — no joins") {
     val p = plan("events_status_history")
     assert(!p.contains("Join"), s"run-length history must never join\n$p")
