@@ -98,6 +98,8 @@ object ExtQueries {
     // tokenizer ENCODE: the learned merges applied greedily in rank order;
     // full encoding hash-verified via the per-doc md5
     "text_bpe_encode"   -> ((s, dir) => TextAnalysis.bpeEncode(docs(s, dir))),
+    // OOV audit: corpus coverage of top-{10,100,1000} vocabularies
+    "text_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(docs(s, dir))),
     // cross-doc template detector: share of a doc's bigrams unique to it
     "text_novelty"      -> ((s, dir) => TextAnalysis.novelty(docs(s, dir))),
     // bigram-LM argmax head: top-3 successors for the 100 hottest contexts
@@ -1561,6 +1563,22 @@ object ExtQueries {
         |       md5(replace(s, chr(31), ' ')) AS encoded_md5
         |FROM enc WHERE rr = (SELECT max(rank) FROM rules) ORDER BY doc_id""".stripMargin,
 
+    // top-k coverage: full-vocab rank in the oracle (bounded there), the
+    // engine heap-cuts to max(k) first; per-k conditional sums + totals
+    "text_vocab_coverage" ->
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |           GROUP BY tok),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |             CAST(count(*) AS BIGINT) AS vocab_size FROM c),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM c),
+        |ks(k) AS (VALUES (10), (100), (1000))
+        |SELECT CAST(ks.k AS INT) AS k,
+        |       CAST(coalesce(sum(cnt) FILTER (WHERE rank <= ks.k), 0) AS BIGINT) AS covered_tokens,
+        |       t.total_tokens, t.vocab_size,
+        |       round(coalesce(sum(cnt) FILTER (WHERE rank <= ks.k), 0) / t.total_tokens, 6) AS coverage
+        |FROM ks, r, t GROUP BY ks.k, t.total_tokens, t.vocab_size ORDER BY k""".stripMargin,
+
     "text_vocab" ->
       """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tf GROUP BY token),
@@ -2941,5 +2959,5 @@ object ExtQueries {
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
-    "events_status_history", "pipeline_interleave")
+    "events_status_history", "pipeline_interleave", "text_vocab_coverage")
 }

@@ -606,6 +606,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** VOCABULARY COVERAGE curve — the OOV audit a tokenizer/vocab decision
+    * reads: for each candidate vocab size k, the fraction of ALL corpus
+    * token occurrences covered by the top-k tokens (by frequency, ties →
+    * token asc). A flat curve past small k says a tiny vocab suffices; a
+    * long tail says byte/char fallback will fire constantly. Reported
+    * next to [[vocab]]'s head list and [[zipf]]'s slope.
+    *
+    * Scale shape: one (token) partial-agg shuffle collapses the corpus to
+    * its vocabulary; the top-max(k) cut is a TakeOrderedAndProject heap
+    * (the zipf discipline — NEVER a rank window over the full
+    * vocabulary), the rank window sees only the K-row survivor relation,
+    * the per-k sums are conditional aggregates over those K rows, and
+    * corpus totals are a 1-row broadcast. Output = |ks| rows.
+    *
+    * Determinism: counts and the rank total order exact; coverage is one
+    * IEEE division of exact BIGINTs rounded to 6. */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1))
+    val counts = Dedup.spread(docs)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").cast("long").as("total_tokens"),
+      count(lit(1)).cast("long").as("vocab_size"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(ks.max)
+      .withColumn("__one", graft.ops.Scale.constKey(col("cnt")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("__one").orderBy(col("cnt").desc, col("tok").asc)))
+    val kCols = ks.map(k =>
+      coalesce(sum(when(col("rank") <= k, col("cnt"))), lit(0L)).cast("long").as(s"c$k"))
+    val sums = top.agg(kCols.head, kCols.tail: _*)
+    sums.crossJoin(broadcast(total))
+      .selectExpr(
+        s"stack(${ks.length}, ${ks.map(k => s"$k, c$k").mkString(", ")}) AS (k, covered_tokens)",
+        "total_tokens", "vocab_size")
+      .withColumn("k", col("k").cast("int"))
+      .withColumn("coverage", expr("round(covered_tokens / total_tokens, 6)"))
+      .select(col("k"), col("covered_tokens"), col("total_tokens"),
+        col("vocab_size"), col("coverage"))
+      .orderBy("k")
+  }
+
   /** CURRICULUM bucketing — the ordering step of curriculum training:
     * within each language, documents ranked by the composite quality
     * score ([[qualityScoreExpr]], ties → doc_id) and cut into `nBuckets`

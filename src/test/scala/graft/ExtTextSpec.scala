@@ -604,6 +604,19 @@ class ExtTextSpec extends AnyFunSuite {
     assert(native.nonEmpty && native === hof)
   }
 
+  test("vocabCoverage reports exact top-k occurrence shares with saturation past the vocab") {
+    // tokens: a×5, b×3, c×1, d×1 → total 10, vocab 4
+    val docs = docsDf(0L -> "a a a b b c", 1L -> "a a b d")
+    val out = TextAnalysis.vocabCoverage(docs, ks = Seq(1, 2, 100)).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("covered_tokens"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("vocab_size"),
+        r.getAs[Double]("coverage")))
+    assert(out.toSeq === Seq(
+      (1, 5L, 10L, 4L, 0.5),
+      (2, 8L, 10L, 4L, 0.8),
+      (100, 10L, 10L, 4L, 1.0)))
+  }
+
   test("datasetCard reports exact scale, shares, and dedup rates on a known fixture") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
