@@ -314,6 +314,8 @@ object ExtQueries {
     "events_asof_join"       -> ((s, dir) => Events.asofJoin(events(s, dir))),
     // SCD2-style status history: per-user run-length validity intervals
     "events_status_history"  -> ((s, dir) => Events.statusHistory(events(s, dir))),
+    // seasonal-naive forecast eval: MAE + signed bias per type
+    "events_forecast_eval"   -> ((s, dir) => Events.forecastEval(events(s, dir))),
     // bucketized interval-overlap join: incident windows around the top-20
     // errors, blast-radius aggregates per window
     "events_range_join"      -> ((s, dir) => Events.rangeJoin(events(s, dir))),
@@ -2455,6 +2457,22 @@ object ExtQueries {
         |       ms - match_ms AS lag_ms
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    // hourly buckets self-joined at +24h; inner join excludes hours with
+    // no previous-day bucket; exact integer error sums, IEEE round 6
+    "events_forecast_eval" ->
+      """WITH h AS (SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n, b.n AS fcst
+        |      FROM h a JOIN h b ON a.event_type = b.event_type
+        |        AND a.hour_ms = b.hour_ms + 86400000)
+        |SELECT event_type, count(*) AS n_hours_eval,
+        |       CAST(sum(abs(n - fcst)) AS BIGINT) AS abs_err_total,
+        |       CAST(sum(n - fcst) AS BIGINT) AS err_total,
+        |       round(sum(abs(n - fcst)) / count(*), 6) AS mae,
+        |       round(sum(n - fcst) / count(*), 6) AS bias
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the same change-predicate windows: lag over (ms, event_id), running
     // sum run ids, per-run agg, lead for the [from, to) interval
     "events_status_history" ->
@@ -2959,5 +2977,6 @@ object ExtQueries {
     "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
-    "events_status_history", "pipeline_interleave", "text_vocab_coverage")
+    "events_status_history", "pipeline_interleave", "text_vocab_coverage",
+    "events_forecast_eval")
 }

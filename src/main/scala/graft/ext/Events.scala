@@ -617,6 +617,42 @@ object Events {
                  |END""".stripMargin).as("z"))
   }
 
+  /** SEASONAL-NAIVE FORECAST EVAL — the capacity-planning readout: predict
+    * each hour's per-type event count as the SAME hour one day earlier
+    * (the standard naive baseline every real forecaster must beat), then
+    * report per type the evaluated-hour count, MAE, and mean bias
+    * (signed — systematic growth shows as positive bias before it shows
+    * in MAE). Hours whose previous-day hour has no bucket are excluded
+    * (no fabricated zeros — the same rule in the oracle).
+    *
+    * Scale shape: one (type, hour) partial-agg shuffle collapses raw
+    * events to the bucket series; the forecast join is a co-partitioned
+    * equi-join of that bounded relation against itself shifted by 24 h
+    * (hash keys (type, hour) on both sides — never a window over a
+    * possibly-gappy series, never raw events twice); the report is a
+    * |types|-row aggregate.
+    *
+    * Determinism: counts and absolute/signed error sums are exact
+    * BIGINTs; MAE/bias are single IEEE divisions rounded to 6. */
+  def forecastEval(events: DataFrame, periodMs: Long = 86400000L): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+      .agg(count(lit(1)).as("n"))
+    val prior = hourly.select(col("event_type"),
+      (col("hour_ms") + periodMs).as("hour_ms"), col("n").as("fcst"))
+    hourly.join(prior, Seq("event_type", "hour_ms"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours_eval"),
+        sum(abs(col("n") - col("fcst"))).cast("long").as("abs_err_total"),
+        sum(col("n") - col("fcst")).cast("long").as("err_total"))
+      .withColumn("mae", expr("round(abs_err_total / n_hours_eval, 6)"))
+      .withColumn("bias", expr("round(err_total / n_hours_eval, 6)"))
+      .select(col("event_type"), col("n_hours_eval"), col("abs_err_total"),
+        col("err_total"), col("mae"), col("bias"))
+      .orderBy("event_type")
+  }
+
   /** STATUS HISTORY — SCD2-style validity intervals from an event stream:
     * per user, consecutive runs of the same event_type (in the (ms,
     * event_id) total order) collapse to one row carrying the status, its

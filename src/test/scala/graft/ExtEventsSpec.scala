@@ -462,6 +462,30 @@ class ExtEventsSpec extends AnyFunSuite {
       (2L, 1L, "view", base, None, 1L)))
   }
 
+  test("forecastEval scores seasonal-naive errors only where a prior-day bucket exists") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700002800000L // on an exact hour boundary
+    val h = 3600000L
+    val day = 86400000L
+    // click: hour0→2 events, hour0+1d→3 (err +1); hour2→4, hour2+1d→2
+    // (err −2); hour1→1 with NO next-day bucket → never evaluated
+    val offs = Seq(0L, 1L) ++ Seq(day, day + 1L, day + 2L) ++
+      Seq(2 * h, 2 * h + 1, 2 * h + 2, 2 * h + 3) ++ Seq(2 * h + day, 2 * h + day + 1) ++
+      Seq(h)
+    val df = offs.zipWithIndex.map { case (off, i) =>
+      (i.toLong, new java.sql.Timestamp(base + off), 1L, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.forecastEval(df).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_hours_eval") === 2L)
+    assert(r.getAs[Long]("abs_err_total") === 3L)
+    assert(r.getAs[Long]("err_total") === -1L)
+    assert(r.getAs[Double]("mae") === 1.5)
+    assert(r.getAs[Double]("bias") === -0.5)
+  }
+
   test("rangeJoin window bounds are [lo, hi) and anchors are a value-desc heap cut") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
