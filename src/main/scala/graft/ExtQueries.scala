@@ -230,6 +230,28 @@ object ExtQueries {
       }
       Dedup.spansAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
     }),
+    // incremental paragraph dedup against the stored chunk-hash index —
+    // the disjoint-unit twin of dedup_spans_stored; same content-keyed
+    // cache + atomic-publish discipline
+    "dedup_paragraphs_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = s"/tmp/graft_pchunk_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
+      val storePath = java.nio.file.Paths.get(store)
+      if (!java.nio.file.Files.exists(storePath.resolve("pchunks/_SUCCESS"))) {
+        val tmp = java.nio.file.Paths.get(
+          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        Dedup.buildParagraphStore(d.filter(col("doc_id") % 7 =!= 0), tmp.toString)
+        try java.nio.file.Files.move(tmp, storePath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            require(java.nio.file.Files.exists(storePath.resolve("pchunks/_SUCCESS")),
+              s"paragraph-store publish failed and no winner exists at $store")
+            deleteRecursively(tmp.toFile)
+        }
+      }
+      Dedup.paragraphsAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
+    }),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
     // radius search: all neighbors within cosine >= 0.3 — the unranked
@@ -1167,6 +1189,29 @@ object ExtQueries {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
         |       doc_id, score, n_terms_hit
         |FROM topk ORDER BY rank""".stripMargin,
+
+    // the stored-index twin: historical (doc_id % 7 != 0) distinct chunk
+    // hashes (15-hex md5 fold), incoming kept iff absent, same reassembly
+    "dedup_paragraphs_stored" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(range((len(w) + 14) // 15)) AS i FROM words),
+        |chunks AS (SELECT doc_id, i AS chunk_idx,
+        |                  array_to_string(w[(i*15+1):(i*15+15)], ' ') AS chunk FROM idx),
+        |ch AS (SELECT doc_id, chunk_idx, chunk,
+        |         CAST(list_sum(list_transform(range(0, 15), k ->
+        |           CAST(strpos('0123456789abcdef', substr(md5(chunk), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |       FROM chunks),
+        |stored AS (SELECT DISTINCT h FROM ch WHERE doc_id % 7 != 0),
+        |fl AS (SELECT inc.doc_id, inc.chunk_idx, inc.chunk,
+        |         CASE WHEN stored.h IS NOT NULL THEN 1 END AS hit
+        |       FROM (SELECT * FROM ch WHERE doc_id % 7 = 0) inc
+        |       LEFT JOIN stored ON inc.h = stored.h)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (WHERE hit IS NULL) AS n_kept,
+        |       count(*) FILTER (WHERE hit IS NOT NULL) AS n_dropped,
+        |       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE hit IS NULL), '') AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical chunking (15-word position windows), keeper window on
     // md5(chunk), ordered string_agg reassembly
@@ -2978,5 +3023,5 @@ object ExtQueries {
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
     "events_status_history", "pipeline_interleave", "text_vocab_coverage",
-    "events_forecast_eval")
+    "events_forecast_eval", "dedup_paragraphs_stored")
 }

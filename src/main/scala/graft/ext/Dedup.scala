@@ -1150,4 +1150,74 @@ object Dedup {
           " "), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** The shared (doc_id, chunk_idx, chunk, h) projection of [[paragraphs]]'
+    * chunking with the 60-bit content key (first 15 md5 hex digits — the
+    * shingle_hash60 portability trick, so the store carries 8-byte keys
+    * and the oracle replays the same hex fold). */
+  private def paragraphChunks(docs: DataFrame, width: Int): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(toks) + ${width - 1}) / $width AS INT) - 1),
+           |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+      .withColumn("h", expr("CAST(conv(substring(md5(chunk), 1, 15), 16, 10) AS BIGINT)"))
+
+  /** Paragraph-store BUILD — the [[buildSpanStore]] lifecycle for the
+    * disjoint-unit dedup: persist the historical corpus's DISTINCT
+    * chunk-hash set, range-clustered on the 8-byte key so probes
+    * file-prune. Same single-writer + (caller-side) atomic-publish
+    * discipline as the band/span stores; [[appendToParagraphStore]] is
+    * the O(increment) daily write, and the span-store compaction shape
+    * applies verbatim when appends accumulate duplicate hashes. */
+  def buildParagraphStore(hist: DataFrame, storeDir: String, width: Int = 15,
+                          numFiles: Int = 8): Unit =
+    writeParagraphStore(hist, storeDir, width, "overwrite", numFiles)
+
+  def appendToParagraphStore(increment: DataFrame, storeDir: String, width: Int = 15,
+                             numFiles: Int = 1): Unit =
+    writeParagraphStore(increment, storeDir, width, "append", numFiles)
+
+  private def writeParagraphStore(docs: DataFrame, storeDir: String, width: Int,
+                                  mode: String, numFiles: Int): Unit =
+    graft.ops.Scale.clusteredParquet(
+      paragraphChunks(docs, width).select("h").distinct(),
+      s"$storeDir/pchunks", Seq("h"), numFiles, mode)
+
+  /** INCREMENTAL paragraph dedup against the stored chunk index — the
+    * continuous form of [[paragraphs]], completing the stored-index
+    * family (bands → spans → paragraphs): an incoming document keeps
+    * exactly the chunks whose content hash is ABSENT from the historical
+    * store, and is reassembled from them in chunk order. Daily cost is
+    * O(increment): the probe is one narrow chunk pass over the new docs
+    * plus an 8-byte-key equi-join against the range-clustered store
+    * (file-pruned) — historical text is never rescanned. Within-increment
+    * duplicates are the batch operator's job (run [[paragraphs]] over the
+    * increment first, or append-then-probe the next batch), the same
+    * contract [[spansAgainstStore]] documents.
+    *
+    * The store projection is DISTINCT'd before the join so duplicate
+    * hashes accumulated by appends can never fan out probe rows
+    * (compaction pays them down; the probe stays correct regardless).
+    *
+    * Determinism: keep/drop is a pure membership test on the 60-bit
+    * content key; reassembly sorts kept chunks by chunk_idx; all counts
+    * exact. */
+  def paragraphsAgainstStore(incoming: DataFrame, storeDir: String,
+                             width: Int = 15): DataFrame = {
+    val spark = incoming.sparkSession
+    val store = spark.read.parquet(s"$storeDir/pchunks").select("h").distinct()
+      .withColumn("hit", lit(1))
+    paragraphChunks(incoming, width)
+      .join(store, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("hit").isNull, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("hit").isNotNull, 1).otherwise(0)).cast("long").as("n_dropped"),
+        coalesce(array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN hit IS NULL THEN struct(chunk_idx, chunk) END)), s -> s.chunk)"),
+          " "), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -581,4 +581,32 @@ class ExtDedupSpec extends AnyFunSuite {
     // doc 3: "x y z" was first kept by doc 1 → dropped; tail "p q" kept
     assert(out(3L) === ((2L, 1L, 1L, "p q")))
   }
+
+  test("paragraphsAgainstStore keeps exactly the chunks absent from the historical index") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pchunk_store").toString
+    try {
+      val hist = docsDf(0L -> "a b c d e f", 1L -> "x y z q r s")
+      Dedup.buildParagraphStore(hist, dir, width = 3)
+      // inc 10: first chunk historical, second fresh; inc 11: all
+      // historical → empty clean_text; inc 12: all fresh
+      val inc = docsDf(
+        10L -> "a b c n e w",
+        11L -> "x y z a b c",
+        12L -> "f r e s h h")
+      val out = Dedup.paragraphsAgainstStore(inc, dir, width = 3).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(out(10L) === ((1L, 1L, "n e w")))
+      assert(out(11L) === ((0L, 2L, "")))
+      assert(out(12L) === ((2L, 0L, "f r e s h h")))
+      // append lifecycle: the fresh chunks land in the store, so replaying
+      // the same increment now drops everything
+      Dedup.appendToParagraphStore(inc, dir, width = 3)
+      val replay = Dedup.paragraphsAgainstStore(inc, dir, width = 3).collect()
+      assert(replay.forall(_.getAs[Long]("n_kept") === 0L))
+    } finally graft.ops.Scale.deleteRecursively(new java.io.File(dir))
+  }
 }
