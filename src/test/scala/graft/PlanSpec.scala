@@ -595,6 +595,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rangepartitioning"), s"final arrangement should be a range sort\n$p")
   }
 
+  test("forecast eval joins the bounded bucket series to itself — no nested loops") {
+    val p = plan("events_forecast_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"raw events must partial-agg to buckets first\n$p")
+  }
+
+  test("stored paragraph probe equi-joins the 8-byte chunk key — no nested loops") {
+    val p = plan("dedup_paragraphs_stored")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("status history is windows + one partial agg over the user shuffle — no joins") {
     val p = plan("events_status_history")
     assert(!p.contains("Join"), s"run-length history must never join\n$p")
