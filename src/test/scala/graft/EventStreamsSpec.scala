@@ -641,6 +641,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofEnrich maxRights overflow folds conservatively — never a wrong match") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val input = MemoryStream[Event]
+    // cap 1: of the in-watermark rights {10, 20, 30}, only ms=30 stays
+    // buffered; {10, 20} fold to best = 20. The purchase at ms=15 (true
+    // batch match: right@10) then sees best(20) and buffer(30) both AFTER
+    // it in the total order → emitted UNMATCHED, the documented
+    // conservative outcome (drop the match, never fabricate a wrong one).
+    // The purchase at ms=25 still matches best(20) exactly as batch does.
+    val q = EventStreams.asofEnrich(input.toDS(), maxRights = 1)
+      .writeStream.format("memory").queryName("asof_cap").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, new Timestamp(base + 10), 1L, "click", 1.0),
+        Event(2L, new Timestamp(base + 20), 1L, "click", 1.0),
+        Event(3L, new Timestamp(base + 30), 1L, "click", 1.0),
+        Event(4L, new Timestamp(base + 15), 1L, "purchase", 1.0),
+        Event(5L, new Timestamp(base + 25), 1L, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(99L, new Timestamp(base + 48L * 3600000L), 9999L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_cap").collect()
+        .filter(_.getAs[Long]("user_id") != 9999L)
+        .map(r => (r.getAs[Long]("event_id"),
+          if (r.isNullAt(r.fieldIndex("match_event_id"))) None
+          else Some(r.getAs[Long]("match_event_id")))).toMap
+      assert(rows(4L) === None, "folded-over match must drop, not mis-match")
+      assert(rows(5L) === Some(2L), "best-fold keeps the max dropped right")
+    } finally q.stop()
+  }
+
   test("tagIncidents equals the batch interval join under random micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(17)
