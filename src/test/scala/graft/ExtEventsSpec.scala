@@ -462,6 +462,42 @@ class ExtEventsSpec extends AnyFunSuite {
       (2L, 1L, "view", base, None, 1L)))
   }
 
+  test("statusHistory equals an independent run-length reference on 400 random events") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = 1700000000000L
+    val types = Seq("a", "b", "c")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, base + rnd.nextInt(100000).toLong, 1L + rnd.nextInt(5),
+        types(rnd.nextInt(types.length)))
+    }
+    val df = rows.map { case (id, ms, u, t) =>
+      (id, new java.sql.Timestamp(ms), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.statusHistory(df).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id"),
+        r.getAs[String]("status"), r.getAs[Long]("valid_from_ms"),
+        if (r.isNullAt(r.fieldIndex("valid_to_ms"))) -1L else r.getAs[Long]("valid_to_ms"),
+        r.getAs[Long]("n_events"))).toSeq
+    // independent reference: per user sort by (ms, id), run-length encode
+    val expect = rows.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)] // type, from, n
+      for ((_, ms, _, t) <- sorted) {
+        if (runs.nonEmpty && runs.last._1 == t)
+          runs(runs.length - 1) = (t, runs.last._2, runs.last._3 + 1)
+        else runs += ((t, ms, 1L))
+      }
+      runs.zipWithIndex.map { case ((t, from, n), i) =>
+        val to = if (i + 1 < runs.length) runs(i + 1)._2 else -1L
+        (u, (i + 1).toLong, t, from, to, n)
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(got === expect)
+    assert(got.count(_._5 == -1L) === 5, "one open row per user")
+  }
+
   test("forecastEval scores seasonal-naive errors only where a prior-day bucket exists") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
