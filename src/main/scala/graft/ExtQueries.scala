@@ -257,6 +257,10 @@ object ExtQueries {
     // radius search: all neighbors within cosine >= 0.3 — the unranked
     // query mode; scan → score → filter, no per-query window at all
     "similarity_range_search" -> ((s, dir) => Similarity.rangeSearch(embs(s, dir))),
+    // nearest-centroid classifier eval over the labeled embeddings:
+    // confusion matrix + per-class recall on the held-out %5 slice
+    "embedding_classifier_eval" -> ((s, dir) =>
+      Similarity.centroidClassifierEval(embs(s, dir))),
     // contrastive-training negatives: near-dup ceiling, then ranks 6..15
     "similarity_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(embs(s, dir))),
     // index-quality measurement: recall@5 of lsh/ivf vs the exact baseline
@@ -1992,6 +1996,33 @@ object ExtQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
          |FROM ranked WHERE rank > 5 AND rank <= 15 ORDER BY query_id, rank""".stripMargin,
 
+    // nearest-centroid classifier eval: per-label SUM vectors (cosine is
+    // scale-invariant, so sum ≡ centroid, all-BIGINT), argmax per test
+    // vector, confusion + recall
+    "embedding_classifier_eval" ->
+      s"""$quantCte,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |cents AS (SELECT l.label AS cand, q.i, CAST(sum(q.x) AS BIGINT) AS cx
+         |          FROM q JOIN lab l USING (vec_id) WHERE q.vec_id % 5 != 0
+         |          GROUP BY l.label, q.i),
+         |cnn AS (SELECT cand, CAST(sum(cx * cx) AS BIGINT) AS cn FROM cents GROUP BY cand),
+         |dots AS (SELECT q.vec_id, c.cand, CAST(sum(q.x * c.cx) AS BIGINT) AS dot
+         |         FROM q JOIN cents c ON q.i = c.i WHERE q.vec_id % 5 = 0
+         |         GROUP BY q.vec_id, c.cand),
+         |scored AS (SELECT d.vec_id, d.cand,
+         |             dot / (sqrt(CAST(nrm.n AS DOUBLE)) * sqrt(CAST(cnn.cn AS DOUBLE))) AS cos
+         |           FROM dots d JOIN nrm ON d.vec_id = nrm.vec_id JOIN cnn ON d.cand = cnn.cand),
+         |preds AS (SELECT s.vec_id, l.label AS actual, s.cand AS pred_label
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand ASC) AS rn
+         |                FROM scored) s JOIN lab l ON s.vec_id = l.vec_id
+         |          WHERE rn = 1),
+         |nn AS (SELECT actual, pred_label, CAST(count(*) AS BIGINT) AS n FROM preds GROUP BY 1, 2),
+         |tt AS (SELECT actual, CAST(count(*) AS BIGINT) AS n_actual FROM preds GROUP BY 1)
+         |SELECT nn.actual, nn.pred_label, nn.n, tt.n_actual,
+         |       round(nn.n / tt.n_actual, 6) AS recall
+         |FROM nn JOIN tt ON nn.actual = tt.actual
+         |ORDER BY nn.actual, nn.pred_label""".stripMargin,
+
     // radius search: the same exact-integer scoring, a >= 0.3 predicate
     // instead of a rank window, rounded after the cut
     "similarity_range_search" ->
@@ -3023,5 +3054,6 @@ object ExtQueries {
     "graph_components", "text_feature_hash", "multimodal_near_dedup",
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
     "events_status_history", "pipeline_interleave", "text_vocab_coverage",
-    "events_forecast_eval", "dedup_paragraphs_stored")
+    "events_forecast_eval", "dedup_paragraphs_stored",
+    "embedding_classifier_eval")
 }

@@ -252,6 +252,51 @@ object Similarity {
     * mean and shift are single IEEE divisions/subtractions of exact ints —
     * bit-identical in the DuckDB oracle. Empty clusters (a centroid whose
     * vectors all argmax elsewhere) emit no rows on either engine. */
+  /** NEAREST-CENTROID CLASSIFIER EVAL — the supervised eval the labeled
+    * embedding table invites: train = per-label centroid of the
+    * `vec_id % 5 != 0` slice, test = the held-out `% 5 == 0` slice, each
+    * test vector predicted as its max-cosine centroid; emitted as the
+    * confusion matrix with per-class recall (the [[graft.ext.TextAnalysis.langidConfusion]]
+    * report shape — the diagonal is per-label accuracy, off-diagonals say
+    * which semantic clusters the embedding space confuses, the one-glance
+    * embedding-quality read next to [[recallEval]]).
+    *
+    * Integer discipline: the centroid is never materialized as a mean —
+    * cosine is scale-invariant, so scoring against the per-label SUM of
+    * quantized vectors (one `vec_sum_agg` buffer per (label, task)) is
+    * EXACTLY scoring against the centroid, and dot/norms stay exact
+    * BIGINTs end to end; the single IEEE division (and its round-6) is
+    * the only float, same literal shape in the oracle.
+    *
+    * Scale shape: one training pass folds to |labels| sum-vectors
+    * (broadcast); one test-side scan scores |labels| candidates per row
+    * (the IVF probe shape); argmax is a per-vector window over a
+    * |labels|-bounded candidate set; the confusion agg is ≤ labels²
+    * rows. */
+  def centroidClassifierEval(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val q = Dedup.spread(embeddings)
+      .select(col("vec_id"), col("label"), expr("vec_quantize(embedding)").as("q"))
+      .withColumn("nrm", expr("vec_dotl(q, q)"))
+    val train = q.filter(col("vec_id") % 5 =!= 0)
+    val test  = q.filter(col("vec_id") % 5 === 0)
+    val cents = train.groupBy("label").agg(expr("vec_sum_agg(q)").as("cq"))
+      .withColumn("cn", expr("vec_dotl(cq, cq)"))
+      .select(col("label").as("cand"), col("cq"), col("cn"))
+    val scored = test.crossJoin(broadcast(cents))
+      .withColumn("dot", expr("vec_dotl(q, cq)"))
+      .withColumn("cos", expr("dot / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"))
+    val rk = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cand").asc)
+    val preds = scored.withColumn("rn", row_number().over(rk)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("label").as("actual"), col("cand").as("pred_label"))
+    val n = preds.groupBy("actual", "pred_label").agg(count(lit(1)).as("n"))
+    val tot = preds.groupBy("actual").agg(count(lit(1)).as("n_actual"))
+    n.join(broadcast(tot), "actual")
+      .withColumn("recall", expr("round(n / n_actual, 6)"))
+      .select(col("actual"), col("pred_label"), col("n"), col("n_actual"), col("recall"))
+      .orderBy("actual", "pred_label")
+  }
+
   def kmeansStep(embeddings: DataFrame, nList: Int = 16,
                  centroidBase: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)

@@ -378,6 +378,26 @@ class ExtSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("centroidClassifierEval: confusion matrix on a hand-built two-label space") {
+    val spark0 = spark
+    import spark0.implicits._
+    // train (ids % 5 != 0): label 0 near (1,0), label 1 near (0,1).
+    // test (ids % 5 == 0): id 5 (label 0, at (1,0)) → pred 0;
+    // id 10 (LABELED 0 but pointing at (0,1)) → pred 1 (off-diagonal);
+    // id 15 (label 1, at (0,1)) → pred 1.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(1.0f, 0.0f), 0), (10L, Array(0.0f, 1.0f), 0),
+      (15L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassifierEval(df).collect()
+      .map(r => (r.getAs[Int]("actual"), r.getAs[Int]("pred_label"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_actual"), r.getAs[Double]("recall")))
+    assert(out.toSeq === Seq(
+      (0, 0, 1L, 2L, 0.5), (0, 1, 1L, 2L, 0.5), (1, 1, 1L, 1L, 1.0)))
+  }
+
   test("rangeSearch emits exactly the neighbors at or above the cosine threshold") {
     val spark0 = spark
     import spark0.implicits._
