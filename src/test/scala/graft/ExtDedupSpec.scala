@@ -582,6 +582,34 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(out(3L) === ((2L, 1L, 1L, "p q")))
   }
 
+  test("paragraphs: corpus-wide keeper invariants hold on 60 random docs") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Array("aa", "bb", "cc", "dd") // tiny vocab forces chunk collisions
+    val rows = (0L until 60L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val out = Dedup.paragraphs(docsDf(rows: _*), width = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).sortBy(_._1)
+    // scala reference chunking (3-word position windows)
+    def chunksOf(text: String) = text.split(" ").grouped(3).map(_.mkString(" ")).toSeq
+    val refChunks = rows.map { case (id, t) => id -> chunksOf(t) }
+    // every distinct chunk is kept EXACTLY once corpus-wide
+    val distinctChunks = refChunks.flatMap(_._2).distinct.size
+    assert(out.map(_._3).sum === distinctChunks.toLong)
+    assert(out.map(_._2).sum === refChunks.map(_._2.size).sum.toLong)
+    // each doc's clean text is an in-order subsequence of its own chunks
+    for (((id, nc, nk, clean), (rid, ref)) <- out.zip(refChunks)) {
+      assert(id === rid && nc === ref.size.toLong)
+      val kept = if (clean.isEmpty) Seq.empty else chunksOf(clean)
+      assert(kept.size === nk.toInt)
+      var i = 0
+      for (c <- kept) { val j = ref.indexOf(c, i); assert(j >= 0, s"doc $id: $c out of order"); i = j + 1 }
+    }
+    // non-degenerate: collisions actually happened
+    assert(out.map(_._3).sum < out.map(_._2).sum)
+  }
+
   test("paragraphsAgainstStore keeps exactly the chunks absent from the historical index") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._
