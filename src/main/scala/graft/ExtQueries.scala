@@ -1612,7 +1612,8 @@ object ExtQueries {
         |       CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,
         |       CAST(n_words - len(string_split(s, chr(31))) AS BIGINT) AS n_merges,
         |       md5(replace(s, chr(31), ' ')) AS encoded_md5
-        |FROM enc WHERE rr = (SELECT max(rank) FROM rules) ORDER BY doc_id""".stripMargin,
+        |FROM enc WHERE rr = coalesce((SELECT max(rank) FROM rules), 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // top-k coverage: full-vocab rank in the oracle (bounded there), the
     // engine heap-cuts to max(k) first; per-k conditional sums + totals

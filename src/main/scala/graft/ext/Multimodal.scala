@@ -168,9 +168,17 @@ object Multimodal {
     require(frameChars >= 1 && minShared >= 1)
     // the stub payload is the UTF-8 text (ASCII fixture: char == byte); a
     // binary source would frame `content` directly
+    // frame count is the explicit ceil (len + fc - 1) div fc so an EMPTY
+    // payload yields ZERO frames (matching the oracle's ceil(len/64));
+    // the old `(len - 1) div fc` framed '' as one md5('') frame because
+    // integer div truncates -1/fc toward zero. sequence(0, -1) would
+    // generate a DESCENDING [0, -1], so the zero-frame case must short out
+    // to array() — explode (inner) then drops the doc entirely.
     val fr = docs.select(col("doc_id"), explode(expr(
-      s"""transform(sequence(0, CAST((octet_length(encode(text, 'UTF-8')) - 1) div $frameChars AS INT)),
-         |  f -> md5(substring(text, f * $frameChars + 1, $frameChars)))""".stripMargin))
+      s"""CASE WHEN octet_length(encode(text, 'UTF-8')) = 0 THEN array()
+         |ELSE transform(
+         |  sequence(0, CAST((octet_length(encode(text, 'UTF-8')) + ${frameChars - 1}) div $frameChars AS INT) - 1),
+         |  f -> md5(substring(text, f * $frameChars + 1, $frameChars))) END""".stripMargin))
         .as("fh"))
       .distinct()
     val w = Window.partitionBy("fh")

@@ -418,8 +418,19 @@ object MinHashOps {
   /** Greedy word-level BPE encode: apply each (lhs(k), rhs(k)) rule in
     * order as ONE leftmost-non-overlapping pass — an accumulator scan
     * where a pair merges exactly when the running last symbol is lhs and
-    * the next is rhs, producing `lhs_rhs` (which, naming only RAW words
-    * on both sides of every rule, can never chain-merge). Identical
+    * the next is rhs, producing `lhs_rhs`.
+    *
+    * PRECONDITION (underscore-free vocabulary): the no-chain-merge
+    * invariant — rules name only RAW words, so a fused symbol never
+    * participates in a later merge — holds ONLY when no raw token
+    * contains '_'. If a raw word textually equals some `lhs_rhs`, the
+    * fused symbol is indistinguishable from it and WILL chain-merge;
+    * all three implementations (this compiled loop, the HOF twin, the
+    * DuckDB oracle) diverge from true BPE identically on such corpora,
+    * so cross-engine verification still holds but the semantics differ.
+    * Callers learning rules from [[graft.ext.TextAnalysis.bpeMerges]]
+    * on whitespace-tokenized text satisfy this unless the corpus itself
+    * carries underscore-joined tokens. Identical
     * semantics to the nested aggregate() HOF twin
     * ([[graft.ext.TextAnalysis.bpeEncodeSql]]) and to the oracle's
     * recursive list_reduce — one compiled loop per rule instead of

@@ -113,4 +113,23 @@ class MultimodalSpec extends AnyFunSuite {
         r.getAs[Long]("shared_frames"), r.getAs[Double]("containment")))
     assert(out.toSeq === Seq((1L, 2L, 2L, 0.666667)), out.mkString(","))
   }
+
+  test("nearDedup frames an empty payload as ZERO frames, even at minShared=1") {
+    val spark0 = spark
+    import spark0.implicits._
+    // regression (round-8 advice): `(octet_length - 1) div 64` framed an
+    // empty doc as one md5('') frame because integer div truncates toward
+    // zero — two empty docs then paired at minShared=1 while the oracle's
+    // ceil(len/64) yields zero frames. The explicit-ceil form must drop
+    // empty docs entirely: no self-pair of the empties, and no md5('')
+    // frame inflating a short doc's nf.
+    val docs = Seq(
+      (1L, ""), (2L, ""),                 // both empty: must NOT pair
+      (3L, "aaa bbb "), (4L, "aaa bbb ")  // control pair, 2 shared frames
+    ).toDF("doc_id", "text")
+    val out = Multimodal.nearDedup(docs, frameChars = 4, minShared = 1).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("shared_frames"), r.getAs[Double]("containment")))
+    assert(out.toSeq === Seq((3L, 4L, 2L, 1.0)), out.mkString(","))
+  }
 }
