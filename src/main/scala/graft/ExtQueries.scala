@@ -331,6 +331,9 @@ object ExtQueries {
     "events_rolling_active"  -> ((s, dir) => Events.rollingActive(events(s, dir))),
     // session-level event-type co-occurrence pairs with lift
     "events_cooccurrence"    -> ((s, dir) => Events.cooccurrence(events(s, dir))),
+    // the scale-guard twin: per-session first-seen type cap (binds at 3
+    // on the 5-type fixture; production default for high type cardinality)
+    "events_cooccurrence_capped" -> ((s, dir) => Events.cooccurrenceCapped(events(s, dir))),
     // signup-cohort time-to-convert percentiles (exact interpolated)
     "events_conversion_lag"  -> ((s, dir) => Events.conversionLag(events(s, dir))),
     // whale report: event-volume share of the p90/p95/p99 heaviest users
@@ -2796,6 +2799,34 @@ object ExtQueries {
         |       JOIN tn nb ON p.type_b = nb.event_type CROSS JOIN tot
         |ORDER BY type_a, type_b""".stripMargin,
 
+    // replays the per-session first-seen type cap exactly: row_number over
+    // (first_ms, type) per session, rank <= 3; counts on the CAPPED space,
+    // session total uncapped — the engine's shingle-cap rule
+    "events_cooccurrence_capped" ->
+      """WITH l AS (SELECT user_id, event_id, ts, event_type,
+        |             lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |                     THEN 1 ELSE 0 END AS new_session FROM l),
+        |c AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
+        |st AS (SELECT user_id, session_id, event_type, min(epoch_ms(ts)) AS first_ms
+        |       FROM c GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+        |                                    ORDER BY first_ms, event_type) AS rk FROM st),
+        |cap AS (SELECT user_id, session_id, event_type FROM rk WHERE rk <= 3),
+        |tot AS (SELECT count(*) AS s_total FROM (SELECT DISTINCT user_id, session_id FROM st)),
+        |tn AS (SELECT event_type, count(*) AS n FROM cap GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+        |      FROM cap a JOIN cap b ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |                           AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, na.n AS n_a, nb.n AS n_b,
+        |       round(n_ab * s_total / (na.n * nb.n), 6) AS lift
+        |FROM p JOIN tn na ON p.type_a = na.event_type
+        |       JOIN tn nb ON p.type_b = nb.event_type CROSS JOIN tot
+        |ORDER BY type_a, type_b""".stripMargin,
+
     // trailing-7-day WAU via a bounded 7-way unnest of the DISTINCT
     // user-day set (mirrors the engine's explode — never a range self-join)
     "events_dau_wau" ->
@@ -3056,5 +3087,5 @@ object ExtQueries {
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
     "events_status_history", "pipeline_interleave", "text_vocab_coverage",
     "events_forecast_eval", "dedup_paragraphs_stored",
-    "embedding_classifier_eval")
+    "embedding_classifier_eval", "events_cooccurrence_capped")
 }

@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Deterministic ~10×-of-sf0.1 soak fixture generator for the dedup/ANN
   * heavy hitters (`documents` + `embeddings`) plus, since r7, an `events`
   * table mirroring the driver fixture's density (so the events family —
-  * previously "no /tmp soak fixture" in BENCH_sf10's note — soaks too).
+  * previously "no /tmp soak fixture" in BENCH_sf10's note — soaks too),
+  * and, since r8, two extra embedding geometries: `embeddings_iso`
+  * (the driver fixture's measured isotropic-plus-clones shape — the
+  * default `embeddings` table's tight 10-cluster noise is an
+  * output-quadratic stress regime, NOT a shape mirror; see the inline
+  * notes) and `embeddings_tight` (√n well-separated clusters — the
+  * regime where the metric-pruned dedup twins' bound provably binds).
   * Usage: `runMain graft.SoakGen /tmp/sf1 [docs] [vecs] [events]`.
   *
   * Mirrors the driver fixture's measured shape (sf0.1: 5,000 docs over a
@@ -110,6 +116,52 @@ object SoakGen extends Serializable {
     }.toDF("vec_id", "embedding", "label")
     vecs.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // embeddings_iso: the DRIVER fixture's measured embedding geometry.
+    // The default `embeddings` table above is NOT that mirror: its ±0.4
+    // noise against ±1.0 centroids leaves intra-cluster cosine ≈ 0.85, so
+    // at the 0.4 dedup bar EVERY intra-cluster pair qualifies — ~10% of
+    // all pairs, an output-quadratic stress regime 250× denser than the
+    // driver fixture (measured sf0.1: qualifying fraction ≈ 9e-4, label
+    // carries almost no cosine signal — effectively isotropic + clones).
+    // Keep both: `embeddings` stresses output-bound paths, this table is
+    // the shape-faithful mirror for pair-sparse operators. Noise ±2.5
+    // dominates the ±1.0 centroid (cos intra ≈ 0.14 ± 0.1), matching the
+    // driver's borderline-qualifying tail.
+    val iso = spark.range(0, nVecs, 1, 32).map { id =>
+      val label = (rand(id, 10) % 10).toInt
+      val roll = rand(id, 40) % 100
+      val srcId: Long = if (id >= 100 && roll < 1) id - 1 - (rand(id, 41) % 99) else id
+      val nz = if (srcId != id) 50000.0f else 400.0f // clones: tiny perturbation
+      val base = (0 until 64).map { d =>
+        val c = ((rand(1000L + label, d) % 2001) - 1000) / 1000.0f
+        val noise = ((rand(srcId * 17L + 3L, d) % 2001) - 1000) / 400.0f
+        val jitter = ((rand(id * 29L + 5L, d) % 2001) - 1000) / nz
+        c + noise + (if (srcId != id) jitter else 0.0f)
+      }.toArray
+      (id, base, label)
+    }.toDF("vec_id", "embedding", "label")
+    iso.write.mode("overwrite").parquet(s"$out/embeddings_iso.parquet")
+
+    // embeddings_tight: the clustered regime semantic near-dup dedup is
+    // DESIGNED for — C = ⌈√nVecs⌉ well-separated clusters (round-robin
+    // id mod C, so seed rows [0, C) cover every cluster exactly once:
+    // centroidBase = 0, nList = C), tiny ±0.08 noise (angular radius
+    // ≈ 5-10°, intra cosine ≥ ~0.97). At a 0.8 bar the metric prune's
+    // tile bound binds on nearly every cross-cluster tile while the
+    // qualifying relation stays intra-only (~√n members per cluster) —
+    // the crossover fixture for the pruned-vs-exact twins.
+    val nTightC = math.ceil(math.sqrt(nVecs.toDouble)).toInt
+    val tight = spark.range(0, nVecs, 1, 32).map { id =>
+      val label = (id % nTightC).toInt
+      val base = (0 until 64).map { d =>
+        val c = ((rand(5000L + label.toLong * 31L, d) % 2001) - 1000) / 1000.0f
+        val noise = ((rand(id * 17L + 3L, d) % 2001) - 1000) / 12500.0f
+        c + noise
+      }.toArray
+      (id, base, label)
+    }.toDF("vec_id", "embedding", "label")
+    tight.write.mode("overwrite").parquet(s"$out/embeddings_tight.parquet")
+
     // events: the driver fixture's measured shape scaled — ~67 events/user
     // (sf0.1: 100k events / 1,500 users over a 30-day January), 5 types
     // uniform, value in [0, 100) with 2 decimals, tiny JSON props. User
@@ -129,7 +181,7 @@ object SoakGen extends Serializable {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     events.write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"""{"out":"$out","docs":$nDocs,"vecs":$nVecs,"events":$nEvents}""")
+    println(s"""{"out":"$out","docs":$nDocs,"vecs":$nVecs,"events":$nEvents,"tight_clusters":$nTightC}""")
     spark.stop()
   }
 }

@@ -553,16 +553,15 @@ object Dedup {
       .map(r => r.getSeq[Long](1).toArray)
     require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
     val cq = cents.map(_.mkString("array(", "L,", "L)")).mkString("array(", ", ", ")")
-    val cn = cents.map(v => v.map(x => x * x).sum).mkString("array(", "L, ", "L)")
-    val scores =
-      s"""transform(sequence(0, ${nList - 1}), i ->
-         |  vec_dotl(q, element_at($cq, i + 1))
-         |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at($cn, i + 1) AS DOUBLE))))""".stripMargin
+    // native compiled argmax (vec_top_centroid) — one primitive loop of
+    // nList·d multiplies per row; the HOF transform-lambda twin it
+    // replaces paid nList interpreted frames per row, which dominated the
+    // pruned path at √n-scaled nList. Same arithmetic and tie rule.
     val assigned = q
-      .withColumn("scores", expr(scores))
-      .withColumn("list", expr("CAST(array_position(scores, array_max(scores)) AS INT) - 1"))
-      .withColumn("ang", expr("acos(greatest(-1.0e0, least(1.0e0, array_max(scores))))"))
-      .drop("scores")
+      .withColumn("tc", expr(s"vec_top_centroid(q, $cq)"))
+      .withColumn("list", col("tc.list"))
+      .withColumn("ang", expr("acos(greatest(-1.0e0, least(1.0e0, tc.cos)))"))
+      .drop("tc")
     (assigned, cents)
   }
 
@@ -575,16 +574,27 @@ object Dedup {
   private[graft] def prunedListPairs(embeddings: DataFrame, threshold: Double,
                                      nList: Int, centroidBase: Int): DataFrame = {
     val (assigned, cents) = assignedWithAngle(embeddings, nList, centroidBase)
-    prunedListPairsFrom(assigned, cents, threshold)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (keep, _) = survivingTiles(assigned, cents, threshold)
+    keep.toDF("i", "j")
   }
 
-  private def prunedListPairsFrom(assigned: DataFrame, cents: Array[Array[Long]],
-                                  threshold: Double): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val nList = cents.length
-    val radii = assigned.groupBy("list").agg(max(col("ang")).as("r"))
-    val thetas = (for { i <- 0 until nList; j <- i until nList } yield {
+  /** Driver-side tile prune: per-list angular radii (one narrow
+    * corpus pass folded to ≤nList rows) joined in plain Scala with the
+    * driver-computed centroid-pair angles. Returns (surviving unordered
+    * list pairs among NON-EMPTY lists, total such pairs) — the second
+    * component lets [[embeddingCosinePruned]] detect the no-bind case
+    * and fall back. Both relations are ≤ nList(nList+1)/2 rows: coarse
+    * quantizers are RAM-resident by design, so this never collects data
+    * proportional to the corpus. */
+  private def survivingTiles(assigned: DataFrame, cents: Array[Array[Long]],
+                             threshold: Double): (Seq[(Int, Int)], Int) = {
+    val radii: Map[Int, Double] = assigned.groupBy("list")
+      .agg(max(col("ang")).as("r")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val present = radii.keys.toSeq.sorted
+    def theta(i: Int, j: Int): Double = {
       var dot = 0L; var ni = 0L; var nj = 0L
       var d = 0
       while (d < cents(i).length) {
@@ -593,17 +603,17 @@ object Dedup {
         d += 1
       }
       val c = dot.toDouble / (math.sqrt(ni.toDouble) * math.sqrt(nj.toDouble))
-      (i, j, math.acos(math.max(-1.0, math.min(1.0, c))))
-    }).toDF("i", "j", "theta")
+      math.acos(math.max(-1.0, math.min(1.0, c)))
+    }
     // ε absorbs acos ulp error so a borderline qualifying pair can never
     // be pruned; pruning stays conservative (recall-1 proof in
     // [[embeddingCosinePruned]]'s doc)
     val maxAngle = math.acos(math.max(-1.0, math.min(1.0, threshold))) + 1e-9
-    thetas
-      .join(radii.select(col("list").as("i"), col("r").as("ri")), Seq("i"))
-      .join(radii.select(col("list").as("j"), col("r").as("rj")), Seq("j"))
-      .filter(col("theta") - col("ri") - col("rj") <= lit(maxAngle))
-      .select("i", "j")
+    val keep = for {
+      i <- present; j <- present if i <= j
+      if theta(i, j) - radii(i) - radii(j) <= maxAngle
+    } yield (i, j)
+    (keep, present.length * (present.length + 1) / 2)
   }
 
   /** [[embeddingCosine]]'s SCALE-PATH twin — the sub-quadratic-by-pruning
@@ -633,22 +643,49 @@ object Dedup {
     * and inherent: exact threshold-cosine over data with no structure IS
     * Θ(n²·d).
     *
-    * Plan shape: one narrow assignment pass (corpus never shuffled as
-    * vectors until the pair join), one ≤nList-row radius partial-agg, the
-    * tiny surviving-pair relation broadcast onto both member streams, and
-    * a hash equi-join on the (i, j) block key — the [[embeddingCosine]]
-    * tile discipline with provably-empty tiles deleted. */
+    * ADAPTIVE no-bind fallback: on geometry where the bound cannot kill a
+    * single tile — isotropic corpora (radii ≈ π/2: the driver fixture's
+    * measured shape) or a threshold angle wider than the cluster gaps —
+    * the tile machinery is pure overhead over [[embeddingCosine]]'s
+    * balanced blocked join. The tile relation is driver-resident and
+    * costs one narrow pass to compute, so this operator INSPECTS it
+    * first: if no tile was pruned, it returns the plain blocked join
+    * (identical exact result, no broadcast-tile plan). The pruned twin is
+    * therefore never materially worse than the exact twin on ANY
+    * geometry, and wins where clustering + threshold make the bound bind
+    * — the runtime re-plan discipline AQE applies to skew, applied to
+    * metric structure.
+    *
+    * Plan shape (binding case): one narrow assignment pass (corpus never
+    * shuffled as vectors until the pair join; assignment is the compiled
+    * `vec_top_centroid` loop), one ≤nList-row radius partial-agg folded
+    * to the driver, the tiny surviving-pair relation broadcast onto both
+    * member streams, and a hash equi-join on the (i, j) block key — the
+    * [[embeddingCosine]] tile discipline with provably-empty tiles
+    * deleted. */
   def embeddingCosinePruned(embeddings: DataFrame, threshold: Double = 0.4,
-                            nList: Int = 16, centroidBase: Int = 100): DataFrame = {
+                            nList: Int = 16, centroidBase: Int = 100): DataFrame =
+    cosinePrunedPath(embeddings, threshold, nList, centroidBase)._1
+
+  /** [[embeddingCosinePruned]] plus which path ran (true = tile-pruned
+    * plan, false = no-bind fallback to the blocked join) — exposed for the
+    * specs that pin the adaptive decision. */
+  private[graft] def cosinePrunedPath(embeddings: DataFrame, threshold: Double,
+                                      nList: Int, centroidBase: Int): (DataFrame, Boolean) = {
     val (assigned, cents) = assignedWithAngle(embeddings, nList, centroidBase)
-    val keep = prunedListPairsFrom(assigned, cents, threshold)
+    val (kept, totalTiles) = survivingTiles(assigned, cents, threshold)
+    if (kept.length == totalTiles)
+      return (embeddingCosine(embeddings, threshold), false)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val keep = kept.toDF("i", "j")
     val left = assigned.select(col("vec_id").as("lid"), col("q").as("lq"),
         col("nrm").as("ln"), col("list").as("i"))
       .join(broadcast(keep), Seq("i"))
     val right = assigned.select(col("vec_id").as("rid"), col("q").as("rq"),
         col("nrm").as("rn"), col("list").as("j"))
       .join(broadcast(keep), Seq("j"))
-    left.join(right, Seq("i", "j"))
+    val pairs = left.join(right, Seq("i", "j"))
       // same-list tiles meet both orientations; cross-list tiles exactly once
       .filter(col("i") < col("j") || col("lid") < col("rid"))
       .withColumn("dot", expr("vec_dotl(lq, rq)"))
@@ -657,6 +694,7 @@ object Dedup {
       .select(least(col("lid"), col("rid")).as("a"), greatest(col("lid"), col("rid")).as("b"),
         expr("round(cosine, 6)").as("cosine"))
       .orderBy("a", "b")
+    (pairs, true)
   }
 
   /** [[embeddingKeepers]]' SCALE-PATH twin — the semantic-dedup DECISION

@@ -291,6 +291,64 @@ object Events {
       .orderBy("type_a", "type_b")
   }
 
+  /** [[cooccurrence]]'s SCALE-GUARD twin — per-session distinct-type cap
+    * (the band-bucket discipline applied to basket fan-out): each
+    * session's incidence set is truncated to the `maxTypes` types with
+    * the EARLIEST first occurrence (ties by type name — a deterministic,
+    * oracle-replayable rule), and pairs, per-type counts, and lift are
+    * all computed over the CAPPED incidence space (the shingle-cap rule:
+    * sizes count the same space the pairs do). The session total stays
+    * uncapped (sessions don't change).
+    *
+    * Why: the pair stage fans out ≤ |session types|² rows per session.
+    * At 5 fixture types that is bounded; with production type
+    * cardinalities (hundreds of event names) one instrumentation-spammy
+    * session contributes 10⁴-10⁵ pair rows and the join output goes
+    * output-quadratic — this cap bounds it at maxTypes² regardless, the
+    * same reason minhashLsh caps band buckets. The default is the
+    * PRODUCTION path at scale; [[cooccurrence]] stays the exact oracle
+    * anchor.
+    *
+    * Determinism: first-occurrence rank is over the exact (first_ms,
+    * type) order; everything downstream is the uncapped operator's
+    * arithmetic. */
+  def cooccurrenceCapped(events: DataFrame, gapMillis: Long = 1800000L,
+                         maxTypes: Int = 3): DataFrame = {
+    require(maxTypes >= 2, "a pair needs at least two types per session")
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val st = events
+      .withColumn("prev_ms", lag(tsMs, 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || tsMs - col("prev_ms") > gapMillis, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"), col("event_type"))
+      .agg(min(tsMs).as("first_ms"))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("first_ms").asc, col("event_type").asc)
+    val capped = st
+      .withColumn("rk", row_number().over(bySession))
+      .filter(col("rk") <= maxTypes)
+      .select("user_id", "session_id", "event_type")
+    val totals = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("s_total"))
+    val typeN = capped.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeN.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(typeN.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift", expr("round(n_ab * s_total / (n_a * n_b), 6)"))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** DAU / WAU / stickiness — the engagement dashboard staple: per active
     * calendar day, distinct users that day (DAU), distinct users active in
     * the trailing 7-day window [day-6, day] (WAU), and DAU/WAU (the

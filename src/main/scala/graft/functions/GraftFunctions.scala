@@ -415,6 +415,37 @@ object MinHashOps {
     new GenericArrayData(out)
   }
 
+  /** Coarse-quantizer assignment: the 0-based index of the centroid with
+    * maximum cosine to the row vector, plus that cosine — the compiled
+    * twin of the HOF formulation `array_position(scores, array_max(scores))`
+    * over `transform(sequence(...), i -> vec_dotl(q, cq_i) / (sqrt(nrm) *
+    * sqrt(cn_i)))`. Same arithmetic to the bit (exact BIGINT dot, one
+    * sqrt each side, one divide; first index wins ties), so results are
+    * interchangeable with the HOF form. One primitive loop of
+    * nList·d multiplies per row replaces nList interpreted lambda frames
+    * — the assignment cost of every IVF-style pass at large nList. */
+  def topCentroid(q: ArrayData, cents: Array[Array[Long]],
+                  cnSqrt: Array[Double]): InternalRow = {
+    val x = q.toLongArray()
+    var nrm = 0L
+    var d = 0
+    while (d < x.length) { nrm += x(d) * x(d); d += 1 }
+    val xn = math.sqrt(nrm.toDouble)
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var c = 0
+    while (c < cents.length) {
+      val cw = cents(c)
+      var dot = 0L
+      var i = 0
+      while (i < cw.length) { dot += x(i) * cw(i); i += 1 }
+      val cos = dot.toDouble / (xn * cnSqrt(c))
+      if (cos > best) { best = cos; bi = c }
+      c += 1
+    }
+    InternalRow(bi, best)
+  }
+
   /** Greedy word-level BPE encode: apply each (lhs(k), rhs(k)) rule in
     * order as ONE leftmost-non-overlapping pass — an accumulator scan
     * where a pair merges exactly when the running last symbol is lhs and
@@ -609,6 +640,36 @@ case class PqCodes(left: Expression, right: Expression, sd: Int)
       s"graft.functions.MinHashOps$$.MODULE$$.pqCodes($q, $cbRef, $sd)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqCodes =
+    copy(left = l, right = r)
+}
+
+/** vec_top_centroid(array<bigint> q, array<array<bigint>> cq) ->
+  * struct<list: int, cos: double>: 0-based argmax-cosine coarse-quantizer
+  * assignment (see MinHashOps.topCentroid). `cq` must be FOLDABLE (the
+  * centroid literal): it is materialized to long[][] with per-centroid
+  * sqrt-norms once per expression instance and shipped to codegen as
+  * reference objects — the PqCodes discipline. */
+case class TopCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  require(right.foldable, "vec_top_centroid centroid argument must be foldable")
+  override def dataType: DataType = StructType(Seq(
+    StructField("list", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  @transient private lazy val cents: Array[Array[Long]] = {
+    val outer = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements())(c => outer.getArray(c).toLongArray())
+  }
+  @transient private lazy val cnSqrt: Array[Double] =
+    cents.map(v => math.sqrt(v.foldLeft(0L)((a, x) => a + x * x).toDouble))
+  override protected def nullSafeEval(q: Any, ignored: Any): Any =
+    MinHashOps.topCentroid(q.asInstanceOf[ArrayData], cents, cnSqrt)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("tcCents", cents, "long[][]")
+    val nRef = ctx.addReferenceObj("tcNorms", cnSqrt, "double[]")
+    defineCodeGen(ctx, ev, (q, _) =>
+      s"graft.functions.MinHashOps$$.MODULE$$.topCentroid($q, $cRef, $nRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopCentroid =
     copy(left = l, right = r)
 }
 
@@ -884,6 +945,7 @@ object GraftFunctions {
     "vec_min_agg"   -> { es => VecExtremeAgg(es.head, isMin = true) },
     "vec_max_agg"   -> { es => VecExtremeAgg(es.head, isMin = false) },
     "deflate_len"   -> { es => DeflateLen(es.head) },
+    "vec_top_centroid" -> { es => TopCentroid(es.head, es(1)) },
     "pq_codes"      -> { es =>
       PqCodes(es.head, es(1), es(2).eval().asInstanceOf[Int]) },
     "bpe_encode_syms" -> { es => BpeEncodeSyms(es.head, es(1)) })

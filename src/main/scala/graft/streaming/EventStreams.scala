@@ -69,6 +69,33 @@ case class AsofOut(event_id: Long, user_id: Long, ms: Long, value: Double,
                    match_event_id: Option[Long], match_type: Option[String],
                    match_ms: Option[Long], lag_ms: Option[Long])
 
+/** One buffered event of the status-history fold (type only — the SCD2
+  * run-length encoding needs nothing else). */
+case class StatusEvt(ms: Long, id: Long, typ: String)
+
+/** Per-user SCD2 state: the OPEN run (runSeq == 0 ⇔ none yet) plus the
+  * in-watermark event buffer awaiting total-order finalization. */
+case class StatusState(runSeq: Long, status: String, validFromMs: Long,
+                       nEvents: Long, lastMs: Long, buffer: Seq[StatusEvt])
+
+/** One CLOSED validity interval (stream twin of a batch
+  * [[graft.ext.Events.statusHistory]] row with non-NULL valid_to_ms; the
+  * open row lives in state until a status change closes it). */
+case class StatusOut(user_id: Long, run_id: Long, status: String,
+                     valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
+
+/** Per-type forecast state: per-hour event counts not yet past their
+  * forecast horizon, plus the highest hour already emitted/excluded. */
+case class ForecastState(buckets: Map[Long, Long], emittedUpTo: Long,
+                         lastMs: Long)
+
+/** One finalized per-hour forecast evaluation (the batch
+  * [[graft.ext.Events.forecastEval]] row is the per-type SUM of these —
+  * the tumblingHourly relationship: stream emits the windows, batch the
+  * corpus fold). */
+case class ForecastHourOut(event_type: String, hour_ms: Long, n: Long,
+                           fcst: Long, abs_err: Long, err: Long)
+
 /** Structured Streaming versions of the event analytics (SURVEY.md §2.8
   * E4). The reference is strictly batch (one Airflow `execute()` per run —
   * SURVEY.md §2.7); streaming is part of the north-star extension surface.
@@ -603,6 +630,163 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Streaming STATUS HISTORY — the stream twin of the batch
+    * [[graft.ext.Events.statusHistory]]'s SCD2 run-length encoding: per
+    * user, consecutive same-status runs over the (ms, event_id) total
+    * order collapse to validity intervals. A run is emitted when a
+    * DIFFERENT status closes it; the open run lives in state (the batch
+    * twin reports it with NULL valid_to — a stream cannot finalize it, so
+    * stream output equals exactly the batch rows with non-NULL
+    * valid_to_ms).
+    *
+    * Finalization discipline (the [[asofEnrich]] contract): events fold
+    * into the run encoding only once the watermark passes them — at that
+    * point no future arrival can sort before them in the total order, so
+    * run boundaries equal the batch window formulation under ANY
+    * assignment of in-watermark events to micro-batches. In-watermark
+    * events wait in a per-user buffer; `maxBuffer` caps it (4096), with
+    * overflow folding the (ms, id)-smallest events early — exact unless a
+    * still-later arrival would have sorted before the fold point (the
+    * as-of cap's conservative-overflow trade-off, same doc contract).
+    *
+    * State is O(open run + in-watermark buffer) per active user; an idle
+    * user's open run expires `retentionMs` after their last event
+    * (unemitted, as batch leaves it open). */
+  def statusHistory(events: Dataset[Event], watermark: String = "2 hours",
+                    maxBuffer: Int = 4096,
+                    retentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[StatusOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    // fold `ready` (already (ms, id)-sorted) into the run encoding
+    def foldReady(userId: Long, st0: StatusState, ready: Seq[StatusEvt],
+        out: scala.collection.mutable.ArrayBuffer[StatusOut]): StatusState = {
+      var st = st0
+      for (e <- ready) {
+        if (st.runSeq == 0L)
+          st = st.copy(runSeq = 1L, status = e.typ, validFromMs = e.ms, nEvents = 1L)
+        else if (st.status == e.typ)
+          st = st.copy(nEvents = st.nEvents + 1L)
+        else {
+          out += StatusOut(userId, st.runSeq, st.status, st.validFromMs, e.ms, st.nEvents)
+          st = st.copy(runSeq = st.runSeq + 1L, status = e.typ,
+            validFromMs = e.ms, nEvents = 1L)
+        }
+      }
+      st
+    }
+
+    def fold(userId: Long, it: Iterator[Event],
+             state: GroupState[StatusState]): Iterator[StatusOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[StatusOut]
+      val wm = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(StatusState(0L, null, 0L, 0L, 0L, Nil))
+      if (!state.hasTimedOut) {
+        val incoming = it.map(e => StatusEvt(e.ts.getTime, e.event_id, e.event_type)).toSeq
+        st = st.copy(buffer = st.buffer ++ incoming,
+          lastMs = math.max(st.lastMs, if (incoming.isEmpty) 0L else incoming.map(_.ms).max))
+      }
+      val sorted = st.buffer.sortBy(e => (e.ms, e.id))
+      val cut = {
+        val belowWm = sorted.count(_.ms < wm)
+        // buffer cap: overflow folds the oldest events early (conservative)
+        math.max(belowWm, sorted.length - maxBuffer)
+      }
+      val (ready, pending) = sorted.splitAt(cut)
+      st = foldReady(userId, st.copy(buffer = pending), ready, out)
+      if (st.runSeq == 0L && st.buffer.isEmpty) state.remove()
+      else if (st.buffer.isEmpty && wm >= st.lastMs + retentionMs) state.remove()
+      else {
+        state.update(st)
+        val target =
+          if (st.buffer.nonEmpty) st.buffer.map(_.ms).min + 1
+          else st.lastMs + retentionMs
+        state.setTimeoutTimestamp(math.max(target, wm + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
+  }
+
+  /** Streaming SEASONAL-NAIVE FORECAST EVAL — the stream twin of the
+    * batch [[graft.ext.Events.forecastEval]]: per (type, hour), the
+    * hour's count evaluated against the same hour one `periodMs` earlier,
+    * emitted once the watermark finalizes the hour. The batch row is the
+    * per-type SUM of these per-hour rows (n_hours_eval = count, totals =
+    * sums — the tumblingHourly batch/stream relationship); hours whose
+    * prior-day bucket is absent are excluded on both sides.
+    *
+    * Why per-hour counts need NO ordering buffer: bucket increments
+    * commute, so events fold straight into their (type, hour) counter on
+    * arrival — finalization only gates EMISSION (an hour H is emitted
+    * when wm ≥ H + 1h; its forecast bucket H − period is then final a
+    * fortiori, and absent ⇔ zero events, the exclusion rule). A bucket is
+    * purged once the hour it would forecast has been emitted or excluded
+    * (X ≤ emittedUpTo − period), so state per type is O(hours inside the
+    * period + watermark horizon) — bounded regardless of stream length.
+    *
+    * Key cardinality is |event types| — the same bounded-key contract as
+    * [[anomalyHourly]]. */
+  def forecastEvalHourly(events: Dataset[Event], periodMs: Long = 86400000L,
+                         watermark: String = "2 hours"): Dataset[ForecastHourOut] = {
+    require(periodMs % 3600000L == 0 && periodMs > 0,
+      "periodMs must be a positive whole number of hours")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourMs = 3600000L
+
+    def fold(typ: String, it: Iterator[Event],
+             state: GroupState[ForecastState]): Iterator[ForecastHourOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ForecastHourOut]
+      val wm = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(ForecastState(Map.empty, -1L, 0L))
+      if (!state.hasTimedOut) {
+        var b = st.buckets
+        var last = st.lastMs
+        for (e <- it) {
+          val ms = e.ts.getTime
+          val h = ms - math.floorMod(ms, hourMs)
+          b = b.updated(h, b.getOrElse(h, 0L) + 1L)
+          last = math.max(last, ms)
+        }
+        st = st.copy(buckets = b, lastMs = last)
+      }
+      // emit every finalized, not-yet-emitted hour that has a prior bucket
+      val bound = if (wm >= hourMs) (wm - hourMs) - math.floorMod(wm - hourMs, hourMs) else -1L
+      if (bound > st.emittedUpTo) {
+        for (h <- st.buckets.keys.toSeq.sorted if h > st.emittedUpTo && h <= bound)
+          st.buckets.get(h - periodMs).foreach { fcst =>
+            val n = st.buckets(h)
+            out += ForecastHourOut(typ, h, n, fcst, math.abs(n - fcst), n - fcst)
+          }
+        st = st.copy(emittedUpTo = bound,
+          buckets = st.buckets.filter { case (h, _) => h > bound - periodMs })
+      }
+      if (st.buckets.isEmpty) state.remove()
+      else {
+        state.update(st)
+        // next wake-up: the earliest moment anything changes — an
+        // unemitted hour finalizing, or a kept bucket's forecast target
+        // finalizing (which may only purge, but purging is how state
+        // drains after the stream goes quiet)
+        val unEmitted = st.buckets.keys.filter(_ > st.emittedUpTo)
+        val t1 = if (unEmitted.nonEmpty) unEmitted.min + hourMs + 1 else Long.MaxValue
+        val t2 = st.buckets.keys.min + periodMs + hourMs + 1
+        state.setTimeoutTimestamp(math.max(math.min(t1, t2), wm + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fold)
   }
 

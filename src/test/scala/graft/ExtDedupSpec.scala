@@ -304,6 +304,28 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(pruned.nonEmpty)
   }
 
+  test("pruned twin falls back to the blocked join when no tile can be pruned") {
+    // the driver fixture is effectively isotropic at the 0.4 bar (measured
+    // qualifying fraction ~9e-4, per-list radii ≈ π/2): the tile bound
+    // kills nothing, so the adaptive twin must take the plain blocked-join
+    // path (false) rather than pay the tile machinery for zero savings
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val (df, prunedPath) = Dedup.cosinePrunedPath(embs, 0.4, 16, 100)
+    assert(!prunedPath, "expected the no-bind fallback on isotropic data")
+    val exact = Dedup.embeddingCosine(embs, threshold = 0.4).collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq === exact)
+    // two tight separated clusters at a binding bar: the tile path runs
+    import org.apache.spark.sql.functions.col
+    val mk = (base: Float, i: Int) =>
+      Array(base + i * 0.001f, 1.0f - base, 0.05f * (i % 3))
+    val rows = (0 until 40).map(i => (i.toLong, mk(0.9f, i))) ++
+      (40 until 80).map(i => (i.toLong, mk(-0.9f, i))) ++
+      Seq((100L, mk(0.9f, 0)), (101L, mk(-0.9f, 0)))
+    val clustered = rows.toDF("vec_id", "embedding")
+    val (_, binds) = Dedup.cosinePrunedPath(clustered, 0.9, 2, 100)
+    assert(binds, "expected the tile-pruned path on separated clusters")
+  }
+
   test("embeddingKeepers collapses parallel-vector families to one keeper each") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

@@ -91,6 +91,37 @@ class ExtEventsSpec extends AnyFunSuite {
     assert(out.length === 3)
   }
 
+  test("cooccurrenceCapped: high cap is exact; low cap keeps the earliest-seen types") {
+    val spark0 = SparkTestSession.spark
+    import spark0.implicits._
+    val base = 1700000000000L
+    // one session with 4 distinct types in first-seen order
+    // view(0) < click(100) < purchase(200) < error(300); a second session
+    // (user 2) with {click, view} untouched by the cap
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 100L, "click"), (1L, 200L, "purchase"),
+      (1L, 300L, "error"), (1L, 400L, "view"),
+      (2L, 0L, "click"), (2L, 500L, "view"))
+    val df = rows.zipWithIndex.map { case ((u, off, t), i) =>
+      (i.toLong, new java.sql.Timestamp(base + off), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // cap above the max per-session distinct-type count: bit-equal to exact
+    val exact = graft.ext.Events.cooccurrence(df).collect().map(_.toSeq).toSeq
+    val high = graft.ext.Events.cooccurrenceCapped(df, maxTypes = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(high === exact)
+    // cap 3 drops 'error' (4th by first-seen) from user 1's session: no
+    // pair touches it; counts are over the capped incidence space
+    val capped = graft.ext.Events.cooccurrenceCapped(df, maxTypes = 3).collect()
+    assert(!capped.exists(r => r.getString(0) == "error" || r.getString(1) == "error"))
+    val byPair = capped.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n_ab")).toMap
+    assert(byPair(("click", "view")) === 2L)
+    assert(byPair(("click", "purchase")) === 1L)
+    assert(byPair(("purchase", "view")) === 1L)
+    assert(capped.length === 3)
+  }
+
   test("conversionLag measures first-signup to first-later-purchase per cohort") {
     val spark0 = SparkTestSession.spark
     import spark0.implicits._

@@ -160,6 +160,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(out.forall(_.getSeq[Int](0).head != 2))
   }
 
+  test("vec_top_centroid equals the HOF argmax-cosine scores, incl. the first-max tie rule") {
+    val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(200)
+    // 3 centroids with a deliberate DUPLICATE (positions 1 and 2 equal up
+    // to scale — cosine is scale-invariant, so their scores tie exactly on
+    // every row and the first index must win, as the HOF twin's
+    // array_position(scores, array_max(scores)) guarantees)
+    val cq = "array(array(10000L, 0L, 0L, 0L), array(0L, 10000L, 0L, 0L), " +
+      "array(0L, 20000L, 0L, 0L))"
+    val q = e.select(expr("slice(vec_quantize(embedding), 1, 4)").as("q"))
+      .withColumn("nrm", expr("vec_dotl(q, q)"))
+    val out = q.select(
+      expr(s"vec_top_centroid(q, $cq)").as("native"),
+      expr(
+        s"""transform(sequence(0, 2), i ->
+           |  vec_dotl(q, element_at($cq, i + 1))
+           |    / (sqrt(CAST(nrm AS DOUBLE))
+           |       * sqrt(CAST(element_at(transform($cq, v ->
+           |           aggregate(v, 0L, (a, x) -> a + x * x)), i + 1) AS DOUBLE))))""".stripMargin)
+        .as("scores"))
+      .withColumn("hof_list", expr("CAST(array_position(scores, array_max(scores)) AS INT) - 1"))
+      .withColumn("hof_cos", expr("array_max(scores)"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val native = r.getStruct(0)
+      assert(native.getInt(0) === r.getAs[Int]("hof_list"))
+      assert(native.getDouble(1) === r.getAs[Double]("hof_cos"))
+      // the duplicated-direction tie can never report index 2
+      assert(native.getInt(0) != 2)
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = Tables.load(spark, SparkTestSession.sfDir, "embeddings").limit(5)
     val plan = e.select(expr("vec_normq(embedding)").as("n"))
