@@ -458,7 +458,42 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
     // exact per-type value distribution (count/sum/p50/p90/p99)
-    "events_value_stats" -> ((s, dir) => Events.valueStats(events(s, dir)))
+    "events_value_stats" -> ((s, dir) => Events.valueStats(events(s, dir))),
+
+    // E3 cleaning passes (ext/Clean.scala). The synthetic corpus carries no
+    // PII and no newlines, so each query derives its PII-bearing /
+    // multi-line input DETERMINISTICALLY from input columns (doc_id, source,
+    // lang) — both engines build the identical string, then the oracle
+    // verifies the full detect/redact/remove pipeline, not a no-op pass.
+    "pipeline_pii_scrub" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call (555) "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 3) % 256).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" ref "), (col("doc_id") * 13 + 1000000).cast("string"))).otherwise(lit(""))
+      ).as("text"))
+      graft.ext.Clean.piiScrub(d)
+    }),
+    "text_boilerplate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+        concat(lit("nav home about "), col("source")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("subscribe to the newsletter")),
+        when(col("doc_id") % 5 === 0, concat(lit("doc note "), col("doc_id"))),
+        concat(lit("copyright "), col("lang"), lit(" all rights reserved"))
+      ).as("text"))
+      graft.ext.Clean.boilerplate(d, minDf = 10)
+    }),
+    "text_gopher_quality" -> ((s, dir) => graft.ext.Clean.gopherQuality(docs(s, dir)))
   )
 
   /** Shared oracle fragments. `maxDocFreq` mirrors [[Dedup.ngramJaccard]]'s
@@ -3044,7 +3079,85 @@ object ExtQueries {
         |FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, 'image/fake' AS media_type,
         |             CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS content_md5
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // the same deterministic PII derivation as the Spark side, then the
+    // identical 4-stage scrub: each class counts on the previous stage's
+    // text (patterns are the Java-regex/RE2 common subset — character
+    // classes + counted repetition only)
+    "pipeline_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' call (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |       || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' ref ' || CAST(doc_id * 13 + 1000000 AS VARCHAR) ELSE '' END AS t0
+        |FROM documents),
+        |s AS (SELECT doc_id, t0,
+        |  regexp_replace(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g') AS t1 FROM p),
+        |s2 AS (SELECT *, regexp_replace(t1, '[(][0-9]{3}[)] [0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2 FROM s),
+        |s3 AS (SELECT *, regexp_replace(t2, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT *, regexp_replace(t3, '[0-9]{6,}', '<ID>', 'g') AS t4 FROM s3)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t0, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t1, '[(][0-9]{3}[)] [0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS INT) AS n_id,
+        |  CAST(strlen(t4) AS INT) AS n_chars_scrubbed,
+        |  md5(t4) AS scrub_md5,
+        |  CAST(t4 != t0 AS INT) AS changed
+        |FROM s4 ORDER BY doc_id""".stripMargin,
+
+    // derived multi-line text (source banner / lang footer / conditional
+    // shared + unique lines), then C4-style line-frequency removal at
+    // minDf = 10: zipped unnest keeps line order, boilerplate set via
+    // distinct-doc counts on the md5 digest, reassembly via ordered
+    // string_agg; the left join keeps all-boilerplate docs alive
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |    'nav home about ' || source, text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to the newsletter' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'doc note ' || CAST(doc_id AS VARCHAR) END,
+        |    'copyright ' || lang || ' all rights reserved') AS t FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM d),
+        |l AS (SELECT doc_id, CAST(unnest(range(1, len(a) + 1)) AS INT) AS line_no, unnest(a) AS line FROM ls),
+        |boiler AS (SELECT md5(line) AS lh FROM l GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (SELECT * FROM l WHERE md5(line) NOT IN (SELECT lh FROM boiler)),
+        |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |          md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT ls.doc_id AS doc_id, CAST(len(ls.a) AS INT) AS n_lines,
+        |  CAST(coalesce(reb.n_kept, 0) AS INT) AS n_kept,
+        |  CAST(len(ls.a) - coalesce(reb.n_kept, 0) AS INT) AS n_removed,
+        |  coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |FROM ls LEFT JOIN reb ON ls.doc_id = reb.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact-integer lexical signals + one final IEEE division each; rule
+    // verdicts compare the ROUNDED values so both engines gate identically
+    "text_gopher_quality" ->
+      """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CAST(strlen(replace(text, ' ', '')) AS INT) AS sum_word_len FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_words, sum_word_len,
+        |  CAST(list_max(list_transform(w, x -> strlen(x))) AS INT) AS max_word_len,
+        |  round(sum_word_len / len(w), 6) AS mean_word_len,
+        |  CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |  round(len(list_distinct(w)) / len(w), 6) AS distinct_ratio,
+        |  CAST(len(list_filter(w, x -> x = 'a' OR x = 'the')) > 0 AS INT) AS has_stopword
+        |FROM g)
+        |SELECT doc_id, n_words, sum_word_len, max_word_len, mean_word_len,
+        |  n_distinct, distinct_ratio, has_stopword,
+        |  CAST(n_words >= 28 AND n_words <= 100000 AS INT) AS pass_word_count,
+        |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS pass_mean_len,
+        |  has_stopword AS pass_stopword,
+        |  CAST(distinct_ratio >= 0.5 AS INT) AS pass_distinct,
+        |  CAST(n_words >= 28 AND n_words <= 100000 AS INT)
+        |    * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+        |    * has_stopword
+        |    * CAST(distinct_ratio >= 0.5 AS INT) AS pass_all
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 
   def benchQueries: Seq[String] = Seq(
@@ -3087,5 +3200,6 @@ object ExtQueries {
     "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
     "events_status_history", "pipeline_interleave", "text_vocab_coverage",
     "events_forecast_eval", "dedup_paragraphs_stored",
-    "embedding_classifier_eval", "events_cooccurrence_capped")
+    "embedding_classifier_eval", "events_cooccurrence_capped",
+    "pipeline_pii_scrub", "text_boilerplate", "text_gopher_quality")
 }

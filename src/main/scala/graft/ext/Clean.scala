@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators for LLM-data pipelines (SURVEY.md §2.8 E3):
+  * PII scrubbing, line-frequency boilerplate removal, and Gopher-style
+  * rule filtering — the three cleaning passes every production
+  * pre-training pipeline runs before dedup/packing (cf. the C4 and Gopher
+  * cleaning recipes in the public literature).
+  *
+  * Scale discipline:
+  *  - [[piiScrub]] and [[gopherQuality]] are pure narrow projections — one
+  *    codegen'd regexp/array pass per row, zero shuffles, embarrassingly
+  *    parallel at any corpus size.
+  *  - [[boilerplate]] shuffles 32-byte line digests (never line text) for
+  *    the frequency count, and the surviving boilerplate set (lines with
+  *    df >= minDf) is tiny by construction — AQE broadcasts the anti-join
+  *    side, so the only full-corpus shuffle is the per-doc reassembly.
+  *
+  * Determinism discipline (DuckDB oracle): regex patterns use only
+  * character classes and counted repetition — the subset on which Java's
+  * regex (Spark) and RE2 (DuckDB) agree — and all ratios are divisions of
+  * exact integer counts, so results hash-match bit-for-bit.
+  */
+object Clean {
+
+  /** PII patterns, applied in this order (email first — its local part may
+    * contain digit runs that the later patterns would otherwise claim).
+    * Character-class-only syntax: identical semantics under Java regex and
+    * RE2 (no lookaround, no backreferences, no \d shorthands). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+", "<EMAIL>"),
+    ("phone", "[(][0-9]{3}[)] [0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("id", "[0-9]{6,}", "<ID>"))
+
+  /** PII detection + redaction over a text column: per-class match counts
+    * (counted on the progressively-scrubbed text, so classes never
+    * double-count each other's spans) and the scrubbed text's md5/length.
+    * One narrow codegen'd pass — no shuffle at any scale; at 100 TB this
+    * is a pure map over input splits. */
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // each class counts its matches on the PREVIOUS stage's scrubbed text,
+    // so no span is attributed to two classes
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, piiPatterns(0)._2, piiPatterns(0)._3)
+    val t2 = regexp_replace(t1, piiPatterns(1)._2, piiPatterns(1)._3)
+    val t3 = regexp_replace(t2, piiPatterns(2)._2, piiPatterns(2)._3)
+    val t4 = regexp_replace(t3, piiPatterns(3)._2, piiPatterns(3)._3)
+    def nMatches(t: Column, pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0))).cast("int")
+    df.select(
+      col("doc_id"),
+      nMatches(t0, piiPatterns(0)._2).as("n_email"),
+      nMatches(t1, piiPatterns(1)._2).as("n_phone"),
+      nMatches(t2, piiPatterns(2)._2).as("n_ip"),
+      nMatches(t3, piiPatterns(3)._2).as("n_id"),
+      length(t4).cast("int").as("n_chars_scrubbed"),
+      md5(t4).as("scrub_md5"),
+      (t4 =!= t0).cast("int").as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** C4-style line-frequency boilerplate removal: a line occurring in >=
+    * minDf distinct documents is boilerplate (nav bars, footers, cookie
+    * banners) and is dropped from every document; per-doc output is the
+    * kept-line count and the md5 of the reassembled text.
+    *
+    * Plan shape (the 100 TB story): lines shuffle by 32-char md5 digest —
+    * never by line text — for the distinct-doc count; the boilerplate set
+    * after `df >= minDf` is small (bounded by corpus-wide repeated lines),
+    * so the anti-join broadcasts under AQE; reassembly is one shuffle on
+    * doc_id with the line order restored by an in-group array_sort, not a
+    * window. Documents whose every line is boilerplate still emit a row
+    * (n_kept = 0, md5 of the empty string) via the left join back to the
+    * input — dropping them silently would corrupt downstream joins. */
+  def boilerplate(df: DataFrame, minDf: Int, textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val lines = df
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("lh", md5(col("line")))
+    val boiler = lines.groupBy("lh")
+      .agg(countDistinct("doc_id").as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("lh")
+    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      expr("md5(array_join(transform(array_sort(collect_list(struct(line_no, line))), x -> x.line), '\n'))")
+        .as("clean_md5"))
+    df.select(col("doc_id"),
+        size(split(col(textCol), "\n")).cast("int").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style rule filter: per-document lexical signals and the
+    * pass/fail verdict of each published rule family the synthetic corpus
+    * can express — word count bounds, mean-word-length bounds, stopword
+    * presence, and distinct-word ratio (the repetition gate). All signals
+    * are exact integer counts with one final IEEE division, so the DuckDB
+    * oracle reproduces them bit-for-bit. One narrow projection — zero
+    * shuffles at any scale. */
+  def gopherQuality(
+      docs: DataFrame,
+      minWords: Int = 28, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctRatio: Double = 0.5): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("int")
+    val sumLen = length(regexp_replace(col("text"), " ", "")).cast("int")
+    val nDistinct = size(array_distinct(w)).cast("int")
+    val meanLen = round(sumLen.cast("double") / nWords, 6)
+    val distinctRatio = round(nDistinct.cast("double") / nWords, 6)
+    val hasStop = exists(w, t => t === "a" || t === "the").cast("int")
+    val passWords = (nWords >= minWords && nWords <= maxWords).cast("int")
+    val passMean = (meanLen >= minMeanLen && meanLen <= maxMeanLen).cast("int")
+    val passDistinct = (distinctRatio >= minDistinctRatio).cast("int")
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      sumLen.as("sum_word_len"),
+      expr("CAST(array_max(transform(split(text, ' '), x -> length(x))) AS INT)").as("max_word_len"),
+      meanLen.as("mean_word_len"),
+      nDistinct.as("n_distinct"),
+      distinctRatio.as("distinct_ratio"),
+      hasStop.as("has_stopword"),
+      passWords.as("pass_word_count"),
+      passMean.as("pass_mean_len"),
+      hasStop.as("pass_stopword"),
+      passDistinct.as("pass_distinct"),
+      (passWords * passMean * hasStop * passDistinct).as("pass_all"))
+      .orderBy("doc_id")
+  }
+}

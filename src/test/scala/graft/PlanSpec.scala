@@ -656,4 +656,32 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(hashEx <= 2, s"$hashEx hash exchanges (want keeper window + reassembly only)\n$p")
   }
+
+  test("pii scrub is a narrow codegen'd regexp pass — no joins, no shuffle but the output sort") {
+    val p = plan("pipeline_pii_scrub")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"$exchanges exchanges\n$p")
+    // all four stages fuse into ONE Project over the scan (AQE's pre-final
+    // plan string omits codegen spans, so lock the operator count instead)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Project")) <= 2, p)
+  }
+
+  test("gopher quality is a narrow projection — no joins, no shuffle but the output sort") {
+    val p = plan("text_gopher_quality")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"$exchanges exchanges\n$p")
+  }
+
+  test("boilerplate: digest-keyed frequency count with partial aggs, anti-join never a nested loop over text") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("partial_"), s"line-df count must map-side combine\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the frequency shuffle and anti-join key on the md5 digest (lh), never raw line text
+    val lineEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused")).toSeq
+    assert(lineEx.forall(l => !l.contains("hashpartitioning(line#") &&
+      !l.contains("hashpartitioning(line,")), s"line text used as a shuffle key\n$p")
+  }
 }
