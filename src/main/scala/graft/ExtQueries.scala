@@ -493,7 +493,44 @@ object ExtQueries {
       ).as("text"))
       graft.ext.Clean.boilerplate(d, minDf = 10)
     }),
-    "text_gopher_quality" -> ((s, dir) => graft.ext.Clean.gopherQuality(docs(s, dir)))
+    "text_gopher_quality" -> ((s, dir) => graft.ext.Clean.gopherQuality(docs(s, dir))),
+
+    // decontamination against the STORED eval n-gram index — the
+    // incremental twin of pipeline_decontaminate (same eval slice, same
+    // output, same oracle); content-keyed cache + atomic-publish
+    // discipline as the other stores
+    "pipeline_decontaminate_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = s"/tmp/graft_eval_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
+      val storePath = java.nio.file.Paths.get(store)
+      if (!java.nio.file.Files.exists(storePath.resolve("evalsh/_SUCCESS"))) {
+        val tmp = java.nio.file.Paths.get(
+          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+        Dedup.buildEvalStore(d.filter(col("doc_id") % 11 === 0), tmp.toString)
+        try java.nio.file.Files.move(tmp, storePath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            require(java.nio.file.Files.exists(storePath.resolve("evalsh/_SUCCESS")),
+              s"eval-store publish failed and no winner exists at $store")
+            deleteRecursively(tmp.toFile)
+        }
+      }
+      Dedup.decontaminateStored(d.filter(col("doc_id") % 11 =!= 0), store)
+    }),
+    // dataset-versioning audit: two deterministic snapshot derivations of
+    // the corpus (membership by doc_id mod, an edited slice in the new
+    // snapshot) diffed by content digest
+    "pipeline_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      graft.ext.Clean.snapshotDiff(oldSnap, newSnap)
+    })
   )
 
   /** Shared oracle fragments. `maxDocFreq` mirrors [[Dedup.ngramJaccard]]'s
@@ -3157,7 +3194,45 @@ object ExtQueries {
         |    * CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
         |    * has_stopword
         |    * CAST(distinct_ratio >= 0.5 AS INT) AS pass_all
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // identical semantics to pipeline_decontaminate (the store holds the
+    // complementary eval slice), so the oracle is the same query
+    "pipeline_decontaminate_stored" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 3),
+        |                i -> array_to_string(w[i:i+4], ' '))) AS shingle
+        |       FROM toks WHERE len(w) >= 5),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 15), k ->
+        |        CAST(strpos('0123456789abcdef', substr(md5(shingle), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |          << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS shingle
+        |      FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles FROM h GROUP BY doc_id),
+        |hits AS (SELECT t.doc_id,
+        |           count(DISTINCT t.shingle) AS n_shared,
+        |           count(DISTINCT e.doc_id) AS n_eval_docs
+        |         FROM h t JOIN h e ON t.shingle = e.shingle
+        |         WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
+        |         GROUP BY t.doc_id)
+        |SELECT hits.doc_id AS doc_id, sz.n_shingles, hits.n_shared, hits.n_eval_docs,
+        |       round(hits.n_shared / sz.n_shingles, 6) AS contaminated_frac
+        |FROM hits JOIN sz ON hits.doc_id = sz.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 11 != 3),
+        |b AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 17 = 0 THEN text || ' rev2' ELSE text END) AS new_md5
+        |      FROM documents WHERE doc_id % 13 != 5)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.old_md5 IS NULL THEN 'added'
+        |       WHEN b.new_md5 IS NULL THEN 'removed'
+        |       WHEN a.old_md5 != b.new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  a.old_md5 AS old_md5, b.new_md5 AS new_md5
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 
   def benchQueries: Seq[String] = Seq(
@@ -3201,5 +3276,6 @@ object ExtQueries {
     "events_status_history", "pipeline_interleave", "text_vocab_coverage",
     "events_forecast_eval", "dedup_paragraphs_stored",
     "embedding_classifier_eval", "events_cooccurrence_capped",
-    "pipeline_pii_scrub", "text_boilerplate", "text_gopher_quality")
+    "pipeline_pii_scrub", "text_boilerplate", "text_gopher_quality",
+    "pipeline_decontaminate_stored", "pipeline_snapshot_diff")
 }

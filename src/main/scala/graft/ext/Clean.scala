@@ -102,6 +102,27 @@ object Clean {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * corpus versions: per-doc status (added / removed / changed /
+    * unchanged) from a doc_id-co-partitioned full outer join comparing
+    * content digests. Scale shape: each side is reduced to (doc_id,
+    * 16-byte digest) before the join — the text itself never shuffles —
+    * and the join is a plain equi-join on doc_id, so the whole diff is
+    * two narrow scans + one co-partitioned shuffle at any corpus size. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    val a = oldSnap.select(col("doc_id"), md5(col(textCol)).as("old_md5"))
+    val b = newSnap.select(col("doc_id"), md5(col(textCol)).as("new_md5"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_md5"), col("new_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style rule filter: per-document lexical signals and the
     * pass/fail verdict of each published rule family the synthetic corpus
     * can express — word count bounds, mean-word-length bounds, stopword

@@ -204,6 +204,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Eval-set n-gram index store — [[decontaminate]]'s incremental twin,
+    * following the band/span/paragraph store lifecycle: hash the benchmark
+    * table ONCE into a range-clustered 8-byte shingle index, then check
+    * every new training shard against the index in O(increment), never
+    * re-tokenizing the eval set. In production the eval store is rebuilt
+    * only when benchmarks change (releases, not daily), while training
+    * shards arrive continuously — the asymmetry this store exploits. */
+  def buildEvalStore(evalDocs: DataFrame, storeDir: String, n: Int = 5,
+                     numFiles: Int = 8): Unit = {
+    graft.functions.GraftFunctions.register(evalDocs.sparkSession)
+    val sh = spread(evalDocs)
+      .select(col("doc_id").as("eval_id"),
+        explode(expr(s"shingle_hash60(text, $n)")).as("shingle"))
+    graft.ops.Scale.clusteredParquet(sh, s"$storeDir/evalsh",
+      Seq("shingle"), numFiles, "overwrite")
+  }
+
+  /** Probe a training increment against a PRECOMPUTED eval store (see
+    * [[buildEvalStore]]): same output schema and semantics as
+    * [[decontaminate]] when the store holds the complementary eval slice,
+    * so the two share one oracle. The eval index is broadcast (benchmark
+    * suites are bounded — thousands of docs, 8 bytes per shingle), so the
+    * increment is scanned once, hits resolve map-side, and the only
+    * shuffle is the final partial-agg on doc_id over the (tiny) hit set.
+    * The eval TEXT is never read — only the hash index. */
+  def decontaminateStored(train: DataFrame, storeDir: String, n: Int = 5): DataFrame = {
+    val spark = train.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val evalSh = spark.read.parquet(s"$storeDir/evalsh")
+    val trainSh = spread(train)
+      .select(col("doc_id"), expr(s"shingle_hash60(text, $n)").as("sh"))
+      .select(col("doc_id"), expr("size(sh)").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+    trainSh.join(broadcast(evalSh), "shingle")
+      .groupBy("doc_id", "n_shingles")
+      .agg(countDistinct("shingle").as("n_shared"),
+           countDistinct("eval_id").as("n_eval_docs"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"), col("n_eval_docs"),
+        expr("round(n_shared / n_shingles, 6)").as("contaminated_frac"))
+      .orderBy("doc_id")
+  }
+
   /** 32 band signatures (4 rows each) of a 128-wide `sig` column — md5 of
     * each 4-slice; shared by every LSH consumer (including the streaming
     * store probe, [[graft.streaming.DocStreams.dedupAgainstStore]]) so band

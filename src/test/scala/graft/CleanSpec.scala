@@ -85,6 +85,33 @@ class CleanSpec extends AnyFunSuite {
         .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = docsDf(1L -> "same", 2L -> "will change", 3L -> "will vanish")
+    val newSnap = docsDf(1L -> "same", 2L -> "did change", 4L -> "brand new")
+    val out = graft.ext.Clean.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("decontaminateStored equals the one-shot decontaminate on the live fixture") {
+    val d = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("evalstore").toString
+    graft.ext.Dedup.buildEvalStore(d.filter(col("doc_id") % 11 === 0), store)
+    val stored = graft.ext.Dedup.decontaminateStored(d.filter(col("doc_id") % 11 =!= 0), store)
+    val oneShot = graft.ext.Dedup.decontaminate(d)
+    assert(stored.collect().toSeq === oneShot.collect().toSeq)
+    // the probe plan reads the hash index, never the eval slice's text:
+    // exactly one documents scan (the incoming side)
+    // an executed AQE plan prints Final AND Initial sections — count the
+    // scans of the final plan only
+    val p = stored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(docScans === 1, s"$docScans documents scans (eval text rescanned?)\n$p")
+    graft.ops.Scale.deleteRecursively(new java.io.File(store))
+  }
+
   test("gopherQuality gates each rule independently") {
     val longDoc = (1 to 40).map(i => s"word$i").mkString(" ") + " the"
     val out = Clean.gopherQuality(docsDf(

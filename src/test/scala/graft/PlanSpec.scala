@@ -662,9 +662,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
     assert(exchanges <= 1, s"$exchanges exchanges\n$p")
-    // all four stages fuse into ONE Project over the scan (AQE's pre-final
-    // plan string omits codegen spans, so lock the operator count instead)
-    assert(p.linesIterator.count(_.trim.startsWith("+- Project")) <= 2, p)
+    // the cascade's whole point: each scrub stage's regexp_replace appears
+    // EXACTLY once in the plan — a collapsed flat projection re-inlines
+    // the chain per output column (4+3+2+1 replaces + re-derived counts)
+    val replaces = "regexp_replace".r.findAllIn(p).size
+    assert(replaces === 4, s"$replaces regexp_replace sites (want one per stage)\n$p")
   }
 
   test("gopher quality is a narrow projection — no joins, no shuffle but the output sort") {
@@ -672,6 +674,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
     val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
     assert(exchanges <= 1, s"$exchanges exchanges\n$p")
+  }
+
+  test("stored decontamination broadcasts the eval index; the increment shuffles only doc_id aggs") {
+    val p = plan("pipeline_decontaminate_stored")
+    assert(p.contains("BroadcastHashJoin"), s"eval index must broadcast\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("snapshot diff joins digests on doc_id — text never crosses the exchange") {
+    val p = plan("pipeline_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val exch = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused")).toSeq
+    assert(exch.forall(!_.contains("text#")), s"text shuffled in the diff join\n$p")
   }
 
   test("boilerplate: digest-keyed frequency count with partial aggs, anti-join never a nested loop over text") {
