@@ -2,8 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// throwaway round-8 diagnostic — NOT part of the library; deleted before commit
-object Scratch {
+/** Soak driver for the embedding-dedup family (kept tooling, not library
+  * API): times the pruned vs exact cosine/keepers twins against the
+  * [[SoakGen]]-produced fixtures at sf1/sf10. Modes:
+  *   tight   — √n tight clusters (the binding regime for the metric prune)
+  *   iso     — isotropic vectors (the no-bind fallback regime)
+  *   default — the driver-shaped embeddings fixture
+  * Usage: runMain graft.EmbeddingSoak <fixtureDir> [tight|iso|default] [exact] */
+object EmbeddingSoak {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -67,6 +73,10 @@ object Scratch {
           time(s"exact keepers rep$rep")(
             graft.ext.Dedup.embeddingKeepers(emb, 0.4)
               .write.format("noop").mode("overwrite").save())
+      case other =>
+        System.err.println(
+          s"unknown mode '$other' — usage: EmbeddingSoak <fixtureDir> [tight|iso|default] [exact]")
+        sys.exit(2)
     }
     spark.stop()
   }

@@ -55,6 +55,52 @@ object ExtQueries {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.ops.Scale.deleteRecursively(f)
 
+  /** Shared store-cache lifecycle: sweep, build, atomic-publish.
+    *
+    * The /tmp cache is content-keyed (fixture fingerprint in the dir
+    * name), so superseded fixtures leave orphan stores behind, and a
+    * crash between build and the atomic move strands a `.build-XXXX`
+    * directory. Both leak indefinitely without a sweep. Before building
+    * we delete, for THIS prefix only, (a) store dirs whose fingerprint
+    * is not the current one and (b) `.build-*` leftovers — in both cases
+    * only when older than [[sweepAgeMs]], so a concurrent builder's
+    * in-flight tmp dir or a racing run against a just-regenerated
+    * fixture is never yanked out from under it.
+    *
+    * Build-then-atomic-rename: two concurrent invocations (parallel
+    * test/bench/verify runs) could both observe the store missing;
+    * racing mode(overwrite) writes into ONE directory can interleave
+    * into a corrupt mixed store that is then cached forever. Each
+    * builder writes its own unique dir and publishes it with an atomic
+    * move; the loser of the race discards its copy. */
+  private val sweepAgeMs = 2L * 3600 * 1000
+  private def cachedStore(prefix: String, fixturePath: String,
+                          successRel: String)(build: String => Unit): String = {
+    val store = s"/tmp/${prefix}_${pathFingerprint(fixturePath)}"
+    val storeName = new java.io.File(store).getName
+    val now = System.currentTimeMillis()
+    Option(new java.io.File("/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix + "_") && f.getName != storeName)
+      .filter(f => now - f.lastModified() > sweepAgeMs)
+      .foreach(deleteRecursively)
+    val storePath = java.nio.file.Paths.get(store)
+    if (!java.nio.file.Files.exists(storePath.resolve(successRel))) {
+      val tmp = java.nio.file.Paths.get(
+        s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
+      build(tmp.toString)
+      try java.nio.file.Files.move(tmp, storePath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // a concurrent builder published first — use theirs, drop ours
+          require(java.nio.file.Files.exists(storePath.resolve(successRel)),
+            s"store publish failed and no winner exists at $store")
+          deleteRecursively(tmp.toFile)
+      }
+    }
+    store
+  }
+
   private def docs(s: SparkSession, dir: String)   = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String)   = Tables.load(s, dir, "embeddings")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
@@ -183,28 +229,9 @@ object ExtQueries {
     // side, never the historical documents text
     "dedup_incremental_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = s"/tmp/graft_band_store_v2_${pathFingerprint(s"$dir/documents.parquet")}"
-      val storePath = java.nio.file.Paths.get(store)
-      if (!java.nio.file.Files.exists(storePath.resolve("hashes/_SUCCESS"))) {
-        // build-then-atomic-rename: two concurrent invocations (parallel
-        // test/bench/verify runs) could both observe the store missing;
-        // racing mode(overwrite) writes into ONE directory can interleave
-        // into a corrupt mixed store that is then cached forever. Each
-        // builder writes its own unique dir and publishes it with an
-        // atomic move; the loser of the race just discards its copy.
-        val tmp = java.nio.file.Paths.get(
-          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-        Dedup.buildBandStore(d.filter(col("doc_id") % 7 =!= 0), tmp.toString)
-        try java.nio.file.Files.move(tmp, storePath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            // a concurrent builder published first — use theirs, drop ours
-            require(java.nio.file.Files.exists(storePath.resolve("hashes/_SUCCESS")),
-              s"band-store publish failed and no winner exists at $store")
-            deleteRecursively(tmp.toFile)
-        }
-      }
+      val store = cachedStore("graft_band_store_v2", s"$dir/documents.parquet",
+        "hashes/_SUCCESS")(tmp =>
+        Dedup.buildBandStore(d.filter(col("doc_id") % 7 =!= 0), tmp))
       Dedup.incrementalStored(d.filter(col("doc_id") % 7 === 0), store)
     }),
     // substring-span dedup against the stored window-hash index: the
@@ -213,21 +240,9 @@ object ExtQueries {
     // atomic-publish discipline as the band store above
     "dedup_spans_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = s"/tmp/graft_span_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
-      val storePath = java.nio.file.Paths.get(store)
-      if (!java.nio.file.Files.exists(storePath.resolve("winhashes/_SUCCESS"))) {
-        val tmp = java.nio.file.Paths.get(
-          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-        Dedup.buildSpanStore(d.filter(col("doc_id") % 7 =!= 0), tmp.toString)
-        try java.nio.file.Files.move(tmp, storePath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            require(java.nio.file.Files.exists(storePath.resolve("winhashes/_SUCCESS")),
-              s"span-store publish failed and no winner exists at $store")
-            deleteRecursively(tmp.toFile)
-        }
-      }
+      val store = cachedStore("graft_span_store_v1", s"$dir/documents.parquet",
+        "winhashes/_SUCCESS")(tmp =>
+        Dedup.buildSpanStore(d.filter(col("doc_id") % 7 =!= 0), tmp))
       Dedup.spansAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
     }),
     // incremental paragraph dedup against the stored chunk-hash index —
@@ -235,21 +250,9 @@ object ExtQueries {
     // cache + atomic-publish discipline
     "dedup_paragraphs_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = s"/tmp/graft_pchunk_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
-      val storePath = java.nio.file.Paths.get(store)
-      if (!java.nio.file.Files.exists(storePath.resolve("pchunks/_SUCCESS"))) {
-        val tmp = java.nio.file.Paths.get(
-          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-        Dedup.buildParagraphStore(d.filter(col("doc_id") % 7 =!= 0), tmp.toString)
-        try java.nio.file.Files.move(tmp, storePath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            require(java.nio.file.Files.exists(storePath.resolve("pchunks/_SUCCESS")),
-              s"paragraph-store publish failed and no winner exists at $store")
-            deleteRecursively(tmp.toFile)
-        }
-      }
+      val store = cachedStore("graft_pchunk_store_v1", s"$dir/documents.parquet",
+        "pchunks/_SUCCESS")(tmp =>
+        Dedup.buildParagraphStore(d.filter(col("doc_id") % 7 =!= 0), tmp))
       Dedup.paragraphsAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
     }),
     // E2 — similarity search
@@ -501,21 +504,9 @@ object ExtQueries {
     // discipline as the other stores
     "pipeline_decontaminate_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = s"/tmp/graft_eval_store_v1_${pathFingerprint(s"$dir/documents.parquet")}"
-      val storePath = java.nio.file.Paths.get(store)
-      if (!java.nio.file.Files.exists(storePath.resolve("evalsh/_SUCCESS"))) {
-        val tmp = java.nio.file.Paths.get(
-          s"$store.build-${java.util.UUID.randomUUID().toString.take(8)}")
-        Dedup.buildEvalStore(d.filter(col("doc_id") % 11 === 0), tmp.toString)
-        try java.nio.file.Files.move(tmp, storePath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileSystemException =>
-            require(java.nio.file.Files.exists(storePath.resolve("evalsh/_SUCCESS")),
-              s"eval-store publish failed and no winner exists at $store")
-            deleteRecursively(tmp.toFile)
-        }
-      }
+      val store = cachedStore("graft_eval_store_v1", s"$dir/documents.parquet",
+        "evalsh/_SUCCESS")(tmp =>
+        Dedup.buildEvalStore(d.filter(col("doc_id") % 11 === 0), tmp))
       Dedup.decontaminateStored(d.filter(col("doc_id") % 11 =!= 0), store)
     }),
     // dataset-versioning audit: two deterministic snapshot derivations of

@@ -419,9 +419,14 @@ object MinHashOps {
     * maximum cosine to the row vector, plus that cosine — the compiled
     * twin of the HOF formulation `array_position(scores, array_max(scores))`
     * over `transform(sequence(...), i -> vec_dotl(q, cq_i) / (sqrt(nrm) *
-    * sqrt(cn_i)))`. Same arithmetic to the bit (exact BIGINT dot, one
-    * sqrt each side, one divide; first index wins ties), so results are
-    * interchangeable with the HOF form. One primitive loop of
+    * sqrt(cn_i)))`. Same arithmetic to the bit FOR NON-ZERO vectors
+    * (exact BIGINT dot, one sqrt each side, one divide; first index wins
+    * ties), so results are interchangeable with the HOF form. A zero-norm
+    * row vector is guarded explicitly: every cosine is defined as 0, so
+    * it assigns to list 0 with cos 0 — the HOF twin instead propagates
+    * 0/0 = NaN through least/greatest and also lands on list 0, so the
+    * ASSIGNMENT agrees but the reported cosine differs (0 vs NaN); the
+    * bit-parity claim is scoped to non-zero vectors. One primitive loop of
     * nList·d multiplies per row replaces nList interpreted lambda frames
     * — the assignment cost of every IVF-style pass at large nList. */
   def topCentroid(q: ArrayData, cents: Array[Array[Long]],
@@ -439,7 +444,10 @@ object MinHashOps {
       var dot = 0L
       var i = 0
       while (i < cw.length) { dot += x(i) * cw(i); i += 1 }
-      val cos = dot.toDouble / (xn * cnSqrt(c))
+      // zero-norm guard: 0/0 would make every `cos > best` test false and
+      // return (list 0, -Infinity); defining cos = 0 keeps the same
+      // assignment with a finite, radius-safe reported cosine
+      val cos = if (xn == 0) 0.0 else dot.toDouble / (xn * cnSqrt(c))
       if (cos > best) { best = cos; bi = c }
       c += 1
     }
