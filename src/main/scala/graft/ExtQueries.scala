@@ -1653,7 +1653,10 @@ object ExtQueries {
     // fold (merge the pair when the running last symbol is lhs and the
     // next is rhs); the md5 of the final sequence checks every merge
     // decision on every doc. Terminates at max(rank) so a pair vocab
-    // smaller than topK still verifies.
+    // smaller than topK still verifies. Fused symbols join with chr(31)
+    // (the engine's FuseSep), so the symbol-LIST encoding inside the
+    // recursion uses chr(30) — it must never collide with a byte that
+    // can appear inside a symbol.
     "text_bpe_encode" ->
       """WITH RECURSIVE bg AS (
         |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
@@ -1665,19 +1668,19 @@ object ExtQueries {
         |rules AS (SELECT CAST(rank AS INT) AS rank, lhs, rhs FROM rk WHERE rank <= 50),
         |enc(doc_id, n_words, rr, s) AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT), 0,
-        |         array_to_string(string_split(text, ' '), chr(31)) FROM documents
+        |         array_to_string(string_split(text, ' '), chr(30)) FROM documents
         |  UNION ALL
         |  SELECT e.doc_id, e.n_words, e.rr + 1,
-        |    list_reduce(string_split(e.s, chr(31)), (acc, x) ->
-        |      CASE WHEN x = ru.rhs AND (acc = ru.lhs OR ends_with(acc, chr(31) || ru.lhs))
-        |        THEN CASE WHEN acc = ru.lhs THEN ru.lhs || '_' || ru.rhs
-        |             ELSE left(acc, len(acc) - len(ru.lhs)) || ru.lhs || '_' || ru.rhs END
-        |      ELSE acc || chr(31) || x END)
+        |    list_reduce(string_split(e.s, chr(30)), (acc, x) ->
+        |      CASE WHEN x = ru.rhs AND (acc = ru.lhs OR ends_with(acc, chr(30) || ru.lhs))
+        |        THEN CASE WHEN acc = ru.lhs THEN ru.lhs || chr(31) || ru.rhs
+        |             ELSE left(acc, len(acc) - len(ru.lhs)) || ru.lhs || chr(31) || ru.rhs END
+        |      ELSE acc || chr(30) || x END)
         |  FROM enc e JOIN rules ru ON ru.rank = e.rr + 1)
         |SELECT doc_id, n_words,
-        |       CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,
-        |       CAST(n_words - len(string_split(s, chr(31))) AS BIGINT) AS n_merges,
-        |       md5(replace(s, chr(31), ' ')) AS encoded_md5
+        |       CAST(len(string_split(s, chr(30))) AS BIGINT) AS n_symbols,
+        |       CAST(n_words - len(string_split(s, chr(30))) AS BIGINT) AS n_merges,
+        |       md5(replace(s, chr(30), ' ')) AS encoded_md5
         |FROM enc WHERE rr = coalesce((SELECT max(rank) FROM rules), 0)
         |ORDER BY doc_id""".stripMargin,
 

@@ -560,9 +560,12 @@ object TextAnalysis {
     *
     * Determinism: rule order is the bpeMerges total order (n DESC, lhs,
     * rhs); the fold is leftmost-greedy by construction (an accumulator
-    * scan, not a regex); merged symbols are `lhs_rhs` and rules only ever
-    * name RAW words, so a fused symbol can never chain-merge — identical
-    * in both engines. */
+    * scan, not a regex); merged symbols join lhs and rhs with the
+    * non-token unit separator chr(31) ([[graft.functions.MinHashOps.FuseSep]]),
+    * and rules only ever name RAW words, so a fused symbol can never
+    * chain-merge on any whitespace-tokenized corpus (with the old '_'
+    * joiner an underscore-bearing vocabulary could alias a fused symbol
+    * — spec'd in ExtTextSpec) — identical in both engines. */
   def bpeEncode(docs: DataFrame, topK: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val ruleRows = bpeMerges(docs, topK).select("rank", "lhs", "rhs").collect()
@@ -596,7 +599,7 @@ object TextAnalysis {
         """aggregate(rules, syms, (s, ru) ->
           |  aggregate(slice(s, 2, size(s) - 1), slice(s, 1, 1), (acc, x) ->
           |    IF(x = ru.rhs AND element_at(acc, -1) = ru.lhs,
-          |       concat(slice(acc, 1, size(acc) - 1), array(concat(ru.lhs, '_', ru.rhs))),
+          |       concat(slice(acc, 1, size(acc) - 1), array(concat(ru.lhs, char(31), ru.rhs))),
           |       concat(acc, array(x)))))""".stripMargin))
       .select(col("doc_id"),
         expr("CAST(size(syms) AS BIGINT)").as("n_words"),

@@ -457,24 +457,24 @@ object MinHashOps {
   /** Greedy word-level BPE encode: apply each (lhs(k), rhs(k)) rule in
     * order as ONE leftmost-non-overlapping pass — an accumulator scan
     * where a pair merges exactly when the running last symbol is lhs and
-    * the next is rhs, producing `lhs_rhs`.
+    * the next is rhs, producing `lhs<US>rhs` with [[FuseSep]] (ASCII 31,
+    * unit separator) as the joiner.
     *
-    * PRECONDITION (underscore-free vocabulary): the no-chain-merge
-    * invariant — rules name only RAW words, so a fused symbol never
-    * participates in a later merge — holds ONLY when no raw token
-    * contains '_'. If a raw word textually equals some `lhs_rhs`, the
-    * fused symbol is indistinguishable from it and WILL chain-merge;
-    * all three implementations (this compiled loop, the HOF twin, the
-    * DuckDB oracle) diverge from true BPE identically on such corpora,
-    * so cross-engine verification still holds but the semantics differ.
-    * Callers learning rules from [[graft.ext.TextAnalysis.bpeMerges]]
-    * on whitespace-tokenized text satisfy this unless the corpus itself
-    * carries underscore-joined tokens. Identical
+    * No-chain-merge invariant: rules name only RAW words, so a fused
+    * symbol must never participate in a later merge. A fused symbol can
+    * only collide with a raw word if the raw word itself CONTAINS the
+    * joiner — with '_' (the r7 choice) that happened on any corpus
+    * carrying underscore-joined tokens; with the non-token control byte
+    * chr(31) it requires the whitespace-split corpus to carry a literal
+    * unit-separator byte inside a token, which no textual corpus does
+    * (and [[graft.ext.TextAnalysis.bpeMerges]] can then never learn a
+    * rule naming it, because rules come from the same split). Identical
     * semantics to the nested aggregate() HOF twin
     * ([[graft.ext.TextAnalysis.bpeEncodeSql]]) and to the oracle's
     * recursive list_reduce — one compiled loop per rule instead of
     * K·len interpreted lambda frames per document (the encode cost that
     * measured 26.9 s at 50k docs in HOF form). */
+  val FuseSep = "\u001f"
   def bpeEncode(text: UTF8String, lhs: Array[String], rhs: Array[String]): ArrayData = {
     var cur: Array[String] = text.toString.split(" ", -1)
     var k = 0
@@ -485,7 +485,7 @@ object MinHashOps {
       var n = 0
       var i = 0
       while (i < cur.length) {
-        if (n > 0 && out(n - 1) == l && cur(i) == r) out(n - 1) = l + "_" + r
+        if (n > 0 && out(n - 1) == l && cur(i) == r) out(n - 1) = l + FuseSep + r
         else { out(n) = cur(i); n += 1 }
         i += 1
       }

@@ -581,8 +581,8 @@ class ExtTextSpec extends AnyFunSuite {
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out.toSeq === Seq(
-      (0L, 5L, 3L, 2L, md5("a_b c a_b")),
-      (1L, 5L, 3L, 2L, md5("b_c a_b x"))), out.mkString(","))
+      (0L, 5L, 3L, 2L, md5("a\u001fb c a\u001fb")),
+      (1L, 5L, 3L, 2L, md5("b\u001fc a\u001fb x"))), out.mkString(","))
   }
 
   test("bpeEncode: a chained run merges leftmost non-overlapping, single-word docs pass through") {
@@ -593,8 +593,34 @@ class ExtTextSpec extends AnyFunSuite {
         r.getAs[String]("encoded_md5")))
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(out.toSeq === Seq((0L, 3L, md5("a_a a_a a")), (1L, 1L, md5("solo"))),
+    assert(out.toSeq === Seq((0L, 3L, md5("a\u001fa a\u001fa a")), (1L, 1L, md5("solo"))),
       out.mkString(","))
+  }
+
+  test("bpeEncode: underscore-bearing vocabulary cannot chain-merge a fused symbol") {
+    // Rules learned from this corpus (ties broken n DESC, lhs asc):
+    //   (a,b) n=3 → rank 1; (b,c) n=3 → rank 2; (a_b,c) n=2 → rank 3.
+    // Encoding doc 0 "a b c a b c a b c" with topK=3:
+    //   rule 1 fuses every a·b → [F c F c F c] with F = a<US>b;
+    //   rule 2 finds no bare b; rule 3 names the RAW token "a_b" — under
+    //   the old '_' joiner F was textually "a_b" and all three F·c pairs
+    //   chain-merged (3 symbols); with the chr(31) joiner F never aliases
+    //   the raw word, so doc 0 keeps 6 symbols / 3 merges.
+    // Doc 1 carries the genuine raw "a_b c" pairs rule 3 exists for.
+    val docs = docsDf(0L -> "a b c a b c a b c", 1L -> "a_b c a_b c")
+    val out = TextAnalysis.bpeEncode(docs, topK = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_symbols"),
+        r.getAs[Long]("n_merges"), r.getAs[String]("encoded_md5")))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq === Seq(
+      (0L, 6L, 3L, md5("a\u001fb c a\u001fb c a\u001fb c")),
+      (1L, 2L, 2L, md5("a_b\u001fc a_b\u001fc"))), out.mkString(","))
+    // and the HOF twin agrees on exactly this hazard corpus
+    val hof = TextAnalysis.bpeEncodeSql(docs, topK = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_symbols"),
+        r.getAs[Long]("n_merges"), r.getAs[String]("encoded_md5")))
+    assert(hof.toSeq === out.toSeq)
   }
 
   test("native bpe_encode_syms equals the nested-HOF twin row-for-row on the corpus") {
