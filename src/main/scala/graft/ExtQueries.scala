@@ -498,6 +498,27 @@ object ExtQueries {
     }),
     "text_gopher_quality" -> ((s, dir) => graft.ext.Clean.gopherQuality(docs(s, dir))),
 
+    // incremental boilerplate removal against the STORED line-df index —
+    // the O(increment) twin of text_boilerplate (same derived multi-line
+    // corpus; the store holds the 6/7 historical slice's per-line
+    // distinct-doc counts); content-keyed cache + atomic-publish
+    // discipline as the other stores
+    "text_boilerplate_stored" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).select(col("doc_id"), concat_ws("\n",
+        concat(lit("nav home about "), col("source")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit("subscribe to the newsletter")),
+        when(col("doc_id") % 5 === 0, concat(lit("doc note "), col("doc_id"))),
+        concat(lit("copyright "), col("lang"), lit(" all rights reserved"))
+      ).as("text"))
+      val store = cachedStore("graft_linedf_store_v1", s"$dir/documents.parquet",
+        "linedf/_SUCCESS")(tmp =>
+        graft.ext.Clean.buildLineDfStore(d.filter(col("doc_id") % 7 =!= 0), tmp))
+      graft.ext.Clean.boilerplateAgainstStore(
+        d.filter(col("doc_id") % 7 === 0), store, minDf = 10)
+    }),
+
     // decontamination against the STORED eval n-gram index — the
     // incremental twin of pipeline_decontaminate (same eval slice, same
     // output, same oracle); content-keyed cache + atomic-publish
@@ -3165,6 +3186,37 @@ object ExtQueries {
         |FROM ls LEFT JOIN reb ON ls.doc_id = reb.doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    // the text_boilerplate derived corpus split 6/7-historical /
+    // 1/7-increment: historical line df on the 60-bit md5-prefix key (the
+    // store's key — the oracle must replay the truncation), boilerplate at
+    // df >= 10, increment docs reassembled; all-boilerplate docs survive
+    // via the left join
+    "text_boilerplate_stored" ->
+      """WITH d AS (SELECT doc_id, concat_ws(chr(10),
+        |    'nav home about ' || source, text,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'subscribe to the newsletter' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'doc note ' || CAST(doc_id AS VARCHAR) END,
+        |    'copyright ' || lang || ' all rights reserved') AS t FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM d),
+        |l AS (SELECT doc_id, CAST(unnest(range(1, len(a) + 1)) AS INT) AS line_no, unnest(a) AS line FROM ls),
+        |lh AS (SELECT doc_id, line_no, line,
+        |        CAST(list_sum(list_transform(range(0, 15), k ->
+        |          CAST(strpos('0123456789abcdef', substr(md5(line), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |            << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h FROM l),
+        |boiler AS (SELECT h FROM lh WHERE doc_id % 7 != 0 GROUP BY h
+        |           HAVING count(DISTINCT doc_id) >= 10),
+        |kept AS (SELECT * FROM lh WHERE doc_id % 7 = 0 AND h NOT IN (SELECT h FROM boiler)),
+        |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |          md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+        |        FROM kept GROUP BY doc_id)
+        |SELECT ls.doc_id AS doc_id, CAST(len(ls.a) AS INT) AS n_lines,
+        |  CAST(coalesce(reb.n_kept, 0) AS INT) AS n_kept,
+        |  CAST(len(ls.a) - coalesce(reb.n_kept, 0) AS INT) AS n_removed,
+        |  coalesce(reb.clean_md5, md5('')) AS clean_md5
+        |FROM ls LEFT JOIN reb ON ls.doc_id = reb.doc_id
+        |WHERE ls.doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     // exact-integer lexical signals + one final IEEE division each; rule
     // verdicts compare the ROUNDED values so both engines gate identically
     "text_gopher_quality" ->
@@ -3271,5 +3323,6 @@ object ExtQueries {
     "events_forecast_eval", "dedup_paragraphs_stored",
     "embedding_classifier_eval", "events_cooccurrence_capped",
     "pipeline_pii_scrub", "text_boilerplate", "text_gopher_quality",
-    "pipeline_decontaminate_stored", "pipeline_snapshot_diff")
+    "pipeline_decontaminate_stored", "pipeline_snapshot_diff",
+    "text_boilerplate_stored")
 }

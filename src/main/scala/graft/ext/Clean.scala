@@ -102,6 +102,110 @@ object Clean {
       .orderBy("doc_id")
   }
 
+  /** The (doc_id, line_no, line, h) relation shared by the line-df store
+    * lifecycle: 0-based line position from posexplode, 60-bit md5-prefix
+    * content key (the 8-byte store-key discipline of the band/span/chunk
+    * stores — `conv(substring(md5, 1, 15), 16, 10)`). */
+  private def lineRelation(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("h",
+        expr("CAST(conv(substring(md5(line), 1, 15), 16, 10) AS BIGINT)"))
+
+  /** Line-document-frequency store BUILD — the missing incremental twin
+    * of [[boilerplate]] (bands/spans/paragraphs/eval-shingles all had
+    * one): persist per distinct line hash the number of distinct
+    * historical documents carrying it, range-clustered on the 8-byte key.
+    * [[appendToLineDfStore]] is the O(increment) daily write — each
+    * append adds the increment's OWN per-line distinct-doc counts as new
+    * rows, and probes sum rows per key, so accumulated df is exact
+    * whenever batches partition the corpus by document (the same
+    * disjoint-batch contract the other stores document). Same
+    * single-writer + caller-side atomic-publish discipline. */
+  def buildLineDfStore(hist: DataFrame, storeDir: String, numFiles: Int = 8,
+                       textCol: String = "text"): Unit =
+    writeLineDfStore(hist, storeDir, "overwrite", numFiles, textCol)
+
+  def appendToLineDfStore(increment: DataFrame, storeDir: String,
+                          numFiles: Int = 1, textCol: String = "text"): Unit =
+    writeLineDfStore(increment, storeDir, "append", numFiles, textCol)
+
+  private def writeLineDfStore(docs: DataFrame, storeDir: String, mode: String,
+                               numFiles: Int, textCol: String): Unit =
+    graft.ops.Scale.clusteredParquet(
+      lineRelation(docs, textCol)
+        .groupBy("h").agg(countDistinct("doc_id").as("df")),
+      s"$storeDir/linedf", Seq("h"), numFiles, mode)
+
+  /** Line-df store COMPACTION — rewrite the accumulated per-append file
+    * sets as ONE freshly range-clustered set, summing the per-batch df
+    * rows appends accumulate (probes tolerate them — they sum per key;
+    * compaction is when they're paid down). Rename-based publication:
+    * fully written to a side directory, then two atomic moves (old →
+    * `.old`, new → live) — a crash between them leaves a recoverable
+    * `.old`, never a half-written live index. */
+  def compactLineDfStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, numFiles: Int = 8): Unit = {
+    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Scale.clusteredParquet(
+      spark.read.parquet(s"$storeDir/linedf")
+        .groupBy("h").agg(sum("df").as("df")),
+      s"$tmp/linedf", Seq("h"), numFiles)
+    val (live, old) = (java.nio.file.Paths.get(storeDir),
+      java.nio.file.Paths.get(s"$storeDir.old"))
+    graft.ops.Scale.deleteRecursively(old.toFile)
+    java.nio.file.Files.move(live, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.Scale.deleteRecursively(old.toFile)
+  }
+
+  /** [[boilerplate]] against the PRECOMPUTED line-df store — incremental
+    * boilerplate removal: an incoming document drops exactly the lines
+    * whose HISTORICAL document frequency (summed across the store's
+    * append rows) reaches `minDf`; the historical corpus text is never
+    * rescanned, so the daily cost is O(increment) — the cleaning
+    * family's last non-incremental member closed.
+    *
+    * Scale shape: the increment pays one narrow line pass; the store is
+    * touched by ONE equi-join of its (h, df) rows against the increment's
+    * DISTINCT line keys (broadcast of the small increment side under AQE
+    * — the store never fully shuffles), the df sum then aggregates only
+    * MATCHED rows (bounded by increment keys × append batches), and the
+    * surviving boilerplate set is tiny so the anti-join broadcasts, as in
+    * the batch operator. Reassembly is the batch operator's in-group
+    * array_sort — identical output schema and md5 semantics.
+    *
+    * Within-increment repetition is the batch operator's job (run
+    * [[boilerplate]] over the increment, or append-then-probe the next
+    * batch) — the same contract the span/paragraph stores document. */
+  def boilerplateAgainstStore(incoming: DataFrame, storeDir: String, minDf: Int,
+                              textCol: String = "text"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val spark = incoming.sparkSession
+    val lines = lineRelation(incoming, textCol)
+    val boiler = spark.read.parquet(s"$storeDir/linedf")
+      .join(lines.select("h").distinct(), Seq("h"))
+      .groupBy("h").agg(sum("df").as("df_hist"))
+      .filter(col("df_hist") >= minDf)
+      .select("h")
+    val kept = lines.join(boiler, Seq("h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_kept"),
+      expr("md5(array_join(transform(array_sort(collect_list(struct(line_no, line))), x -> x.line), '\n'))")
+        .as("clean_md5"))
+    incoming.select(col("doc_id"),
+        size(split(col(textCol), "\n")).cast("int").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit between two
     * corpus versions: per-doc status (added / removed / changed /
     * unchanged) from a doc_id-co-partitioned full outer join comparing

@@ -85,6 +85,66 @@ class CleanSpec extends AnyFunSuite {
         .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("boilerplateAgainstStore drops lines by HISTORICAL df only, keeping increment order") {
+    val dir = java.nio.file.Files.createTempDirectory("linedf_store").toString
+    try {
+      // history: "header"/"footer" in 3 docs each, "rare" in 1
+      val hist = docsDf(
+        1L -> "header\nbody one\nfooter",
+        2L -> "header\nbody two\nfooter\nrare",
+        3L -> "header\nbody three\nfooter")
+      Clean.buildLineDfStore(hist, dir)
+      // increment: repeated "fresh" lines within the increment do NOT make
+      // it boilerplate (historical df decides; within-increment repetition
+      // is the batch operator's contract)
+      val inc = docsDf(
+        10L -> "header\nfresh\nfooter",
+        11L -> "fresh\nrare\nonly here",
+        12L -> "header\nfooter")
+      val out = Clean.boilerplateAgainstStore(inc, dir, minDf = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(out(10L).getAs[Int]("n_kept") === 1)
+      assert(out(10L).getAs[String]("clean_md5") === md5("fresh"))
+      // "rare" has historical df 1 < 3 → kept
+      assert(out(11L).getAs[Int]("n_kept") === 3)
+      assert(out(11L).getAs[String]("clean_md5") === md5("fresh\nrare\nonly here"))
+      // all-boilerplate doc survives with the empty digest
+      assert(out(12L).getAs[Int]("n_kept") === 0)
+      assert(out(12L).getAs[String]("clean_md5") === md5(""))
+    } finally graft.ops.Scale.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("line-df store: append over disjoint doc batches equals a from-scratch rebuild; compaction preserves probes") {
+    val dir1 = java.nio.file.Files.createTempDirectory("linedf_a").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("linedf_b").toString
+    try {
+      val day0 = docsDf(1L -> "shared\nalpha", 2L -> "shared\nbeta")
+      val day1 = docsDf(3L -> "shared\ngamma", 4L -> "shared\ndelta\nbeta")
+      Clean.buildLineDfStore(day0, dir1)
+      Clean.appendToLineDfStore(day1, dir1)
+      Clean.buildLineDfStore(day0.unionByName(day1), dir2)
+      val probe = docsDf(20L -> "shared\nbeta\nnovel")
+      // "shared" df 4 ≥ 3 boiler; "beta" df 2 < 3 kept (summed across
+      // append rows in dir1, single rows in dir2)
+      val a = Clean.boilerplateAgainstStore(probe, dir1, minDf = 3).collect().map(_.toSeq)
+      val b = Clean.boilerplateAgainstStore(probe, dir2, minDf = 3).collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq)
+      assert(a.head(2) === 2) // n_kept: beta + novel
+      // compaction collapses per-append rows without changing any probe
+      Clean.compactLineDfStore(spark, dir1)
+      val rows = spark.read.parquet(s"$dir1/linedf")
+      assert(rows.groupBy("h").count().filter(col("count") > 1).count() === 0L,
+        "compaction left duplicate keys")
+      val c = Clean.boilerplateAgainstStore(probe, dir1, minDf = 3).collect().map(_.toSeq)
+      assert(c.toSeq === a.toSeq)
+    } finally {
+      graft.ops.Scale.deleteRecursively(new java.io.File(dir1))
+      graft.ops.Scale.deleteRecursively(new java.io.File(dir2))
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val oldSnap = docsDf(1L -> "same", 2L -> "will change", 3L -> "will vanish")
     val newSnap = docsDf(1L -> "same", 2L -> "did change", 4L -> "brand new")

@@ -701,4 +701,22 @@ class PlanSpec extends AnyFunSuite {
     assert(lineEx.forall(l => !l.contains("hashpartitioning(line#") &&
       !l.contains("hashpartitioning(line,")), s"line text used as a shuffle key\n$p")
   }
+
+  test("stored boilerplate probe reads the line-df store, never the historical documents text") {
+    val p = plan("text_boilerplate_stored")
+    // historical side = the persisted (h, df) index...
+    assert(p.contains("graft_linedf_store"), p)
+    // ...scanning only the 8-byte key + count, never historical line text
+    val storeScan = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("graft_linedf_store")).mkString
+    assert(storeScan.contains("ReadSchema: struct<h:bigint,df:bigint>"),
+      s"store scan should read exactly (h, df)\n$storeScan")
+    // O(increment): no more documents scans than the batch operator's own
+    // lines+rebuild pair needs for the increment slice alone
+    def docScans(q: String) =
+      q.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans(p) <= docScans(plan("text_boilerplate")),
+      s"stored boilerplate probe rescans historical documents\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
