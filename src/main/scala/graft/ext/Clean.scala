@@ -40,7 +40,15 @@ object Clean {
     * double-count each other's spans) and the scrubbed text's md5/length.
     * One narrow codegen'd pass — no shuffle at any scale; at 100 TB this
     * is a pure map over input splits. */
-  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame =
+    piiScrubCols(df, textCol).orderBy("doc_id")
+
+  /** The scrub projection itself, without the oracle-facing output sort —
+    * the SHARED definition of batch [[piiScrub]] and the streaming twin
+    * ([[graft.streaming.DocStreams.piiScrubStream]]): a pure stateless
+    * narrow map, so the same cascaded selects run unchanged on a
+    * streaming DataFrame (sorting is the only batch-ism). */
+  private[graft] def piiScrubCols(df: DataFrame, textCol: String): DataFrame = {
     // each class counts its matches on the PREVIOUS stage's scrubbed text,
     // so no span is attributed to two classes. One select per stage: each
     // intermediate text is referenced more than once downstream, which
@@ -61,7 +69,6 @@ object Clean {
       length(col("t4")).cast("int").as("n_chars_scrubbed"),
       md5(col("t4")).as("scrub_md5"),
       (col("t4") =!= col("t0")).cast("int").as("changed"))
-      .orderBy("doc_id")
   }
 
   /** C4-style line-frequency boilerplate removal: a line occurring in >=
@@ -109,8 +116,7 @@ object Clean {
   private def lineRelation(df: DataFrame, textCol: String): DataFrame =
     df.select(col("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
-      .withColumn("h",
-        expr("CAST(conv(substring(md5(line), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", expr(lineHash60Expr))
 
   /** Line-document-frequency store BUILD — the missing incremental twin
     * of [[boilerplate]] (bands/spans/paragraphs/eval-shingles all had
@@ -238,6 +244,18 @@ object Clean {
       docs: DataFrame,
       minWords: Int = 28, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctRatio: Double = 0.5): DataFrame =
+    gopherQualityCols(docs, minWords, maxWords, minMeanLen, maxMeanLen,
+      minDistinctRatio).orderBy("doc_id")
+
+  /** The rule projection without the oracle-facing output sort — the
+    * SHARED definition of batch [[gopherQuality]] and the streaming twin
+    * ([[graft.streaming.DocStreams.gopherQualityStream]]); stateless
+    * narrow map, identical semantics on a streaming DataFrame. */
+  private[graft] def gopherQualityCols(
+      docs: DataFrame,
+      minWords: Int = 28, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minDistinctRatio: Double = 0.5): DataFrame = {
     // stage 1 materializes the token array ONCE (4 downstream references
     // stop CollapseProject from inlining the split per stat); stage 2
@@ -272,6 +290,11 @@ object Clean {
       col("has_stopword").as("pass_stopword"),
       passDistinct.as("pass_distinct"),
       (passWords * passMean * col("has_stopword") * passDistinct).as("pass_all"))
-      .orderBy("doc_id")
   }
+
+  /** The 60-bit line content key shared by the line-df store lifecycle
+    * and the streaming boilerplate twin — one definition so the two
+    * paths can never disagree on a hash. */
+  private[graft] val lineHash60Expr =
+    "CAST(conv(substring(md5(line), 1, 15), 16, 10) AS BIGINT)"
 }

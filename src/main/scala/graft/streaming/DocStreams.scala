@@ -204,6 +204,77 @@ object DocStreams {
     * 8-byte cursor per source (O(sources), not O(docs) — no timeout
     * needed), executor-partitioned by key. The token count is computed
     * with the same single-space convention as the batch expression. */
+  /** Streaming PII scrub — the per-event twin of
+    * [[graft.ext.Clean.piiScrub]]. Not a reimplementation: it IS the
+    * batch operator's shared projection ([[graft.ext.Clean.piiScrubCols]]),
+    * minus only the oracle-facing output sort, so the two paths share one
+    * semantics by construction. Stateless narrow map — no watermark, no
+    * state, append mode; at any scale this is a pure map over arriving
+    * micro-batches. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.ext.Clean.piiScrubCols(docs, "text")
+
+  /** Streaming Gopher rule filter — the per-event twin of
+    * [[graft.ext.Clean.gopherQuality]], sharing
+    * [[graft.ext.Clean.gopherQualityCols]] the same way: one stateless
+    * projection definition for both engines. */
+  def gopherQualityStream(
+      docs: DataFrame,
+      minWords: Int = 28, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minDistinctRatio: Double = 0.5): DataFrame =
+    graft.ext.Clean.gopherQualityCols(docs, minWords, maxWords, minMeanLen,
+      maxMeanLen, minDistinctRatio)
+
+  /** Streaming boilerplate removal against the PRECOMPUTED line-df store
+    * ([[graft.ext.Clean.buildLineDfStore]]) — the continuous twin of the
+    * batch [[graft.ext.Clean.boilerplateAgainstStore]]: each arriving
+    * document's lines are hashed with the SHARED
+    * [[graft.ext.Clean.lineHash60Expr]], flagged against the store's
+    * historical-df boilerplate set via a stream-static LEFT join, and the
+    * document is reassembled in one windowed aggregation. Emits the batch
+    * twin's exact columns — batch-equal under any micro-batch split
+    * (spec-asserted), since all of a doc's lines explode from its single
+    * arrival row and land in one micro-batch.
+    *
+    * Scale shape: the static boilerplate set is the store aggregated to
+    * keys with summed df >= minDf — tiny by construction (corpus-wide
+    * repeated lines), so it broadcasts and the stream side never
+    * shuffles for the join; re-planned per micro-batch, so a store
+    * append/compaction is picked up on the next batch. Trade-off vs the
+    * batch probe (which sums df only for keys the increment carries):
+    * the static side aggregates the whole store each re-plan — the right
+    * shape for a long-lived stream where the store scan amortizes across
+    * batches; a huge-store, tiny-increment one-shot belongs to the batch
+    * probe. The LEFT join + conditional aggregation keeps all-boilerplate
+    * docs emitting (n_kept = 0, md5 of ""), the batch contract. State is
+    * bounded by in-horizon docs under the watermark. */
+  def boilerplateStream(docs: DataFrame, storeDir: String, minDf: Int,
+                        watermark: String = "1 hour"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would drop every line")
+    val spark = docs.sparkSession
+    val boiler = spark.read.parquet(s"$storeDir/linedf")
+      .groupBy("h").agg(sum("df").as("df_hist"))
+      .filter(col("df_hist") >= minDf)
+      .select(col("h"), lit(1).as("boil"))
+    val lines = docs
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("n_lines", size(split(col("text"), "\n")).cast("int"))
+      .select(col("doc_id"), col("ingest_ts"), col("n_lines"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .withColumn("h", expr(graft.ext.Clean.lineHash60Expr))
+    lines.join(broadcast(boiler), Seq("h"), "left")
+      .groupBy(window(col("ingest_ts"), "10 minutes"),
+        col("doc_id"), col("n_lines"))
+      .agg(
+        sum(when(col("boil").isNull, 1).otherwise(0)).cast("int").as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(CASE WHEN boil IS NULL THEN struct(line_no, line) END)), x -> x.line), '\n'))")
+          .as("clean_md5"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).cast("int").as("n_removed"),
+        col("clean_md5"))
+  }
+
   def packStream(docs: Dataset[DocIn], budget: Int = 256): Dataset[PackOut] = {
     val spark = docs.sparkSession
     import spark.implicits._

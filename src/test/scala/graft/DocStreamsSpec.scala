@@ -225,6 +225,103 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // --- streaming cleaning twins: differential vs batch under random splits ---
+
+  /** Fixture docs with deterministic PII decorations (the registry query's
+    * construction shape, built row-side so stream and batch inputs are
+    * bit-identical). */
+  private def piiRows: Array[DocIn] = {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    docs.orderBy("doc_id").limit(200).collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      val extra = (if (id % 2 == 0) s" contact user$id@mail.example.com" else "") +
+        (if (id % 3 == 0) " call (555) 123-4567" else "") +
+        (if (id % 5 == 0) s" from 10.${id % 256}.0.1" else "") +
+        (if (id % 7 == 0) s" ref ${id * 13 + 1000000}" else "")
+      d(id, 1000L + id, r.getAs[String]("text") + extra)
+    }
+  }
+
+  /** Drive `rows` through `stream` in seeded random micro-batches and
+    * return the distinct output rows of `cols`, doc_id-sorted. */
+  private def runSplits(rows: Array[DocIn], queryName: String, mode: String,
+                        cols: Seq[String])(stream: org.apache.spark.sql.DataFrame
+                          => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocIn]
+    val q = stream(input.toDF()).writeStream
+      .format("memory").queryName(queryName).outputMode(mode).start()
+    try {
+      val rnd = new scala.util.Random(11)
+      var rest = rows.toIndexedSeq
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(math.min(25, rest.size))
+        input.addData(rest.take(n): _*); q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      spark.table(queryName).select(cols.map(col): _*).collect()
+        .map(_.toSeq).distinct.sortBy(_.head.asInstanceOf[Long]).toSeq
+    } finally q.stop()
+  }
+
+  test("streaming PII scrub equals batch piiScrub under random micro-batch splits") {
+    val rows = piiRows
+    val cols = Seq("doc_id", "n_email", "n_phone", "n_ip", "n_id",
+      "n_chars_scrubbed", "scrub_md5", "changed")
+    val streamed = runSplits(rows, "pii_stream_out", "append", cols)(
+      DocStreams.piiScrubStream)
+    val batch = graft.ext.Clean.piiScrub(rows.toSeq.toDF())
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.exists(_(7) === 1) && batch.exists(_(7) === 0),
+      "fixture must mix scrubbed and clean docs")
+  }
+
+  test("streaming Gopher filter equals batch gopherQuality under random micro-batch splits") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val rows = docs.orderBy("doc_id").limit(200).collect().map(r =>
+      d(r.getAs[Long]("doc_id"), 1000L + r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val cols = Seq("doc_id", "n_words", "mean_word_len", "distinct_ratio",
+      "pass_word_count", "pass_mean_len", "pass_stopword", "pass_distinct", "pass_all")
+    val streamed = runSplits(rows, "gopher_stream_out", "append", cols)(
+      df => DocStreams.gopherQualityStream(df))
+    val batch = graft.ext.Clean.gopherQuality(rows.toSeq.toDF())
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.exists(_(8) === 1) && batch.exists(_(8) === 0),
+      "fixture must mix passing and failing docs")
+  }
+
+  test("streaming boilerplate against the line-df store equals the batch probe") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    def lined(id: Long, text: String, lang: String, source: String) =
+      s"nav home about $source\n$text" +
+        (if (id % 4 == 0) "\nsubscribe to the newsletter" else "") +
+        (if (id % 5 == 0) s"\ndoc note $id" else "") +
+        s"\ncopyright $lang all rights reserved"
+    val all = docs.orderBy("doc_id").collect().map { r =>
+      val id = r.getAs[Long]("doc_id")
+      DocIn(id, new Timestamp(1000L + id),
+        lined(id, r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")),
+        r.getAs[String]("lang"), r.getAs[String]("source"))
+    }
+    val histDf = all.filter(_.doc_id % 7 != 0).toSeq.toDF()
+    val incRows = all.filter(_.doc_id % 7 == 0)
+    val store = java.nio.file.Files.createTempDirectory("graft_linedf_stream").toString
+    try {
+      graft.ext.Clean.buildLineDfStore(histDf, store)
+      val cols = Seq("doc_id", "n_lines", "n_kept", "n_removed", "clean_md5")
+      val streamed = runSplits(incRows, "boiler_stream_out", "update", cols)(
+        df => DocStreams.boilerplateStream(df, store, minDf = 10))
+      val batch = graft.ext.Clean.boilerplateAgainstStore(
+        incRows.toSeq.toDF(), store, minDf = 10)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(batch.exists(_(3).asInstanceOf[Int] > 0), "fixture must drop boilerplate lines")
+      assert(batch.exists(_(2).asInstanceOf[Int] > 0), "fixture must keep unique lines")
+    } finally graft.ops.Scale.deleteRecursively(new java.io.File(store))
+  }
+
   test("span store lifecycle: append is O(increment) and probes tolerate duplicate hashes") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val store = java.nio.file.Files.createTempDirectory("graft_span_store_lc").toString
