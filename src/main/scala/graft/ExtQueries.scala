@@ -118,6 +118,12 @@ object ExtQueries {
     "text_langid"      -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     // langid eval: per (actual, predicted) confusion counts + recall
     "text_langid_confusion" -> ((s, dir) => TextAnalysis.langidConfusion(docs(s, dir))),
+    // supervised quality filter: closed-form integer weights over hashed
+    // content+structural presence features, labels = the shipped Gopher
+    // rule, held-out split scored + confusion eval — training replays
+    // exactly in both engines (no iterative optimizer)
+    "text_quality_model"      -> ((s, dir) => TextAnalysis.qualityModel(docs(s, dir))),
+    "text_quality_model_eval" -> ((s, dir) => TextAnalysis.qualityModelEval(docs(s, dir))),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
@@ -554,6 +560,43 @@ object ExtQueries {
   /** The trained-langid scoring CTEs (train/test split, integer bigram
     * weights, per-doc candidate scores ranked to `ranked`) — shared by the
     * text_langid prediction oracle and the text_langid_confusion eval. */
+  /** The trained-quality-model CTEs (Gopher-rule labels, hashed presence
+    * buckets, fixed-point weights, held-out scores `sc`) — shared by the
+    * text_quality_model prediction oracle and its confusion eval. Bins
+    * replay the engine exactly: length(bin(n)) for the word-count log2
+    * bin (integer-exact), floor-of-round-6 doubles for the ratio bins
+    * (both engines compute the identical IEEE value). */
+  private val qualityModelCtes: String =
+    """WITH g AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |  CAST(strlen(replace(text, ' ', '')) AS INT) AS sum_word_len FROM documents),
+      |m AS (SELECT doc_id, w,
+      |  CAST(len(w) AS INT) AS n_words,
+      |  round(sum_word_len / len(w), 6) AS mean_len,
+      |  round(len(list_distinct(w)) / len(w), 6) AS dratio,
+      |  CAST(len(list_filter(w, x -> x = 'a' OR x = 'the')) > 0 AS INT) AS has_stop FROM g),
+      |lab AS (SELECT doc_id,
+      |  CAST(CAST(n_words >= 28 AND n_words <= 100000 AS INT)
+      |    * CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT)
+      |    * has_stop * CAST(dratio >= 0.5 AS INT) AS BIGINT) AS label FROM m),
+      |feat AS (SELECT doc_id, unnest(list_concat(w, [
+      |    '#w' || CAST(length(bin(n_words)) AS VARCHAR),
+      |    '#d' || CAST(CAST(floor(dratio * 10) AS BIGINT) AS VARCHAR),
+      |    '#m' || CAST(CAST(floor(mean_len) AS BIGINT) AS VARCHAR),
+      |    '#s' || CAST(has_stop AS VARCHAR)])) AS tok FROM m),
+      |b AS (SELECT DISTINCT doc_id,
+      |  CAST(list_sum(list_transform(range(0, 4), k ->
+      |    CAST(strpos('0123456789abcdef', substr(md5(tok), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+      |      << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 256 AS dim FROM feat),
+      |cnt AS (SELECT dim, CAST(sum(label) AS BIGINT) AS cp, CAST(sum(1 - label) AS BIGINT) AS cn
+      |        FROM b JOIN lab USING (doc_id) WHERE doc_id % 5 != 0 GROUP BY dim),
+      |tot AS (SELECT CAST(sum(label) AS BIGINT) AS tp, CAST(sum(1 - label) AS BIGINT) AS tn
+      |        FROM lab WHERE doc_id % 5 != 0),
+      |wt AS (SELECT dim, CAST(round(1000 * (1000000.0 * cp / tp - 1000000.0 * cn / tn)
+      |         / (1000000.0 * cp / tp + 1000000.0 * cn / tn + 1)) AS BIGINT) AS wt
+      |       FROM cnt CROSS JOIN tot),
+      |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM b JOIN wt USING (dim)
+      |       WHERE doc_id % 5 = 0 GROUP BY doc_id)""".stripMargin
+
   private val langidCtes: String =
     """WITH bg AS (
       |  SELECT doc_id, lang,
@@ -927,6 +970,28 @@ object ExtQueries {
         |t AS (SELECT actual, count(*) AS n_actual FROM pred GROUP BY 1)
         |SELECT n.actual AS actual, pred_lang, n, n_actual, round(n / n_actual, 6) AS recall
         |FROM n JOIN t USING (actual) ORDER BY actual, pred_lang""".stripMargin,
+
+    // closed-form training replay: Gopher-rule labels, hashed presence
+    // features (content unigrams + 4 binned structural tokens — the #w
+    // bin via length(bin()) is integer-exact, no IEEE log at a boundary),
+    // langid's fixed-point weight formula over class doc-presence rates,
+    // score = sum of distinct-bucket weights
+    "text_quality_model" ->
+      s"""$qualityModelCtes
+        |SELECT sc.doc_id AS doc_id, lab.label, sc.score,
+        |       CAST(sc.score > 0 AS BIGINT) AS pred,
+        |       CAST((sc.score > 0) = (lab.label = 1) AS BIGINT) AS correct
+        |FROM sc JOIN lab ON sc.doc_id = lab.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality_model_eval" ->
+      s"""$qualityModelCtes,
+        |p AS (SELECT lab.label AS label, CAST(sc.score > 0 AS BIGINT) AS pred
+        |      FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+        |n AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM p GROUP BY 1)
+        |SELECT n.label AS label, n.pred, n.n, t.n_label, round(n.n / t.n_label, 6) AS rate
+        |FROM n JOIN t USING (label) ORDER BY label, pred""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars, n_copies FROM (
@@ -3324,5 +3389,5 @@ object ExtQueries {
     "embedding_classifier_eval", "events_cooccurrence_capped",
     "pipeline_pii_scrub", "text_boilerplate", "text_gopher_quality",
     "pipeline_decontaminate_stored", "pipeline_snapshot_diff",
-    "text_boilerplate_stored")
+    "text_boilerplate_stored", "text_quality_model")
 }

@@ -567,6 +567,45 @@ class ExtTextSpec extends AnyFunSuite {
     assert(out(0L).map(r => math.abs(r._2)).sum <= 4L)
   }
 
+  test("qualityModel learns the deployed Gopher gate on the held-out fixture split") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val preds = TextAnalysis.qualityModel(docs).collect()
+    assert(preds.nonEmpty)
+    // every test doc (doc_id % 5 == 0) is scored exactly once
+    assert(preds.map(_.getAs[Long]("doc_id")).distinct.length === preds.length)
+    assert(preds.forall(_.getAs[Long]("doc_id") % 5 === 0))
+    // the model must beat the majority-class baseline on its own labels —
+    // a degenerate always-one-class model fails this
+    val n = preds.length.toDouble
+    val acc = preds.count(_.getAs[Long]("correct") === 1L) / n
+    val majority = math.max(preds.count(_.getAs[Long]("label") === 1L),
+      preds.count(_.getAs[Long]("label") === 0L)) / n
+    assert(acc > majority, s"acc $acc <= majority $majority")
+    assert(preds.map(_.getAs[Long]("pred")).distinct.length === 2,
+      "degenerate single-class predictions")
+    // eval is the exact fold of the prediction rows
+    val eval = TextAnalysis.qualityModelEval(docs).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("pred")) -> r.getAs[Long]("n")).toMap
+    val ref = preds.groupBy(r => (r.getAs[Long]("label"), r.getAs[Long]("pred")))
+      .view.mapValues(_.length.toLong).toMap
+    assert(eval === ref)
+  }
+
+  test("qualityModel: a corpus whose quality is decided by repetition is learned from the labels") {
+    // pass docs: 30+ distinct words incl. stopwords; fail docs: heavy
+    // repetition (distinct ratio < 0.5). Train ids avoid % 5 == 0.
+    val rich = (1 to 35).map(i => s"word$i").mkString(" ") + " the a"
+    val spammy = ("dup " * 37).trim + " the a"
+    val rows = (1L to 60L).map(id => id -> (if (id % 2 == 0) rich else spammy))
+    val preds = TextAnalysis.qualityModel(docsDf(rows: _*)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pred")).toMap
+    // held-out docs 5,10,...,60: even ids must predict pass, odd fail
+    assert(preds.nonEmpty)
+    preds.foreach { case (id, p) =>
+      assert(p === (if (id % 2 == 0) 1L else 0L), s"doc $id predicted $p")
+    }
+  }
+
   test("bpeEncode applies learned merges greedily in rank order") {
     // pairs: (a,b) n=3 → rank 1; (b,c) n=2 and (c,a) n=2 tie → lhs order
     // puts (b,c) at rank 2. Encoding with topK=2:

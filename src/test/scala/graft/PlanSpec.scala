@@ -702,6 +702,18 @@ class PlanSpec extends AnyFunSuite {
       !l.contains("hashpartitioning(line,")), s"line text used as a shuffle key\n$p")
   }
 
+  test("quality model: bounded weight table broadcasts to the scoring join") {
+    val p = plan("text_quality_model")
+    // the <= dim-row weight relation must broadcast — the test corpus
+    // never shuffles to meet it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the 1-row class-totals broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    // training counts map-side combine before the bucket shuffle
+    assert(p.contains("partial_"), p)
+  }
+
   test("stored boilerplate probe reads the line-df store, never the historical documents text") {
     val p = plan("text_boilerplate_stored")
     // historical side = the persisted (h, df) index...
