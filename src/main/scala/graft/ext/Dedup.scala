@@ -503,38 +503,56 @@ object Dedup {
     * (spec-asserted: chain fixture equal labels, far fewer rounds). */
   private[graft] def clustersWithRounds(pairs: DataFrame,
                                         shortcut: Boolean = true): (DataFrame, Int) = {
-    // checkpoint the edge list ONCE: the loops below re-read it, and
-    // without truncation each pass would re-execute the whole upstream
-    // pair-generation DAG (for minhashClusters: the full LSH pipeline)
-    val edges = pairs.select(col("a").as("id"), col("b").as("nbr"))
-      .unionAll(pairs.select(col("b").as("id"), col("a").as("nbr")))
-      .localCheckpoint()
-    val init = edges
-      .select(col("id"), least(col("id"), col("nbr")).as("label"))
+    // checkpoint the PAIR list ONCE — not the 2× symmetrized edge list:
+    // every consumer below (init's per-node min, the contraction pass)
+    // needs exactly one scan of the pair relation, and on a clique-dense
+    // near-dup graph the pairs ARE the big thing (the sf10 soak fixture's
+    // keepers closure reads 44.7M of them). Materializing the symmetrized
+    // form doubled the cached bytes past driver storage and thrashed the
+    // MemoryStore (r9: 38.8 s keepers of which the pair stage was 12.5 s);
+    // serialized storage keeps the working set compact — UnsafeRow pairs
+    // are ~30 bytes — and the both-direction view is derived per consumer
+    // with a map-side explode, which shuffles nothing extra. Without the
+    // checkpoint each consumer would re-execute the whole upstream
+    // pair-generation DAG (for minhashClusters: the full LSH pipeline).
+    val p = pairs.select(col("a"), col("b"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // per-node min-neighbor label in ONE scan of p: both directions
+    // explode map-side and partial-min before the exchange, so the
+    // shuffle carries ~node-count rows, never 2× pairs
+    val init = p.select(explode(array(
+        struct(col("a").as("id"), col("b").as("nbr")),
+        struct(col("b").as("id"), col("a").as("nbr")))).as("e"))
+      .select(col("e.id").as("id"), least(col("e.id"), col("e.nbr")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint()
     if (!shortcut) {
       // plain one-hop propagation, kept as the reference the shortcut
       // path is spec'd against (same unique fixpoint, ~diameter rounds)
+      val edges = p.select(col("a").as("id"), col("b").as("nbr"))
+        .unionAll(p.select(col("b").as("id"), col("a").as("nbr")))
       val (labels, rounds) = propagateLoop(edges, init, shortcut = false)
       return (labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id"), rounds)
     }
     // CONTRACT FIRST, then iterate on the contracted graph: the raw pair
     // relation of a near-dup corpus is clique-dense (a k-clone family is
-    // k²/2 pairs), so a single pass that maps every edge through the
+    // k²/2 pairs), so a single pass that maps every pair through the
     // min-neighbor labels and distincts the surviving label pairs
     // collapses cliques to NOTHING — the r8 sf10 pruned-keepers relation
     // (44.7M edges over √n tight clusters) contracts to ~0 rows, and the
     // pointer-doubling rounds then run on the contracted remainder
-    // instead of re-joining 2×44.7M rows every round. Both endpoint
-    // lookups are broadcast joins against the small per-node label table,
-    // pipelined in one scan of the edge list; chains and other
+    // instead of re-joining 2×44.7M rows every round. Label pairs are
+    // unordered, so contracting the pair relation directly yields the
+    // same graph as contracting the symmetrized edges at half the scan;
+    // both endpoint lookups are broadcast joins against the small
+    // per-node label table, pipelined in one scan of p. Chains and other
     // sparse shapes survive contraction near-unchanged and pay one extra
     // pass, which the per-round savings repay immediately.
-    val contracted = edges.join(init, "id")
-      .select(col("label").as("ca"), col("nbr").as("id"))
-      .join(init.withColumnRenamed("label", "cb"), "id")
+    val contracted = p
+      .join(init.select(col("id").as("a"), col("label").as("ca")), "a")
+      .join(init.select(col("id").as("b"), col("label").as("cb")), "b")
       .filter(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("a"),
         greatest(col("ca"), col("cb")).as("b"))
