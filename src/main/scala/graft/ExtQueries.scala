@@ -124,6 +124,9 @@ object ExtQueries {
     // exactly in both engines (no iterative optimizer)
     "text_quality_model"      -> ((s, dir) => TextAnalysis.qualityModel(docs(s, dir))),
     "text_quality_model_eval" -> ((s, dir) => TextAnalysis.qualityModelEval(docs(s, dir))),
+    // the DEPLOYABLE filter: score EVERY doc with the train-fold weights
+    // (labels parameterizable — default is the shipped Gopher gate)
+    "text_quality_score"      -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
@@ -594,7 +597,8 @@ object ExtQueries {
       |wt AS (SELECT dim, CAST(round(1000 * (1000000.0 * cp / tp - 1000000.0 * cn / tn)
       |         / (1000000.0 * cp / tp + 1000000.0 * cn / tn + 1)) AS BIGINT) AS wt
       |       FROM cnt CROSS JOIN tot),
-      |sc AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM b JOIN wt USING (dim)
+      |sc AS (SELECT doc_id, CAST(coalesce(sum(wt), 0) AS BIGINT) AS score
+      |       FROM b LEFT JOIN wt USING (dim)
       |       WHERE doc_id % 5 = 0 GROUP BY doc_id)""".stripMargin
 
   private val langidCtes: String =
@@ -992,6 +996,16 @@ object ExtQueries {
         |t AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label FROM p GROUP BY 1)
         |SELECT n.label AS label, n.pred, n.n, t.n_label, round(n.n / t.n_label, 6) AS rate
         |FROM n JOIN t USING (label) ORDER BY label, pred""".stripMargin,
+
+    // corpus-wide scoring with the SAME train-fold weights: every doc
+    // (train fold included, flagged) gets a score — the deployable filter
+    "text_quality_score" ->
+      s"""$qualityModelCtes,
+        |sca AS (SELECT doc_id, CAST(coalesce(sum(wt), 0) AS BIGINT) AS score
+        |        FROM b LEFT JOIN wt USING (dim) GROUP BY doc_id)
+        |SELECT doc_id, score, CAST(score > 0 AS BIGINT) AS pred,
+        |       CAST(doc_id % 5 != 0 AS BIGINT) AS in_train
+        |FROM sca ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars, n_copies FROM (
@@ -3346,48 +3360,12 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin
   )
 
-  def benchQueries: Seq[String] = Seq(
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "dedup_simhash_pairs", "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "dedup_source_overlap", "dedup_clusters",
-    "events_sessionize", "events_session_window", "text_langid", "text_df_index",
-    "events_tumbling", "events_funnel", "events_retention", "events_anomaly",
-    "text_chunk", "multimodal_frames", "pipeline_filter_dedup",
-    "text_repetition", "pipeline_decontaminate", "pipeline_pack",
-    "embedding_kmeans", "text_winnow_pairs", "embedding_cluster_sample",
-    "text_compress_ratio", "pipeline_quality_prune", "pipeline_corpus_stats",
-    "events_top_users", "events_funnel_steps", "dedup_incremental",
-    "text_search", "pipeline_corpus_build",
-    "dedup_incremental_stored", "embedding_kmeans_run", "pipeline_mixture",
-    "text_source_drift", "pipeline_ann_trained", "pipeline_pack_sharded",
-    "text_normalize", "text_vocab", "pipeline_mixture_sampled",
-    "dedup_embedding_keepers", "text_novelty",
-    "events_attribution", "events_paths", "multimodal_dedup",
-    "text_unigram_ce", "pipeline_curriculum", "events_key_skew",
-    "pipeline_near_dedup", "events_value_stats", "embedding_outliers",
-    "similarity_pq", "similarity_ivfpq", "pipeline_hybrid_search",
-    "similarity_sq", "graph_triangles", "events_transitions",
-    "text_bigram_ce", "pipeline_epoch_shuffle", "events_dau_wau",
-    "events_cooccurrence", "events_conversion_lag", "text_bpe_merges",
-    "text_langid_confusion", "events_user_concentration", "graph_degree_hist",
-    "pipeline_quality_budget", "text_next_token", "graph_pagerank",
-    "events_rolling_active", "dedup_containment",
-    "pipeline_cluster_split", "similarity_hard_negatives",
-    "similarity_recall_eval", "text_tfidf_terms", "dedup_simhash_eval",
-    "events_ab_lift", "graph_triangles_capped", "dedup_spans",
-    "pipeline_source_temperature", "text_zipf", "dedup_span_overlap",
-    "pipeline_pack_stats", "embedding_geometry",
-    "dedup_embedding_cosine_pruned", "dedup_embedding_keepers_pruned",
-    "similarity_ivfpq_trained", "graph_pagerank_capped",
-    "graph_degree_hist_capped", "dedup_spans_stored", "similarity_knn_graph",
-    "similarity_knn_graph_capped", "pipeline_span_clean", "similarity_knn_recall",
-    "events_asof_join", "events_range_join", "dedup_paragraphs", "text_bm25",
-    "graph_components", "text_feature_hash", "multimodal_near_dedup",
-    "pipeline_dataset_card", "text_bpe_encode", "similarity_range_search",
-    "events_status_history", "pipeline_interleave", "text_vocab_coverage",
-    "events_forecast_eval", "dedup_paragraphs_stored",
-    "embedding_classifier_eval", "events_cooccurrence_capped",
-    "pipeline_pii_scrub", "text_boilerplate", "text_gopher_quality",
-    "pipeline_decontaminate_stored", "pipeline_snapshot_diff",
-    "text_boilerplate_stored", "text_quality_model")
+  /** Bench-set policy (SparkEntry quotes it): EVERY ext query benches —
+    * each one is data-shaped (a scan/shuffle/join over the fixture
+    * tables), so there is nothing to exclude; the parity module instead
+    * benches its shuffle/join representatives and leaves out its
+    * metadata-only ops (DDL/schema/template strings). Derived from the
+    * registry, not hand-listed, so a newly registered query can never be
+    * silently unbenched. */
+  def benchQueries: Seq[String] = queries.keys.toSeq.sorted
 }

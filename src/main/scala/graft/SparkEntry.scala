@@ -29,8 +29,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracles ++ ExtQueries.oracles
 
-  /** Headline queries for the benchmark (graft.Bench): the shuffle/join/
-    * scan-heavy representatives, not the metadata ops. */
+  /** Headline queries for the benchmark (graft.Bench). Policy: every
+    * ExtQueries entry benches (all are data-shaped — derived from the
+    * registry in ExtQueries.benchQueries, so nothing can be silently
+    * unbenched); the parity surface benches its shuffle/join/scan
+    * representatives below and excludes only metadata-shaped ops
+    * (DDL/schema/template generation, which produce strings, not data
+    * plans). */
   def benchQueries: Seq[String] = Seq(
     "extract_shape_lineitem", "soql_groupby_agg", "soql_having",
     "soql_orderby_limit", "soql_rollup", "soql_count_distinct",

@@ -257,39 +257,56 @@ object Clean {
       minWords: Int = 28, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minDistinctRatio: Double = 0.5): DataFrame = {
-    // stage 1 materializes the token array ONCE (4 downstream references
-    // stop CollapseProject from inlining the split per stat); stage 2
-    // reduces it to integer signals; stage 3 is cheap integer/double math.
-    // A flat single projection re-splits the text per output column — it
-    // measured 3x this formulation at 500k docs.
-    val toks = docs.select(
-      col("doc_id"),
-      split(col("text"), " ").as("w"),
-      expr("CAST(length(replace(text, ' ', '')) AS INT)").as("sum_word_len"))
-    val sig = toks.select(
-      col("doc_id"),
-      size(col("w")).cast("int").as("n_words"),
-      col("sum_word_len"),
-      expr("CAST(array_max(transform(w, x -> length(x))) AS INT)").as("max_word_len"),
-      size(array_distinct(col("w"))).cast("int").as("n_distinct"),
-      exists(col("w"), t => t === "a" || t === "the").cast("int").as("has_stopword"))
+    val sig = gopherSignalCols(docs)
     val nWords = col("n_words")
-    val meanLen = round(col("sum_word_len").cast("double") / nWords, 6)
-    val distinctRatio = round(col("n_distinct").cast("double") / nWords, 6)
     val passWords = (nWords >= minWords && nWords <= maxWords).cast("int")
-    val passMean = (meanLen >= minMeanLen && meanLen <= maxMeanLen).cast("int")
-    val passDistinct = (distinctRatio >= minDistinctRatio).cast("int")
+    val passMean = (col("mean_word_len") >= minMeanLen &&
+      col("mean_word_len") <= maxMeanLen).cast("int")
+    val passDistinct = (col("distinct_ratio") >= minDistinctRatio).cast("int")
     sig.select(
       col("doc_id"), nWords, col("sum_word_len"), col("max_word_len"),
-      meanLen.as("mean_word_len"),
+      col("mean_word_len"),
       col("n_distinct"),
-      distinctRatio.as("distinct_ratio"),
+      col("distinct_ratio"),
       col("has_stopword"),
       passWords.as("pass_word_count"),
       passMean.as("pass_mean_len"),
       col("has_stopword").as("pass_stopword"),
       passDistinct.as("pass_distinct"),
       (passWords * passMean * col("has_stopword") * passDistinct).as("pass_all"))
+  }
+
+  /** The raw lexical-signal projection under [[gopherQualityCols]],
+    * KEEPING the token array `w` — the one definition of the Gopher
+    * signals shared by the rule gate, the trained quality model's
+    * structural features ([[graft.ext.TextAnalysis.qualityFeatures]]),
+    * and the streaming scorer's row-local twin (content tokens explode
+    * from the same `w`, so features and signals come from ONE text scan).
+    * Stage 1 materializes the token array ONCE (4 downstream references
+    * stop CollapseProject from inlining the split per stat); stage 2
+    * reduces it to integer signals; stage 3 is cheap integer/double math.
+    * A flat single projection re-splits the text per output column — it
+    * measured 3x this formulation at 500k docs. Callers that don't select
+    * `w` lose nothing: column pruning drops it from the scan. */
+  private[graft] def gopherSignalCols(docs: DataFrame,
+                                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      split(col(textCol), " ").as("w"),
+      expr(s"CAST(length(replace($textCol, ' ', '')) AS INT)").as("sum_word_len"))
+    val sig = toks.select(
+      col("doc_id"), col("w"),
+      size(col("w")).cast("int").as("n_words"),
+      col("sum_word_len"),
+      expr("CAST(array_max(transform(w, x -> length(x))) AS INT)").as("max_word_len"),
+      size(array_distinct(col("w"))).cast("int").as("n_distinct"),
+      exists(col("w"), t => t === "a" || t === "the").cast("int").as("has_stopword"))
+    sig.select(
+      col("doc_id"), col("w"), col("n_words"), col("sum_word_len"),
+      col("max_word_len"), col("n_distinct"),
+      round(col("sum_word_len").cast("double") / col("n_words"), 6).as("mean_word_len"),
+      round(col("n_distinct").cast("double") / col("n_words"), 6).as("distinct_ratio"),
+      col("has_stopword"))
   }
 
   /** The 60-bit line content key shared by the line-df store lifecycle

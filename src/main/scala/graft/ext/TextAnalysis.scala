@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1017,50 +1017,155 @@ object TextAnalysis {
     * weight with the same fixed-point formula — no iterative optimizer,
     * so both engines replay training EXACTLY (the held-out confusion
     * hash-matches, not just approximately). Score = Σ weights of the
-    * doc's distinct buckets (unseen buckets contribute 0 via the inner
-    * join); predict pass when score > 0. On the sf0.01 fixture the
-    * held-out accuracy is 94% vs the 76% majority baseline.
+    * doc's distinct buckets (unseen buckets contribute 0 via the LEFT
+    * join's coalesce, so a doc whose every bucket is unseen still scores
+    * — 0, the score<=0 fail class — instead of silently vanishing);
+    * predict pass when score > 0. On the sf0.01 fixture the held-out
+    * accuracy is 94% vs the 76% majority baseline.
     *
     * Scale shape: one (doc, bucket) distinct + one (bucket) partial-agg
     * shuffle for training; the weight table is ≤ dim rows → broadcast to
-    * the test-side scoring join; class totals are a 1-row broadcast.
-    * The kmeansRun discipline: bounded relations fold driver-side only
-    * implicitly through broadcast — no collect at all here. */
+    * the scoring join; class totals are a 1-row broadcast. The kmeansRun
+    * discipline: bounded relations fold driver-side only implicitly
+    * through broadcast — no collect at all here.
+    *
+    * The pieces are exposed separately — [[qualityFeatures]] /
+    * [[qualityTrain]] / [[qualityScoreWith]] — so the same model trains
+    * on ANY (doc_id, label) relation (real labeled data, not just the
+    * Gopher gate) and scores ANY corpus; [[qualityScore]] is the
+    * assembled corpus-wide deployable filter. */
   def qualityModel(docs: DataFrame, dim: Int = 256): DataFrame = {
-    require(dim >= 2)
-    val q = graft.ext.Clean.gopherQualityCols(docs)
-    val lab = q.select(col("doc_id"), col("pass_all").cast("long").as("label"))
-    val structToks = q.select(col("doc_id"), explode(array(
-      concat(lit("#w"), length(expr("bin(CAST(n_words AS BIGINT))")).cast("string")),
-      concat(lit("#d"), floor(col("distinct_ratio") * 10).cast("string")),
-      concat(lit("#m"), floor(col("mean_word_len")).cast("string")),
-      concat(lit("#s"), col("has_stopword").cast("string")))).as("tok"))
-    val contentToks = Dedup.spread(docs)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val buckets = contentToks.unionByName(structToks)
-      .select(col("doc_id"),
-        expr(s"CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % $dim").as("dim"))
-      .distinct()
-    val train = buckets.join(lab, "doc_id").filter(col("doc_id") % 5 =!= 0)
-    val cnt = train.groupBy("dim").agg(
-      sum("label").cast("long").as("cp"),
-      sum(expr("1 - label")).cast("long").as("cn"))
-    val tot = lab.filter(col("doc_id") % 5 =!= 0).agg(
-      sum("label").cast("long").as("tp"),
-      sum(expr("1 - label")).cast("long").as("tn"))
-    val weights = cnt.crossJoin(broadcast(tot)).select(col("dim"),
-      expr("""CAST(round(1000 * (1000000.0 * cp / tp - 1000000.0 * cn / tn)
-             |  / (1000000.0 * cp / tp + 1000000.0 * cn / tn + 1)) AS BIGINT)""".stripMargin)
-        .as("wt"))
-    buckets.filter(col("doc_id") % 5 === 0)
-      .join(broadcast(weights), "dim")
-      .groupBy("doc_id").agg(sum("wt").cast("long").as("score"))
+    val lab = gopherLabels(docs)
+    val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
+    qualityScoreWith(docs.filter(col("doc_id") % 5 === 0), weights, dim)
       .join(lab, "doc_id")
-      .select(col("doc_id"), col("label"), col("score"),
-        (col("score") > 0).cast("long").as("pred"))
+      .select(col("doc_id"), col("label"), col("score"), col("pred"))
       .withColumn("correct",
         (col("pred") === col("label")).cast("long"))
       .orderBy("doc_id")
+  }
+
+  /** (doc_id, label) from the SHIPPED Gopher gate
+    * ([[graft.ext.Clean.gopherQualityCols]] pass_all) — the default label
+    * source for [[qualityTrain]]; one definition, so the model provably
+    * learns the deployed rule. */
+  def gopherLabels(docs: DataFrame): DataFrame =
+    graft.ext.Clean.gopherQualityCols(docs)
+      .select(col("doc_id"), col("pass_all").cast("long").as("label"))
+
+  /** The hashed PRESENCE-feature relation (doc_id, dim): content unigrams
+    * ∪ the four binned structural tokens, each md5-hex4 bucketed mod
+    * `dim`, distinct per doc. One text scan: content tokens and the
+    * structural signals both come from [[graft.ext.Clean.gopherSignalCols]]'
+    * shared token array. */
+  private[graft] def qualityFeatures(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2)
+    graft.ext.Clean.gopherSignalCols(Dedup.spread(docs))
+      .select(col("doc_id"),
+        explode(concat(col("w"), qualityStructToks)).as("tok"))
+      .select(col("doc_id"), qualityBucket(col("tok"), dim).as("dim"))
+      .distinct()
+  }
+
+  /** The four binned structural feature tokens over gopher-signal columns
+    * (#w word-count log2 bin via `length(bin())` — integer-exact; #d
+    * distinct-ratio decile; #m mean-word-length floor; #s stopword flag). */
+  private def qualityStructToks: Column = array(
+    concat(lit("#w"), length(expr("bin(CAST(n_words AS BIGINT))")).cast("string")),
+    concat(lit("#d"), floor(col("distinct_ratio") * 10).cast("string")),
+    concat(lit("#m"), floor(col("mean_word_len")).cast("string")),
+    concat(lit("#s"), col("has_stopword").cast("string")))
+
+  /** md5-hex4 hashing-trick bucket of a token, mod `dim` — the ONE bucket
+    * definition shared by batch features and the folded-weights streaming
+    * scorer. */
+  private[graft] def qualityBucket(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % dim
+
+  /** Closed-form training over ANY (doc_id, label ∈ {0,1}) relation —
+    * pass real labeled data here, or [[gopherLabels]] (what
+    * [[qualityModel]]/[[qualityScore]] do) to learn the deployed rule
+    * gate. Returns the ≤`dim`-row integer weight relation (dim, wt). Only
+    * docs present in `labels` train (inner join), so fold selection is
+    * caller-side label filtering. */
+  def qualityTrain(docs: DataFrame, labels: DataFrame, dim: Int = 256): DataFrame = {
+    require(dim >= 2)
+    val lab = labels.select(col("doc_id"), col("label").cast("long").as("label"))
+    val train = qualityFeatures(docs, dim).join(lab, "doc_id")
+    val cnt = train.groupBy("dim").agg(
+      sum("label").cast("long").as("cp"),
+      sum(expr("1 - label")).cast("long").as("cn"))
+    val tot = lab.agg(
+      sum("label").cast("long").as("tp"),
+      sum(expr("1 - label")).cast("long").as("tn"))
+    cnt.crossJoin(broadcast(tot)).select(col("dim"),
+      expr("""CAST(round(1000 * (1000000.0 * cp / tp - 1000000.0 * cn / tn)
+             |  / (1000000.0 * cp / tp + 1000000.0 * cn / tn + 1)) AS BIGINT)""".stripMargin)
+        .as("wt"))
+  }
+
+  /** Score docs against a trained weight relation: per-doc Σ of distinct-
+    * bucket weights via a broadcast LEFT join (all-unseen docs score 0 —
+    * the fail class — instead of dropping), pred = score > 0. No output
+    * sort: this is the production projection; oracle-facing callers add
+    * their own. */
+  def qualityScoreWith(docs: DataFrame, weights: DataFrame,
+                       dim: Int = 256): DataFrame =
+    qualityFeatures(docs, dim)
+      .join(broadcast(weights), Seq("dim"), "left")
+      .groupBy("doc_id").agg(
+        coalesce(sum("wt"), lit(0L)).cast("long").as("score"))
+      .withColumn("pred", (col("score") > 0).cast("long"))
+
+  /** The DEPLOYABLE corpus-wide quality filter — what a pipeline actually
+    * runs: train on the doc_id % 5 != 0 fold of the label relation
+    * (default [[gopherLabels]]; pass real labels to train the same model
+    * on ground truth), then score EVERY document with the trained
+    * weights. `in_train` flags the fold a doc was trained on, so
+    * downstream evals can exclude it. Same scale shape as
+    * [[qualityModel]], with the scoring join now over the full corpus —
+    * still one broadcast join + one partial-agg shuffle. */
+  def qualityScore(docs: DataFrame, dim: Int = 256,
+                   labels: Option[DataFrame] = None): DataFrame = {
+    val lab = labels.getOrElse(gopherLabels(docs))
+    val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
+    qualityScoreWith(docs, weights, dim)
+      .withColumn("in_train", (col("doc_id") % 5 =!= 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Fold a trained weight relation to a driver map — bounded by
+    * construction (≤ dim rows; the trained-quantizer literal-fold
+    * discipline), for the streaming scorer's per-row map lookup. */
+  def foldQualityWeights(weights: DataFrame): Map[Long, Long] =
+    weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The stateless row-local scoring projection over FOLDED weights — the
+    * streaming twin's engine ([[graft.streaming.DocStreams.qualityScoreStream]]):
+    * the per-doc distinct bucket set is computed INSIDE the row
+    * (array_distinct over the same shared token array + [[qualityBucket]]
+    * formula), scored by one aggregate() over the weight-map literal — no
+    * explode, no shuffle, no state; model parameters travel with the
+    * query, the standard serving shape. Differentially spec'd equal to
+    * the batch [[qualityScoreWith]] join path. */
+  private[graft] def qualityScoreCols(docs: DataFrame,
+                                      weights: Map[Long, Long],
+                                      dim: Int): DataFrame = {
+    require(dim >= 2)
+    val scoreCol =
+      if (weights.isEmpty) lit(0L)
+      else {
+        val wmap = map(weights.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        aggregate(
+          array_distinct(transform(concat(col("w"), qualityStructToks),
+            t => qualityBucket(t, dim))),
+          lit(0L),
+          (acc, d) => acc + coalesce(element_at(wmap, d), lit(0L)))
+      }
+    graft.ext.Clean.gopherSignalCols(docs)
+      .select(col("doc_id"), scoreCol.as("score"))
+      .withColumn("pred", (col("score") > 0).cast("long"))
   }
 
   /** Confusion-matrix eval for [[qualityModel]] — the [[langidConfusion]]

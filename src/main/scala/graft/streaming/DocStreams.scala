@@ -226,6 +226,22 @@ object DocStreams {
     graft.ext.Clean.gopherQualityCols(docs, minWords, maxWords, minMeanLen,
       maxMeanLen, minDistinctRatio)
 
+  /** Streaming trained-quality scorer — the serving twin of the batch
+    * corpus-wide filter [[graft.ext.TextAnalysis.qualityScore]]: weights
+    * are trained in batch ([[graft.ext.TextAnalysis.qualityTrain]]) and
+    * folded to a ≤dim-entry literal map
+    * ([[graft.ext.TextAnalysis.foldQualityWeights]] — the
+    * trained-quantizer bounded-fold discipline), so scoring each arriving
+    * document is a pure stateless row-local projection (the shared
+    * [[graft.ext.TextAnalysis.qualityScoreCols]]): no explode, no
+    * shuffle, no state, append mode — model parameters travel with the
+    * query, the standard model-serving shape. Differentially spec'd
+    * equal to the batch broadcast-join scorer under random micro-batch
+    * splits. */
+  def qualityScoreStream(docs: DataFrame, weights: Map[Long, Long],
+                         dim: Int = 256): DataFrame =
+    graft.ext.TextAnalysis.qualityScoreCols(docs, weights, dim)
+
   /** Streaming boilerplate removal against the PRECOMPUTED line-df store
     * ([[graft.ext.Clean.buildLineDfStore]]) — the continuous twin of the
     * batch [[graft.ext.Clean.boilerplateAgainstStore]]: each arriving

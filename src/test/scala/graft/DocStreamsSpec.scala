@@ -292,6 +292,29 @@ class DocStreamsSpec extends AnyFunSuite {
       "fixture must mix passing and failing docs")
   }
 
+  test("streaming quality scorer equals the batch broadcast-join scorer under random micro-batch splits") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // train in batch on the %5 != 0 fold of the Gopher labels (exactly
+    // what the deployable batch qualityScore does), then fold the
+    // bounded weight relation for serving
+    val weights = TextAnalysis.qualityTrain(docs,
+      TextAnalysis.gopherLabels(docs).filter(col("doc_id") % 5 =!= 0))
+    val folded = TextAnalysis.foldQualityWeights(weights)
+    assert(folded.nonEmpty && folded.size <= 256)
+    val rows = docs.orderBy("doc_id").limit(200).collect().map(r =>
+      d(r.getAs[Long]("doc_id"), 1000L + r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val cols = Seq("doc_id", "score", "pred")
+    val streamed = runSplits(rows, "quality_score_stream_out", "append", cols)(
+      df => DocStreams.qualityScoreStream(df, folded))
+    // batch side is the JOIN-based scorer — two independent
+    // implementations of the one scoring definition must agree exactly
+    val batch = TextAnalysis.qualityScoreWith(rows.toSeq.toDF(), weights)
+      .orderBy("doc_id").select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.exists(_(2) === 1L) && batch.exists(_(2) === 0L),
+      "fixture must mix passing and failing predictions")
+  }
+
   test("streaming boilerplate against the line-df store equals the batch probe") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     def lined(id: Long, text: String, lang: String, source: String) =

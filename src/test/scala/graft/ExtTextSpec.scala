@@ -606,6 +606,70 @@ class ExtTextSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityScore scores EVERY doc corpus-wide and agrees with the held-out model rows") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val scored = TextAnalysis.qualityScore(docs).collect()
+    assert(scored.length.toLong === docs.count(),
+      "the deployable filter must emit one row per document")
+    scored.foreach(r => assert(r.getAs[Long]("in_train") ===
+      (if (r.getAs[Long]("doc_id") % 5 != 0) 1L else 0L)))
+    // the held-out slice must carry the exact scores qualityModel reports
+    // (same weights, same scoring join)
+    val heldOut = scored.filter(_.getAs[Long]("in_train") === 0L)
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("score"), r.getAs[Long]("pred")))
+      .toMap
+    val model = TextAnalysis.qualityModel(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("score"), r.getAs[Long]("pred")))
+      .toMap
+    assert(heldOut === model)
+  }
+
+  test("qualityTrain learns EXTERNAL labels, not just the Gopher rule") {
+    // label = carries the zzmarker token (a rule the Gopher gate cannot
+    // express); n_words equal across classes so structural bins are
+    // neutral, and each doc carries a held-out-unseen unique token to
+    // exercise the left-join's contribute-0 path
+    val shared = (1 to 30).map(i => s"word$i").mkString(" ")
+    val rows = (1L to 60L).map(id =>
+      id -> s"uniq$id $shared ${if (id % 2 == 0) "zzmarker" else "zzfiller"}")
+    val docs = docsDf(rows: _*)
+    val labels = (1L to 60L).map(id => (id, if (id % 2 == 0) 1L else 0L))
+      .toDF("doc_id", "label")
+    val w = TextAnalysis.qualityTrain(docs, labels.filter(col("doc_id") % 5 =!= 0))
+    val preds = TextAnalysis.qualityScoreWith(docs, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pred")).toMap
+    assert(preds.size === 60, "every doc must score, trained or not")
+    (1L to 60L).filter(_ % 5 == 0).foreach { id =>
+      assert(preds(id) === (if (id % 2 == 0) 1L else 0L),
+        s"held-out doc $id misclassified under external labels")
+    }
+  }
+
+  test("scoring with an empty weight relation keeps every doc at score 0 (left-join contract)") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val noWeights = TextAnalysis.qualityTrain(docs, TextAnalysis.gopherLabels(docs).limit(0))
+    assert(noWeights.count() === 0L)
+    val scored = TextAnalysis.qualityScoreWith(docs, noWeights).collect()
+    assert(scored.length.toLong === docs.count(),
+      "all-unseen docs must still emit a score row")
+    scored.foreach { r =>
+      assert(r.getAs[Long]("score") === 0L && r.getAs[Long]("pred") === 0L)
+    }
+  }
+
+  test("folded-map row-local scorer equals the broadcast-join scorer") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val w = TextAnalysis.qualityTrain(docs,
+      TextAnalysis.gopherLabels(docs).filter(col("doc_id") % 5 =!= 0))
+    val folded = TextAnalysis.foldQualityWeights(w)
+    assert(folded.nonEmpty && folded.size <= 256)
+    val a = TextAnalysis.qualityScoreCols(docs, folded, 256)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.qualityScoreWith(docs, w)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("bpeEncode applies learned merges greedily in rank order") {
     // pairs: (a,b) n=3 → rank 1; (b,c) n=2 and (c,a) n=2 tie → lhs order
     // puts (b,c) at rank 2. Encoding with topK=2:

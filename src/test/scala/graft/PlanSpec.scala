@@ -714,6 +714,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("corpus-wide quality scoring: weights broadcast, corpus never shuffles to meet them") {
+    val p = plan("text_quality_score")
+    // the <= dim-row weight relation broadcasts to a LEFT join (all-unseen
+    // docs keep their row); the corpus side meets it without an exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join is the 1-row class-totals broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    // training counts and the per-doc score sum map-side combine
+    assert(p.contains("partial_"), p)
+  }
+
   test("stored boilerplate probe reads the line-df store, never the historical documents text") {
     val p = plan("text_boilerplate_stored")
     // historical side = the persisted (h, df) index...
