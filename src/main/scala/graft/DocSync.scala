@@ -10,11 +10,18 @@ import java.nio.file.{Files, Path, Paths}
   * Why a generator instead of hand-edits: the same two guards failed in
   * rounds 7 AND 8 for the same sequencing reason — operators landed (or
   * the driver refreshed the bench artifact) AFTER the last hand-edit of
-  * the docs. Each guarded region now sits between `docsync` HTML-comment
-  * markers and is rewritten by [[sync]]; SmokeSpec calls [[sync]] before
-  * asserting, so the guards verify the GENERATOR output and a
-  * post-session artifact refresh can never re-stale them — the next
-  * `sbt test` self-heals the text and stays green.
+  * the docs. Each guarded region sits between `docsync` HTML-comment
+  * markers and is rewritten by [[sync]].
+  *
+  * Who writes vs who checks (the r9 advisory fix): SmokeSpec is
+  * ASSERT-ONLY — it calls [[check]] and fails with a "run graft.DocSync"
+  * message when the committed text drifts from the generated text, so a
+  * test run never mutates tracked files and the guard cannot be satisfied
+  * by its own side effect. The WRITERS are the generator mains:
+  * `graft.DocSync.main` on demand, and `graft.Bench.main` immediately
+  * after it refreshes BENCH_full.json — the same process that changes the
+  * row's source of truth heals the row, so a driver bench refresh can
+  * never re-stale the docs for the next test run.
   */
 object DocSync {
 
@@ -35,7 +42,10 @@ object DocSync {
   }
 
   /** BASELINE.md current-bench row, from BENCH_full.json (Bench.scala's
-    * complete artifact: every rep of every query, config, errors). */
+    * complete artifact: every rep of every query, config, errors). The
+    * config facts in the row — local[n], min-of-k — come from the
+    * artifact's own `cpus`/`reps` fields, not hardcoded, so a bench run
+    * under a different config can't produce a row asserting wrong facts. */
   def baselineBlock(root: Path): String = {
     val f = root.resolve("BENCH_full.json")
     require(Files.exists(f), "BENCH_full.json missing — run graft.Bench first")
@@ -45,17 +55,22 @@ object DocSync {
     val errs = Option(m.get("errors")).map(_.size()).getOrElse(0)
     val sf = Option(m.get("sf")).map(_.asText()).getOrElse("?")
       .split('/').last
+    val cpus = Option(m.get("cpus")).map(_.asText()).getOrElse("?")
+    val reps = Option(m.get("reps")).map(_.asInt()).getOrElse(1)
     s"""**Current full-set bench (`BENCH_full.json`): $n queries, $total s total
-       |(local[32], $sf, min-of-2, $errs errors)** — this row is regenerated
-       |from the artifact by `graft.DocSync` (SmokeSpec self-heals it before
-       |asserting); the per-round narrative rows below are historical context
-       |with their round's committed numbers.""".stripMargin
+       |(local[$cpus], $sf, min-of-$reps, $errs errors)** — this row is regenerated
+       |from the artifact by `graft.DocSync` (graft.Bench re-syncs it whenever it
+       |rewrites the artifact; SmokeSpec only checks); the per-round narrative
+       |rows below are historical context with their round's committed numbers.""".stripMargin
   }
 
   /** Replace the text between the begin/end markers for `tag`, keeping
     * the marker lines. Loud failure if the markers are missing — a doc
-    * restructure must keep them or update this generator. */
-  private def spliceFile(path: Path, tag: String, body: String): Boolean = {
+    * restructure must keep them or update this generator. When
+    * `write` is false, no file is touched; the return value still says
+    * whether a rewrite WOULD change the file. */
+  private def spliceFile(path: Path, tag: String, body: String,
+                         write: Boolean): Boolean = {
     val text = new String(Files.readAllBytes(path), "UTF-8")
     val begin = marker(tag, "begin"); val end = marker(tag, "end")
     val bi = text.indexOf(begin); val ei = text.indexOf(end)
@@ -63,18 +78,24 @@ object DocSync {
     val next = text.substring(0, bi + begin.length) + "\n" + body + "\n" +
       text.substring(ei)
     if (next == text) false
-    else { Files.write(path, next.getBytes("UTF-8")); true }
+    else { if (write) Files.write(path, next.getBytes("UTF-8")); true }
   }
 
-  /** Regenerate both guarded regions; returns the files rewritten. */
-  def sync(root: Path = Paths.get(".")): Seq[String] = {
+  private def run(root: Path, write: Boolean): Seq[String] = {
     val changed = Seq.newBuilder[String]
-    if (spliceFile(root.resolve("README.md"), "counts", readmeBlock))
+    if (spliceFile(root.resolve("README.md"), "counts", readmeBlock, write))
       changed += "README.md"
-    if (spliceFile(root.resolve("BASELINE.md"), "bench", baselineBlock(root)))
+    if (spliceFile(root.resolve("BASELINE.md"), "bench", baselineBlock(root), write))
       changed += "BASELINE.md"
     changed.result()
   }
+
+  /** Regenerate both guarded regions; returns the files rewritten. */
+  def sync(root: Path = Paths.get(".")): Seq[String] = run(root, write = true)
+
+  /** Assert-only twin of [[sync]]: the files whose guarded region is
+    * stale (would be rewritten), without touching anything. */
+  def check(root: Path = Paths.get(".")): Seq[String] = run(root, write = false)
 
   def main(args: Array[String]): Unit = {
     val changed = sync(Paths.get(args.headOption.getOrElse(".")))

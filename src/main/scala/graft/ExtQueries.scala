@@ -98,6 +98,11 @@ object ExtQueries {
           deleteRecursively(tmp.toFile)
       }
     }
+    // refresh the store's age on EVERY use, not just at build: the sweep
+    // above keys on lastModified, and a long-lived reader (a concurrent
+    // bench against an older fixture generation) must never have its
+    // store yanked mid-job just because it was BUILT >2h ago
+    storePath.toFile.setLastModified(System.currentTimeMillis())
     store
   }
 

@@ -23,12 +23,19 @@ class SmokeSpec extends AnyFunSuite {
 
   test("README operator counts track SparkEntry (no hand-edit drift)") {
     // This guard failed in r7 AND r8 because new operators landed after
-    // the last hand-edit. The counts now live between docsync markers
-    // and DocSync.sync() regenerates them from SparkEntry itself, so the
-    // assertion below verifies the GENERATOR output — a late-landing
-    // operator self-heals the text on the next test run instead of
-    // failing it.
-    DocSync.sync()
+    // the last hand-edit; the counts now live between docsync markers.
+    // ASSERT-ONLY (r9 advisory fix): DocSync.check compares the COMMITTED
+    // marker region to the generated text without writing anything —
+    // a test run never mutates tracked files, so the guard can't be
+    // satisfied by its own side effect. The writers are the generator
+    // mains (graft.DocSync; graft.Bench after an artifact refresh).
+    val stale = DocSync.check()
+    assert(!stale.contains("README.md"),
+      s"README.md docsync region is stale vs SparkEntry " +
+        s"(${SparkEntry.queries.size} queries / ${SparkEntry.oracleSql.size} oracles) " +
+        "— run `sbt \"runMain graft.DocSync\"`")
+    // and the committed text must carry the live counts (guards marker
+    // placement, not just splice equality)
     val readme = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("README.md")), "UTF-8")
     val m = """(\d+) driver-checked""".r.findFirstMatchIn(readme)
@@ -53,14 +60,19 @@ class SmokeSpec extends AnyFunSuite {
     // never runs.
     val fullArtifact = new java.io.File("BENCH_full.json")
     if (fullArtifact.exists()) {
-      // Self-heal first (r8 failure mode: the driver refreshed
-      // BENCH_full.json post-session, re-staling a hand-edited row).
-      // DocSync rewrites BASELINE.md's current-bench row from the
-      // artifact; the assertion then checks the generated text.
-      DocSync.sync()
+      // ASSERT-ONLY (r9 advisory fix): the committed row must already
+      // match the artifact — the WRITER is graft.Bench itself, which
+      // re-syncs the row in the same process that refreshes the
+      // artifact (the r8 failure mode: a post-session driver bench
+      // refresh re-staling a hand-edited row), plus graft.DocSync on
+      // demand. The test never writes.
+      val stale = DocSync.check()
       val metric = om.readTree(fullArtifact)
       val n = metric.get("queries").size()
       val total = f"${metric.get("value").asDouble()}%.2f"
+      assert(!stale.contains("BASELINE.md"),
+        s"BASELINE.md bench row is stale vs BENCH_full.json ($n queries, " +
+          s"$total s total) — run `sbt \"runMain graft.DocSync\"`")
       val baseline = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
       assert(baseline.contains(s"$n queries, $total s total"),
