@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, when}
-import graft.ext.{Dedup, Events, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{BloomDedup, Dedup, Events, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
   * search, text analysis, event windows, multimodal plumbing. Every entry
@@ -268,6 +268,34 @@ object ExtQueries {
         "pchunks/_SUCCESS")(tmp =>
         Dedup.buildParagraphStore(d.filter(col("doc_id") % 7 =!= 0), tmp))
       Dedup.paragraphsAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
+    }),
+    // Bloom-gated exact incremental dedup (BloomDedup): the history
+    // collapses to a bit array and the increment is gated by a stateless
+    // codegen'd probe — no join, no shuffle, no history scan on the
+    // production path. The gate output confirms every verdict exactly
+    // (exact_dup via the key join) and pins the two one-sided guarantees
+    // as oracle-checked constants: missed_by_bloom FALSE (no false
+    // negatives), fp_within_bound TRUE (measured FP rate <= 3x fpp).
+    "dedup_bloom_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      BloomDedup.exactBloomGate(d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0), expectedItems = 1000000L)
+    }),
+    // the stored twin, exercising the FULL store lifecycle per fixture:
+    // build on the odd history half, append the even half (bitwise OR —
+    // append = rebuild byte-for-byte, spec-asserted), then gate the
+    // increment against the merged store. Same oracle as the in-line gate
+    // because build(A) + append(B) covers exactly history = A union B.
+    "dedup_bloom_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.filter(col("doc_id") % 7 =!= 0)
+      val store = cachedStore("graft_bloom_store_v1",
+        s"$dir/documents.parquet", "_SUCCESS") { tmp =>
+        BloomDedup.buildBloomStore(hist.filter(col("doc_id") % 2 === 1),
+          tmp, expectedItems = 1000000L)
+        BloomDedup.appendToBloomStore(hist.filter(col("doc_id") % 2 === 0), tmp)
+      }
+      BloomDedup.gateStored(d.filter(col("doc_id") % 7 === 0), store, hist)
     }),
     // E2 — similarity search
     "similarity_topk" -> ((s, dir) => Similarity.bruteForceTopK(embs(s, dir))),
@@ -754,6 +782,17 @@ object ExtQueries {
   /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
     * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
     * variants (the band store is a materialization, not a semantic change). */
+  private val bloomGateOracleSql: String =
+    """SELECT i.doc_id,
+      |       (h.k IS NOT NULL) AS exact_dup,
+      |       FALSE AS missed_by_bloom,
+      |       TRUE  AS fp_within_bound
+      |FROM (SELECT doc_id, substr(text, 1, 80) AS k FROM documents
+      |      WHERE doc_id % 7 = 0) i
+      |LEFT JOIN (SELECT DISTINCT substr(text, 1, 80) AS k FROM documents
+      |           WHERE doc_id % 7 <> 0) h ON i.k = h.k
+      |ORDER BY i.doc_id""".stripMargin
+
   private val incrementalOracleSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -1171,6 +1210,19 @@ object ExtQueries {
     // the stored-index variant computes the SAME relation — the store is a
     // materialization of the historical band index, not a semantic change
     "dedup_incremental_stored" -> incrementalOracleSql,
+
+    // Bloom gate: exact_dup replayed exactly on the shared content key
+    // (dedup_exact's 80-char prefix); the engine-specific bit-array
+    // verdicts surface only through their GUARANTEES, pinned as constants
+    // — missed_by_bloom FALSE (a Bloom filter has no false negatives),
+    // fp_within_bound TRUE (measured FP rate <= 3x fpp) — so a violated
+    // guarantee hash-mismatches (the checked-projection discipline the
+    // HLL and zlib queries use)
+    "dedup_bloom_gate" -> bloomGateOracleSql,
+    // build(odd half) + append(even half) covers exactly history = the
+    // full %7<>0 slice, and the bitwise merge is order-independent, so
+    // the stored gate answers the SAME relation as the in-line gate
+    "dedup_bloom_stored" -> bloomGateOracleSql,
 
     // k-means to convergence: 3 chained Lloyd rounds. Centroids after
     // round 1 are the UNNORMALIZED member-sum vectors (cosine is

@@ -956,7 +956,14 @@ object GraftFunctions {
     "vec_top_centroid" -> { es => TopCentroid(es.head, es(1)) },
     "pq_codes"      -> { es =>
       PqCodes(es.head, es(1), es(2).eval().asInstanceOf[Int]) },
-    "bpe_encode_syms" -> { es => BpeEncodeSyms(es.head, es(1)) })
+    "bpe_encode_syms" -> { es => BpeEncodeSyms(es.head, es(1)) },
+    // Spark's OWN codegen'd Bloom probe (the expression behind runtime
+    // row-level filter injection), surfaced as a callable function so
+    // BloomDedup can probe a folded filter literal — no custom expression
+    // needed, and the filter format stays the engine's
+    "bloom_might_contain" -> { es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es.head, es(1)) })
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -242,6 +242,19 @@ object DocStreams {
                          dim: Int = 256): DataFrame =
     graft.ext.TextAnalysis.qualityScoreCols(docs, weights, dim)
 
+  /** Streaming Bloom dedup gate — the per-event twin of
+    * [[graft.ext.BloomDedup.probe]], and it IS that operator: the filter
+    * bytes (built in batch or loaded from the Bloom store) fold to a
+    * literal, so gating each arriving document is one stateless codegen'd
+    * predicate — no join, no state, no watermark, append mode. The
+    * streaming analogue of `dropDuplicates` state that never grows: the
+    * horizon is the filter's whole history at a fixed ~9.6 bits/key,
+    * traded for a bounded false-positive rate (no false negatives —
+    * a true duplicate can never pass the gate). Differentially spec'd
+    * equal to the batch probe under random micro-batch splits. */
+  def bloomGateStream(docs: DataFrame, filterBytes: Array[Byte]): DataFrame =
+    graft.ext.BloomDedup.probe(docs, filterBytes)
+
   /** Streaming boilerplate removal against the PRECOMPUTED line-df store
     * ([[graft.ext.Clean.buildLineDfStore]]) — the continuous twin of the
     * batch [[graft.ext.Clean.boilerplateAgainstStore]]: each arriving
