@@ -325,6 +325,21 @@ object ExtQueries {
     // summary row — run this on a sample before trusting the cap at scale
     "similarity_knn_recall" -> ((s, dir) => Similarity.knnCapRecall(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
+    // the stored IVF index, exercising the FULL lifecycle per fixture:
+    // build on vec_id < 300 (covers the deterministic [100,116) quantizer
+    // seeds), append the rest against the frozen centroids (O(increment),
+    // append = rebuild — assignment is order-independent), then probe with
+    // the same 10-query batch. The corpus embeddings are never rescanned
+    // at probe time (plan-locked); same oracle as the in-line ivf
+    "similarity_ivf_stored" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val store = cachedStore("graft_ivf_store_v1",
+        s"$dir/embeddings.parquet", "lists/_SUCCESS") { tmp =>
+        Similarity.buildIvfStore(e.filter(col("vec_id") < 300), tmp)
+        Similarity.appendToIvfStore(e.filter(col("vec_id") >= 300), tmp)
+      }
+      Similarity.ivfAgainstStore(e.filter(col("vec_id") < 10), store)
+    }),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
     // train-then-search: kmeansRun's converged centroids as the IVF
@@ -782,6 +797,42 @@ object ExtQueries {
   /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
     * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
     * variants (the band store is a materialization, not a semantic change). */
+  /** The IVF top-k relation — deterministic coarse quantizer (vec_id in
+    * [100,116)), argmax assignment with lower-id tie-break, nProbe=4
+    * probes, candidate-only rerank. ONE oracle for both the in-line
+    * `similarity_ivf` and the stored-index `similarity_ivf_stored` (a pure
+    * materialization of the same relation). */
+  private lazy val ivfOracleSql: String =
+    s"""$quantCte,
+       |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+       |          GROUP BY qv.vec_id, qc.vec_id),
+       |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+       |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+       |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+       |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+       |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+       |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |              FROM ccos) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+       |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+       |dots AS (SELECT cand.query_id, cand.vec_id, cand.list_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+       |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+       |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
+       |         GROUP BY cand.query_id, cand.vec_id, cand.list_id),
+       |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.list_id AS list_id,
+       |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+       |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+       |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       |       round(cosine, 6) AS cosine, list_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val bloomGateOracleSql: String =
     """SELECT i.doc_id,
       |       (h.k IS NOT NULL) AS exact_dup,
@@ -2619,36 +2670,12 @@ object ExtQueries {
          |SELECT CAST(rank AS INT) AS rank, vec_id, nearest_list, round(best, 6) AS best_cosine
          |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
-    "similarity_ivf" ->
-      s"""$quantCte,
-         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
-         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
-         |          GROUP BY qv.vec_id, qc.vec_id),
-         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
-         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
-         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
-         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
-         |assigned AS (SELECT vec_id, cent_id AS list_id FROM
-         |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
-         |              FROM ccos) WHERE r = 1),
-         |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
-         |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
-         |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
-         |cand AS (SELECT p.query_id, a.vec_id, a.list_id
-         |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
-         |dots AS (SELECT cand.query_id, cand.vec_id, cand.list_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
-         |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
-         |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
-         |         GROUP BY cand.query_id, cand.vec_id, cand.list_id),
-         |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.list_id AS list_id,
-         |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
-         |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
-         |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-         |           FROM scored)
-         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
-         |       round(cosine, 6) AS cosine, list_id
-         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "similarity_ivf" -> ivfOracleSql,
+    // the stored index is a MATERIALIZATION of the same relation (frozen
+    // deterministic quantizer, build(<300) + append(>=300) covers the full
+    // corpus, assignment is order-independent), so the in-line oracle
+    // proves the store's build, append, and probe in one hash
+    "similarity_ivf_stored" -> ivfOracleSql,
 
     // k-means Lloyd step: replay the IVF assignment (argmax cosine, ties →
     // lower cent_id) then per-(cluster, dim) exact sums; mean and shift are

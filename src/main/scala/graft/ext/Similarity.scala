@@ -202,6 +202,15 @@ object Similarity {
     ivfQuery(vecs, centroidLits(cents), cents.length, nQueries, k, nProbe)
   }
 
+  /** The nProbe-nearest-lists expression over a row's `scores` array:
+    * struct sort = (score DESC, centroid index ASC), mapped back to list
+    * ids — shared by [[ivfQuery]] and [[ivfAgainstStore]] so the in-line
+    * and stored probe semantics are ONE definition. */
+  private def probeListsExpr(qz: Quantizer, n: Int, nProbe: Int): String =
+    s"""transform(slice(array_sort(transform(sequence(0, ${n - 1}),
+       |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
+       |  p -> element_at(${qz.cid}, p.i + 1))""".stripMargin
+
   /** The shared IVF query path: narrow argmax assignment over `n` folded
     * centroids, nProbe broadcast probes, candidate-only top-k rerank. */
   private def ivfQuery(vecs: DataFrame, qz: Quantizer, n: Int,
@@ -215,10 +224,7 @@ object Similarity {
     // struct sort = (score DESC, centroid index ASC); explode the nProbe
     // nearest lists per query
     val probes = scored.filter(col("vec_id") < nQueries)
-      .withColumn("list_id", explode(expr(
-        s"""transform(slice(array_sort(transform(sequence(0, ${n - 1}),
-           |  i -> struct(0e0 - element_at(scores, i + 1) AS s, i AS i))), 1, $nProbe),
-           |  p -> element_at(${qz.cid}, p.i + 1))""".stripMargin)))
+      .withColumn("list_id", explode(expr(probeListsExpr(qz, n, nProbe))))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("nq"), col("list_id"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), "list_id")
@@ -1036,4 +1042,142 @@ object Similarity {
         col("n_pairs"), col("total_pairs"), col("share"))
       .orderBy("bucket")
   }
+
+  // ---- stored IVF index ---------------------------------------------------
+
+  /** IVF index STORE — the incremental-dedup store family's ANN member
+    * (7th stored index): materialize the inverted lists once, then every
+    * query batch probes the store and every ingest batch appends to it,
+    * both at O(increment) — the corpus embeddings are never re-scanned and
+    * the quantizer is never re-fit on the daily path. Two relations:
+    *
+    *  - `centroids` (list_id, q): the frozen coarse quantizer — tiny by
+    *    design (nList ≈ √n), collected and constant-folded at probe time;
+    *    norms are recomputed from q on load, so the store carries no
+    *    derivable state;
+    *  - `lists` (list_id, vec_id, q, nrm): every corpus vector under its
+    *    argmax-cosine list id, range-clustered on list_id via
+    *    [[graft.ops.Scale.clusteredParquet]] so a query batch's probe set
+    *    (≤ nQueries × nProbe list ids) file-prunes to the files covering
+    *    those lists — at 10⁹ vectors a 4-of-32k-lists probe touches
+    *    ~0.01% of store bytes.
+    *
+    * FROZEN-quantizer semantics, stated: appends assign against the
+    * centroids the store was built with (that is what makes append
+    * O(increment) and append ≡ rebuild — the assignment of an existing
+    * vector can never change). Re-training the quantizer is a REBUILD by
+    * contract, as in any inverted-file ANN system; drift between the
+    * frozen centroids and an evolving corpus shows up in the recall evals
+    * ([[knnCapRecall]]-style), not as silent wrong answers. */
+  def buildIvfStore(embeddings: DataFrame, storeDir: String,
+                    nList: Int = 16, centroidBase: Int = 100,
+                    numFiles: Int = 8): Unit = {
+    val vecs = quantized(embeddings)
+    val cents = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("list_id", "q")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/centroids")
+    writeIvfLists(vecs, centroidLits(cents), cents.length, storeDir,
+      mode = "overwrite", numFiles)
+  }
+
+  /** O(increment) append: assign ONLY the increment against the store's
+    * frozen centroids (one narrow constant-folded pass) and land it as its
+    * own range-clustered file set — existing store files are untouched, so
+    * per-file list_id min/max stats stay tight per batch and probe
+    * file-pruning keeps working. Append ≡ rebuild exactly (the frozen
+    * quantizer makes assignment order-independent; spec-asserted as
+    * identical lists relations). Compact with [[compactIvfStore]] when the
+    * batch count grows into a small-file problem. */
+  def appendToIvfStore(increment: DataFrame, storeDir: String,
+                       numFiles: Int = 1): Unit = {
+    val (qz, n) = loadIvfQuantizer(increment.sparkSession, storeDir)
+    writeIvfLists(quantized(increment), qz, n, storeDir, mode = "append", numFiles)
+  }
+
+  /** Store COMPACTION — [[graft.ext.Dedup.compactBandStore]]'s discipline:
+    * rewrite the accumulated per-append file sets as one freshly
+    * range-clustered layout (pure layout, row set untouched), publish via
+    * side-directory + two atomic renames so a crash leaves a recoverable
+    * `.old` beside the store, never a half-written live index. */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, numFiles: Int = 8): Unit = {
+    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Scale.clusteredParquet(
+      spark.read.parquet(s"$storeDir/lists"), s"$tmp/lists",
+      Seq("list_id"), numFiles)
+    spark.read.parquet(s"$storeDir/centroids")
+      .coalesce(1).write.parquet(s"$tmp/centroids")
+    val (live, old) = (java.nio.file.Paths.get(storeDir),
+      java.nio.file.Paths.get(s"$storeDir.old"))
+    graft.ops.Scale.deleteRecursively(old.toFile)
+    java.nio.file.Files.move(live, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.Scale.deleteRecursively(old.toFile)
+  }
+
+  /** [[ivfTopK]] against a PRECOMPUTED store: the query batch pays its own
+    * quantize + probe expression plus a file-pruned scan of the probed
+    * lists — the corpus embeddings table is never read (plan-asserted:
+    * the only embeddings scan is the query side's, and the lists scan
+    * carries a pushed list_id IN filter). The probe set collect is bounded
+    * by the QUERY batch (≤ nQueries × nProbe longs), never the corpus.
+    * Same output relation as [[ivfTopK]] when the store covers the same
+    * corpus with the same quantizer — one oracle proves both. */
+  def ivfAgainstStore(queryEmbeddings: DataFrame, storeDir: String,
+                      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val spark = queryEmbeddings.sparkSession
+    val (qz, n) = loadIvfQuantizer(spark, storeDir)
+    require(n >= nProbe, s"only $n stored lists < nProbe=$nProbe")
+    val probes = quantized(queryEmbeddings)
+      .withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
+      .withColumn("list_id", explode(expr(probeListsExpr(qz, n, nProbe))))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("nq"), col("list_id"))
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0))
+    val lists = spark.read.parquet(s"$storeDir/lists")
+      .filter(col("list_id").isin(probedIds: _*))
+    val rk = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    lists.join(broadcast(probes), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine",
+        expr("vec_dotl(qq, q) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        expr("round(cosine, 6)").as("cosine"), col("list_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Collect the store's frozen quantizer and fold it to literals —
+    * centroid stores are tiny by design (nList ≈ √n), the same bounded
+    * collect every IVF path already makes. */
+  private def loadIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
+                               storeDir: String): (Quantizer, Int) = {
+    val cents = spark.read.parquet(s"$storeDir/centroids")
+      .orderBy("list_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cents.nonEmpty, s"empty centroid store at $storeDir")
+    (centroidLits(cents), cents.length)
+  }
+
+  private def writeIvfLists(vecs: DataFrame, qz: Quantizer, n: Int,
+                            storeDir: String, mode: String,
+                            numFiles: Int): Unit =
+    graft.ops.Scale.clusteredParquet(
+      vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
+        .withColumn("list_id", expr(
+          s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+        .select("list_id", "vec_id", "q", "nrm"),
+      s"$storeDir/lists", Seq("list_id"), numFiles, mode)
 }

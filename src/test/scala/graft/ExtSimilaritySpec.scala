@@ -425,4 +425,62 @@ class ExtSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
     assert(rs === brute)
   }
+
+  test("ivf store: build+append probe equals the in-line ivfTopK relation") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Similarity.buildIvfStore(embs.filter(col("vec_id") < 300), s"$base/s")
+    Similarity.appendToIvfStore(embs.filter(col("vec_id") >= 300), s"$base/s")
+    val stored = Similarity.ivfAgainstStore(embs.filter(col("vec_id") < 10), s"$base/s")
+      .collect().toSeq
+    val inline = Similarity.ivfTopK(embs).collect().toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty)
+  }
+
+  test("ivf store: append == rebuild (frozen quantizer, order-independent lists)") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Similarity.buildIvfStore(embs.filter(col("vec_id") < 300), s"$base/incr")
+    Similarity.appendToIvfStore(embs.filter(col("vec_id") >= 300), s"$base/incr")
+    Similarity.buildIvfStore(embs, s"$base/full")
+    def rel(d: String) = spark.read.parquet(s"$d/lists")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rel(s"$base/incr") === rel(s"$base/full"))
+  }
+
+  test("ivf store: compaction is pure layout (probe relation and rows unchanged)") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Similarity.buildIvfStore(embs.filter(col("vec_id") < 300), s"$base/s")
+    // several small appends -> a multi-batch layout worth compacting
+    Similarity.appendToIvfStore(
+      embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 0), s"$base/s")
+    Similarity.appendToIvfStore(
+      embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 1), s"$base/s")
+    val before = Similarity.ivfAgainstStore(
+      embs.filter(col("vec_id") < 10), s"$base/s").collect().toSeq
+    val rowsBefore = spark.read.parquet(s"$base/s/lists").count()
+    Similarity.compactIvfStore(spark, s"$base/s")
+    val after = Similarity.ivfAgainstStore(
+      embs.filter(col("vec_id") < 10), s"$base/s").collect().toSeq
+    assert(after === before)
+    assert(spark.read.parquet(s"$base/s/lists").count() === rowsBefore)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/s.old")))
+  }
+
+  test("ivf store probe plan: pruned lists scan, no corpus rescan") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivfstore").toString
+    Similarity.buildIvfStore(embs.filter(col("vec_id") < 300), s"$base/s")
+    Similarity.appendToIvfStore(embs.filter(col("vec_id") >= 300), s"$base/s")
+    val p = Similarity.ivfAgainstStore(embs.filter(col("vec_id") < 10), s"$base/s")
+      .queryExecution.executedPlan.toString
+    // exactly two parquet scans: the 10-query slice of embeddings and the
+    // stored lists — the corpus embeddings are never rescanned at probe time
+    assert("FileScan parquet".r.findAllIn(p).size === 2, p.take(3000))
+    // the probe set reaches the lists scan as a pushed IN filter, so the
+    // range-clustered store file-prunes to the probed lists' key ranges
+    assert(p.contains("In(list_id"), p.take(3000))
+  }
 }
