@@ -47,8 +47,12 @@ object Clean {
     * the SHARED definition of batch [[piiScrub]] and the streaming twin
     * ([[graft.streaming.DocStreams.piiScrubStream]]): a pure stateless
     * narrow map, so the same cascaded selects run unchanged on a
-    * streaming DataFrame (sorting is the only batch-ism). */
-  private[graft] def piiScrubCols(df: DataFrame, textCol: String): DataFrame = {
+    * streaming DataFrame (sorting is the only batch-ism). PUBLIC because
+    * it is the production entry at scale — [[piiScrub]]'s global sort
+    * exists for deterministic oracle hashing, and a 100-TB caller that
+    * feeds the result into a join or a sink should not pay a total order
+    * it never asked for. */
+  def piiScrubCols(df: DataFrame, textCol: String = "text"): DataFrame = {
     // each class counts its matches on the PREVIOUS stage's scrubbed text,
     // so no span is attributed to two classes. One select per stage: each
     // intermediate text is referenced more than once downstream, which
@@ -84,7 +88,15 @@ object Clean {
     * window. Documents whose every line is boilerplate still emit a row
     * (n_kept = 0, md5 of the empty string) via the left join back to the
     * input — dropping them silently would corrupt downstream joins. */
-  def boilerplate(df: DataFrame, minDf: Int, textCol: String = "text"): DataFrame = {
+  def boilerplate(df: DataFrame, minDf: Int, textCol: String = "text"): DataFrame =
+    boilerplateCols(df, minDf, textCol).orderBy("doc_id")
+
+  /** [[boilerplate]] without the oracle-facing output sort — the
+    * production entry at scale (see [[piiScrubCols]]): the relation ends
+    * at the doc_id-keyed rebuild join, already co-partitioned for the
+    * downstream joins a cleaning pipeline feeds it into. */
+  def boilerplateCols(df: DataFrame, minDf: Int,
+                      textCol: String = "text"): DataFrame = {
     require(minDf >= 2, "minDf < 2 would drop every line")
     val lines = df
       .select(col("doc_id"), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
@@ -106,7 +118,6 @@ object Clean {
         coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   /** The (doc_id, line_no, line, h) relation shared by the line-df store
@@ -187,7 +198,17 @@ object Clean {
     * [[boilerplate]] over the increment, or append-then-probe the next
     * batch) — the same contract the span/paragraph stores document. */
   def boilerplateAgainstStore(incoming: DataFrame, storeDir: String, minDf: Int,
-                              textCol: String = "text"): DataFrame = {
+                              textCol: String = "text"): DataFrame =
+    boilerplateAgainstStoreCols(incoming, storeDir, minDf, textCol)
+      .orderBy("doc_id")
+
+  /** [[boilerplateAgainstStore]] without the oracle-facing output sort —
+    * the production entry at scale (see [[piiScrubCols]]); the streaming
+    * twin ([[graft.streaming.DocStreams.boilerplateStream]]) answers the
+    * same store with a stream-static join re-planned per micro-batch. */
+  def boilerplateAgainstStoreCols(incoming: DataFrame, storeDir: String,
+                                  minDf: Int,
+                                  textCol: String = "text"): DataFrame = {
     require(minDf >= 2, "minDf < 2 would drop every line")
     val spark = incoming.sparkSession
     val lines = lineRelation(incoming, textCol)
@@ -209,7 +230,6 @@ object Clean {
         coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
-      .orderBy("doc_id")
   }
 
   /** Corpus snapshot diff — the dataset-versioning audit between two
@@ -220,7 +240,15 @@ object Clean {
     * and the join is a plain equi-join on doc_id, so the whole diff is
     * two narrow scans + one co-partitioned shuffle at any corpus size. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    snapshotDiffCols(oldSnap, newSnap, textCol).orderBy("doc_id")
+
+  /** [[snapshotDiff]] without the oracle-facing output sort — the
+    * production entry at scale (see [[piiScrubCols]]): the diff leaves
+    * the join already partitioned on doc_id for whatever audit
+    * aggregation consumes it. */
+  def snapshotDiffCols(oldSnap: DataFrame, newSnap: DataFrame,
+                       textCol: String = "text"): DataFrame = {
     val a = oldSnap.select(col("doc_id"), md5(col(textCol)).as("old_md5"))
     val b = newSnap.select(col("doc_id"), md5(col(textCol)).as("new_md5"))
     a.join(b, Seq("doc_id"), "full_outer")
@@ -230,7 +258,6 @@ object Clean {
           .when(col("old_md5") =!= col("new_md5"), "changed")
           .otherwise("unchanged").as("status"),
         col("old_md5"), col("new_md5"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style rule filter: per-document lexical signals and the
@@ -251,8 +278,9 @@ object Clean {
   /** The rule projection without the oracle-facing output sort — the
     * SHARED definition of batch [[gopherQuality]] and the streaming twin
     * ([[graft.streaming.DocStreams.gopherQualityStream]]); stateless
-    * narrow map, identical semantics on a streaming DataFrame. */
-  private[graft] def gopherQualityCols(
+    * narrow map, identical semantics on a streaming DataFrame. PUBLIC as
+    * the production entry at scale (see [[piiScrubCols]]). */
+  def gopherQualityCols(
       docs: DataFrame,
       minWords: Int = 28, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,

@@ -187,4 +187,33 @@ class CleanSpec extends AnyFunSuite {
     assert(out(4L).getAs[Int]("pass_stopword") === 0)
     assert(out(4L).getAs[Int]("pass_all") === 0)
   }
+
+  test("production Cols variants differ from the oracle operators ONLY by the sort") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 0)
+    // each pair: (sorted oracle operator, no-sort production twin)
+    val pairs = Seq(
+      "piiScrub" -> (Clean.piiScrub(docs), Clean.piiScrubCols(docs)),
+      "gopher" -> (Clean.gopherQuality(docs), Clean.gopherQualityCols(docs)),
+      "boilerplate" -> (Clean.boilerplate(docs, 3), Clean.boilerplateCols(docs, 3)),
+      "snapshotDiff" -> (Clean.snapshotDiff(oldSnap, docs),
+        Clean.snapshotDiffCols(oldSnap, docs)))
+    for ((name, (sorted, cols)) <- pairs) {
+      // same relation (row set), sort being the only difference
+      val a = sorted.collect().map(_.toString).sorted.toSeq
+      val b = cols.collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"$name: Cols variant changed the relation")
+      // and the production plan carries NO global sort (a sort-merge
+      // join's LOCAL sorts and array_sort expressions are fine — the
+      // batch-ism being shed is the total order across partitions)
+      val globalSorts = cols.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"$name: production plan still globally sorts")
+      val sortedHasIt = sorted.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }
+      assert(sortedHasIt.nonEmpty, s"$name: oracle operator lost its sort?")
+    }
+  }
 }
