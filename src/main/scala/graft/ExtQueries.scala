@@ -469,6 +469,20 @@ object ExtQueries {
       Similarity.bruteForceTopK(
         Multimodal.embedStub(Multimodal.ingest(docs(s, dir))), nQueries = 10, k = 5)),
 
+    // TOPIC CARDS: label each embedding cluster with its top c-TF-IDF
+    // terms (BERTopic's class-TF-IDF) — embed the corpus (stub encoder),
+    // assign every doc to its argmax-cosine cluster, then score each
+    // (cluster, term) as tf * ln(nClusters / df_clusters). The "what is
+    // this cluster about" deliverable, composed from three proven parts
+    // (embedStub + assignClusters + one vocab-bounded agg)
+    "pipeline_topic_cards" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Similarity.assignClusters(
+          Multimodal.embedStub(Multimodal.ingest(d)))
+        .withColumnRenamed("vec_id", "doc_id")
+      TextAnalysis.topicCards(d, clusters)
+    }),
+
     // THE corpus build, end-to-end in one declarative plan: per-language
     // quality pruning ∧ exact-dedup keepers ∧ eval-slice + contamination
     // removal → token-budget sequence packing of the survivors. Catalyst
@@ -2964,6 +2978,43 @@ object ExtQueries {
         |           FROM scored)
         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // topic cards: the embed-stub quantized relation (pipeline_embed_ann's
+    // q CTE), the proven argmax-assignment CTE (similarity_ivf's, ties to
+    // the lower centroid id), then exact-integer c-TF-IDF — tf and
+    // df_clusters are exact counts, the single ln + multiply replays
+    // bit-identically (the BM25/CE log precedent), ranking ties (score
+    // DESC, term ASC)
+    "pipeline_topic_cards" ->
+      """WITH q AS (SELECT doc_id AS vec_id, i,
+        |             CAST(CASE WHEN length(text) >= i THEN ascii(substr(text, CAST(i AS INT), 1))
+        |                  ELSE 0 END * 10000 AS BIGINT) AS x
+        |           FROM documents, range(1, 65) t(i)),
+        |nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n FROM q GROUP BY vec_id),
+        |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+        |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+        |          GROUP BY qv.vec_id, qc.vec_id),
+        |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+        |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+        |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+        |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+        |assigned AS (SELECT vec_id AS doc_id, cent_id AS cluster_id FROM
+        |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+        |              FROM ccos) WHERE r = 1),
+        |toks AS (SELECT a.cluster_id AS cluster_id, unnest(string_split(d.text, ' ')) AS term
+        |         FROM assigned a JOIN documents d ON d.doc_id = a.doc_id),
+        |tf AS (SELECT cluster_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_clusters FROM tf GROUP BY term),
+        |ncl AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters FROM tf),
+        |scored AS (SELECT tf.cluster_id AS cluster_id, tf.term AS term, tf.tf AS tf,
+        |             dfc.df_clusters AS df_clusters,
+        |             tf.tf * ln(CAST(ncl.n_clusters AS DOUBLE) / dfc.df_clusters) AS score_raw
+        |           FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN ncl),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score_raw DESC, term ASC) AS rank
+        |           FROM scored)
+        |SELECT cluster_id, CAST(rank AS INT) AS rank, term, tf, df_clusters,
+        |       round(score_raw, 6) AS score
+        |FROM ranked WHERE rank <= 5 ORDER BY cluster_id, rank""".stripMargin,
 
     // same md5-region buckets as the engine: integer value of hex digits
     // [1,4] (split) and [5,8] (sample) via exact bigint shifts

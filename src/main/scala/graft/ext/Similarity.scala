@@ -1043,6 +1043,24 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** The coarse-quantizer ASSIGNMENT as a public relation — (vec_id,
+    * cluster_id) from the same deterministic [centroidBase,
+    * centroidBase + nList) quantizer and argmax-cosine/lower-id-tie kernel
+    * every IVF/k-means path shares. This is the reusable half of
+    * clustering that downstream compositions want (topic cards,
+    * cluster-balanced mixing) without re-deriving the per-dim k-means
+    * report: one narrow constant-folded pass over the corpus, zero
+    * shuffles. */
+  def assignClusters(embeddings: DataFrame, nList: Int = 16,
+                     centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
+      .withColumn("cluster_id", expr(
+        s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+      .select("vec_id", "cluster_id")
+  }
+
   // ---- stored IVF index ---------------------------------------------------
 
   /** IVF index STORE — the incremental-dedup store family's ANN member

@@ -1301,4 +1301,48 @@ object TextAnalysis {
         expr("""round((n * sxy - sx * sy) * (n * sxy - sx * sy)
                 |  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)""".stripMargin).as("r2"))
   }
+
+  /** TOPIC CARDS — label each document cluster with its top-k
+    * class-TF-IDF terms (the c-TF-IDF of BERTopic, Grootendorst 2022):
+    * treat every cluster as one aggregate document, score term t in
+    * cluster c as `tf(t, c) · ln(nClusters / df_clusters(t))`, and emit
+    * the k highest-scoring terms per cluster. This is the "what is this
+    * cluster about" deliverable of embedding-based corpus curation,
+    * composed from the proven halves: an assignment relation (e.g.
+    * [[Similarity.assignClusters]] over stub embeddings) and the corpus
+    * text.
+    *
+    * Scale shape: one doc_id equi-join attaches cluster ids to docs
+    * BEFORE the token explode (so the explode is narrow per row and
+    * map-side partial aggregation collapses tokens to (cluster, term)
+    * within each task), the df/nClusters relations are vocab- and
+    * cluster-bounded (tiny, broadcast), and the final top-k window
+    * partitions by cluster over ≤ vocab rows each. The corpus text
+    * crosses the doc_id exchange once; nothing else is corpus-sized.
+    *
+    * Determinism: tf and df are exact integer counts; the score's one
+    * `ln` + multiply replays bit-identically in DuckDB (the BM25/CE
+    * precedent); ranking ties break (score DESC, term ASC). */
+  def topicCards(docs: DataFrame, clusters: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("text"))
+      .join(clusters, "doc_id")
+      .select(col("cluster_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("cluster_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df_clusters"))
+    val nc = tf.select("cluster_id").distinct()
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("score_raw").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nc))
+      .withColumn("score_raw",
+        expr("tf * ln(CAST(n_clusters AS DOUBLE) / df_clusters)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cluster_id"), col("rank"), col("term"), col("tf"),
+        col("df_clusters"), expr("round(score_raw, 6)").as("score"))
+      .orderBy("cluster_id", "rank")
+  }
 }

@@ -772,4 +772,25 @@ class ExtTextSpec extends AnyFunSuite {
       ("length", "p50_tokens", 3.0),
       ("source", "n_sources", 2.0)), out.mkString(","))
   }
+
+  test("topicCards: hand-computed c-TF-IDF, cluster-shared terms score zero") {
+    import spark.implicits._
+    val docs = docsDf(1L -> "apple apple banana", 2L -> "apple cherry",
+      3L -> "banana banana dog")
+    val clusters = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("doc_id", "cluster_id")
+    val out = TextAnalysis.topicCards(docs, clusters, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getAs[Double]("score")))
+    val ln2 = BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln2x3 = BigDecimal(3 * math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cluster 10: apple tf=3 df=1 -> 3 ln2; cherry tf=1 df=1 -> ln2;
+    // banana appears in BOTH clusters -> ln(2/2) = 0 (c-TF-IDF kills
+    // corpus-wide terms regardless of tf). cluster 20: dog ln2, banana 0.
+    assert(out.toSeq === Seq(
+      (10L, 1, "apple", 3L, ln2x3),
+      (10L, 2, "cherry", 1L, ln2),
+      (10L, 3, "banana", 1L, 0.0),
+      (20L, 1, "dog", 1L, ln2),
+      (20L, 2, "banana", 2L, 0.0)))
+  }
 }
