@@ -132,6 +132,12 @@ object ExtQueries {
     // the DEPLOYABLE filter: score EVERY doc with the train-fold weights
     // (labels parameterizable — default is the shipped Gopher gate)
     "text_quality_score"      -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    // held-out calibration curve of the trained scorer: fixed-width score
+    // bins (stateless per-row expr, never a global quantile rank) vs the
+    // label pass rate — the monotonicity check run before trusting the
+    // score as a filter threshold
+    "text_quality_calibration" -> ((s, dir) =>
+      TextAnalysis.qualityCalibration(docs(s, dir))),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
@@ -1115,6 +1121,20 @@ object ExtQueries {
         |SELECT doc_id, score, CAST(score > 0 AS BIGINT) AS pred,
         |       CAST(doc_id % 5 != 0 AS BIGINT) AS in_train
         |FROM sca ORDER BY doc_id""".stripMargin,
+
+    // calibration: the same trained-score chain (sc = held-out scores),
+    // fixed-width bins via floor of an exact-int IEEE division, exact
+    // per-bin counts, one division per bin
+    "text_quality_calibration" ->
+      s"""$qualityModelCtes,
+        |cal AS (SELECT CAST(floor(score / 1000.0) AS BIGINT) AS bin, label
+        |        FROM sc JOIN lab USING (doc_id)),
+        |agg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(label) AS BIGINT) AS n_pass
+        |        FROM cal GROUP BY bin)
+        |SELECT bin, CAST(bin * 1000 AS BIGINT) AS bin_lo, n_docs, n_pass,
+        |       round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate
+        |FROM agg ORDER BY bin""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars, n_copies FROM (

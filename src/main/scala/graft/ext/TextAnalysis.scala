@@ -1134,6 +1134,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CALIBRATION of the trained quality scorer — the trust report a
+    * pipeline wants before acting on the score: bucket the HELD-OUT fold
+    * (doc_id % 5 = 0, never trained on) into fixed-width score bins and
+    * report each bin's label pass rate. A well-calibrated model shows
+    * pass_rate rising monotonically with the bin; a flat curve means the
+    * score carries no signal and the threshold is arbitrary. Fixed-width
+    * integer bins (`floor(score / binWidth)`) instead of quantiles on
+    * purpose: a decile cut needs a global rank over the corpus — the
+    * global-row_number anti-pattern — while the bin is a stateless
+    * per-row expression and the output is ≤ (score range / binWidth)
+    * rows. All counts exact; one IEEE division per bin. */
+  def qualityCalibration(docs: DataFrame, dim: Int = 256,
+                         labels: Option[DataFrame] = None,
+                         binWidth: Long = 1000L): DataFrame = {
+    require(binWidth >= 1)
+    val lab = labels.getOrElse(gopherLabels(docs))
+    val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
+    qualityScoreWith(docs, weights, dim)
+      .filter(col("doc_id") % 5 === 0)
+      .join(lab, "doc_id")
+      .withColumn("bin", expr(s"CAST(floor(score / $binWidth.0) AS BIGINT)"))
+      .groupBy("bin").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("label").cast("long").as("n_pass"))
+      .select(col("bin"), (col("bin") * binWidth).as("bin_lo"),
+        col("n_docs"), col("n_pass"),
+        expr("round(n_pass / CAST(n_docs AS DOUBLE), 6)").as("pass_rate"))
+      .orderBy("bin")
+  }
+
   /** Fold a trained weight relation to a driver map — bounded by
     * construction (≤ dim rows; the trained-quantizer literal-fold
     * discipline), for the streaming scorer's per-row map lookup. */

@@ -773,6 +773,25 @@ class ExtTextSpec extends AnyFunSuite {
       ("source", "n_sources", 2.0)), out.mkString(","))
   }
 
+  test("qualityCalibration partitions the held-out fold into fixed-width bins") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = TextAnalysis.qualityCalibration(docs).collect()
+    val heldOut = docs.filter(col("doc_id") % 5 === 0).count()
+    // every held-out doc lands in exactly one bin
+    assert(out.map(_.getAs[Long]("n_docs")).sum === heldOut)
+    // bin_lo is the bin's lower edge; pass counts bounded by bin size
+    for (r <- out) {
+      assert(r.getAs[Long]("bin_lo") === r.getAs[Long]("bin") * 1000L)
+      assert(r.getAs[Long]("n_pass") >= 0 &&
+        r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+    }
+    // the curve must carry signal on the fixture: the top bin passes at a
+    // strictly higher rate than the bottom bin (94%-accurate model)
+    val sorted = out.sortBy(_.getAs[Long]("bin"))
+    assert(sorted.last.getAs[Double]("pass_rate") >
+      sorted.head.getAs[Double]("pass_rate"))
+  }
+
   test("topicCards: hand-computed c-TF-IDF, cluster-shared terms score zero") {
     import spark.implicits._
     val docs = docsDf(1L -> "apple apple banana", 2L -> "apple cherry",
