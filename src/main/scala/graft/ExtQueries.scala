@@ -138,6 +138,18 @@ object ExtQueries {
     // score as a filter threshold
     "text_quality_calibration" -> ((s, dir) =>
       TextAnalysis.qualityCalibration(docs(s, dir))),
+    // the MODEL STORE serving path: train once + publish atomically
+    // (cachedStore), then score the corpus with zero training work — one
+    // broadcast join of the <=dim-row stored weights. Same oracle chain
+    // as text_quality_score minus the trainer's fold flag
+    "text_quality_score_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = cachedStore("graft_qmodel_store_v1",
+        s"$dir/documents.parquet", "_SUCCESS") { tmp =>
+        TextAnalysis.buildQualityModelStore(d, tmp)
+      }
+      TextAnalysis.scoreAgainstModelStore(d, store)
+    }),
     "text_chunk"       -> ((s, dir) => TextAnalysis.chunk(docs(s, dir))),
     "text_length_stats" -> ((s, dir) => TextAnalysis.lengthStats(docs(s, dir))),
     "text_repetition"  -> ((s, dir) => TextAnalysis.repetition(docs(s, dir))),
@@ -1120,6 +1132,17 @@ object ExtQueries {
         |        FROM b LEFT JOIN wt USING (dim) GROUP BY doc_id)
         |SELECT doc_id, score, CAST(score > 0 AS BIGINT) AS pred,
         |       CAST(doc_id % 5 != 0 AS BIGINT) AS in_train
+        |FROM sca ORDER BY doc_id""".stripMargin,
+
+    // stored-model serving: training is deterministic, so the published
+    // weights equal a fresh train and the stored scorer answers the SAME
+    // relation as the in-line corpus-wide pass (minus the trainer's fold
+    // flag — the store serves scoring, folds are the trainer's concern)
+    "text_quality_score_stored" ->
+      s"""$qualityModelCtes,
+        |sca AS (SELECT doc_id, CAST(coalesce(sum(wt), 0) AS BIGINT) AS score
+        |        FROM b LEFT JOIN wt USING (dim) GROUP BY doc_id)
+        |SELECT doc_id, score, CAST(score > 0 AS BIGINT) AS pred
         |FROM sca ORDER BY doc_id""".stripMargin,
 
     // calibration: the same trained-score chain (sc = held-out scores),

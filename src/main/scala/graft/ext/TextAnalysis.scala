@@ -1164,6 +1164,65 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** MODEL STORE — persist the trained weight relation so serving never
+    * retrains (the 8th stored index, and the family's model-registry
+    * member): train once from labeled history, publish the ≤ dim-row
+    * weight table + its feature config atomically, then every scoring
+    * run — batch daily pass or streaming twin — loads the bytes and pays
+    * ONE broadcast join over its own input. No append verb on purpose: a
+    * model has no increment — retraining is a REBUILD that atomically
+    * replaces the published weights (the frozen-quantizer contract), and
+    * the rename-atomic swap IS the version bump. meta.txt records `dim`
+    * because scoring MUST bucket features with the same hash modulus the
+    * trainer used — a mismatched dim would silently scramble every
+    * feature lookup. */
+  def buildQualityModelStore(docs: DataFrame, storeDir: String,
+                             dim: Int = 256,
+                             labels: Option[DataFrame] = None): Unit = {
+    val lab = labels.getOrElse(gopherLabels(docs))
+    val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
+    val next = java.nio.file.Paths.get(
+      s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.createDirectories(next)
+    weights.coalesce(1).write.parquet(s"$next/weights")
+    java.nio.file.Files.write(next.resolve("meta.txt"),
+      s"dim=$dim\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
+    val live = java.nio.file.Paths.get(storeDir)
+    val old = java.nio.file.Paths.get(s"$storeDir.old")
+    if (java.nio.file.Files.exists(live)) {
+      graft.ops.Scale.deleteRecursively(old.toFile)
+      java.nio.file.Files.move(live, old,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    java.nio.file.Files.move(next, live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.Scale.deleteRecursively(old.toFile)
+  }
+
+  /** Load the published weight relation + the dim it was trained with —
+    * the bounded read every serving path starts from (≤ dim rows). */
+  def loadQualityModelStore(spark: SparkSession,
+                            storeDir: String): (DataFrame, Int) = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$storeDir/meta.txt")), "UTF-8")
+    val dim = meta.linesIterator.map(_.split("=", 2))
+      .collectFirst { case Array("dim", v) => v.trim.toInt }
+      .getOrElse(sys.error(s"no dim in $storeDir/meta.txt"))
+    (spark.read.parquet(s"$storeDir/weights"), dim)
+  }
+
+  /** Score ANY docs DataFrame against the PUBLISHED model — the daily
+    * serving pass: zero training work, one broadcast join of the ≤
+    * dim-row stored weights over one corpus scan ([[qualityScoreWith]]'s
+    * shape). Same relation as [[qualityScore]] minus the trainer's
+    * in_train fold flag (the store serves scoring; folds are the
+    * trainer's concern). */
+  def scoreAgainstModelStore(docs: DataFrame, storeDir: String): DataFrame = {
+    val (weights, dim) = loadQualityModelStore(docs.sparkSession, storeDir)
+    qualityScoreWith(docs, weights, dim).orderBy("doc_id")
+  }
+
   /** Fold a trained weight relation to a driver map — bounded by
     * construction (≤ dim rows; the trained-quantizer literal-fold
     * discipline), for the streaming scorer's per-row map lookup. */

@@ -773,6 +773,25 @@ class ExtTextSpec extends AnyFunSuite {
       ("source", "n_sources", 2.0)), out.mkString(","))
   }
 
+  test("model store: stored scorer equals the in-line corpus-wide pass; rebuild replaces atomically") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qmodel").toString
+    TextAnalysis.buildQualityModelStore(docs, s"$base/m")
+    val stored = TextAnalysis.scoreAgainstModelStore(docs, s"$base/m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "score", "pred")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored === inline)
+    // retrain = rebuild: the publish swap replaces the live weights and
+    // leaves no .old residue; scoring is unchanged (training deterministic)
+    TextAnalysis.buildQualityModelStore(docs, s"$base/m")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/m.old")))
+    val again = TextAnalysis.scoreAgainstModelStore(docs, s"$base/m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === stored)
+  }
+
   test("qualityCalibration partitions the held-out fold into fixed-width bins") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val out = TextAnalysis.qualityCalibration(docs).collect()
