@@ -242,6 +242,22 @@ object DocStreams {
                          dim: Int = 256): DataFrame =
     graft.ext.TextAnalysis.qualityScoreCols(docs, weights, dim)
 
+  /** [[qualityScoreStream]] served FROM the published model store — the
+    * full registry loop (train once → atomic publish →
+    * continuous serving): the store's weight table and its trained dim
+    * load once at query build ([[graft.ext.TextAnalysis.loadQualityModelStore]],
+    * ≤ dim rows) and fold to the scorer's literal map, so the running
+    * stream serves a PINNED model version — a concurrent retrain's
+    * atomic swap changes what the NEXT query start loads, never a
+    * half-updated live stream. Differentially spec'd equal to the batch
+    * stored scorer under random micro-batch splits. */
+  def qualityScoreStoreStream(docs: DataFrame, storeDir: String): DataFrame = {
+    val (weights, dim) =
+      graft.ext.TextAnalysis.loadQualityModelStore(docs.sparkSession, storeDir)
+    qualityScoreStream(docs,
+      graft.ext.TextAnalysis.foldQualityWeights(weights), dim)
+  }
+
   /** Streaming Bloom dedup gate — the per-event twin of
     * [[graft.ext.BloomDedup.probe]], and it IS that operator: the filter
     * bytes (built in batch or loaded from the Bloom store) fold to a

@@ -315,6 +315,24 @@ class DocStreamsSpec extends AnyFunSuite {
       "fixture must mix passing and failing predictions")
   }
 
+  test("streaming scorer served from the model store equals the batch stored scorer") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qmodelstream").toString
+    TextAnalysis.buildQualityModelStore(docs, s"$base/m")
+    val rows = docs.orderBy("doc_id").limit(200).collect().map(r =>
+      d(r.getAs[Long]("doc_id"), 1000L + r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val cols = Seq("doc_id", "score", "pred")
+    val streamed = runSplits(rows, "quality_store_stream_out", "append", cols)(
+      df => DocStreams.qualityScoreStoreStream(df, s"$base/m"))
+    // batch side = the store-served JOIN scorer; the stream serves the
+    // same published weights through the folded-literal path
+    val batch = TextAnalysis.scoreAgainstModelStore(rows.toSeq.toDF(), s"$base/m")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.exists(_(2) === 1L) && batch.exists(_(2) === 0L),
+      "fixture must mix passing and failing predictions")
+  }
+
   test("streaming boilerplate against the line-df store equals the batch probe") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     def lined(id: Long, text: String, lang: String, source: String) =
