@@ -164,6 +164,23 @@ object ExtQueries {
     // hashing-trick doc vectors: signed md5 buckets, sparse long format
     "text_feature_hash"   -> ((s, dir) => TextAnalysis.featureHash(docs(s, dir))),
     "text_winnow_pairs" -> ((s, dir) => TextAnalysis.winnowPairs(docs(s, dir))),
+    // the winnow family's daily shape: incoming docs sharing >= minShared
+    // prints with the HISTORICAL corpus (df cap from history only)
+    "text_winnow_incremental" -> ((s, dir) =>
+      TextAnalysis.winnowIncremental(docs(s, dir))),
+    // the same relation against the PRECOMPUTED print store, exercising
+    // the full build(odd half) + append(even half) lifecycle per fixture
+    // — multiplicity-preserving rows, so append = rebuild for any probe
+    "text_winnow_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.filter(col("doc_id") % 7 =!= 0)
+      val store = cachedStore("graft_winnow_store_v1",
+        s"$dir/documents.parquet", "prints/_SUCCESS") { tmp =>
+        TextAnalysis.buildWinnowStore(hist.filter(col("doc_id") % 2 === 1), tmp)
+        TextAnalysis.appendToWinnowStore(hist.filter(col("doc_id") % 2 === 0), tmp)
+      }
+      TextAnalysis.winnowAgainstStore(d.filter(col("doc_id") % 7 === 0), store)
+    }),
     "text_source_drift" -> ((s, dir) => TextAnalysis.sourceDrift(docs(s, dir))),
     // canonicalization fingerprint (casefold/strip/collapse -> md5)
     "text_normalize"    -> ((s, dir) => TextAnalysis.normalize(docs(s, dir))),
@@ -864,6 +881,24 @@ object ExtQueries {
        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
        |       round(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Cross-slice winnow-pair relation — incoming (%7=0) vs historical
+    * (%7≠0) print index, df cap counted over HISTORICAL rows only,
+    * n_shared with multiplicity. Shared by `text_winnow_incremental`
+    * (in-line halves) and `text_winnow_stored` (a materialization of the
+    * historical side — build+append over complementary halves covers
+    * exactly the %7≠0 slice, and rows are append-order-independent). */
+  private lazy val winnowIncrementalOracleSql: String =
+    s"""WITH $winnowCtes,
+       |idx AS (SELECT doc_id, unnest(prints) AS print FROM pr),
+       |hidx AS (SELECT doc_id AS hist_id, print FROM idx WHERE doc_id % 7 <> 0),
+       |iidx AS (SELECT doc_id AS inc_id, print FROM idx WHERE doc_id % 7 = 0),
+       |keep AS (SELECT print FROM hidx GROUP BY print HAVING count(*) <= 50)
+       |SELECT iidx.inc_id AS inc_id, hidx.hist_id AS hist_id,
+       |       CAST(count(*) AS BIGINT) AS n_shared
+       |FROM iidx JOIN hidx USING (print) JOIN keep USING (print)
+       |GROUP BY 1, 2 HAVING count(*) >= 8
+       |ORDER BY inc_id, hist_id""".stripMargin
 
   private val bloomGateOracleSql: String =
     """SELECT i.doc_id,
@@ -1598,6 +1633,14 @@ object ExtQueries {
          |SELECT i1.doc_id AS a, i2.doc_id AS b, count(*) AS n_shared
          |FROM fidx i1 JOIN fidx i2 ON i1.print = i2.print AND i1.doc_id < i2.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 8 ORDER BY a, b""".stripMargin,
+
+    // cross-slice winnow pairs: historical-only df cap (the
+    // boilerplate-against-store convention), multiplicity-counting join —
+    // ONE oracle for the in-line incremental and the stored-probe twin
+    // (the store is the exploded print relation itself, build+append over
+    // complementary halves = exactly the %7<>0 slice)
+    "text_winnow_incremental" -> winnowIncrementalOracleSql,
+    "text_winnow_stored" -> winnowIncrementalOracleSql,
 
     // replays shingle_hash60 (first 15 md5 hex digits as a 60-bit int) over
     // 5-gram shingles; train×eval overlap with the same mod-11 eval slice

@@ -332,6 +332,111 @@ object TextAnalysis {
       .orderBy("a", "b")
   }
 
+  /** INCREMENTAL winnow-pair detection — [[winnowPairs]]'s daily shape:
+    * which INCOMING docs share ≥ `minShared` winnowed prints with the
+    * HISTORICAL corpus, and with which historical docs. The df cap is
+    * computed over the HISTORICAL print rows only (the
+    * boilerplate-against-store convention: history decides what is hot),
+    * and n_shared counts print-row matches with multiplicity, exactly as
+    * [[winnowPairs]]' inverted-index join does. One oracle covers this
+    * and the stored twin [[winnowAgainstStore]]. */
+  def winnowIncremental(docs: DataFrame, minShared: Int = 8,
+                        maxDocFreq: Int = 50, mod: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val idx = Dedup.spread(docs)
+      .select(col("doc_id"), explode(expr("winnow_prints(text, 3, 4)")).as("print"))
+    winnowCrossPairs(
+      idx.filter(col("doc_id") % mod === 0).toDF("inc_id", "print"),
+      idx.filter(col("doc_id") % mod =!= 0).toDF("hist_id", "print"),
+      minShared, maxDocFreq)
+  }
+
+  /** WINNOW PRINT STORE — the incremental index for the plagiarism/clone
+    * monitor (9th stored index, closing the last pair-generating family
+    * without one): the historical corpus's winnowed prints persist as
+    * (print, hist_id) rows range-clustered on the 8-byte print, so a
+    * daily increment probes by equi-join with file pruning and the
+    * historical TEXT is never rescanned. Rows keep print MULTIPLICITY on
+    * purpose — n_shared counts cross-matches exactly like
+    * [[winnowPairs]], so the store is the exploded relation itself, not
+    * a distinct projection (the one deliberate deviation from the
+    * paragraph store's DISTINCT discipline, and the oracle replays it). */
+  def buildWinnowStore(hist: DataFrame, storeDir: String,
+                       numFiles: Int = 8): Unit =
+    writeWinnowStore(hist, storeDir, mode = "overwrite", numFiles)
+
+  /** O(increment) append: print only the increment, land it as its own
+    * range-clustered file set (existing files untouched, per-batch tight
+    * key ranges keep probe pruning working); compact with
+    * [[compactWinnowStore]] when batches pile up. */
+  def appendToWinnowStore(increment: DataFrame, storeDir: String,
+                          numFiles: Int = 1): Unit =
+    writeWinnowStore(increment, storeDir, mode = "append", numFiles)
+
+  /** Store compaction — the family's side-directory + atomic-rename
+    * discipline; pure layout, the probe relation is untouched. */
+  def compactWinnowStore(spark: SparkSession, storeDir: String,
+                         numFiles: Int = 8): Unit = {
+    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.ops.Scale.clusteredParquet(
+      spark.read.parquet(s"$storeDir/prints"), s"$tmp/prints",
+      Seq("print"), numFiles)
+    val (live, old) = (java.nio.file.Paths.get(storeDir),
+      java.nio.file.Paths.get(s"$storeDir.old"))
+    graft.ops.Scale.deleteRecursively(old.toFile)
+    java.nio.file.Files.move(live, old,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.Scale.deleteRecursively(old.toFile)
+  }
+
+  /** [[winnowIncremental]] against the PRECOMPUTED print store: the run
+    * pays the increment's native winnowing pass plus one file-pruned
+    * equi-join — the only documents scan in the plan is the incoming
+    * side's (plan-locked). The df cap evaluates on the FETCHED store rows,
+    * which is exact: a probed print's store rows are fetched completely,
+    * and unprobed prints can produce no pairs. */
+  def winnowAgainstStore(incoming: DataFrame, storeDir: String,
+                         minShared: Int = 8, maxDocFreq: Int = 50): DataFrame = {
+    val spark = incoming.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val incIdx = Dedup.spread(incoming)
+      .select(col("doc_id"), explode(expr("winnow_prints(text, 3, 4)")).as("print"))
+      .toDF("inc_id", "print")
+    val probeKeys = incIdx.select("print").distinct()
+    val histRows = spark.read.parquet(s"$storeDir/prints")
+      .join(probeKeys, "print")
+      .select(col("hist_id"), col("print"))
+    winnowCrossPairs(incIdx, histRows, minShared, maxDocFreq)
+  }
+
+  /** The shared cross-side pair kernel: historical-df cap, then the
+    * inverted-index join counting matches with multiplicity. */
+  private def winnowCrossPairs(incIdx: DataFrame, histRows: DataFrame,
+                               minShared: Int, maxDocFreq: Int): DataFrame = {
+    val keep = histRows.groupBy("print")
+      .agg(count(lit(1)).as("df_hist"))
+      .filter(col("df_hist") <= maxDocFreq)
+      .select("print")
+    incIdx.join(histRows.join(keep, "print"), "print")
+      .groupBy("inc_id", "hist_id")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("inc_id", "hist_id")
+  }
+
+  private def writeWinnowStore(docs: DataFrame, storeDir: String,
+                               mode: String, numFiles: Int): Unit = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.ops.Scale.clusteredParquet(
+      Dedup.spread(docs)
+        .select(col("doc_id").as("hist_id"),
+          explode(expr("winnow_prints(text, 3, 4)")).as("print"))
+        .select("print", "hist_id"),
+      s"$storeDir/prints", Seq("print"), numFiles, mode)
+  }
+
   /** Text NORMALIZATION fingerprint — the canonicalization pass that runs
     * before exact dedup in a crawl pipeline (casefold, strip non-alnum,
     * collapse whitespace): emits the normalized form's md5 plus before/

@@ -773,6 +773,45 @@ class ExtTextSpec extends AnyFunSuite {
       ("source", "n_sources", 2.0)), out.mkString(","))
   }
 
+  test("winnow store: stored probe equals the in-line incremental; append == rebuild; compaction pure layout") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    val inc = docs.filter(col("doc_id") % 7 === 0)
+    val base = java.nio.file.Files.createTempDirectory("winnowstore").toString
+    TextAnalysis.buildWinnowStore(hist.filter(col("doc_id") % 2 === 1), s"$base/s")
+    TextAnalysis.appendToWinnowStore(hist.filter(col("doc_id") % 2 === 0), s"$base/s")
+    val stored = TextAnalysis.winnowAgainstStore(inc, s"$base/s").collect().toSeq
+    val inline = TextAnalysis.winnowIncremental(docs).collect().toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty, "fixture has no cross-slice winnow pairs")
+    // append == rebuild: the store relation is the exploded print rows,
+    // order-independent and multiplicity-preserving
+    TextAnalysis.buildWinnowStore(hist, s"$base/full")
+    def rel(d: String) = spark.read.parquet(s"$d/prints")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rel(s"$base/s") === rel(s"$base/full"))
+    // compaction preserves the probe relation and leaves no residue
+    val rowsBefore = spark.read.parquet(s"$base/s/prints").count()
+    TextAnalysis.compactWinnowStore(spark, s"$base/s")
+    assert(TextAnalysis.winnowAgainstStore(inc, s"$base/s").collect().toSeq === stored)
+    assert(spark.read.parquet(s"$base/s/prints").count() === rowsBefore)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/s.old")))
+  }
+
+  test("winnow store probe plan: historical text is never rescanned") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("winnowstore").toString
+    TextAnalysis.buildWinnowStore(docs.filter(col("doc_id") % 7 =!= 0), s"$base/s")
+    // probe from a SEPARATE parquet so any scan of the original corpus
+    // file in the probe plan would be unambiguous evidence of a rescan
+    docs.filter(col("doc_id") % 7 === 0).write.parquet(s"$base/inc")
+    val p = TextAnalysis.winnowAgainstStore(
+        spark.read.parquet(s"$base/inc"), s"$base/s")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("prints"), p.take(2000))
+    assert(!p.contains("documents.parquet"), p.take(3000))
+  }
+
   test("model store: stored scorer equals the in-line corpus-wide pass; rebuild replaces atomically") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val base = java.nio.file.Files.createTempDirectory("qmodel").toString
