@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   *           keys + left join) it replaces on the daily path;
   *   ivf   — [[graft.ext.Similarity]] IVF store: build + append, then the
   *           file-pruned stored probe vs the in-line [[Similarity.ivfTopK]]
-  *           that re-assigns the whole corpus per query batch.
+  *           that re-assigns the whole corpus per query batch;
+  *   winnow — [[graft.ext.TextAnalysis]] print store: build + append, then
+  *           the stored probe vs the in-line
+  *           [[TextAnalysis.winnowIncremental]] that re-winnows the whole
+  *           historical corpus per run.
   *
-  * Usage: runMain graft.StoreSoak <fixtureDir> [bloom|ivf]
+  * Usage: runMain graft.StoreSoak <fixtureDir> [bloom|ivf|winnow]
   */
 object StoreSoak {
   def time[T](label: String)(f: => T): T = {
@@ -78,6 +82,27 @@ object StoreSoak {
         for (rep <- 1 to 2)
           time(s"in-line ivfTopK rep$rep (re-assigns the corpus per batch)")(
             graft.ext.Similarity.ivfTopK(embs, nList = nList)
+              .write.format("noop").mode("overwrite").save())
+      case "winnow" =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val hist = docs.filter(col("doc_id") % 7 =!= 0)
+        val inc = docs.filter(col("doc_id") % 7 === 0)
+        println(s"[soak] $dir docs: history=${hist.count()} increment=${inc.count()}")
+        val store = s"/tmp/soak_winnow_store_${dir.replace('/', '_')}"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time("store build (historical prints)")(
+          graft.ext.TextAnalysis.buildWinnowStore(
+            hist.filter(col("doc_id") % 2 === 1), store))
+        time("store append (even half against live store)")(
+          graft.ext.TextAnalysis.appendToWinnowStore(
+            hist.filter(col("doc_id") % 2 === 0), store))
+        for (rep <- 1 to 2)
+          time(s"stored probe rep$rep (file-pruned print join)")(
+            graft.ext.TextAnalysis.winnowAgainstStore(inc, store)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"in-line incremental rep$rep (re-winnows history per run)")(
+            graft.ext.TextAnalysis.winnowIncremental(docs)
               .write.format("noop").mode("overwrite").save())
       case other => sys.error(s"unknown mode $other")
     }
