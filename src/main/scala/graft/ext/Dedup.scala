@@ -296,6 +296,11 @@ object Dedup {
     // arrays are scanned and shuffled once, not 32×.
     val sig = spread(docs)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+      // sub-3-token docs have NO shingles: without this filter they all
+      // share the constant empty-array MinHash signature, band-collide,
+      // and reach the jaccard with a 0 denominator — the oracle's
+      // len(w) >= 3 clause excludes them, and so must the engine
+      .filter(expr("size(h60) > 0"))
       .withColumn("sig", expr("minhash_sig(h60)"))
     val allBands = sig.select(col("doc_id"),
       posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))
@@ -338,11 +343,52 @@ object Dedup {
     * `bands` relation below), so a daily run pays only the incoming side's
     * signatures plus one equi-join against the stored index — never a
     * rescan of the store. Emits (incoming, matched historical, jaccard). */
+  /** INGEST TRIAGE — the daily front-door decision relation, composing the
+    * proven dedup stages into ONE declarative plan: every incoming doc
+    * (doc_id % mod = 0) gets its verdict against the historical corpus —
+    * `exact` (shares [[exact]]'s 80-char content key with history — in
+    * production the Bloom gate answers this before the key join confirms),
+    * `near` (≥ `threshold` Jaccard with a historical doc via
+    * [[incremental]]'s banded LSH + exact verify; the single BEST match is
+    * reported, ties (jaccard DESC, hist_id ASC)), else `fresh`. Exact
+    * takes precedence in the verdict, but the near-match columns stay
+    * populated when one exists — the audit wants both facts. Catalyst
+    * sees the whole composition, so the two stages share the incoming
+    * scan; each keeps its own proven scale shape (broadcastable distinct
+    * keys, 8-byte band shuffles, never all-pairs). */
+  def ingestTriage(docs: DataFrame, threshold: Double = 0.8,
+                   mod: Int = 7): DataFrame = {
+    val base = spread(docs)
+    val hist = base.filter(col("doc_id") % mod =!= 0)
+    val inc = base.filter(col("doc_id") % mod === 0)
+    val exact = inc
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("k"))
+      .join(hist.select(substring(col("text"), 1, 80).as("k")).distinct()
+        .withColumn("seen", lit(true)), Seq("k"), "left")
+      .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("exact_dup"))
+    val bw = Window.partitionBy("inc_id")
+      .orderBy(col("jaccard").desc, col("hist_id").asc)
+    val bestNear = incremental(docs, threshold, mod)
+      .withColumn("rn", row_number().over(bw)).filter(col("rn") === 1)
+      .select(col("inc_id").as("doc_id"),
+        col("hist_id").as("near_hist_id"), col("jaccard"))
+    exact.join(bestNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_dup"), "exact")
+          .when(col("near_hist_id").isNotNull, "near")
+          .otherwise("fresh").as("verdict"),
+        col("near_hist_id"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   def incremental(docs: DataFrame, threshold: Double = 0.8, mod: Int = 7): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     def sigBands(side: DataFrame) = {
       val sig = side
         .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+        // shingle-less docs never band (see minhashLsh's note — the empty
+        // signature is a constant that would collide them all)
+        .filter(expr("size(h60) > 0"))
         .withColumn("sig", expr("minhash_sig(h60)"))
       sig.select(col("doc_id"),
         posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))
@@ -432,6 +478,8 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sig = spread(docs)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+      // shingle-less docs never enter the store (minhashLsh's note)
+      .filter(expr("size(h60) > 0"))
       .withColumn("sig", expr("minhash_sig(h60)"))
     graft.ops.Scale.clusteredParquet(
       sig.select(col("doc_id").as("hist_id"),
@@ -459,6 +507,8 @@ object Dedup {
     val histHashes = spark.read.parquet(s"$storeDir/hashes")
     val incSig = spread(incoming)
       .select(col("doc_id"), expr("shingle_hash60(text, 3)").as("h60"))
+      // shingle-less docs never probe (minhashLsh's note)
+      .filter(expr("size(h60) > 0"))
       .withColumn("sig", expr("minhash_sig(h60)"))
     val incBands = incSig.select(col("doc_id").as("inc_id"),
       posexplode(expr(bandSigsExpr)).as(Seq("band", "bsig")))

@@ -122,6 +122,9 @@ object DocStreams {
       .withWatermark("ingest_ts", watermark)
       .select(col("doc_id").as("inc_id"), col("ingest_ts"),
         expr("shingle_hash60(text, 3)").as("si"))
+      // shingle-less docs never probe — the batch sides' empty-signature
+      // guard (see Dedup.minhashLsh's note), mirrored here
+      .filter(expr("size(si) > 0"))
       .withColumn("sig", expr("minhash_sig(si)"))
       .select(col("inc_id"), col("ingest_ts"), col("si"),
         posexplode(expr(graft.ext.Dedup.bandSigsExpr)).as(Seq("band", "bsig")))

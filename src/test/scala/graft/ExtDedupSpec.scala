@@ -659,4 +659,45 @@ class ExtDedupSpec extends AnyFunSuite {
       assert(replay.forall(_.getAs[Long]("n_kept") === 0L))
     } finally graft.ops.Scale.deleteRecursively(new java.io.File(dir))
   }
+
+  test("shingle-less docs (< 3 tokens) never band, pair, or crash the jaccard") {
+    // identical 2-token docs across both slices: before the empty-signature
+    // guard they all band-collided on the constant empty MinHash sig and
+    // the jaccard denominator hit 0 (ANSI divide-by-zero); the oracle's
+    // len(w) >= 3 clause excludes them, and so must every banding path
+    val df = docsDf(1L -> "aa bb", 2L -> "cc", 3L -> "aa bb",
+      7L -> "aa bb", 14L -> "dd ee",
+      4L -> (1 to 12).map(i => s"w$i").mkString(" "))
+    assert(Dedup.minhashLsh(df).collect().isEmpty)
+    assert(Dedup.incremental(df).collect().isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bandstore").toString
+    try {
+      Dedup.buildBandStore(df.filter(col("doc_id") % 7 =!= 0), dir)
+      assert(Dedup.incrementalStored(
+        df.filter(col("doc_id") % 7 === 0), dir).collect().isEmpty)
+    } finally graft.ops.Scale.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("ingestTriage: exact beats near in the verdict; best near match reported; fresh passes") {
+    val pad = "y" * 90
+    val long = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val longNear = (1 to 11).map(i => s"tok$i").mkString(" ") + " CHANGED"
+    val df = docsDf(
+      1L -> s"$pad shared-prefix",                        // history: exact anchor
+      2L -> long,                                         // history: near anchor
+      3L -> "unrelated history content entirely",        // history
+      7L -> s"$pad shared-prefix",                        // inc: exact dup of 1
+      14L -> longNear,                                    // inc: near dup of 2 (j = 9/11)
+      21L -> "completely fresh incoming words here")     // inc: fresh
+    val out = Dedup.ingestTriage(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(7L)._1 === "exact")
+    assert(out(14L) === ("near", 2L))
+    assert(out(21L) === ("fresh", -1L))
+    // 12-token docs share 9 of their 10 3-gram shingles: j = 9/11
+    val j = Dedup.ingestTriage(df).collect()
+      .find(_.getLong(0) == 14L).get.getAs[Double]("jaccard")
+    assert(math.abs(j - 9.0 / 11.0) < 1e-5, j.toString)
+  }
 }
