@@ -317,8 +317,14 @@ object ExtQueries {
     // negatives), fp_within_bound TRUE (measured FP rate <= 3x fpp).
     "dedup_bloom_gate" -> ((s, dir) => {
       val d = docs(s, dir)
-      BloomDedup.exactBloomGate(d.filter(col("doc_id") % 7 =!= 0),
-        d.filter(col("doc_id") % 7 === 0), expectedItems = 1000000L)
+      val hist = d.filter(col("doc_id") % 7 =!= 0)
+      // size the filter FROM the history slice (×2 headroom), never a
+      // fixed literal — a fixture outgrowing a hardcoded estimate would
+      // silently degrade the effective fpp past the pinned
+      // fp_within_bound oracle constant. The count is one narrow
+      // doc_id-column scan, trivial next to the gate itself.
+      BloomDedup.exactBloomGate(hist, d.filter(col("doc_id") % 7 === 0),
+        expectedItems = math.max(hist.count() * 2, 1024L))
     }),
     // the stored twin, exercising the FULL store lifecycle per fixture:
     // build on the odd history half, append the even half (bitwise OR —
@@ -328,10 +334,13 @@ object ExtQueries {
     "dedup_bloom_stored" -> ((s, dir) => {
       val d = docs(s, dir)
       val hist = d.filter(col("doc_id") % 7 =!= 0)
-      val store = cachedStore("graft_bloom_store_v1",
+      val store = cachedStore("graft_bloom_store_v2",
         s"$dir/documents.parquet", "_SUCCESS") { tmp =>
+        // sized from the FULL history the merged filter will hold (×2
+        // headroom) — build and append must share one sizing, and that
+        // sizing must cover the union, not the build half
         BloomDedup.buildBloomStore(hist.filter(col("doc_id") % 2 === 1),
-          tmp, expectedItems = 1000000L)
+          tmp, expectedItems = math.max(hist.count() * 2, 1024L))
         BloomDedup.appendToBloomStore(hist.filter(col("doc_id") % 2 === 0), tmp)
       }
       BloomDedup.gateStored(d.filter(col("doc_id") % 7 === 0), store, hist)

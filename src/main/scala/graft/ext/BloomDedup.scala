@@ -104,10 +104,14 @@ object BloomDedup {
 
   /** [[exactBloomGate]] probing a PRECOMPUTED store instead of building
     * the filter in-line — same output, same oracle; `history` is joined
-    * only for the exact confirmation columns. */
+    * only for the exact confirmation columns. The FP bound derives from
+    * the fpp the store's meta.txt RECORDS (fpBoundFactor · stored fpp),
+    * so a store built with a non-default fpp is judged against its own
+    * design point, never a hardcoded constant. */
   def gateStored(incoming: DataFrame, storeDir: String, history: DataFrame,
-                 fpBound: Double = 0.03): DataFrame =
-    gateOutput(probeStored(incoming, storeDir), history, fpBound)
+                 fpBoundFactor: Double = 3.0): DataFrame =
+    gateOutput(probeStored(incoming, storeDir), history,
+      fpBoundFactor * readMeta(storeDir)._2)
 
   private def gateOutput(probed: DataFrame, history: DataFrame,
                          fpBound: Double): DataFrame = {
@@ -151,12 +155,17 @@ object BloomDedup {
   /** O(increment) append: hash only the increment, OR its filter into the
     * live bytes, republish atomically. Order-independent and idempotent
     * per key — append ≡ rebuild byte-for-byte (spec-asserted), so there is
-    * no compaction debt, ever. */
+    * no compaction debt, ever.
+    *
+    * SINGLE-WRITER, like every mutating store verb (the
+    * [[graft.ops.StoreLifecycle]] contract): the read-merge-publish is
+    * guarded against TORN stores (`readMeta` requires the `_SUCCESS`
+    * marker, so a half-published store is never merged into) but not
+    * against concurrent appends — two writers OR-merging in parallel is a
+    * lost-update race (last publish wins one increment's bits away); the
+    * daily loop's one owner runs it. */
   def appendToBloomStore(increment: DataFrame, storeDir: String): Unit = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(metaPath(storeDir))), "UTF-8")
-    val kv = meta.linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
-    val (expectedItems, fpp) = (kv("expectedItems").toLong, kv("fpp").toDouble)
+    val (expectedItems, fpp) = readMeta(storeDir)
     val live = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(binPath(storeDir)))))
@@ -173,28 +182,33 @@ object BloomDedup {
     * filter bytes (bounded by sizing, never by corpus rows), and the probe
     * plan is [[probe]]'s — one scan of the increment, zero joins. */
   def probeStored(incoming: DataFrame, storeDir: String,
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text"): DataFrame = {
+    readMeta(storeDir) // _SUCCESS guard: never probe a torn store
     probe(incoming, java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(binPath(storeDir))), textCol)
+  }
+
+  /** Read the store's recorded sizing params, refusing a torn store: the
+    * `_SUCCESS` marker is written last inside the published snapshot, so
+    * its absence means a half-written or foreign directory. */
+  private def readMeta(storeDir: String): (Long, Double) = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$storeDir/_SUCCESS")),
+      s"no _SUCCESS marker at $storeDir — not a published Bloom store")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath(storeDir))), "UTF-8")
+    val kv = meta.linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (kv("expectedItems").toLong, kv("fpp").toDouble)
+  }
 
   private def publish(storeDir: String, bytes: Array[Byte],
-                      expectedItems: Long, fpp: Double): Unit = {
-    val next = java.nio.file.Paths.get(
-      s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.createDirectories(next)
-    java.nio.file.Files.write(next.resolve("bloom.bin"), bytes)
-    java.nio.file.Files.write(next.resolve("meta.txt"),
-      s"expectedItems=$expectedItems\nfpp=$fpp\n".getBytes("UTF-8"))
-    java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
-    val live = java.nio.file.Paths.get(storeDir)
-    val old = java.nio.file.Paths.get(s"$storeDir.old")
-    if (java.nio.file.Files.exists(live)) {
-      graft.ops.Scale.deleteRecursively(old.toFile)
-      java.nio.file.Files.move(live, old,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                      expectedItems: Long, fpp: Double): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      val next = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(next)
+      java.nio.file.Files.write(next.resolve("bloom.bin"), bytes)
+      java.nio.file.Files.write(next.resolve("meta.txt"),
+        s"expectedItems=$expectedItems\nfpp=$fpp\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
     }
-    java.nio.file.Files.move(next, live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
-  }
 }

@@ -141,7 +141,8 @@ object Clean {
     * single-writer + caller-side atomic-publish discipline. */
   def buildLineDfStore(hist: DataFrame, storeDir: String, numFiles: Int = 8,
                        textCol: String = "text"): Unit =
-    writeLineDfStore(hist, storeDir, "overwrite", numFiles, textCol)
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      writeLineDfStore(hist, tmp, "overwrite", numFiles, textCol))
 
   def appendToLineDfStore(increment: DataFrame, storeDir: String,
                           numFiles: Int = 1, textCol: String = "text"): Unit =
@@ -157,26 +158,16 @@ object Clean {
   /** Line-df store COMPACTION — rewrite the accumulated per-append file
     * sets as ONE freshly range-clustered set, summing the per-batch df
     * rows appends accumulate (probes tolerate them — they sum per key;
-    * compaction is when they're paid down). Rename-based publication:
-    * fully written to a side directory, then two atomic moves (old →
-    * `.old`, new → live) — a crash between them leaves a recoverable
-    * `.old`, never a half-written live index. */
+    * compaction is when they're paid down). Publication rides
+    * [[graft.ops.StoreLifecycle.publish]] — the family's one
+    * side-directory + atomic-rename discipline. */
   def compactLineDfStore(spark: org.apache.spark.sql.SparkSession,
-                         storeDir: String, numFiles: Int = 8): Unit = {
-    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.ops.Scale.clusteredParquet(
-      spark.read.parquet(s"$storeDir/linedf")
-        .groupBy("h").agg(sum("df").as("df")),
-      s"$tmp/linedf", Seq("h"), numFiles)
-    val (live, old) = (java.nio.file.Paths.get(storeDir),
-      java.nio.file.Paths.get(s"$storeDir.old"))
-    graft.ops.Scale.deleteRecursively(old.toFile)
-    java.nio.file.Files.move(live, old,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
-  }
+                         storeDir: String, numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/linedf")
+          .groupBy("h").agg(sum("df").as("df")),
+        s"$tmp/linedf", Seq("h"), numFiles))
 
   /** [[boilerplate]] against the PRECOMPUTED line-df store — incremental
     * boilerplate removal: an incoming document drops exactly the lines

@@ -217,8 +217,9 @@ object Dedup {
     val sh = spread(evalDocs)
       .select(col("doc_id").as("eval_id"),
         explode(expr(s"shingle_hash60(text, $n)")).as("shingle"))
-    graft.ops.Scale.clusteredParquet(sh, s"$storeDir/evalsh",
-      Seq("shingle"), numFiles, "overwrite")
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      graft.ops.Scale.clusteredParquet(sh, s"$tmp/evalsh",
+        Seq("shingle"), numFiles, "overwrite"))
   }
 
   /** Probe a training increment against a PRECOMPUTED eval store (see
@@ -424,7 +425,8 @@ object Dedup {
     * reads the index, never the historical TEXT, and the day's accepted
     * increment is folded in with [[appendToBandStore]]. */
   def buildBandStore(hist: DataFrame, storeDir: String): Unit =
-    writeBandStore(hist, storeDir, mode = "overwrite", numFiles = 8)
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      writeBandStore(hist, tmp, mode = "overwrite", numFiles = 8))
 
   /** The daily loop's second half: after [[incrementalStored]] flags
     * today's increment against the store, append the increment's bands and
@@ -448,30 +450,19 @@ object Dedup {
     * the row set is untouched (spec-asserted: identical probe relation
     * before/after, exact row counts).
     *
-    * Publication is rename-based: the new layout is fully written to a
-    * side directory, then swapped in (old → `.old`, new → live, `.old`
-    * deleted). Each rename is atomic; a crash between them leaves a
-    * recoverable `.old` beside the store rather than a half-written live
-    * index. Run it from the same single writer that owns the daily
-    * append loop. */
+    * Publication rides [[graft.ops.StoreLifecycle.publish]] — the family's
+    * one side-directory + atomic-rename discipline. Run it from the same
+    * single writer that owns the daily append loop. */
   def compactBandStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-                       numFiles: Int = 8): Unit = {
-    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.ops.Scale.clusteredParquet(
-      spark.read.parquet(s"$storeDir/bands"), s"$tmp/bands",
-      Seq("band", "bsig"), numFiles)
-    graft.ops.Scale.clusteredParquet(
-      spark.read.parquet(s"$storeDir/hashes"), s"$tmp/hashes",
-      Seq("hist_id"), numFiles)
-    val (live, old) = (java.nio.file.Paths.get(storeDir),
-      java.nio.file.Paths.get(s"$storeDir.old"))
-    graft.ops.Scale.deleteRecursively(old.toFile) // a crashed prior compact's leftover
-    java.nio.file.Files.move(live, old,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
-  }
+                       numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/bands"), s"$tmp/bands",
+        Seq("band", "bsig"), numFiles)
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/hashes"), s"$tmp/hashes",
+        Seq("hist_id"), numFiles)
+    }
 
   private def writeBandStore(docs: DataFrame, storeDir: String,
                              mode: String, numFiles: Int): Unit = {
@@ -1219,7 +1210,8 @@ object Dedup {
     * — only for file-count hygiene. */
   def buildSpanStore(hist: DataFrame, storeDir: String, k: Int = 8,
                      numFiles: Int = 8): Unit =
-    writeSpanStore(hist, storeDir, k, "overwrite", numFiles)
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      writeSpanStore(hist, tmp, k, "overwrite", numFiles))
 
   def appendToSpanStore(increment: DataFrame, storeDir: String, k: Int = 8,
                         numFiles: Int = 1): Unit =
@@ -1229,25 +1221,15 @@ object Dedup {
     * window-hash index: rewrite the accumulated per-append file sets as
     * ONE freshly range-clustered set, ALSO collapsing the duplicate
     * hashes appends accumulate (probes tolerate them; compaction is when
-    * they're paid down). Rename-based publication: fully written to a
-    * side directory, then two atomic moves (old → `.old`, new → live) —
-    * a crash between them leaves a recoverable `.old`, never a
-    * half-written live index. Single-writer, like the daily append. */
+    * they're paid down). Publication rides
+    * [[graft.ops.StoreLifecycle.publish]]. Single-writer, like the daily
+    * append. */
   def compactSpanStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-                       numFiles: Int = 8): Unit = {
-    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.ops.Scale.clusteredParquet(
-      spark.read.parquet(s"$storeDir/winhashes").distinct(),
-      s"$tmp/winhashes", Seq("h"), numFiles)
-    val (live, old) = (java.nio.file.Paths.get(storeDir),
-      java.nio.file.Paths.get(s"$storeDir.old"))
-    graft.ops.Scale.deleteRecursively(old.toFile)
-    java.nio.file.Files.move(live, old,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
-  }
+                       numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/winhashes").distinct(),
+        s"$tmp/winhashes", Seq("h"), numFiles))
 
   private def writeSpanStore(docs: DataFrame, storeDir: String, k: Int,
                              mode: String, numFiles: Int): Unit = {
@@ -1380,7 +1362,8 @@ object Dedup {
     * applies verbatim when appends accumulate duplicate hashes. */
   def buildParagraphStore(hist: DataFrame, storeDir: String, width: Int = 15,
                           numFiles: Int = 8): Unit =
-    writeParagraphStore(hist, storeDir, width, "overwrite", numFiles)
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      writeParagraphStore(hist, tmp, width, "overwrite", numFiles))
 
   def appendToParagraphStore(increment: DataFrame, storeDir: String, width: Int = 15,
                              numFiles: Int = 1): Unit =

@@ -1098,11 +1098,16 @@ object Similarity {
     require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    cents.toSeq.map { case (id, v) => (id, v.toSeq) }
-      .toDF("list_id", "q")
-      .coalesce(1).write.mode("overwrite").parquet(s"$storeDir/centroids")
-    writeIvfLists(vecs, centroidLits(cents), cents.length, storeDir,
-      mode = "overwrite", numFiles)
+    // side-directory + atomic-rename publish (the family's one discipline,
+    // StoreLifecycle): a crash or concurrent rebuild mid-build can never
+    // leave a half-written live store
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("list_id", "q")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      writeIvfLists(vecs, centroidLits(cents), cents.length, tmp,
+        mode = "overwrite", numFiles)
+    }
   }
 
   /** O(increment) append: assign ONLY the increment against the store's
@@ -1125,22 +1130,14 @@ object Similarity {
     * side-directory + two atomic renames so a crash leaves a recoverable
     * `.old` beside the store, never a half-written live index. */
   def compactIvfStore(spark: org.apache.spark.sql.SparkSession,
-                      storeDir: String, numFiles: Int = 8): Unit = {
-    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.ops.Scale.clusteredParquet(
-      spark.read.parquet(s"$storeDir/lists"), s"$tmp/lists",
-      Seq("list_id"), numFiles)
-    spark.read.parquet(s"$storeDir/centroids")
-      .coalesce(1).write.parquet(s"$tmp/centroids")
-    val (live, old) = (java.nio.file.Paths.get(storeDir),
-      java.nio.file.Paths.get(s"$storeDir.old"))
-    graft.ops.Scale.deleteRecursively(old.toFile)
-    java.nio.file.Files.move(live, old,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
-  }
+                      storeDir: String, numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/lists"), s"$tmp/lists",
+        Seq("list_id"), numFiles)
+      spark.read.parquet(s"$storeDir/centroids")
+        .coalesce(1).write.parquet(s"$tmp/centroids")
+    }
 
   /** [[ivfTopK]] against a PRECOMPUTED store: the query batch pays its own
     * quantize + probe expression plus a file-pruned scan of the probed

@@ -363,7 +363,8 @@ object TextAnalysis {
     * paragraph store's DISTINCT discipline, and the oracle replays it). */
   def buildWinnowStore(hist: DataFrame, storeDir: String,
                        numFiles: Int = 8): Unit =
-    writeWinnowStore(hist, storeDir, mode = "overwrite", numFiles)
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      writeWinnowStore(hist, tmp, mode = "overwrite", numFiles))
 
   /** O(increment) append: print only the increment, land it as its own
     * range-clustered file set (existing files untouched, per-batch tight
@@ -376,20 +377,11 @@ object TextAnalysis {
   /** Store compaction — the family's side-directory + atomic-rename
     * discipline; pure layout, the probe relation is untouched. */
   def compactWinnowStore(spark: SparkSession, storeDir: String,
-                         numFiles: Int = 8): Unit = {
-    val tmp = s"$storeDir.compact-${java.util.UUID.randomUUID().toString.take(8)}"
-    graft.ops.Scale.clusteredParquet(
-      spark.read.parquet(s"$storeDir/prints"), s"$tmp/prints",
-      Seq("print"), numFiles)
-    val (live, old) = (java.nio.file.Paths.get(storeDir),
-      java.nio.file.Paths.get(s"$storeDir.old"))
-    graft.ops.Scale.deleteRecursively(old.toFile)
-    java.nio.file.Files.move(live, old,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
-  }
+                         numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir)(tmp =>
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/prints"), s"$tmp/prints",
+        Seq("print"), numFiles))
 
   /** [[winnowIncremental]] against the PRECOMPUTED print store: the run
     * pays the increment's native winnowing pass plus one file-pruned
@@ -1286,23 +1278,14 @@ object TextAnalysis {
                              labels: Option[DataFrame] = None): Unit = {
     val lab = labels.getOrElse(gopherLabels(docs))
     val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
-    val next = java.nio.file.Paths.get(
-      s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.createDirectories(next)
-    weights.coalesce(1).write.parquet(s"$next/weights")
-    java.nio.file.Files.write(next.resolve("meta.txt"),
-      s"dim=$dim\n".getBytes("UTF-8"))
-    java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
-    val live = java.nio.file.Paths.get(storeDir)
-    val old = java.nio.file.Paths.get(s"$storeDir.old")
-    if (java.nio.file.Files.exists(live)) {
-      graft.ops.Scale.deleteRecursively(old.toFile)
-      java.nio.file.Files.move(live, old,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      val next = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(next)
+      weights.coalesce(1).write.mode("overwrite").parquet(s"$tmp/weights")
+      java.nio.file.Files.write(next.resolve("meta.txt"),
+        s"dim=$dim\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
     }
-    java.nio.file.Files.move(next, live,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    graft.ops.Scale.deleteRecursively(old.toFile)
   }
 
   /** Load the published weight relation + the dim it was trained with —

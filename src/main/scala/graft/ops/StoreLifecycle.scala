@@ -1,0 +1,54 @@
+package graft.ops
+
+/** The stored-index family's ONE publication discipline — extracted from
+  * the per-store hand-rolled copies (band / span / paragraph / line-df /
+  * winnow / IVF / Bloom / quality-model stores) so the build and compact
+  * verbs of every store share a single, drift-proof implementation:
+  *
+  *   1. the new layout is FULLY written into a `.next-<uuid>` side
+  *      directory beside the live store (Spark writes, driver-side file
+  *      writes — the builder never touches the live path);
+  *   2. the swap is two atomic renames: live → `.old`, next → live;
+  *   3. `.old` is deleted after the swap lands.
+  *
+  * A crash anywhere leaves either the untouched live store (before the
+  * first rename) or a recoverable `.old` beside the new live one — never a
+  * half-written live index; a leftover `.old` or `.next-*` from a crashed
+  * prior run is swept before the next swap. Probes racing a swap keep
+  * reading whichever snapshot their query planned against (local-FS
+  * rename semantics; on an object store the same discipline rides the
+  * store's atomic-rename or versioned-prefix primitive).
+  *
+  * Single-writer contract, shared by every store verb that mutates
+  * (build / append / compact): one owner runs the daily loop. The swap
+  * protects READERS against torn state; two concurrent WRITERS are a
+  * lost-update race by construction (last publish wins) and are the
+  * caller's lock to take.
+  */
+object StoreLifecycle {
+  private def path(s: String) = java.nio.file.Paths.get(s)
+
+  /** Run `build` against a `.next-<uuid>` side directory (created by the
+    * builder's own writes; pass-through path string), then [[swapIn]] it.
+    * The live store stays fully readable until the build is complete. */
+  def publish(storeDir: String)(build: String => Unit): Unit = {
+    val next = s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}"
+    build(next)
+    swapIn(storeDir, next)
+  }
+
+  /** The two-rename atomic swap: live → `.old` (skipped on first build),
+    * `tmpDir` → live, `.old` deleted. Each rename is atomic; a crash
+    * between them leaves a recoverable `.old`, never a torn live store. */
+  def swapIn(storeDir: String, tmpDir: String): Unit = {
+    val live = path(storeDir)
+    val old = path(s"$storeDir.old")
+    Scale.deleteRecursively(old.toFile) // a crashed prior swap's leftover
+    if (java.nio.file.Files.exists(live))
+      java.nio.file.Files.move(live, old,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(path(tmpDir), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Scale.deleteRecursively(old.toFile)
+  }
+}
