@@ -308,6 +308,24 @@ object ExtQueries {
     // exact/near/fresh verdict against history, with the best near match
     // reported — exact keys + banded-LSH near-dup sharing one incoming scan
     "pipeline_ingest_triage" -> ((s, dir) => Dedup.ingestTriage(docs(s, dir))),
+    // the STORED triage — the shape the daily front door actually runs:
+    // exact verdict = Bloom-store gate + broadcast key confirmation, near
+    // verdict = band-store probe; history text never rescanned
+    // (plan-locked). Exercises the full lifecycle per fixture: build on
+    // the odd history half, append the even half — build(A) + append(B)
+    // covers exactly history = A union B, so the in-line triage relation
+    // is the oracle for both entries.
+    "pipeline_ingest_triage_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.filter(col("doc_id") % 7 =!= 0)
+      val store = cachedStore("graft_triage_store_v1",
+        s"$dir/documents.parquet", "keys/_SUCCESS") { tmp =>
+        Dedup.buildTriageStore(hist.filter(col("doc_id") % 2 === 1), tmp,
+          expectedItems = math.max(hist.count() * 2, 1024L))
+        Dedup.appendToTriageStore(hist.filter(col("doc_id") % 2 === 0), tmp)
+      }
+      Dedup.ingestTriageStored(d.filter(col("doc_id") % 7 === 0), store)
+    }),
     // Bloom-gated exact incremental dedup (BloomDedup): the history
     // collapses to a bit array and the increment is gated by a stateless
     // codegen'd probe — no join, no shuffle, no history scan on the
@@ -913,6 +931,42 @@ object ExtQueries {
        |GROUP BY 1, 2 HAVING count(*) >= 8
        |ORDER BY inc_id, hist_id""".stripMargin
 
+  /** The ingest-triage relation both the in-line composite and the stored
+    * probe must hash-match: the exact-key relation and the cross-side
+    * jaccard relation are the two proven oracles, composed (see the
+    * registry comments on both entries). */
+  private val ingestTriageOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(w) - 1),
+        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+        |       FROM toks WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT i.doc_id AS inc_id, h.doc_id AS hist_id, count(*) AS c
+        |          FROM sh h JOIN sh i ON h.shingle = i.shingle
+        |          WHERE h.doc_id % 7 != 0 AND i.doc_id % 7 = 0
+        |          GROUP BY 1, 2),
+        |nj AS (SELECT inc_id, hist_id, round(c / (si.n_sh + sh2.n_sh - c), 6) AS jaccard
+        |       FROM inter JOIN sz si ON inter.inc_id = si.doc_id
+        |                  JOIN sz sh2 ON inter.hist_id = sh2.doc_id
+        |       WHERE c / (si.n_sh + sh2.n_sh - c) >= 0.8),
+        |best AS (SELECT inc_id AS doc_id, hist_id AS near_hist_id, jaccard FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY inc_id
+        |                       ORDER BY jaccard DESC, hist_id ASC) AS rn FROM nj)
+        |         WHERE rn = 1),
+        |ex AS (SELECT i.doc_id, (h.k IS NOT NULL) AS exact_dup
+        |       FROM (SELECT doc_id, substr(text, 1, 80) AS k FROM documents
+        |             WHERE doc_id % 7 = 0) i
+        |       LEFT JOIN (SELECT DISTINCT substr(text, 1, 80) AS k FROM documents
+        |                  WHERE doc_id % 7 <> 0) h ON i.k = h.k)
+        |SELECT ex.doc_id AS doc_id,
+        |       CASE WHEN exact_dup THEN 'exact'
+        |            WHEN near_hist_id IS NOT NULL THEN 'near'
+        |            ELSE 'fresh' END AS verdict,
+        |       near_hist_id, jaccard
+        |FROM ex LEFT JOIN best ON ex.doc_id = best.doc_id
+        |ORDER BY doc_id""".stripMargin
+
   private val bloomGateOracleSql: String =
     """SELECT i.doc_id,
       |       (h.k IS NOT NULL) AS exact_dup,
@@ -1372,37 +1426,11 @@ object ExtQueries {
     // the ROUNDED jaccard (both engines emit round(j, 6)) with hist_id
     // tie-break; verdict precedence exact > near > fresh, near columns
     // populated whenever a match exists
-    "pipeline_ingest_triage" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         unnest(list_transform(range(1, len(w) - 1),
-        |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
-        |       FROM toks WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT i.doc_id AS inc_id, h.doc_id AS hist_id, count(*) AS c
-        |          FROM sh h JOIN sh i ON h.shingle = i.shingle
-        |          WHERE h.doc_id % 7 != 0 AND i.doc_id % 7 = 0
-        |          GROUP BY 1, 2),
-        |nj AS (SELECT inc_id, hist_id, round(c / (si.n_sh + sh2.n_sh - c), 6) AS jaccard
-        |       FROM inter JOIN sz si ON inter.inc_id = si.doc_id
-        |                  JOIN sz sh2 ON inter.hist_id = sh2.doc_id
-        |       WHERE c / (si.n_sh + sh2.n_sh - c) >= 0.8),
-        |best AS (SELECT inc_id AS doc_id, hist_id AS near_hist_id, jaccard FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY inc_id
-        |                       ORDER BY jaccard DESC, hist_id ASC) AS rn FROM nj)
-        |         WHERE rn = 1),
-        |ex AS (SELECT i.doc_id, (h.k IS NOT NULL) AS exact_dup
-        |       FROM (SELECT doc_id, substr(text, 1, 80) AS k FROM documents
-        |             WHERE doc_id % 7 = 0) i
-        |       LEFT JOIN (SELECT DISTINCT substr(text, 1, 80) AS k FROM documents
-        |                  WHERE doc_id % 7 <> 0) h ON i.k = h.k)
-        |SELECT ex.doc_id AS doc_id,
-        |       CASE WHEN exact_dup THEN 'exact'
-        |            WHEN near_hist_id IS NOT NULL THEN 'near'
-        |            ELSE 'fresh' END AS verdict,
-        |       near_hist_id, jaccard
-        |FROM ex LEFT JOIN best ON ex.doc_id = best.doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "pipeline_ingest_triage" -> ingestTriageOracleSql,
+    // the stored composite computes the SAME relation — the triage store
+    // (Bloom gate + key confirmation + band index) is a materialization
+    // of the in-line composite's historical halves, not a semantic change
+    "pipeline_ingest_triage_stored" -> ingestTriageOracleSql,
 
     // Bloom gate: exact_dup replayed exactly on the shared content key
     // (dedup_exact's 80-char prefix); the engine-specific bit-array

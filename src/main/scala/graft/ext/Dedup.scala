@@ -518,6 +518,129 @@ object Dedup {
       .orderBy("inc_id", "hist_id")
   }
 
+  // ---- triage store: the daily front door's stored composition ----------
+
+  /** TRIAGE STORE — the stored form of the daily front door
+    * ([[ingestTriage]]), composing the family's PROVEN stores under one
+    * root so the composite never rescans history either:
+    *
+    *  - `bloom/`   : the [[BloomDedup]] filter over history's content keys
+    *                 — the stateless no-join exact GATE;
+    *  - `keys/`    : history's distinct 80-char content keys
+    *                 ([[BloomDedup.contentKey]] — ONE key definition),
+    *                 range-clustered — the exact CONFIRMATION relation the
+    *                 gate's rare false positives are filtered against;
+    *  - `bands/`, `hashes/` : the band store, laid out exactly as
+    *                 [[buildBandStore]] writes them, so
+    *                 [[incrementalStored]] probes the SAME root unchanged.
+    *
+    * One [[graft.ops.StoreLifecycle.publish]] covers all four relations —
+    * the whole triage snapshot swaps in atomically, never a root whose
+    * exact and near halves disagree about which day they cover. */
+  def buildTriageStore(hist: DataFrame, storeDir: String,
+                       expectedItems: Long, fpp: Double = 0.01,
+                       numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      writeBandStore(hist, tmp, mode = "overwrite", numFiles)
+      writeTriageKeys(hist, tmp, mode = "overwrite", numFiles)
+      BloomDedup.buildBloomStore(hist, s"$tmp/bloom", expectedItems, fpp)
+    }
+
+  /** O(increment) append across all four relations (bands/hashes/keys as
+    * their own clustered file sets, the Bloom filter by bitwise OR) — the
+    * accepted day folds in so TOMORROW's triage sees today's docs.
+    * Disjoint daily batches keep every half exact; a key appearing in two
+    * batches only duplicates rows in `keys/`, which the probe's hit-set
+    * distinct folds (and [[compactTriageStore]] pays down). Single-writer,
+    * like every mutating store verb. */
+  def appendToTriageStore(increment: DataFrame, storeDir: String,
+                          numFiles: Int = 1): Unit = {
+    appendToBandStore(increment, storeDir, numFiles)
+    writeTriageKeys(increment, storeDir, mode = "append", numFiles)
+    BloomDedup.appendToBloomStore(increment, s"$storeDir/bloom")
+  }
+
+  /** Compaction: one freshly clustered layout per relation (keys
+    * re-DISTINCTed — appends may repeat a key across batches), the Bloom
+    * bytes carried over verbatim (its append is already debt-free). */
+  def compactTriageStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String, numFiles: Int = 8): Unit =
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/bands"), s"$tmp/bands",
+        Seq("band", "bsig"), numFiles)
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/hashes"), s"$tmp/hashes",
+        Seq("hist_id"), numFiles)
+      graft.ops.Scale.clusteredParquet(
+        spark.read.parquet(s"$storeDir/keys").distinct(), s"$tmp/keys",
+        Seq("k"), numFiles)
+      val src = java.nio.file.Paths.get(s"$storeDir/bloom")
+      val dst = java.nio.file.Paths.get(s"$tmp/bloom")
+      java.nio.file.Files.createDirectories(dst)
+      java.nio.file.Files.list(src).forEach(p =>
+        { java.nio.file.Files.copy(p, dst.resolve(p.getFileName)); () })
+    }
+
+  private def writeTriageKeys(docs: DataFrame, storeDir: String,
+                              mode: String, numFiles: Int): Unit =
+    graft.ops.Scale.clusteredParquet(
+      spread(docs)
+        .select(BloomDedup.contentKey(col("text")).as("k")).distinct(),
+      s"$storeDir/keys", Seq("k"), numFiles, mode)
+
+  /** [[ingestTriage]] against a PRECOMPUTED [[buildTriageStore]] root —
+    * the shape the daily front door actually runs at 100 TB, because the
+    * in-line composite's two history-sized costs are both gone:
+    *
+    *  - the EXACT verdict starts from the store's Bloom gate — a
+    *    stateless codegen'd predicate over a folded filter literal (no
+    *    join, no shuffle, no history scan); only the gate's hits (true
+    *    duplicates + fpp-bounded false positives, an increment-bounded
+    *    set) form the probe-key relation, which BROADCASTS onto one
+    *    narrow scan of `keys/` — history's key relation is never
+    *    shuffled, and a Bloom false positive is confirmed away exactly;
+    *  - the NEAR verdict is [[incrementalStored]] against the same root —
+    *    the incoming side's signatures plus file-pruned store equi-joins,
+    *    historical text never rescanned (plan-locked).
+    *
+    * Output relation ≡ [[ingestTriage]] restricted to the same increment
+    * (verdict precedence exact > near > fresh, best near match by
+    * (jaccard DESC, hist_id ASC), near columns populated when a match
+    * exists) — the in-line composite IS the oracle, so one oracle proves
+    * both. */
+  def ingestTriageStored(incoming: DataFrame, storeDir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val spark = incoming.sparkSession
+    val probed = BloomDedup.probeStored(incoming, s"$storeDir/bloom")
+      .select(col("doc_id"), BloomDedup.contentKey(col("text")).as("k"),
+        col("bloom_hit"))
+    // no false negatives: only gate hits can be duplicates, so only their
+    // keys reach the confirmation join — increment-bounded by the Bloom
+    // guarantee, hence broadcastable at any corpus size
+    val probeKeys = probed.filter(col("bloom_hit")).select("k").distinct()
+    val hits = spark.read.parquet(s"$storeDir/keys")
+      .join(broadcast(probeKeys), Seq("k"))
+      .distinct() // appended batches may repeat a key; fold the tiny hit set
+      .withColumn("seen", lit(true))
+    val exact = probed
+      .join(broadcast(hits), Seq("k"), "left")
+      .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("exact_dup"))
+    val bw = Window.partitionBy("inc_id")
+      .orderBy(col("jaccard").desc, col("hist_id").asc)
+    val bestNear = incrementalStored(incoming, storeDir, threshold)
+      .withColumn("rn", row_number().over(bw)).filter(col("rn") === 1)
+      .select(col("inc_id").as("doc_id"),
+        col("hist_id").as("near_hist_id"), col("jaccard"))
+    exact.join(bestNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_dup"), "exact")
+          .when(col("near_hist_id").isNotNull, "near")
+          .otherwise("fresh").as("verdict"),
+        col("near_hist_id"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over near-dup pairs → cluster ids. Pair lists
     * aren't actionable on their own: the dedup decision ("keep one doc per
     * duplicate GROUP") needs transitive closure — if A~B and B~C, one

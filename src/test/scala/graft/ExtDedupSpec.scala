@@ -264,6 +264,31 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("ingestTriageStored equals the in-line triage, including under build+append") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    val inc = docs.filter(col("doc_id") % 7 === 0)
+    val inline = Dedup.ingestTriage(docs).collect().map(_.toSeq).toSeq
+    // sf0.001's near-dups are all also exact dups (verdict precedence), so
+    // assert the near COLUMNS populate rather than the 'near' label itself
+    assert(inline.exists(_(1) == "exact") && inline.exists(_(1) == "fresh") &&
+      inline.exists(_(2) != null), "fixture should exercise exact/fresh + a near match")
+    val one = java.nio.file.Files.createTempDirectory("graft_triage_one").toString
+    Dedup.buildTriageStore(hist, one, expectedItems = 10000L)
+    assert(Dedup.ingestTriageStored(inc, one).collect().map(_.toSeq).toSeq === inline)
+    // build on the odd half, append the even half — the lifecycle the
+    // daily loop runs; the merged store answers the same relation
+    val grown = java.nio.file.Files.createTempDirectory("graft_triage_grow").toString
+    Dedup.buildTriageStore(hist.filter(col("doc_id") % 2 === 1), grown,
+      expectedItems = 10000L)
+    Dedup.appendToTriageStore(hist.filter(col("doc_id") % 2 === 0), grown)
+    assert(Dedup.ingestTriageStored(inc, grown).collect().map(_.toSeq).toSeq === inline)
+    // compaction is pure layout
+    Dedup.compactTriageStore(spark, grown)
+    assert(Dedup.ingestTriageStored(inc, grown).collect().map(_.toSeq).toSeq === inline)
+  }
+
   test("embeddingCosinePruned equals the exact all-pairs result on the fixture") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     for (t <- Seq(0.4, 0.6)) {

@@ -242,6 +242,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!stored.contains("CartesianProduct") && !stored.contains("BroadcastNestedLoopJoin"), stored)
   }
 
+  test("stored ingest triage probes the store only — no history scan, no history-key shuffle") {
+    val stored = plan("pipeline_ingest_triage_stored")
+    assert(stored.contains("graft_triage_store"), stored)
+    // the only documents scans are the INCOMING slice's (exact key +
+    // band signatures + verify hashes) — strictly fewer than the in-line
+    // composite, which additionally scans history for all three
+    def docScans(p: String) =
+      p.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScans(stored) < docScans(plan("pipeline_ingest_triage")),
+      s"stored triage still rescans historical documents\n$stored")
+    // the exact gate is the folded Bloom literal (BloomFilterMightContain's
+    // prettyName), and the confirmation rides broadcast joins: the only
+    // exchanges on k are the two INCREMENT-bounded distincts (probe keys,
+    // hit set) — the stored key relation itself feeds a broadcast join and
+    // never shuffles, so a third k-exchange would mean history shuffled
+    assert(stored.contains("might_contain"),
+      s"exact gate must be the folded Bloom literal\n$stored")
+    val kExchanges = stored.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(k#"))
+    assert(kExchanges <= 2,
+      s"$kExchanges exchanges on k — the stored key relation shuffled\n$stored")
+    assert(!stored.contains("CartesianProduct") &&
+      !stored.contains("BroadcastNestedLoopJoin"), stored)
+  }
+
   test("stored span probe reads the hash store, never the historical documents text") {
     val p = plan("dedup_spans_stored")
     // historical side = the persisted winhashes store...
