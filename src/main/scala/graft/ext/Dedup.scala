@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -375,12 +375,20 @@ object Dedup {
         col("hist_id").as("near_hist_id"), col("jaccard"))
     exact.join(bestNear, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("exact_dup"), "exact")
-          .when(col("near_hist_id").isNotNull, "near")
-          .otherwise("fresh").as("verdict"),
+        triageVerdictCol(col("exact_dup"), col("near_hist_id")).as("verdict"),
         col("near_hist_id"), col("jaccard"))
       .orderBy("doc_id")
   }
+
+  /** ONE definition of the triage verdict — shared by [[ingestTriage]],
+    * [[ingestTriageStored]], and the streaming twin
+    * ([[graft.streaming.DocStreams.triageStream]]), so the three paths
+    * cannot drift: exact takes precedence, near-match columns stay
+    * populated regardless (the audit wants both facts). */
+  private[graft] def triageVerdictCol(exactDup: Column, nearHistId: Column): Column =
+    when(exactDup, "exact")
+      .when(nearHistId.isNotNull, "near")
+      .otherwise("fresh")
 
   def incremental(docs: DataFrame, threshold: Double = 0.8, mod: Int = 7): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -634,9 +642,7 @@ object Dedup {
         col("hist_id").as("near_hist_id"), col("jaccard"))
     exact.join(bestNear, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("exact_dup"), "exact")
-          .when(col("near_hist_id").isNotNull, "near")
-          .otherwise("fresh").as("verdict"),
+        triageVerdictCol(col("exact_dup"), col("near_hist_id")).as("verdict"),
         col("near_hist_id"), col("jaccard"))
       .orderBy("doc_id")
   }

@@ -274,6 +274,86 @@ object DocStreams {
   def bloomGateStream(docs: DataFrame, filterBytes: Array[Byte]): DataFrame =
     graft.ext.BloomDedup.probe(docs, filterBytes)
 
+  /** Streaming INGEST TRIAGE against the PRECOMPUTED triage store
+    * ([[graft.ext.Dedup.buildTriageStore]]) — the continuous twin of the
+    * batch [[graft.ext.Dedup.ingestTriageStored]], composing the two
+    * proven probe shapes into ONE verdict stream: every arriving document
+    * emits (doc_id, verdict, near_hist_id, jaccard) with the SHARED
+    * verdict definition ([[graft.ext.Dedup.triageVerdictCol]] — one
+    * expression for batch and stream, so the paths cannot drift).
+    *
+    *  - EXACT: the store's Bloom filter folds to a literal
+    *    ([[graft.ext.BloomDedup.probeStored]] — stateless codegen'd
+    *    predicate, no state), and only gate HITS are confirmed against the
+    *    static `keys/` relation (the join condition carries `bloom_hit`,
+    *    so misses match nothing by construction — the no-false-negative
+    *    guarantee makes that exact);
+    *  - NEAR: the arriving doc's bands probe the static band store and
+    *    candidates verify by exact Jaccard — [[dedupAgainstStore]]'s
+    *    stream-static shape, inlined so the doc row SURVIVES with no
+    *    match (posexplode_outer + left joins) and the best match folds in
+    *    the same windowed aggregation that folds multi-band collisions:
+    *    max(struct(rounded jaccard, -hist_id)) replays the batch
+    *    (jaccard DESC, hist_id ASC) tie rule.
+    *
+    * One linear stream plan (no stream self-join), one stateful operator
+    * (the windowed agg under the watermark — state bounded by in-horizon
+    * docs), append mode. Differentially spec'd ≡ the batch stored triage
+    * under seeded random micro-batch splits. Static sides re-plan per
+    * micro-batch, so a store append/compaction is picked up on the next
+    * batch — mid-query the running stream serves the snapshot semantics
+    * its batch planned against. */
+  def triageStream(docs: DataFrame, storeDir: String,
+                   threshold: Double = 0.8,
+                   watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val storeKeys = spark.read.parquet(s"$storeDir/keys")
+      .withColumn("seen", lit(true))
+    val histBands = spark.read.parquet(s"$storeDir/bands")
+    val histHashes = spark.read.parquet(s"$storeDir/hashes")
+    val base = graft.ext.BloomDedup.probeStored(docs, s"$storeDir/bloom")
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("k", graft.ext.BloomDedup.contentKey(col("text")))
+      .withColumn("h60", expr("shingle_hash60(text, 3)"))
+      // shingle-less docs never band (the batch sides' guard): a null sig
+      // nulls the band array, and posexplode_outer keeps the doc flowing
+      .withColumn("sig",
+        when(expr("size(h60) > 0"), expr("minhash_sig(h60)")))
+      .select(col("doc_id"), col("ingest_ts"), col("k"), col("bloom_hit"),
+        col("h60"), col("sig"))
+    val exacted = base
+      // gate-hit keys only: a miss CANNOT be a duplicate (Bloom one-sided
+      // guarantee), so the null-condition row is exact by construction
+      .join(storeKeys, base("k") === storeKeys("k") && base("bloom_hit"),
+        "left")
+      .drop(storeKeys("k"))
+    val banded = exacted
+      .select(col("doc_id"), col("ingest_ts"), col("bloom_hit"),
+        col("seen"), col("h60"),
+        posexplode_outer(when(col("sig").isNotNull,
+          expr(graft.ext.Dedup.bandSigsExpr))).as(Seq("band", "bsig")))
+    val verified = banded
+      .join(histBands, Seq("band", "bsig"), "left_outer")
+      .join(histHashes, Seq("hist_id"), "left_outer")
+      .withColumn("c", expr("size(array_intersect(h60, sh))"))
+      // filter on the UNROUNDED value, rank/emit rounded — the batch
+      // twin's exact order of operations
+      .withColumn("jacc", expr("c / (size(h60) + size(sh) - c)"))
+    verified
+      .groupBy(window(col("ingest_ts"), "10 minutes"), col("doc_id"))
+      .agg(
+        coalesce(max(col("seen")), lit(false)).as("exact_dup"),
+        max(when(col("jacc") >= threshold,
+          struct(expr("round(jacc, 6)").as("j"),
+            (-col("hist_id")).as("nh")))).as("best"))
+      .select(col("doc_id"),
+        graft.ext.Dedup.triageVerdictCol(col("exact_dup"), col("best.nh"))
+          .as("verdict"),
+        (-col("best.nh")).as("near_hist_id"),
+        col("best.j").as("jaccard"))
+  }
+
   /** Streaming boilerplate removal against the PRECOMPUTED line-df store
     * ([[graft.ext.Clean.buildLineDfStore]]) — the continuous twin of the
     * batch [[graft.ext.Clean.boilerplateAgainstStore]]: each arriving

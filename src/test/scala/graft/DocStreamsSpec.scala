@@ -189,6 +189,44 @@ class DocStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming triage against the triage store equals batch ingestTriageStored") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_triage_stream").toString
+    Dedup.buildTriageStore(docs.filter(col("doc_id") % 7 =!= 0), store,
+      expectedItems = 10000L)
+    val incoming = docs.filter(col("doc_id") % 7 === 0).orderBy("doc_id").collect()
+      .map(r => DocIn(r.getAs[Long]("doc_id"),
+        new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    val input = MemoryStream[DocIn]
+    val q = DocStreams.triageStream(input.toDF(), store)
+      .writeStream.format("memory").queryName("triage_stream_out")
+      .outputMode("update").start()
+    try {
+      // seeded random micro-batch splits, all inside the watermark — a
+      // doc's bands explode from its single arrival row, so any split
+      // must reproduce the batch verdicts row-for-row
+      val rnd = new scala.util.Random(11)
+      var rest = incoming.toIndexedSeq
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(math.min(25, rest.size))
+        input.addData(rest.take(n): _*); q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      val cols = Seq("doc_id", "verdict", "near_hist_id", "jaccard")
+      val streamed = spark.table("triage_stream_out")
+        .select(cols.map(col): _*).collect()
+        .map(_.toSeq).distinct.sortBy(_.head.asInstanceOf[Long])
+      val batch = Dedup.ingestTriageStored(docs.filter(col("doc_id") % 7 === 0), store)
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(streamed.toSeq === batch)
+      assert(batch.exists(_(1) == "exact") && batch.exists(_(1) == "fresh"),
+        "fixture must exercise exact and fresh verdicts")
+      assert(batch.exists(_(2) != null), "fixture must carry a near match")
+    } finally q.stop()
+  }
+
   test("streaming spans against the window-hash store equal batch spansAgainstStore") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
