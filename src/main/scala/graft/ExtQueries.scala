@@ -549,6 +549,19 @@ object ExtQueries {
       TextAnalysis.topicCards(d, clusters)
     }),
 
+    // TRAINED topic cards: same c-TF-IDF deliverable, but the clusters are
+    // lloydFinal's CONVERGED centroids over the real embeddings table (the
+    // ivfTrainedTopK pattern) instead of the seeded quantizer — cards now
+    // label trained cluster structure. The card corpus is the embedded
+    // slice (docs joined on vec_id = doc_id); plan shape unchanged: one
+    // doc_id equi-join before the token explode, training adds its
+    // bounded Lloyd rounds only.
+    "pipeline_topic_cards_trained" -> ((s, dir) => {
+      val clusters = Similarity.assignClustersTrained(embs(s, dir))
+        .withColumnRenamed("vec_id", "doc_id")
+      TextAnalysis.topicCards(docs(s, dir), clusters)
+    }),
+
     // THE corpus build, end-to-end in one declarative plan: per-language
     // quality pruning ∧ exact-dedup keepers ∧ eval-slice + contamination
     // removal → token-budget sequence packing of the survivors. Catalyst
@@ -1068,6 +1081,39 @@ object ExtQueries {
        |       round(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Trained topic cards: [[kmeansCtes]]' final centroid sums become the
+    * assignment quantizer (ivfTrained's cf/nf/ccos/assigned CTEs), the
+    * assignment joins `documents` on vec_id = doc_id (the embedded
+    * slice), and the exact-integer c-TF-IDF tail is pipeline_topic_cards'
+    * verbatim — the chained-CTE composition of two green oracles. */
+  private def topicCardsTrainedOracleSql(iters: Int): String =
+    s"""${kmeansCtes(iters)},
+       |cf AS (SELECT cluster_id, i, x FROM c${iters + 1}),
+       |nf AS (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM cf GROUP BY cluster_id),
+       |cdots AS (SELECT qv.vec_id, cf.cluster_id AS cent_id, CAST(sum(qv.x * cf.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN cf ON qv.i = cf.i GROUP BY 1, 2),
+       |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+       |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nf.n AS DOUBLE))) AS ccos
+       |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+       |                    JOIN nf ON cdots.cent_id = nf.cluster_id),
+       |assigned AS (SELECT vec_id AS doc_id, cent_id AS cluster_id FROM
+       |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |              FROM ccos) WHERE r = 1),
+       |toks AS (SELECT a.cluster_id AS cluster_id, unnest(string_split(d.text, ' ')) AS term
+       |         FROM assigned a JOIN documents d ON d.doc_id = a.doc_id),
+       |tf AS (SELECT cluster_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_clusters FROM tf GROUP BY term),
+       |ncl AS (SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters FROM tf),
+       |scored AS (SELECT tf.cluster_id AS cluster_id, tf.term AS term, tf.tf AS tf,
+       |             dfc.df_clusters AS df_clusters,
+       |             tf.tf * ln(CAST(ncl.n_clusters AS DOUBLE) / dfc.df_clusters) AS score_raw
+       |           FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN ncl),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score_raw DESC, term ASC) AS rank
+       |           FROM scored)
+       |SELECT cluster_id, CAST(rank AS INT) AS rank, term, tf, df_clusters,
+       |       round(score_raw, 6) AS score
+       |FROM ranked WHERE rank <= 5 ORDER BY cluster_id, rank""".stripMargin
+
   /** `iters` chained per-subspace PQ-Lloyd rounds, replaying
     * [[graft.ext.Similarity.ivfPqTrainedTopK]]'s codebook training: k1 =
     * the seed rows' sub-vectors keyed by (m, k); each round computes exact
@@ -1455,6 +1501,9 @@ object ExtQueries {
     // trained-quantizer IVF: kmeans CTEs chained into the ivf CTEs
     "pipeline_ann_trained" -> ivfTrainedOracleSql(3),
     "similarity_ivfpq_trained" -> ivfPqTrainedOracleSql(3),
+
+    // trained topic cards: kmeans CTEs chained into the c-TF-IDF CTEs
+    "pipeline_topic_cards_trained" -> topicCardsTrainedOracleSql(3),
 
     // the engine's banded LSH has P[miss | J>=0.8] ~ 5e-8, so the pair set
     // equals the exact-Jaccard pairs; the cluster ids are then the TRUE

@@ -1061,6 +1061,28 @@ object Similarity {
       .select("vec_id", "cluster_id")
   }
 
+  /** [[assignClusters]] against the TRAINED quantizer — [[lloydFinal]]'s
+    * converged member-sum centroids replace the seeded corpus rows (the
+    * [[ivfTrainedTopK]] pattern), so the assignment labels REAL cluster
+    * structure instead of the seed geometry. Labels stay the surviving
+    * seed ids; the assignment pass itself is unchanged — one narrow
+    * constant-folded argmax scan, zero shuffles beyond training's own
+    * `iters` bounded rounds. Cosine against the unnormalized sum
+    * direction ≡ cosine against the mean (scale invariance), so every
+    * dot/norm stays an exact BIGINT the oracle replays. */
+  def assignClustersTrained(embeddings: DataFrame, nList: Int = 16,
+                            centroidBase: Int = 100, iters: Int = 3): DataFrame = {
+    val vecs = quantized(embeddings)
+    val cents = lloydFinal(vecs, nList, centroidBase, iters)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    val qz = centroidLits(cents)
+    vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, cents.length)))
+      .withColumn("cluster_id", expr(
+        s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+      .select("vec_id", "cluster_id")
+  }
+
   // ---- stored IVF index ---------------------------------------------------
 
   /** IVF index STORE — the incremental-dedup store family's ANN member
