@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   *           [[TextAnalysis.winnowIncremental]] that re-winnows the whole
   *           historical corpus per run.
   *
-  * Usage: runMain graft.StoreSoak <fixtureDir> [bloom|ivf|winnow]
+  *   triage — [[graft.ext.Dedup]] triage store: build, then the stored
+  *           front-door probe vs the in-line [[graft.ext.Dedup.ingestTriage]]
+  *           that rescans history per run;
+  *   quantceil — the folded-quantizer plan-size ceiling: assignment
+  *           construct/plan/run walls at nList 448→4096 plus a 2048-list
+  *           stored probe.
+  *
+  * Usage: runMain graft.StoreSoak <fixtureDir> [bloom|ivf|winnow|triage|quantceil]
   */
 object StoreSoak {
   def time[T](label: String)(f: => T): T = {
@@ -103,6 +110,66 @@ object StoreSoak {
         for (rep <- 1 to 2)
           time(s"in-line incremental rep$rep (re-winnows history per run)")(
             graft.ext.TextAnalysis.winnowIncremental(docs)
+              .write.format("noop").mode("overwrite").save())
+      case "triage" =>
+        // The daily front door (VERDICT r10 #1): stored triage = Bloom-gate
+        // exact verdict + band-store near verdict vs the in-line composite
+        // that rescans history (distinct-key join + in-line band rebuild)
+        // every run.
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val hist = docs.filter(col("doc_id") % 7 =!= 0)
+        val inc = docs.filter(col("doc_id") % 7 === 0)
+        val (nh, ni) = (hist.count(), inc.count())
+        println(s"[soak] $dir docs: history=$nh increment=$ni")
+        val store = s"/tmp/soak_triage_store_${nh}"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time(s"triage store build over $nh docs")(
+          graft.ext.Dedup.buildTriageStore(hist, store, expectedItems = nh))
+        for (rep <- 1 to 2)
+          time(s"stored triage probe rep$rep (Bloom gate + band-store probe)")(
+            graft.ext.Dedup.ingestTriageStored(inc, store)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"in-line triage rep$rep (history rescanned per run)")(
+            graft.ext.Dedup.ingestTriage(docs)
+              .write.format("noop").mode("overwrite").save())
+      case "quantceil" =>
+        // The folded-quantizer plan-size ceiling (VERDICT r10 "what's
+        // wrong" #2): centroids are folded into SQL array literals —
+        // correct and fast at the receipts' nList <= 448, but nList ~ sqrt(n)
+        // reaches ~32k lists at 1e9 vectors and the analyzer cost of a
+        // multi-MB expression tree is unmeasured. Time, per nList: quantizer
+        // collect+fold+analyze (construct = collect + expr() parse;
+        // plan = executedPlan force) vs the assignment's full run wall.
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+        val n = embs.count()
+        println(s"[soak] $dir vecs=$n")
+        for (nList <- Seq(448, 1024, 2048, 4096)) {
+          for (rep <- 1 to 2) {
+            val t0 = System.nanoTime()
+            val df = graft.ext.Similarity.assignClusters(embs, nList = nList,
+              centroidBase = 100)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan // force parse+analyze+optimize
+            val t2 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            val t3 = System.nanoTime()
+            println(f"[soak] assignClusters nList=$nList rep$rep: " +
+              f"construct=${(t1 - t0) / 1e9}%.2f s plan=${(t2 - t1) / 1e9}%.2f s " +
+              f"run=${(t3 - t2) / 1e9}%.2f s")
+          }
+        }
+        // the stored-probe side of the same ceiling: build once at 2048
+        // lists, then time the probe (whose plan folds the stored quantizer)
+        val store = s"/tmp/soak_quantceil_store_$n"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time(s"store build ($n vecs, 2048 lists)")(
+          graft.ext.Similarity.buildIvfStore(embs, store, nList = 2048,
+            centroidBase = 100, numFiles = 32))
+        val queries = embs.filter(col("vec_id") < 10)
+        for (rep <- 1 to 2)
+          time(s"stored probe rep$rep (2048-list folded quantizer)")(
+            graft.ext.Similarity.ivfAgainstStore(queries, store)
               .write.format("noop").mode("overwrite").save())
       case other => sys.error(s"unknown mode $other")
     }
