@@ -65,6 +65,25 @@ object SoakGen extends Serializable {
     sb.toString
   }
 
+  /** Wide-vocabulary twin of [[docText]]: tokens drawn Zipf-ishly from a
+    * synthetic 100k-word space (square the mix so low ids dominate, the
+    * way real vocabulary does). The 31-word fixture makes every winnow
+    * print collide with the store — range pruning never binds and the
+    * stored probe honestly measures ≈ parity (r10's receipt). Real corpora
+    * have ~1e5-1e6 word forms, where an increment's print set touches a
+    * tiny fraction of the store's key space — this table is that regime. */
+  private[graft] def wideDocText(id: Long, nTokens: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nTokens) {
+      if (i > 0) sb.append(' ')
+      val r = rand(id * 137L + 13L, i)
+      sb.append('w').append(((r % 317) * (r % 331)) % 100000L)
+      i += 1
+    }
+    sb.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
     val nDocs = if (args.length > 1) args(1).toInt else 50000
@@ -102,6 +121,29 @@ object SoakGen extends Serializable {
       (id, text, lang, source, text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // documents_widevocab: the same doc topology (sizes, clone/near-dup
+    // seeding, langs, sources) over the 100k-word space — the winnow/print
+    // stores' realistic-vocabulary fixture (see wideDocText's note).
+    val wideDocs = spark.range(0, nDocs, 1, 32).map { id =>
+      val roll = rand(id, 1) % 100
+      val text =
+        if (id >= 100 && roll < 4) {
+          val src = organicSource(id, 2)
+          wideDocText(src, nTokensOf(src))
+        } else if (id >= 100 && roll < 6) {
+          val src = organicSource(id, 3)
+          val words = wideDocText(src, nTokensOf(src)).split(" ")
+          val k = (rand(id, 4) % words.length).toInt
+          val r = rand(id * 139L + 17L, k)
+          words(k) = "w" + (((r % 317) * (r % 331)) % 100000L)
+          words.mkString(" ")
+        } else wideDocText(id, nTokensOf(id))
+      val lang = langs((rand(id, 6) % langs.length).toInt)
+      val source = s"src${rand(id, 7) % 20}"
+      (id, text, lang, source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    wideDocs.write.mode("overwrite").parquet(s"$out/documents_widevocab.parquet")
 
     // embeddings: 10 centroids in 64-d; vector = centroid + noise; ~1% of
     // ids clone an earlier vector with tiny noise (cosine ≥ ~0.99 pairs)

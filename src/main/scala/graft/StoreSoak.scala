@@ -91,11 +91,14 @@ object StoreSoak {
             graft.ext.Similarity.ivfTopK(embs, nList = nList)
               .write.format("noop").mode("overwrite").save())
       case "winnow" =>
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        // optional 3rd arg: docs table file (documents_widevocab.parquet =
+        // the realistic-vocabulary fixture where range pruning binds)
+        val docsFile = if (args.length > 2) args(2) else "documents.parquet"
+        val docs = spark.read.parquet(s"$dir/$docsFile")
         val hist = docs.filter(col("doc_id") % 7 =!= 0)
         val inc = docs.filter(col("doc_id") % 7 === 0)
-        println(s"[soak] $dir docs: history=${hist.count()} increment=${inc.count()}")
-        val store = s"/tmp/soak_winnow_store_${dir.replace('/', '_')}"
+        println(s"[soak] $dir/$docsFile docs: history=${hist.count()} increment=${inc.count()}")
+        val store = s"/tmp/soak_winnow_store_${dir.replace('/', '_')}_$docsFile"
         graft.ops.Scale.deleteRecursively(new java.io.File(store))
         time("store build (historical prints)")(
           graft.ext.TextAnalysis.buildWinnowStore(

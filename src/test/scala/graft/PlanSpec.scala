@@ -769,4 +769,21 @@ class PlanSpec extends AnyFunSuite {
       s"stored boilerplate probe rescans historical documents\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("trained topic cards keep the seeded variant's plan shape: one assignment equi-join feeds the explode") {
+    // training (lloydFinal) runs at CONSTRUCTION time as bounded collects;
+    // the executed plan must stay the seeded pipeline's — the converged
+    // centroids arrive folded, never as a joined relation
+    val trained = plan("pipeline_topic_cards_trained")
+    val seeded = plan("pipeline_topic_cards")
+    def shape(p: String) = (
+      p.linesIterator.count(_.contains("Generate")),
+      p.linesIterator.count(l => l.contains("Join") && !l.contains("Reused")),
+      p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused")))
+    assert(shape(trained) === shape(seeded),
+      s"trained cards diverge from the seeded plan shape\n--- trained:\n$trained\n--- seeded:\n$seeded")
+    assert(!trained.contains("CartesianProduct"), trained)
+    // term tf/df aggregations combine map-side before their shuffles
+    assert(trained.contains("partial_"), trained)
+  }
 }
