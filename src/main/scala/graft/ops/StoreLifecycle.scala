@@ -30,11 +30,26 @@ object StoreLifecycle {
 
   /** Run `build` against a `.next-<uuid>` side directory (created by the
     * builder's own writes; pass-through path string), then [[swapIn]] it.
-    * The live store stays fully readable until the build is complete. */
+    * The live store stays fully readable until the build is complete.
+    * Stale `.next-*` siblings from a crashed prior build are swept first
+    * (safe under the single-writer contract — no other build can own
+    * them), so a failed build's garbage never accumulates. */
   def publish(storeDir: String)(build: String => Unit): Unit = {
+    sweepStaleNext(storeDir)
     val next = s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}"
     build(next)
     swapIn(storeDir, next)
+  }
+
+  private def sweepStaleNext(storeDir: String): Unit = {
+    val live = path(storeDir).toAbsolutePath
+    val parent = live.getParent
+    val prefix = s"${live.getFileName}.next-"
+    if (parent != null && java.nio.file.Files.isDirectory(parent)) {
+      val stale = parent.toFile.listFiles()
+      if (stale != null)
+        stale.filter(_.getName.startsWith(prefix)).foreach(Scale.deleteRecursively)
+    }
   }
 
   /** The two-rename atomic swap: live → `.old` (skipped on first build),

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Direct crash-recovery coverage for the shared publication discipline
+  * ([[graft.ops.StoreLifecycle]]) — the integration suite proves the nine
+  * stores' probes through it; this one proves the swap machinery itself
+  * against the failure points the Scaladoc claims: a failed build leaves
+  * the live store untouched, a crashed swap's `.old` is recoverable and
+  * swept, and stale `.next-*` garbage never accumulates. */
+class StoreLifecycleSpec extends AnyFunSuite {
+  private val root = "/tmp/graft-lifecycle-unit"
+
+  private def fresh(name: String): String = {
+    val dir = s"$root/$name"
+    graft.ops.Scale.deleteRecursively(new java.io.File(root))
+    dir
+  }
+
+  private def writeStore(dir: String, payload: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/data.txt"), payload)
+  }
+
+  private def readStore(dir: String): String =
+    Files.readString(Paths.get(s"$dir/data.txt"))
+
+  test("publish creates a fresh store; republish replaces it atomically") {
+    val store = fresh("basic")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "v1"))
+    assert(readStore(store) === "v1")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "v2"))
+    assert(readStore(store) === "v2")
+    assert(!Files.exists(Paths.get(s"$store.old")), ".old must be swept after the swap")
+  }
+
+  test("a failed build leaves the live store untouched; its .next garbage is swept by the next publish") {
+    val store = fresh("failedbuild")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "v1"))
+    intercept[RuntimeException] {
+      graft.ops.StoreLifecycle.publish(store) { tmp =>
+        writeStore(tmp, "half-written")
+        throw new RuntimeException("simulated build crash")
+      }
+    }
+    assert(readStore(store) === "v1", "live store must survive a failed build")
+    val leftovers = Paths.get(store).toAbsolutePath.getParent.toFile.listFiles()
+      .filter(_.getName.startsWith("failedbuild.next-"))
+    assert(leftovers.length === 1, "the crashed build's .next dir remains until the next publish")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "v2"))
+    assert(readStore(store) === "v2")
+    val after = Paths.get(store).toAbsolutePath.getParent.toFile.listFiles()
+      .filter(_.getName.startsWith("failedbuild.next-"))
+    assert(after.isEmpty, "stale .next-* must be swept before the next build")
+  }
+
+  test("a crashed prior swap's .old leftover is swept, never resurrected") {
+    val store = fresh("oldleftover")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "live"))
+    writeStore(s"$store.old", "stale-pre-crash")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "next"))
+    assert(readStore(store) === "next")
+    assert(!Files.exists(Paths.get(s"$store.old")))
+  }
+
+  test("first build (no live store) swaps in without an .old phase") {
+    val store = fresh("firstbuild")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "v1"))
+    assert(readStore(store) === "v1")
+    assert(!Files.exists(Paths.get(s"$store.old")))
+  }
+}
