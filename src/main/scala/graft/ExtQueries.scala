@@ -391,6 +391,13 @@ object ExtQueries {
     // summary row — run this on a sample before trusting the cap at scale
     "similarity_knn_recall" -> ((s, dir) => Similarity.knnCapRecall(embs(s, dir))),
     "similarity_ivf"  -> ((s, dir) => Similarity.ivfTopK(embs(s, dir))),
+
+    // two-level coarse quantizer: argmax leader (g dots), then argmax
+    // within the leader's member group (~nList/g dots) — the measured
+    // scale path past the flat quantizer's O(nList·d) assignment wall
+    // (BENCH_sf10 r11_quantizer_ceiling); probes stay within the query's
+    // group, both levels replayed exactly by the oracle
+    "similarity_ivf_hier" -> ((s, dir) => Similarity.ivfHierTopK(embs(s, dir))),
     // the stored IVF index, exercising the FULL lifecycle per fixture:
     // build on vec_id < 300 (covers the deterministic [100,116) quantizer
     // seeds), append the rest against the frozen centroids (O(increment),
@@ -904,6 +911,65 @@ object ExtQueries {
        |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
        |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
        |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+       |assigned AS (SELECT vec_id, cent_id AS list_id FROM
+       |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |              FROM ccos) WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |            FROM ccos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+       |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+       |dots AS (SELECT cand.query_id, cand.vec_id, cand.list_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+       |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+       |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
+       |         GROUP BY cand.query_id, cand.vec_id, cand.list_id),
+       |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.list_id AS list_id,
+       |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+       |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+       |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       |       round(cosine, 6) AS cosine, list_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Two-level IVF replay: leaders = the first 4 of the 16 centroid rows;
+    * each centroid groups under its argmax-cosine leader (ties lead_id
+    * ASC ≡ the engine's first-max leader index), each vector picks its
+    * argmax leader then its argmax member WITHIN that group (ties cent_id
+    * ASC ≡ member id order); probe lists = the query's top-4 member lists
+    * by the same level-2 scores; rerank tail = [[ivfOracleSql]]'s
+    * verbatim. */
+  private lazy val ivfHierOracleSql: String =
+    s"""$quantCte,
+       |cent AS (SELECT vec_id AS cent_id, i, x FROM q WHERE vec_id >= 100 AND vec_id < 116),
+       |ldots AS (SELECT c.cent_id, l.vec_id AS lead_id, CAST(sum(c.x * l.x) AS BIGINT) AS dot
+       |          FROM cent c JOIN q l ON c.i = l.i AND l.vec_id >= 100 AND l.vec_id < 104
+       |          GROUP BY 1, 2),
+       |grp AS (SELECT cent_id, lead_id FROM
+       |        (SELECT ldots.cent_id, ldots.lead_id,
+       |           row_number() OVER (PARTITION BY ldots.cent_id ORDER BY
+       |             dot / (sqrt(CAST(cn.n AS DOUBLE)) * sqrt(CAST(ln.n AS DOUBLE))) DESC, ldots.lead_id ASC) AS r
+       |         FROM ldots JOIN nrm cn ON ldots.cent_id = cn.vec_id
+       |                    JOIN nrm ln ON ldots.lead_id = ln.vec_id) WHERE r = 1),
+       |vl1 AS (SELECT qv.vec_id, l.vec_id AS lead_id, CAST(sum(qv.x * l.x) AS BIGINT) AS dot
+       |        FROM q qv JOIN q l ON qv.i = l.i AND l.vec_id >= 100 AND l.vec_id < 104
+       |        GROUP BY 1, 2),
+       |vg AS (SELECT vec_id, lead_id FROM
+       |       (SELECT vl1.vec_id, vl1.lead_id,
+       |          row_number() OVER (PARTITION BY vl1.vec_id ORDER BY
+       |            dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(ln.n AS DOUBLE))) DESC, vl1.lead_id ASC) AS r
+       |        FROM vl1 JOIN nrm nv ON vl1.vec_id = nv.vec_id
+       |                 JOIN nrm ln ON vl1.lead_id = ln.vec_id) WHERE r = 1),
+       |mdots AS (SELECT qv.vec_id, c.cent_id, CAST(sum(qv.x * c.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN vg ON qv.vec_id = vg.vec_id
+       |                    JOIN grp ON grp.lead_id = vg.lead_id
+       |                    JOIN cent c ON c.cent_id = grp.cent_id AND qv.i = c.i
+       |          GROUP BY 1, 2),
+       |ccos AS (SELECT mdots.vec_id AS vec_id, mdots.cent_id AS cent_id,
+       |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+       |         FROM mdots JOIN nrm nv ON mdots.vec_id = nv.vec_id
+       |                    JOIN nrm nc ON mdots.cent_id = nc.vec_id),
        |assigned AS (SELECT vec_id, cent_id AS list_id FROM
        |             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
        |              FROM ccos) WHERE r = 1),
@@ -2898,6 +2964,7 @@ object ExtQueries {
          |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "similarity_ivf" -> ivfOracleSql,
+    "similarity_ivf_hier" -> ivfHierOracleSql,
     // the stored index is a MATERIALIZATION of the same relation (frozen
     // deterministic quantizer, build(<300) + append(>=300) covers the full
     // corpus, assignment is order-independent), so the in-line oracle

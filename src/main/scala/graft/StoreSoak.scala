@@ -161,6 +161,21 @@ object StoreSoak {
               f"construct=${(t1 - t0) / 1e9}%.2f s plan=${(t2 - t1) / 1e9}%.2f s " +
               f"run=${(t3 - t2) / 1e9}%.2f s")
           }
+          // the two-level quantizer over the SAME centroid set: per-row
+          // arithmetic O((g + nList/g)·d) instead of O(nList·d)
+          for (rep <- 1 to 2) {
+            val t0 = System.nanoTime()
+            val df = graft.ext.Similarity.assignClustersHier(embs, nList = nList,
+              centroidBase = 100)
+            val t1 = System.nanoTime()
+            df.queryExecution.executedPlan
+            val t2 = System.nanoTime()
+            df.write.format("noop").mode("overwrite").save()
+            val t3 = System.nanoTime()
+            println(f"[soak] assignClustersHier nList=$nList rep$rep: " +
+              f"construct=${(t1 - t0) / 1e9}%.2f s plan=${(t2 - t1) / 1e9}%.2f s " +
+              f"run=${(t3 - t2) / 1e9}%.2f s")
+          }
         }
         // the stored-probe side of the same ceiling: build once at 2048
         // lists, then time the probe (whose plan folds the stored quantizer)

@@ -226,6 +226,15 @@ object Similarity {
     val probes = scored.filter(col("vec_id") < nQueries)
       .withColumn("list_id", explode(expr(probeListsExpr(qz, n, nProbe))))
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nrm").as("nq"), col("list_id"))
+    rerankCandidates(assigned, probes, k)
+  }
+
+  /** The shared candidate-only rerank tail: assigned lists meet the
+    * broadcast probe set on the list-id equi-join, exact cosine reranks
+    * only the candidates, top-k per query — one definition under
+    * [[ivfQuery]], [[ivfHierTopK]], and (shape-wise) [[ivfAgainstStore]]. */
+  private def rerankCandidates(assigned: DataFrame, probes: DataFrame,
+                               k: Int): DataFrame = {
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
     assigned.join(broadcast(probes), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
@@ -236,6 +245,128 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         expr("round(cosine, 6)").as("cosine"), col("list_id"))
       .orderBy("query_id", "rank")
+  }
+
+  // ---- hierarchical (two-level) coarse quantizer ---------------------------
+
+  /** Two-level folded quantizer: `g` LEADER vectors (the first g centroids)
+    * plus, per leader group, the member centroids' vectors/norms/ids —
+    * grouping each centroid under its argmax-cosine leader (ties to the
+    * lower leader index), computed driver-side over the same bounded
+    * centroid collect every IVF path already makes. Every leader is its own
+    * nearest leader (cos = 1), so no group is ever empty. */
+  private final case class HierQuantizer(lq: String, ln: String, cq3: String,
+                                         cn2: String, cid2: String, g: Int)
+
+  private def foldHierQuantizer(vecs: DataFrame, nList: Int, centroidBase: Int,
+                                nGroups: Int): HierQuantizer = {
+    val cents = vecs
+      .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
+    val g = if (nGroups > 0) nGroups else math.ceil(math.sqrt(nList.toDouble)).toInt
+    require(g <= nList, s"nGroups=$g exceeds nList=$nList")
+    val leaders = cents.take(g)
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)): Double = {
+      var dot = 0L; var i = 0
+      while (i < a._2.length) { dot += a._2(i) * b._2(i); i += 1 }
+      dot / (math.sqrt(a._3.toDouble) * math.sqrt(b._3.toDouble))
+    }
+    // argmax leader per centroid, FIRST max wins (≡ lower leader id)
+    def groupOf(c: (Long, Array[Long], Long)): Int = {
+      var best = 0; var bestCos = cos(c, leaders(0)); var i = 1
+      while (i < g) {
+        val s = cos(c, leaders(i))
+        if (s > bestCos) { best = i; bestCos = s }
+        i += 1
+      }
+      best
+    }
+    val members: Array[Array[(Long, Array[Long], Long)]] = {
+      val buf = Array.fill(g)(Vector.newBuilder[(Long, Array[Long], Long)])
+      cents.foreach(c => buf(groupOf(c)) += c) // id order preserved per group
+      buf.map(_.result().toArray)
+    }
+    def vecLit(v: Array[Long]) = v.mkString("array(", "L,", "L)")
+    HierQuantizer(
+      lq = leaders.map(l => vecLit(l._2)).mkString("array(", ", ", ")"),
+      ln = leaders.map(_._3).mkString("array(", "L, ", "L)"),
+      cq3 = members.map(ms => ms.map(m => vecLit(m._2)).mkString("array(", ", ", ")"))
+        .mkString("array(", ", ", ")"),
+      cn2 = members.map(ms => ms.map(_._3).mkString("array(", "L, ", "L)"))
+        .mkString("array(", ", ", ")"),
+      cid2 = members.map(ms => ms.map(_._1).mkString("array(", "L, ", "L)"))
+        .mkString("array(", ", ", ")"),
+      g = g)
+  }
+
+  /** The two-level assignment columns over a [[quantized]] relation —
+    * cascaded selects so each stage (and each folded literal) appears
+    * exactly once in the plan: `s1` = cosine to each leader, `gidx` = the
+    * argmax group (1-based), `cq`/`cn`/`cid` = that group's member
+    * arrays, `s2` = cosine to each member. Per-row arithmetic is
+    * O((g + nList/g)·d) instead of the flat quantizer's O(nList·d). */
+  private def hierAssigned(vecs: DataFrame, hq: HierQuantizer): DataFrame =
+    vecs
+      .withColumn("s1", expr(
+        s"""transform(sequence(0, ${hq.g - 1}), i ->
+           |  vec_dotl(q, element_at(${hq.lq}, i + 1))
+           |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(${hq.ln}, i + 1) AS DOUBLE))))""".stripMargin))
+      .withColumn("gidx", expr("CAST(array_position(s1, array_max(s1)) AS INT)"))
+      .withColumn("cq", expr(s"element_at(${hq.cq3}, gidx)"))
+      .withColumn("cn", expr(s"element_at(${hq.cn2}, gidx)"))
+      .withColumn("cid", expr(s"element_at(${hq.cid2}, gidx)"))
+      .withColumn("s2", expr(
+        """transform(sequence(1, size(cq)), j ->
+          |  vec_dotl(q, element_at(cq, j))
+          |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(cn, j) AS DOUBLE))))""".stripMargin))
+
+  private val hierListIdExpr =
+    "element_at(cid, CAST(array_position(s2, array_max(s2)) AS INT))"
+
+  /** [[ivfTopK]] with a HIERARCHICAL coarse quantizer — the measured scale
+    * path past the folded-literal ceiling (BENCH_sf10 r11_quantizer_ceiling:
+    * plan size never blows up below 4k lists, but flat assignment wall is
+    * O(nList·d) per vector — the arithmetic itself). Two-level argmax
+    * (leader, then within-group member) cuts per-vector work to
+    * O((g + nList/g)·d): 32× fewer dots at nList = 4096, g = 64. The
+    * index is a DIFFERENT (cheaper) quantizer, not an approximation of the
+    * flat one — assignment and probes are deterministic with the family's
+    * tie rules, the oracle replays both levels exactly, and nGroups = 1
+    * degenerates to [[ivfTopK]] bit-for-bit (spec-asserted). Probes stay
+    * within the query's argmax group: nProbe nearest member lists by the
+    * level-2 scores (all of them when the group is smaller). */
+  def ivfHierTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  nList: Int = 16, nProbe: Int = 4, centroidBase: Int = 100,
+                  nGroups: Int = 0): DataFrame = {
+    val vecs = quantized(embeddings)
+    val hq = foldHierQuantizer(vecs, nList, centroidBase, nGroups)
+    val scored = hierAssigned(vecs, hq)
+    val assigned = scored
+      .withColumn("list_id", expr(hierListIdExpr))
+      .select("vec_id", "q", "nrm", "list_id")
+    // struct sort = (score DESC, member index ASC ≡ member id ASC)
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("list_id", explode(expr(
+        s"""transform(slice(array_sort(transform(sequence(1, size(s2)),
+           |  j -> struct(0e0 - element_at(s2, j) AS s, j AS j))), 1, $nProbe),
+           |  p -> element_at(cid, p.j))""".stripMargin)))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("nq"), col("list_id"))
+    rerankCandidates(assigned, probes, k)
+  }
+
+  /** [[assignClusters]] through the two-level quantizer — same output
+    * relation shape, O((g + nList/g)·d) per row. */
+  def assignClustersHier(embeddings: DataFrame, nList: Int = 16,
+                         centroidBase: Int = 100, nGroups: Int = 0): DataFrame = {
+    val vecs = quantized(embeddings)
+    val hq = foldHierQuantizer(vecs, nList, centroidBase, nGroups)
+    hierAssigned(vecs, hq)
+      .withColumn("cluster_id", expr(hierListIdExpr))
+      .select("vec_id", "cluster_id")
   }
 
   /** One Lloyd iteration of k-means over the embedding corpus — the

@@ -101,6 +101,53 @@ class ExtSimilaritySpec extends AnyFunSuite {
     overlaps.foreach { case (expected, got) => assert(got === expected) }
   }
 
+  test("ivfHierTopK with nGroups=1 degenerates to ivfTopK bit-for-bit") {
+    // one leader → level-1 trivially picks its group, whose members are
+    // ALL centroids in id order → level-2 ≡ the flat argmax, probes ≡ the
+    // flat nProbe-nearest lists, so the whole relation must be identical
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val hier = Similarity.ivfHierTopK(embs, nGroups = 1).collect().map(_.toString).toSeq
+    val flat = Similarity.ivfTopK(embs).collect().map(_.toString).toSeq
+    assert(hier === flat)
+    assert(hier.nonEmpty)
+  }
+
+  test("ivfHierTopK: grouped probes keep the exact scoring core and stay within one group") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.ivfHierTopK(embs).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("list_id") >= 100L && r.getAs[Long]("list_id") < 116L))
+    assert(out.forall(r => r.getLong(0) !== r.getAs[Long]("neighbor_id")))
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // same quantized-integer scoring core as brute force on overlapping pairs
+    val bf = Similarity.bruteForceTopK(embs, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val overlaps = out.flatMap { r =>
+      bf.get((r.getLong(0), r.getAs[Long]("neighbor_id"))).map(_ -> r.getAs[Double]("cosine"))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (expected, got) => assert(got === expected) }
+  }
+
+  test("assignClustersHier with nGroups=1 equals assignClusters; default grouping is total") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val one = Similarity.assignClustersHier(embs, nGroups = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val flat = Similarity.assignClusters(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(one === flat)
+    // default (√nList groups): every vector still lands in exactly one of
+    // the 16 centroid-labeled clusters
+    val hier = Similarity.assignClustersHier(embs).collect()
+    assert(hier.length === flat.length)
+    assert(hier.forall(r => r.getLong(1) >= 100L && r.getLong(1) < 116L))
+  }
+
   test("ivfTrainedTopK: trained-quantizer search keeps the exact scoring core") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val out = Similarity.ivfTrainedTopK(embs).collect()
