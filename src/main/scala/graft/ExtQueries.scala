@@ -413,6 +413,20 @@ object ExtQueries {
       }
       Similarity.ivfAgainstStore(e.filter(col("vec_id") < 10), store)
     }),
+    // the hier-built store: lists assigned through the two-level quantizer
+    // at build AND append (the scheme is recorded in hier.txt — the
+    // frozen-quantizer contract covers the assignment function), probe
+    // replays the hier probe → the relation is ivfHierTopK's, so the hier
+    // oracle proves build, append, and probe in one hash
+    "similarity_ivf_hier_stored" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val store = cachedStore("graft_ivf_hier_store_v1",
+        s"$dir/embeddings.parquet", "lists/_SUCCESS") { tmp =>
+        Similarity.buildIvfStore(e.filter(col("vec_id") < 300), tmp, nGroups = 4)
+        Similarity.appendToIvfStore(e.filter(col("vec_id") >= 300), tmp)
+      }
+      Similarity.ivfAgainstStore(e.filter(col("vec_id") < 10), store)
+    }),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
     // train-then-search: kmeansRun's converged centroids as the IVF
@@ -2965,6 +2979,10 @@ object ExtQueries {
 
     "similarity_ivf" -> ivfOracleSql,
     "similarity_ivf_hier" -> ivfHierOracleSql,
+    // the hier store materializes ivfHierTopK's relation (frozen two-level
+    // scheme recorded in the snapshot; assignment order-independent), so
+    // the in-line hier oracle proves the store's build, append, and probe
+    "similarity_ivf_hier_stored" -> ivfHierOracleSql,
     // the stored index is a MATERIALIZATION of the same relation (frozen
     // deterministic quantizer, build(<300) + append(>=300) covers the full
     // corpus, assignment is order-independent), so the in-line oracle

@@ -189,6 +189,17 @@ object StoreSoak {
           time(s"stored probe rep$rep (2048-list folded quantizer)")(
             graft.ext.Similarity.ivfAgainstStore(queries, store)
               .write.format("noop").mode("overwrite").save())
+        // the hier-built store: the corpus-side assignment in build/append
+        // pays O((g + nList/g)·d) instead of O(nList·d)
+        val hstore = s"/tmp/soak_quantceil_hier_store_$n"
+        graft.ops.Scale.deleteRecursively(new java.io.File(hstore))
+        time(s"HIER store build ($n vecs, 2048 lists, 46 groups)")(
+          graft.ext.Similarity.buildIvfStore(embs, hstore, nList = 2048,
+            centroidBase = 100, numFiles = 32, nGroups = 46))
+        for (rep <- 1 to 2)
+          time(s"HIER stored probe rep$rep (two-level quantizer)")(
+            graft.ext.Similarity.ivfAgainstStore(queries, hstore)
+              .write.format("noop").mode("overwrite").save())
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -264,8 +264,24 @@ object Similarity {
       .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
       .orderBy("vec_id")
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
+    hierFromCents(cents, nGroups)
+  }
+
+  /** Fold an (id, vector) centroid set into the two-level quantizer —
+    * shared by [[foldHierQuantizer]] (in-line, corpus rows) and the hier
+    * store probe/append path (centroids read back from the store); norms
+    * are recomputed exactly, with [[centroidLits]]' BIGINT guard. */
+  private def hierFromCents(centVecs: Array[(Long, Array[Long])],
+                            nGroups: Int): HierQuantizer = {
+    val nList = centVecs.length
+    val cents = centVecs.map { case (id, v) =>
+      val n = v.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      require(n <= Long.MaxValue,
+        s"centroid $id squared norm $n overflows BIGINT — rescale the quantization")
+      (id, v, n.toLong)
+    }
     val g = if (nGroups > 0) nGroups else math.ceil(math.sqrt(nList.toDouble)).toInt
     require(g <= nList, s"nGroups=$g exceeds nList=$nList")
     val leaders = cents.take(g)
@@ -326,6 +342,14 @@ object Similarity {
   private val hierListIdExpr =
     "element_at(cid, CAST(array_position(s2, array_max(s2)) AS INT))"
 
+  /** nProbe nearest member lists WITHIN the argmax group, by the level-2
+    * scores — struct sort (score DESC, member index ASC ≡ member id ASC);
+    * all of them when the group is smaller than nProbe. */
+  private def hierProbeListsExpr(nProbe: Int): String =
+    s"""transform(slice(array_sort(transform(sequence(1, size(s2)),
+       |  j -> struct(0e0 - element_at(s2, j) AS s, j AS j))), 1, $nProbe),
+       |  p -> element_at(cid, p.j))""".stripMargin
+
   /** [[ivfTopK]] with a HIERARCHICAL coarse quantizer — the measured scale
     * path past the folded-literal ceiling (BENCH_sf10 r11_quantizer_ceiling:
     * plan size never blows up below 4k lists, but flat assignment wall is
@@ -347,12 +371,8 @@ object Similarity {
     val assigned = scored
       .withColumn("list_id", expr(hierListIdExpr))
       .select("vec_id", "q", "nrm", "list_id")
-    // struct sort = (score DESC, member index ASC ≡ member id ASC)
     val probes = scored.filter(col("vec_id") < nQueries)
-      .withColumn("list_id", explode(expr(
-        s"""transform(slice(array_sort(transform(sequence(1, size(s2)),
-           |  j -> struct(0e0 - element_at(s2, j) AS s, j AS j))), 1, $nProbe),
-           |  p -> element_at(cid, p.j))""".stripMargin)))
+      .withColumn("list_id", explode(expr(hierProbeListsExpr(nProbe))))
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("nrm").as("nq"), col("list_id"))
     rerankCandidates(assigned, probes, k)
@@ -1240,9 +1260,15 @@ object Similarity {
     * contract, as in any inverted-file ANN system; drift between the
     * frozen centroids and an evolving corpus shows up in the recall evals
     * ([[knnCapRecall]]-style), not as silent wrong answers. */
+  /** `nGroups` > 0 builds the lists through the HIERARCHICAL quantizer
+    * ([[ivfHierTopK]]'s two-level assignment — the measured scale path
+    * once nList passes ~1k, where the flat build pays O(nList·d) per
+    * corpus vector); the grouping parameter is recorded in `hier.txt`
+    * inside the snapshot so append and probe replay the SAME scheme (the
+    * frozen-quantizer contract extends to the assignment function). */
   def buildIvfStore(embeddings: DataFrame, storeDir: String,
                     nList: Int = 16, centroidBase: Int = 100,
-                    numFiles: Int = 8): Unit = {
+                    numFiles: Int = 8, nGroups: Int = 0): Unit = {
     val vecs = quantized(embeddings)
     val cents = vecs
       .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
@@ -1258,8 +1284,15 @@ object Similarity {
       cents.toSeq.map { case (id, v) => (id, v.toSeq) }
         .toDF("list_id", "q")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-      writeIvfLists(vecs, centroidLits(cents), cents.length, tmp,
-        mode = "overwrite", numFiles)
+      if (nGroups > 0) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$tmp/hier.txt"), s"nGroups=$nGroups\n")
+        writeIvfHierLists(vecs, hierFromCents(cents, nGroups), tmp,
+          mode = "overwrite", numFiles)
+      } else
+        writeIvfLists(vecs, centroidLits(cents), cents.length, tmp,
+          mode = "overwrite", numFiles)
     }
   }
 
@@ -1273,8 +1306,16 @@ object Similarity {
     * batch count grows into a small-file problem. */
   def appendToIvfStore(increment: DataFrame, storeDir: String,
                        numFiles: Int = 1): Unit = {
-    val (qz, n) = loadIvfQuantizer(increment.sparkSession, storeDir)
-    writeIvfLists(quantized(increment), qz, n, storeDir, mode = "append", numFiles)
+    val vecs = quantized(increment)
+    loadHierGroups(storeDir) match {
+      case Some(g) =>
+        writeIvfHierLists(vecs,
+          hierFromCents(loadIvfCents(increment.sparkSession, storeDir), g),
+          storeDir, mode = "append", numFiles)
+      case None =>
+        val (qz, n) = loadIvfQuantizer(increment.sparkSession, storeDir)
+        writeIvfLists(vecs, qz, n, storeDir, mode = "append", numFiles)
+    }
   }
 
   /** Store COMPACTION — [[graft.ext.Dedup.compactBandStore]]'s discipline:
@@ -1290,6 +1331,9 @@ object Similarity {
         Seq("list_id"), numFiles)
       spark.read.parquet(s"$storeDir/centroids")
         .coalesce(1).write.parquet(s"$tmp/centroids")
+      val marker = java.nio.file.Paths.get(s"$storeDir/hier.txt")
+      if (java.nio.file.Files.exists(marker)) // hier scheme survives compaction
+        java.nio.file.Files.copy(marker, java.nio.file.Paths.get(s"$tmp/hier.txt"))
     }
 
   /** [[ivfTopK]] against a PRECOMPUTED store: the query batch pays its own
@@ -1303,13 +1347,24 @@ object Similarity {
   def ivfAgainstStore(queryEmbeddings: DataFrame, storeDir: String,
                       k: Int = 5, nProbe: Int = 4): DataFrame = {
     val spark = queryEmbeddings.sparkSession
-    val (qz, n) = loadIvfQuantizer(spark, storeDir)
-    require(n >= nProbe, s"only $n stored lists < nProbe=$nProbe")
-    val probes = quantized(queryEmbeddings)
-      .withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
-      .withColumn("list_id", explode(expr(probeListsExpr(qz, n, nProbe))))
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("nrm").as("nq"), col("list_id"))
+    // hier-built stores replay the hier probe (argmax group, then nProbe
+    // member lists) — same relation as ivfHierTopK, one oracle proves both
+    val probes = loadHierGroups(storeDir) match {
+      case Some(g) =>
+        val hq = hierFromCents(loadIvfCents(spark, storeDir), g)
+        hierAssigned(quantized(queryEmbeddings), hq)
+          .withColumn("list_id", explode(expr(hierProbeListsExpr(nProbe))))
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("nrm").as("nq"), col("list_id"))
+      case None =>
+        val (qz, n) = loadIvfQuantizer(spark, storeDir)
+        require(n >= nProbe, s"only $n stored lists < nProbe=$nProbe")
+        quantized(queryEmbeddings)
+          .withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
+          .withColumn("list_id", explode(expr(probeListsExpr(qz, n, nProbe))))
+          .select(col("vec_id").as("query_id"), col("q").as("qq"),
+            col("nrm").as("nq"), col("list_id"))
+    }
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.getLong(0))
     val lists = spark.read.parquet(s"$storeDir/lists")
@@ -1332,12 +1387,37 @@ object Similarity {
     * collect every IVF path already makes. */
   private def loadIvfQuantizer(spark: org.apache.spark.sql.SparkSession,
                                storeDir: String): (Quantizer, Int) = {
+    val cents = loadIvfCents(spark, storeDir)
+    (centroidLits(cents), cents.length)
+  }
+
+  private def loadIvfCents(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String): Array[(Long, Array[Long])] = {
     val cents = spark.read.parquet(s"$storeDir/centroids")
       .orderBy("list_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(cents.nonEmpty, s"empty centroid store at $storeDir")
-    (centroidLits(cents), cents.length)
+    cents
   }
+
+  /** The store's recorded assignment scheme: Some(nGroups) for a
+    * hier-built store, None for flat — append and probe MUST follow it
+    * (the frozen-quantizer contract covers the assignment function). */
+  private def loadHierGroups(storeDir: String): Option[Int] = {
+    val marker = java.nio.file.Paths.get(s"$storeDir/hier.txt")
+    if (!java.nio.file.Files.exists(marker)) None
+    else Some(java.nio.file.Files.readString(marker).trim
+      .stripPrefix("nGroups=").toInt)
+  }
+
+  private def writeIvfHierLists(vecs: DataFrame, hq: HierQuantizer,
+                                storeDir: String, mode: String,
+                                numFiles: Int): Unit =
+    graft.ops.Scale.clusteredParquet(
+      hierAssigned(vecs, hq)
+        .withColumn("list_id", expr(hierListIdExpr))
+        .select("list_id", "vec_id", "q", "nrm"),
+      s"$storeDir/lists", Seq("list_id"), numFiles, mode)
 
   private def writeIvfLists(vecs: DataFrame, qz: Quantizer, n: Int,
                             storeDir: String, mode: String,

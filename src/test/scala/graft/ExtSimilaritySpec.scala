@@ -485,6 +485,28 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(stored.nonEmpty)
   }
 
+  test("hier ivf store: build+append probe equals in-line ivfHierTopK; append == rebuild; compaction keeps the scheme") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivfhierstore").toString
+    Similarity.buildIvfStore(embs.filter(col("vec_id") < 300), s"$base/s", nGroups = 4)
+    Similarity.appendToIvfStore(embs.filter(col("vec_id") >= 300), s"$base/s")
+    val stored = Similarity.ivfAgainstStore(embs.filter(col("vec_id") < 10), s"$base/s")
+      .collect().toSeq
+    val inline = Similarity.ivfHierTopK(embs).collect().toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty)
+    // append ≡ rebuild under the recorded two-level scheme
+    Similarity.buildIvfStore(embs, s"$base/full", nGroups = 4)
+    def rel(d: String) = spark.read.parquet(s"$d/lists")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rel(s"$base/s") === rel(s"$base/full"))
+    // the hier marker (and therefore the probe scheme) survives compaction
+    Similarity.compactIvfStore(spark, s"$base/s")
+    val after = Similarity.ivfAgainstStore(embs.filter(col("vec_id") < 10), s"$base/s")
+      .collect().toSeq
+    assert(after === stored)
+  }
+
   test("ivf store: append == rebuild (frozen quantizer, order-independent lists)") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val base = java.nio.file.Files.createTempDirectory("ivfstore").toString
