@@ -515,6 +515,10 @@ object ExtQueries {
 
     // exact-quota per-language eval-set selection (md5 total order, no RNG)
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(docs(s, dir))),
+
+    // DSIR importance weights: hashed unigram+bigram log-likelihood ratio
+    // of the target slice vs the raw pool — high weight = target-like
+    "pipeline_dsir_weights" -> ((s, dir) => Sampling.dsirWeights(docs(s, dir))),
     // leakage-free split: membership hashed on the near-dup CLUSTER id, so
     // a doc and its near-duplicates never straddle train/val/test
     "pipeline_cluster_split" -> ((s, dir) => Sampling.clusterSplit(docs(s, dir))),
@@ -2040,6 +2044,39 @@ object ExtQueries {
         |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM sl2""".stripMargin,
+
+    // DSIR replay: the same md5 hex[1..4] bucket (exact bigint shifts),
+    // add-1-smoothed per-side bucket distributions from exact counts,
+    // log-ratio in the identical division shape, per-doc count·ln sum
+    // (the unigramCE ln-sum precedent, round-6)
+    "pipeline_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, doc_id % 11 = 0 AS in_target,
+        |                    string_split(text, ' ') AS w FROM documents),
+        |feats AS (
+        |  SELECT doc_id, in_target, unnest(w) AS f FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, in_target,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS f
+        |  FROM tok),
+        |hb AS (SELECT doc_id, in_target,
+        |         CAST(list_sum(list_transform(range(0, 4), k ->
+        |           CAST(strpos('0123456789abcdef', substr(md5(f), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |             << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 1024 AS b
+        |       FROM feats),
+        |side AS (SELECT b, CAST(sum(CASE WHEN in_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+        |                CAST(sum(CASE WHEN in_target THEN 0 ELSE 1 END) AS BIGINT) AS rc
+        |         FROM hb GROUP BY b),
+        |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt FROM side),
+        |lr AS (SELECT b, ln(((tc + 1) / CAST(tt + 1024 AS DOUBLE))
+        |                    / ((rc + 1) / CAST(rt + 1024 AS DOUBLE))) AS lr
+        |       FROM side CROSS JOIN tot),
+        |dw AS (SELECT doc_id, in_target, b, CAST(count(*) AS BIGINT) AS c
+        |       FROM hb GROUP BY 1, 2, 3)
+        |SELECT dw.doc_id, dw.in_target, CAST(sum(dw.c) AS BIGINT) AS n_feats,
+        |       round(sum(dw.c * lr.lr), 6) AS weight
+        |FROM dw JOIN lr ON dw.b = lr.b
+        |GROUP BY dw.doc_id, dw.in_target
+        |ORDER BY dw.doc_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

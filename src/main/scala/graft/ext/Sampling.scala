@@ -169,4 +169,66 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("src_rank"), col("n_src"),
         expr("round(vt, 6)").as("vt"))
   }
+
+  /** DSIR-style IMPORTANCE weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): score
+    * every document by how much its hashed n-gram distribution looks like
+    * a TARGET slice rather than the raw pool. Features are content
+    * unigrams + adjacent bigrams, hashed into `dim` buckets (the family's
+    * md5 hex[1..4] derivation — no RNG, any engine replays it); each side
+    * fits an add-1-smoothed bucket distribution, and a document's weight
+    * is Σ_b count_b(doc) · ln(p̂_target(b) / p̂_raw(b)) — the hashed
+    * log-likelihood ratio. High weight = target-like (keep / upsample);
+    * the caller applies its own quantile or quota downstream (the
+    * [[assignSplits]] / quality-budget pattern).
+    *
+    * The target here defaults to the `doc_id % targetMod == 0` slice —
+    * the same deterministic eval-slice convention the decontamination
+    * family uses; a real deployment passes its curated target corpus
+    * through the same relation.
+    *
+    * Scale shape: one narrow feature projection (token array built once,
+    * bigrams assembled array-side — the [[graft.ext.TextAnalysis.bigramCE]]
+    * pattern), one (bucket, side) partial-agg shuffle collapsing to
+    * ≤ dim rows, 1-row totals broadcast, the ≤ dim-row log-ratio table
+    * BROADCAST back onto the per-doc bucket counts, one per-doc partial
+    * agg. The corpus never joins anything corpus-sized.
+    *
+    * Determinism: bucket counts and totals are exact BIGINTs; p̂-ratios
+    * are IEEE divisions in one fixed literal shape; the per-doc
+    * Σ count·ln sits orders of magnitude inside round-6 (the
+    * [[graft.ext.TextAnalysis.unigramCE]] precedent). */
+  def dsirWeights(docs: DataFrame, targetMod: Int = 11,
+                  dim: Int = 1024): DataFrame = {
+    require(dim >= 2 && targetMod >= 2)
+    val base = graft.ext.Dedup.spread(docs)
+      .select(col("doc_id"), (col("doc_id") % targetMod === 0).as("in_target"),
+        expr("split(text, ' ')").as("w"))
+    // unigrams ++ adjacent bigrams, then the md5 bucket — one explode.
+    // Guarded: Spark's sequence(1, 0) DESCENDS, so a 1-token doc would
+    // index element_at(w, 0) — single-token docs contribute unigrams only.
+    val feats = base.select(col("doc_id"), col("in_target"), explode(expr(
+        """CASE WHEN size(w) < 2 THEN w
+          |     ELSE concat(w, transform(sequence(1, size(w) - 1), i ->
+          |       concat(element_at(w, i), ' ', element_at(w, i + 1)))) END""".stripMargin)).as("f"))
+      .select(col("doc_id"), col("in_target"),
+        expr(s"CAST(conv(substring(md5(f), 1, 4), 16, 10) AS BIGINT) % $dim").as("b"))
+    val side = feats.groupBy("b").agg(
+      sum(when(col("in_target"), 1L).otherwise(0L)).cast("long").as("tc"),
+      sum(when(col("in_target"), 0L).otherwise(1L)).cast("long").as("rc"))
+    val tot = side.agg(sum("tc").cast("long").as("tt"), sum("rc").cast("long").as("rt"))
+    val lr = side.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"""ln(((tc + 1) / CAST(tt + $dim AS DOUBLE))
+           |   / ((rc + 1) / CAST(rt + $dim AS DOUBLE)))""".stripMargin).as("lr"))
+    val dw = feats.groupBy("doc_id", "in_target", "b")
+      .agg(count(lit(1)).cast("long").as("c"))
+    dw.join(broadcast(lr), "b")
+      .groupBy("doc_id", "in_target")
+      .agg(sum("c").cast("long").as("n_feats"),
+        sum(expr("c * lr")).as("s"))
+      .select(col("doc_id"), col("in_target"), col("n_feats"),
+        expr("round(s, 6)").as("weight"))
+      .orderBy("doc_id")
+  }
 }

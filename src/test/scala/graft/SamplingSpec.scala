@@ -144,4 +144,36 @@ class SamplingSpec extends AnyFunSuite {
         s"source $s drifted to ${running(s)} vs $expect at prefix ${i + 1}")
     }
   }
+
+  test("dsirWeights: target-vocabulary docs outweigh off-target docs; features count unigrams+bigrams") {
+    import spark.implicits._
+    // targets (doc_id % 11 == 0) speak "alpha beta"; raw doc 1 copies that
+    // vocabulary, raw doc 2 speaks a disjoint one → weight(1) > weight(2)
+    val df = Seq(
+      (0L, "alpha beta alpha beta alpha"),
+      (11L, "beta alpha beta alpha beta"),
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon zeta eta theta"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Sampling.dsirWeights(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(1) && out(11L).getBoolean(1))
+    assert(!out(1L).getBoolean(1) && !out(2L).getBoolean(1))
+    // 5 tokens → 5 unigrams + 4 bigrams; 1 token → 1 unigram, no bigram
+    assert(out(1L).getLong(2) === 9L)
+    assert(out(3L).getLong(2) === 1L)
+    assert(out(1L).getDouble(3) > out(2L).getDouble(3),
+      s"target-like doc must outweigh off-target: ${out(1L)} vs ${out(2L)}")
+  }
+
+  test("dsirWeights is stable under repartitioning and total over the corpus") {
+    val docs = Tables.load(spark, dir, "documents")
+    val a = Sampling.dsirWeights(docs).collect().map(_.toSeq).toSeq
+    val b = Sampling.dsirWeights(docs.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.length === docs.count())
+  }
 }
