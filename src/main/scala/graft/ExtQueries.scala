@@ -519,6 +519,17 @@ object ExtQueries {
     // DSIR importance weights: hashed unigram+bigram log-likelihood ratio
     // of the target slice vs the raw pool — high weight = target-like
     "pipeline_dsir_weights" -> ((s, dir) => Sampling.dsirWeights(docs(s, dir))),
+
+    // the DSIR model store: fit once, publish atomically, serve every
+    // batch after via one broadcast join of the stored log-ratio table
+    "pipeline_dsir_weights_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = cachedStore("graft_dsir_store_v1",
+        s"$dir/documents.parquet", "logratios/_SUCCESS") { tmp =>
+        Sampling.buildDsirStore(d, tmp)
+      }
+      Sampling.scoreAgainstDsirStore(d, store)
+    }),
     // leakage-free split: membership hashed on the near-dup CLUSTER id, so
     // a doc and its near-duplicates never straddle train/val/test
     "pipeline_cluster_split" -> ((s, dir) => Sampling.clusterSplit(docs(s, dir))),
@@ -1009,6 +1020,40 @@ object ExtQueries {
        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
        |       round(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DSIR replay: the same md5 hex[1..4] bucket (exact bigint shifts),
+    * add-1-smoothed per-side bucket distributions from exact counts,
+    * log-ratio in the identical division shape, per-doc count·ln sum
+    * (the unigramCE ln-sum precedent, round-6). One SQL proves the
+    * in-line fit AND the store's fit→publish→serve loop. */
+  private lazy val dsirOracleSql: String =
+    """WITH tok AS (SELECT doc_id, doc_id % 11 = 0 AS in_target,
+      |                    string_split(text, ' ') AS w FROM documents),
+      |feats AS (
+      |  SELECT doc_id, in_target, unnest(w) AS f FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, in_target,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS f
+      |  FROM tok),
+      |hb AS (SELECT doc_id, in_target,
+      |         CAST(list_sum(list_transform(range(0, 4), k ->
+      |           CAST(strpos('0123456789abcdef', substr(md5(f), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+      |             << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 1024 AS b
+      |       FROM feats),
+      |side AS (SELECT b, CAST(sum(CASE WHEN in_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+      |                CAST(sum(CASE WHEN in_target THEN 0 ELSE 1 END) AS BIGINT) AS rc
+      |         FROM hb GROUP BY b),
+      |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt FROM side),
+      |lr AS (SELECT b, ln(((tc + 1) / CAST(tt + 1024 AS DOUBLE))
+      |                    / ((rc + 1) / CAST(rt + 1024 AS DOUBLE))) AS lr
+      |       FROM side CROSS JOIN tot),
+      |dw AS (SELECT doc_id, in_target, b, CAST(count(*) AS BIGINT) AS c
+      |       FROM hb GROUP BY 1, 2, 3)
+      |SELECT dw.doc_id, dw.in_target, CAST(sum(dw.c) AS BIGINT) AS n_feats,
+      |       round(sum(dw.c * lr.lr), 6) AS weight
+      |FROM dw JOIN lr ON dw.b = lr.b
+      |GROUP BY dw.doc_id, dw.in_target
+      |ORDER BY dw.doc_id""".stripMargin
 
   /** Cross-slice winnow-pair relation — incoming (%7=0) vs historical
     * (%7≠0) print index, df cap counted over HISTORICAL rows only,
@@ -2049,34 +2094,11 @@ object ExtQueries {
     // add-1-smoothed per-side bucket distributions from exact counts,
     // log-ratio in the identical division shape, per-doc count·ln sum
     // (the unigramCE ln-sum precedent, round-6)
-    "pipeline_dsir_weights" ->
-      """WITH tok AS (SELECT doc_id, doc_id % 11 = 0 AS in_target,
-        |                    string_split(text, ' ') AS w FROM documents),
-        |feats AS (
-        |  SELECT doc_id, in_target, unnest(w) AS f FROM tok
-        |  UNION ALL
-        |  SELECT doc_id, in_target,
-        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS f
-        |  FROM tok),
-        |hb AS (SELECT doc_id, in_target,
-        |         CAST(list_sum(list_transform(range(0, 4), k ->
-        |           CAST(strpos('0123456789abcdef', substr(md5(f), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
-        |             << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 1024 AS b
-        |       FROM feats),
-        |side AS (SELECT b, CAST(sum(CASE WHEN in_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
-        |                CAST(sum(CASE WHEN in_target THEN 0 ELSE 1 END) AS BIGINT) AS rc
-        |         FROM hb GROUP BY b),
-        |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt FROM side),
-        |lr AS (SELECT b, ln(((tc + 1) / CAST(tt + 1024 AS DOUBLE))
-        |                    / ((rc + 1) / CAST(rt + 1024 AS DOUBLE))) AS lr
-        |       FROM side CROSS JOIN tot),
-        |dw AS (SELECT doc_id, in_target, b, CAST(count(*) AS BIGINT) AS c
-        |       FROM hb GROUP BY 1, 2, 3)
-        |SELECT dw.doc_id, dw.in_target, CAST(sum(dw.c) AS BIGINT) AS n_feats,
-        |       round(sum(dw.c * lr.lr), 6) AS weight
-        |FROM dw JOIN lr ON dw.b = lr.b
-        |GROUP BY dw.doc_id, dw.in_target
-        |ORDER BY dw.doc_id""".stripMargin,
+    "pipeline_dsir_weights" -> dsirOracleSql,
+    // the store materializes the fitted log-ratio table (refit = atomic
+    // rebuild; serving is one broadcast join), so the in-line oracle
+    // proves fit, publish, and serve in one hash
+    "pipeline_dsir_weights_stored" -> dsirOracleSql,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -200,35 +200,158 @@ object Sampling {
     * [[graft.ext.TextAnalysis.unigramCE]] precedent). */
   def dsirWeights(docs: DataFrame, targetMod: Int = 11,
                   dim: Int = 1024): DataFrame = {
+    val feats = dsirFeatures(docs, targetMod, dim)
+    // in-line: the log-ratio table is fit on the SAME corpus, so every
+    // doc bucket is covered and the default never fires
+    dsirScoreWith(feats, dsirLogRatios(feats, dim), lit(0d))
+  }
+
+  /** The per-feature bucket expression over a feature string column —
+    * ONE definition of the DSIR hash, shared by the exploded batch
+    * relation and the row-local streaming scorer. */
+  private[graft] def dsirBucketSql(dim: Int, f: String = "f"): String =
+    s"CAST(conv(substring(md5($f), 1, 4), 16, 10) AS BIGINT) % $dim"
+
+  /** The per-doc feature-array expression: unigrams ++ adjacent bigrams.
+    * Guarded: Spark's sequence(1, 0) DESCENDS, so a 1-token doc would
+    * index element_at(w, 0) — single-token docs contribute unigrams only. */
+  private[graft] val dsirFeatArrSql: String =
+    """CASE WHEN size(w) < 2 THEN w
+      |     ELSE concat(w, transform(sequence(1, size(w) - 1), i ->
+      |       concat(element_at(w, i), ' ', element_at(w, i + 1)))) END""".stripMargin
+
+  /** (doc_id, in_target, bucket) — one feature-occurrence row per hashed
+    * unigram/bigram. */
+  private def dsirFeatures(docs: DataFrame, targetMod: Int, dim: Int): DataFrame = {
     require(dim >= 2 && targetMod >= 2)
-    val base = graft.ext.Dedup.spread(docs)
+    graft.ext.Dedup.spread(docs)
       .select(col("doc_id"), (col("doc_id") % targetMod === 0).as("in_target"),
         expr("split(text, ' ')").as("w"))
-    // unigrams ++ adjacent bigrams, then the md5 bucket — one explode.
-    // Guarded: Spark's sequence(1, 0) DESCENDS, so a 1-token doc would
-    // index element_at(w, 0) — single-token docs contribute unigrams only.
-    val feats = base.select(col("doc_id"), col("in_target"), explode(expr(
-        """CASE WHEN size(w) < 2 THEN w
-          |     ELSE concat(w, transform(sequence(1, size(w) - 1), i ->
-          |       concat(element_at(w, i), ' ', element_at(w, i + 1)))) END""".stripMargin)).as("f"))
       .select(col("doc_id"), col("in_target"),
-        expr(s"CAST(conv(substring(md5(f), 1, 4), 16, 10) AS BIGINT) % $dim").as("b"))
+        explode(expr(dsirFeatArrSql)).as("f"))
+      .select(col("doc_id"), col("in_target"),
+        expr(dsirBucketSql(dim)).as("b"))
+  }
+
+  /** Per-side bucket counts → the ≤ dim-row add-1-smoothed log-ratio
+    * table. Exact BIGINT counts; the ratio is one fixed IEEE shape. */
+  private def dsirLogRatios(feats: DataFrame, dim: Int): DataFrame = {
     val side = feats.groupBy("b").agg(
       sum(when(col("in_target"), 1L).otherwise(0L)).cast("long").as("tc"),
       sum(when(col("in_target"), 0L).otherwise(1L)).cast("long").as("rc"))
     val tot = side.agg(sum("tc").cast("long").as("tt"), sum("rc").cast("long").as("rt"))
-    val lr = side.crossJoin(broadcast(tot))
+    side.crossJoin(broadcast(tot))
       .select(col("b"), expr(
         s"""ln(((tc + 1) / CAST(tt + $dim AS DOUBLE))
            |   / ((rc + 1) / CAST(rt + $dim AS DOUBLE)))""".stripMargin).as("lr"))
-    val dw = feats.groupBy("doc_id", "in_target", "b")
+  }
+
+  /** The scoring tail: per-doc bucket counts LEFT-join the broadcast
+    * log-ratio table (`defaultLr` fills buckets the table never saw —
+    * only possible when serving NEW docs against a stored model), then
+    * one per-doc partial agg. */
+  private def dsirScoreWith(feats: DataFrame, lr: DataFrame,
+                            defaultLr: org.apache.spark.sql.Column): DataFrame =
+    feats.groupBy("doc_id", "in_target", "b")
       .agg(count(lit(1)).cast("long").as("c"))
-    dw.join(broadcast(lr), "b")
+      .join(broadcast(lr), Seq("b"), "left")
+      .withColumn("lr", coalesce(col("lr"), defaultLr))
       .groupBy("doc_id", "in_target")
       .agg(sum("c").cast("long").as("n_feats"),
         sum(expr("c * lr")).as("s"))
       .select(col("doc_id"), col("in_target"), col("n_feats"),
         expr("round(s, 6)").as("weight"))
       .orderBy("doc_id")
+
+  /** DSIR MODEL STORE — train once (fit the bucket log-ratio table on a
+    * reference corpus + target slice), publish atomically, serve every
+    * batch after at O(batch): the [[graft.ext.TextAnalysis.buildQualityModelStore]]
+    * discipline for the importance-weight model. No append verb on
+    * purpose — a fitted distribution has no increment; refit = atomic
+    * REBUILD-replace, the swap is the version bump. meta.txt records
+    * (dim, targetMod) because serving MUST hash with the trainer's
+    * modulus and flag targets with the trainer's slice rule, plus the
+    * smoothing totals (tt, rt) so unseen-bucket defaults are the exact
+    * add-1 value the table itself would have assigned a zero-count
+    * bucket. */
+  def buildDsirStore(docs: DataFrame, storeDir: String, targetMod: Int = 11,
+                     dim: Int = 1024): Unit = {
+    val feats = dsirFeatures(docs, targetMod, dim)
+    val side = feats.groupBy("b").agg(
+      sum(when(col("in_target"), 1L).otherwise(0L)).cast("long").as("tc"),
+      sum(when(col("in_target"), 0L).otherwise(1L)).cast("long").as("rc"))
+    val (tt, rt) = {
+      val r = side.agg(sum("tc").cast("long"), sum("rc").cast("long")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val lr = side.select(col("b"), expr(
+      s"""ln(((tc + 1) / CAST(${tt}L + $dim AS DOUBLE))
+         |   / ((rc + 1) / CAST(${rt}L + $dim AS DOUBLE)))""".stripMargin).as("lr"))
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      val next = java.nio.file.Paths.get(tmp)
+      lr.coalesce(1).write.mode("overwrite").parquet(s"$tmp/logratios")
+      java.nio.file.Files.write(next.resolve("meta.txt"),
+        s"dim=$dim\ntargetMod=$targetMod\ntt=$tt\nrt=$rt\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+  }
+
+  /** Load the published log-ratio table + its meta — refusing a torn
+    * store (the `_SUCCESS`-last publish contract). */
+  def loadDsirStore(spark: org.apache.spark.sql.SparkSession,
+                    storeDir: String): (DataFrame, Int, Int, Long, Long) = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$storeDir/_SUCCESS")),
+      s"no _SUCCESS marker at $storeDir — not a published DSIR store")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$storeDir/meta.txt")), "UTF-8")
+      .linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (spark.read.parquet(s"$storeDir/logratios"),
+      meta("dim").toInt, meta("targetMod").toInt,
+      meta("tt").toLong, meta("rt").toLong)
+  }
+
+  /** Score ANY docs against the PUBLISHED model — zero fitting work, one
+    * broadcast join of the ≤ dim-row stored table over one input scan.
+    * Same relation as [[dsirWeights]] when the store was fit on the same
+    * corpus — one oracle proves fit, publish, and serve. */
+  def scoreAgainstDsirStore(docs: DataFrame, storeDir: String): DataFrame = {
+    val (lr, dim, targetMod, tt, rt) = loadDsirStore(docs.sparkSession, storeDir)
+    dsirScoreWith(dsirFeatures(docs, targetMod, dim), lr,
+      expr(s"ln(((0 + 1) / CAST(${tt}L + $dim AS DOUBLE)) / ((0 + 1) / CAST(${rt}L + $dim AS DOUBLE)))"))
+  }
+
+  /** Fold the stored table to a driver map (≤ dim entries — the trained-
+    * quantizer literal-fold discipline) for the streaming scorer. */
+  def foldDsirLogRatios(lr: DataFrame): Map[Long, Double] =
+    lr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** The stateless row-local DSIR scorer over FOLDED log-ratios — the
+    * streaming twin's engine: the feature array assembles INSIDE the row
+    * (same [[dsirFeatArrSql]] definition), buckets hash with the same
+    * expression, and one ordered aggregate() fold over the map literal
+    * scores the doc — no explode, no join, no shuffle, no state.
+    * Differentially spec'd ≈ the batch broadcast-join scorer (the
+    * ln-terms are IDENTICAL doubles; only the summation order differs,
+    * so agreement is to float round-off under round-6 — unlike the
+    * integer quality model, exact-equality cannot be promised and the
+    * spec asserts a 2e-6 bound). */
+  private[graft] def dsirScoreCols(docs: DataFrame, lrMap: Map[Long, Double],
+                                   dim: Int, targetMod: Int,
+                                   defaultLr: Double): DataFrame = {
+    require(dim >= 2 && targetMod >= 2)
+    val lrLit =
+      if (lrMap.isEmpty) expr(s"map(-1L, ${defaultLr}d)")
+      else map(lrMap.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    docs
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("__fa", expr(dsirFeatArrSql))
+      .withColumn("__bs", expr(s"transform(__fa, f -> ${dsirBucketSql(dim)})"))
+      .withColumn("in_target", col("doc_id") % targetMod === 0)
+      .withColumn("n_feats", expr("CAST(size(__fa) AS BIGINT)"))
+      .withColumn("weight", round(aggregate(col("__bs"), lit(0d),
+        (acc, b) => acc + coalesce(element_at(lrLit, b), lit(defaultLr))), 6))
+      .drop("w", "__fa", "__bs")
   }
 }

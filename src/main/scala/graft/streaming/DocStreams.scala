@@ -254,6 +254,29 @@ object DocStreams {
     * atomic swap changes what the NEXT query start loads, never a
     * half-updated live stream. Differentially spec'd equal to the batch
     * stored scorer under random micro-batch splits. */
+  /** Streaming DSIR importance scorer served FROM the published DSIR
+    * store — the importance-weight member of the model-serving family:
+    * the stored ≤ dim-row log-ratio table loads once at query build and
+    * folds to a literal map ([[graft.ext.Sampling.foldDsirLogRatios]]),
+    * so weighting each arriving document is one stateless row-local
+    * projection (the shared [[graft.ext.Sampling.dsirScoreCols]] — the
+    * feature array assembles inside the row, no explode, no join, no
+    * state, append mode); unseen buckets take the store's recorded add-1
+    * default. The stream serves a PINNED model version — a concurrent
+    * refit's atomic swap changes what the NEXT query start loads.
+    * Differential spec: ≈ the batch stored scorer to float round-off
+    * (the ln-terms are identical; only summation order differs — the
+    * one weight model whose parameters are doubles, so the spec asserts
+    * a 2e-6 bound instead of the integer family's exact equality). */
+  def dsirScoreStoreStream(docs: DataFrame, storeDir: String): DataFrame = {
+    val (lr, dim, targetMod, tt, rt) =
+      graft.ext.Sampling.loadDsirStore(docs.sparkSession, storeDir)
+    val defaultLr = math.log(((0 + 1).toDouble / (tt + dim)) / ((0 + 1).toDouble / (rt + dim)))
+    graft.ext.Sampling.dsirScoreCols(docs,
+      graft.ext.Sampling.foldDsirLogRatios(lr), dim, targetMod, defaultLr)
+      .select("doc_id", "in_target", "n_feats", "weight")
+  }
+
   def qualityScoreStoreStream(docs: DataFrame, storeDir: String): DataFrame = {
     val (weights, dim) =
       graft.ext.TextAnalysis.loadQualityModelStore(docs.sparkSession, storeDir)

@@ -353,6 +353,30 @@ class DocStreamsSpec extends AnyFunSuite {
       "fixture must mix passing and failing predictions")
   }
 
+  test("streaming DSIR scorer served from the store matches the batch stored scorer to float round-off") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("dsirstream").toString
+    graft.ext.Sampling.buildDsirStore(docs, s"$base/m")
+    val rows = docs.orderBy("doc_id").limit(200).collect().map(r =>
+      d(r.getAs[Long]("doc_id"), 1000L + r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val cols = Seq("doc_id", "in_target", "n_feats", "weight")
+    val streamed = runSplits(rows, "dsir_stream_out", "append", cols)(
+      df => DocStreams.dsirScoreStoreStream(df, s"$base/m"))
+    val batch = graft.ext.Sampling.scoreAgainstDsirStore(rows.toSeq.toDF(), s"$base/m")
+      .orderBy("doc_id").select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed.length === batch.length)
+    // the ln-terms are identical doubles; only summation order differs
+    // (row-local ordered fold vs the batch partial agg), so the one
+    // double-weight model compares to a round-off bound, not exactly
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.take(3) === b.take(3), s"$s vs $b")
+      assert(math.abs(s(3).asInstanceOf[Double] - b(3).asInstanceOf[Double]) <= 2e-6,
+        s"weight drift beyond float round-off: $s vs $b")
+    }
+    assert(batch.exists(_(1) === true) && batch.exists(_(1) === false),
+      "fixture must mix target and raw docs")
+  }
+
   test("streaming scorer served from the model store equals the batch stored scorer") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val base = java.nio.file.Files.createTempDirectory("qmodelstream").toString

@@ -169,6 +169,30 @@ class SamplingSpec extends AnyFunSuite {
       s"target-like doc must outweigh off-target: ${out(1L)} vs ${out(2L)}")
   }
 
+  test("DSIR store: fit once, serve equals the in-line weights; unseen buckets take the recorded add-1 default") {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("dsirstore").toString
+    Sampling.buildDsirStore(docs, s"$base/m")
+    val stored = Sampling.scoreAgainstDsirStore(docs, s"$base/m")
+      .collect().map(_.toSeq).toSeq
+    val inline = Sampling.dsirWeights(docs).collect().map(_.toSeq).toSeq
+    assert(stored === inline)
+    // a tiny-corpus store leaves most buckets unseen: a novel-vocabulary
+    // doc must score n_feats × the recorded add-1 default, not drop rows
+    import spark.implicits._
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    Sampling.buildDsirStore(df(0L -> "alpha beta", 1L -> "beta gamma"), s"$base/tiny")
+    val (_, dim, _, tt, rt) = Sampling.loadDsirStore(spark, s"$base/tiny")
+    val novel = Sampling.scoreAgainstDsirStore(
+      df(7L -> "zzqx1 zzqx7 zzqx13"), s"$base/tiny").collect()
+    assert(novel.length === 1 && novel.head.getLong(2) === 5L) // 3 unigrams + 2 bigrams
+    val default = math.log((1.0 / (tt + dim)) / (1.0 / (rt + dim)))
+    assert(math.abs(novel.head.getDouble(3) - 5 * default) < 1e-5,
+      s"unseen-bucket weight ${novel.head.getDouble(3)} vs expected ${5 * default}")
+  }
+
   test("dsirWeights is stable under repartitioning and total over the corpus") {
     val docs = Tables.load(spark, dir, "documents")
     val a = Sampling.dsirWeights(docs).collect().map(_.toSeq).toSeq
