@@ -136,6 +136,23 @@ object StoreSoak {
           time(s"in-line triage rep$rep (history rescanned per run)")(
             graft.ext.Dedup.ingestTriage(docs)
               .write.format("noop").mode("overwrite").save())
+      case "dsir" =>
+        // the DSIR model store: fit-once-serve-forever vs the in-line
+        // operator that refits the log-ratio table on every run
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        println(s"[soak] $dir docs=${docs.count()}")
+        val store = s"/tmp/soak_dsir_store_${dir.replace('/', '_')}"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time("DSIR fit + publish")(
+          graft.ext.Sampling.buildDsirStore(docs, store))
+        for (rep <- 1 to 2)
+          time(s"stored serve rep$rep (broadcast join of the published table)")(
+            graft.ext.Sampling.scoreAgainstDsirStore(docs, store)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"in-line rep$rep (refits the table per run)")(
+            graft.ext.Sampling.dsirWeights(docs)
+              .write.format("noop").mode("overwrite").save())
       case "quantceil" =>
         // The folded-quantizer plan-size ceiling (VERDICT r10 "what's
         // wrong" #2): centroids are folded into SQL array literals —

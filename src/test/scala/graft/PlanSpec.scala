@@ -770,6 +770,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("DSIR: the dim-bounded log-ratio table broadcasts; the corpus never sort-merge-joins") {
+    for (q <- Seq("pipeline_dsir_weights", "pipeline_dsir_weights_stored")) {
+      val p = plan(q)
+      // per-doc bucket counts meet the <= dim-row table via broadcast only
+      assert(p.contains("BroadcastHashJoin"), s"$q: log-ratio join not broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus-sized shuffle join\n$p")
+      // bucket and per-doc aggregations combine map-side
+      assert(p.contains("partial_"), s"$q: no map-side partial agg\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+    }
+  }
+
   test("trained topic cards keep the seeded variant's plan shape: one assignment equi-join feeds the explode") {
     // training (lloydFinal) runs at CONSTRUCTION time as bounded collects;
     // the executed plan must stay the seeded pipeline's — the converged
