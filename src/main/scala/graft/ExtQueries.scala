@@ -520,6 +520,11 @@ object ExtQueries {
     // of the target slice vs the raw pool — high weight = target-like
     "pipeline_dsir_weights" -> ((s, dir) => Sampling.dsirWeights(docs(s, dir))),
 
+    // the selection step: Gumbel-top-quantile importance resampling over
+    // the DSIR weights (md5-derived Gumbel noise, quantile threshold —
+    // never a global rank window)
+    "pipeline_dsir_sample" -> ((s, dir) => Sampling.dsirSample(docs(s, dir))),
+
     // the DSIR model store: fit once, publish atomically, serve every
     // batch after via one broadcast join of the stored log-ratio table
     "pipeline_dsir_weights_stored" -> ((s, dir) => {
@@ -1024,9 +1029,10 @@ object ExtQueries {
   /** DSIR replay: the same md5 hex[1..4] bucket (exact bigint shifts),
     * add-1-smoothed per-side bucket distributions from exact counts,
     * log-ratio in the identical division shape, per-doc count·ln sum
-    * (the unigramCE ln-sum precedent, round-6). One SQL proves the
-    * in-line fit AND the store's fit→publish→serve loop. */
-  private lazy val dsirOracleSql: String =
+    * (the unigramCE ln-sum precedent, round-6). One CTE block proves the
+    * in-line fit, the store's fit→publish→serve loop, AND feeds the
+    * resampling oracle. */
+  private lazy val dsirCtes: String =
     """WITH tok AS (SELECT doc_id, doc_id % 11 = 0 AS in_target,
       |                    string_split(text, ' ') AS w FROM documents),
       |feats AS (
@@ -1048,12 +1054,35 @@ object ExtQueries {
       |                    / ((rc + 1) / CAST(rt + 1024 AS DOUBLE))) AS lr
       |       FROM side CROSS JOIN tot),
       |dw AS (SELECT doc_id, in_target, b, CAST(count(*) AS BIGINT) AS c
-      |       FROM hb GROUP BY 1, 2, 3)
-      |SELECT dw.doc_id, dw.in_target, CAST(sum(dw.c) AS BIGINT) AS n_feats,
-      |       round(sum(dw.c * lr.lr), 6) AS weight
-      |FROM dw JOIN lr ON dw.b = lr.b
-      |GROUP BY dw.doc_id, dw.in_target
-      |ORDER BY dw.doc_id""".stripMargin
+      |       FROM hb GROUP BY 1, 2, 3),
+      |wts AS (SELECT dw.doc_id AS doc_id, dw.in_target AS in_target,
+      |          CAST(sum(dw.c) AS BIGINT) AS n_feats,
+      |          round(sum(dw.c * lr.lr), 6) AS weight
+      |        FROM dw JOIN lr ON dw.b = lr.b
+      |        GROUP BY 1, 2)""".stripMargin
+
+  private lazy val dsirOracleSql: String =
+    s"""$dsirCtes
+       |SELECT doc_id, in_target, n_feats, weight FROM wts ORDER BY doc_id""".stripMargin
+
+  /** Gumbel-top-quantile replay: u from md5(doc_id) hex [9,12] (exact
+    * shifts, +1/65537 keeps it in (0,1)), key = weight/T − ln(−ln(u)) in
+    * the identical literal shape, threshold = the interpolated 1−frac
+    * percentile (percentile ≡ quantile_cont — the dataset-card p50
+    * precedent), ties at the threshold included. */
+  private lazy val dsirSampleOracleSql: String =
+    s"""$dsirCtes,
+       |keyed AS (SELECT doc_id, in_target, weight,
+       |  (CAST(list_sum(list_transform(range(0, 4), k ->
+       |     CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(k AS INT) + 9, 1)) - 1 AS BIGINT)
+       |       << CAST(4 * (3 - k) AS INT))) AS BIGINT) + 1) / 65537e0 AS u
+       |  FROM wts),
+       |g AS (SELECT doc_id, in_target, weight,
+       |        weight / 1.0e0 - ln(0e0 - ln(u)) AS gumbel_key FROM keyed),
+       |thr AS (SELECT quantile_cont(gumbel_key, 0.8e0) AS t FROM g)
+       |SELECT doc_id, in_target, weight, round(gumbel_key, 6) AS gumbel_key,
+       |       gumbel_key >= t AS selected
+       |FROM g CROSS JOIN thr ORDER BY doc_id""".stripMargin
 
   /** Cross-slice winnow-pair relation — incoming (%7=0) vs historical
     * (%7≠0) print index, df cap counted over HISTORICAL rows only,
@@ -2099,6 +2128,7 @@ object ExtQueries {
     // rebuild; serving is one broadcast join), so the in-line oracle
     // proves fit, publish, and serve in one hash
     "pipeline_dsir_weights_stored" -> dsirOracleSql,
+    "pipeline_dsir_sample" -> dsirSampleOracleSql,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -263,6 +263,33 @@ object Sampling {
         expr("round(s, 6)").as("weight"))
       .orderBy("doc_id")
 
+  /** DSIR importance RESAMPLING — the selection step after
+    * [[dsirWeights]], faithful to the paper's Gumbel-top-k: each doc's
+    * key is weight/T + Gumbel noise, and the top `frac` of keys is
+    * selected. Determinism discipline: the Gumbel uniform comes from an
+    * md5 region of the doc id (hex digits [9,12] — independent of the
+    * split/sample regions), u = (bucket + 1)/65537 ∈ (0,1), key =
+    * weight/T − ln(−ln(u)) — RNG-free, any engine replays it. Selection
+    * is a QUANTILE THRESHOLD (the [[graft.ext.Events]] concentration
+    * discipline), never a global rank window: one percentile aggregate
+    * broadcasts back, selected = key ≥ threshold (ties included). At
+    * T → 0 this degenerates to deterministic top-frac by weight; larger
+    * T trades fidelity for diversity — the paper's knob. */
+  def dsirSample(docs: DataFrame, frac: Double = 0.2, temperature: Double = 1.0,
+                 targetMod: Int = 11, dim: Int = 1024): DataFrame = {
+    require(frac > 0 && frac < 1 && temperature > 0)
+    val keyed = dsirWeights(docs, targetMod, dim)
+      .withColumn("u", expr(
+        "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 4), 16, 10) AS BIGINT) + 1) / 65537e0"))
+      .withColumn("gumbel_key", expr(s"weight / ${temperature}e0 - ln(0e0 - ln(u))"))
+    val thr = keyed.agg(expr(s"percentile(gumbel_key, ${1 - frac}e0)").as("t"))
+    keyed.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("in_target"), col("weight"),
+        expr("round(gumbel_key, 6)").as("gumbel_key"),
+        (col("gumbel_key") >= col("t")).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR MODEL STORE — train once (fit the bucket log-ratio table on a
     * reference corpus + target slice), publish atomically, serve every
     * batch after at O(batch): the [[graft.ext.TextAnalysis.buildQualityModelStore]]

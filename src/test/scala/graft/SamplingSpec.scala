@@ -193,6 +193,21 @@ class SamplingSpec extends AnyFunSuite {
       s"unseen-bucket weight ${novel.head.getDouble(3)} vs expected ${5 * default}")
   }
 
+  test("dsirSample selects ~frac of the corpus, enriched in target-like docs, stable under repartitioning") {
+    val docs = Tables.load(spark, dir, "documents")
+    val out = Sampling.dsirSample(docs).collect()
+    val n = out.length
+    val sel = out.filter(_.getBoolean(4))
+    // quantile-threshold selection: within a few ties of 20%
+    assert(math.abs(sel.length - 0.2 * n) <= 3, s"${sel.length} of $n selected")
+    // importance resampling must enrich target-like weight
+    val selMean = sel.map(_.getDouble(2)).sum / sel.length
+    val unselMean = out.filterNot(_.getBoolean(4)).map(_.getDouble(2)).sum / (n - sel.length)
+    assert(selMean > unselMean, s"selected mean $selMean <= unselected $unselMean")
+    val b = Sampling.dsirSample(docs.repartition(13)).collect().map(_.toSeq).toSeq
+    assert(out.map(_.toSeq).toSeq === b)
+  }
+
   test("dsirWeights is stable under repartitioning and total over the corpus") {
     val docs = Tables.load(spark, dir, "documents")
     val a = Sampling.dsirWeights(docs).collect().map(_.toSeq).toSeq
