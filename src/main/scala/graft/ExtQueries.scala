@@ -721,6 +721,22 @@ object ExtQueries {
         Dedup.buildEvalStore(d.filter(col("doc_id") % 11 === 0), tmp))
       Dedup.decontaminateStored(d.filter(col("doc_id") % 11 =!= 0), store)
     }),
+    // FUZZY decontamination: train docs that are NEAR-DUPLICATES of eval
+    // docs (paraphrase/light-edit contamination the exact n-gram check
+    // misses) — banded LSH + exact-Jaccard verify, best match per train doc
+    "pipeline_decontaminate_fuzzy" -> ((s, dir) =>
+      Dedup.decontaminateFuzzy(docs(s, dir))),
+
+    // the stored form: band store over the EVAL slice (rebuilt at
+    // benchmark releases, not daily), each train shard probed in O(shard)
+    "pipeline_decontaminate_fuzzy_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = cachedStore("graft_fuzzy_eval_band_store_v1",
+        s"$dir/documents.parquet", "bands/_SUCCESS")(tmp =>
+        Dedup.buildBandStore(d.filter(col("doc_id") % 11 === 0), tmp))
+      Dedup.decontaminateFuzzyStored(d.filter(col("doc_id") % 11 =!= 0), store)
+    }),
+
     // dataset-versioning audit: two deterministic snapshot derivations of
     // the corpus (membership by doc_id mod, an edited slice in the new
     // snapshot) diffed by content digest
@@ -1149,6 +1165,32 @@ object ExtQueries {
       |           WHERE doc_id % 7 <> 0) h ON i.k = h.k
       |ORDER BY i.doc_id""".stripMargin
 
+  /** Fuzzy-decontamination replay: the exact 3-gram-Jaccard pair relation
+    * under the % 11 eval split (LSH ≡ exact pairs — the incremental
+    * oracle's argument), best match per TRAIN doc by (jaccard DESC,
+    * eval_id ASC). One SQL proves the in-line operator and the
+    * eval-band-store probe (build over the % 11 = 0 slice covers exactly
+    * the oracle's eval side). */
+  private val decontaminateFuzzyOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |                i -> array_to_string(w[i:i+2], ' '))) AS shingle
+      |       FROM toks WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS c
+      |          FROM sh t JOIN sh e ON t.shingle = e.shingle
+      |          WHERE t.doc_id % 11 != 0 AND e.doc_id % 11 = 0
+      |          GROUP BY 1, 2),
+      |j AS (SELECT train_id, eval_id, round(c / (st.n_sh + se.n_sh - c), 6) AS jaccard
+      |      FROM inter JOIN sz st ON inter.train_id = st.doc_id
+      |                 JOIN sz se ON inter.eval_id = se.doc_id
+      |      WHERE c / (st.n_sh + se.n_sh - c) >= 0.8)
+      |SELECT train_id, eval_id, jaccard FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY train_id
+      |              ORDER BY jaccard DESC, eval_id ASC) AS rn FROM j)
+      |WHERE rn = 1 ORDER BY train_id""".stripMargin
+
   private val incrementalOracleSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -1498,6 +1540,11 @@ object ExtQueries {
     // cross-side exact-Jaccard: historical (doc_id % 7 != 0) × incoming
     // (doc_id % 7 = 0); the engine's band join has P[miss | J>=0.8] ~ 5e-8
     "dedup_incremental" -> incrementalOracleSql,
+
+    // fuzzy decontamination: the same LSH ≡ exact-pairs argument under the
+    // % 11 eval split; one oracle proves in-line and eval-band-store probe
+    "pipeline_decontaminate_fuzzy" -> decontaminateFuzzyOracleSql,
+    "pipeline_decontaminate_fuzzy_stored" -> decontaminateFuzzyOracleSql,
 
     // substring spans: replays the 60-bit md5 window hash (decontaminate's
     // convention) positionally, the cross-doc dup filter, and the

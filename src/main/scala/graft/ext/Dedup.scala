@@ -247,6 +247,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of the exact
+    * n-gram [[decontaminate]]: a paraphrased or lightly-edited eval
+    * document shares few exact 5-grams with its training twin but keeps
+    * Jaccard ≥ threshold over 3-gram shingles, which exact-overlap
+    * checking misses. Every TRAIN doc (doc_id % evalMod ≠ 0) near-dup of
+    * any EVAL doc (% evalMod = 0) is flagged with its best match
+    * (jaccard DESC, eval_id ASC — the triage tie rule). The pair relation
+    * IS [[incremental]]'s under the evalMod split (near-dup pairs are
+    * symmetric in membership), so the machinery — banded LSH candidate
+    * generation, exact-Jaccard verification, 8-byte band shuffles — is
+    * one definition, and the established LSH ≡ exact-pairs oracle
+    * argument carries over verbatim. */
+  def decontaminateFuzzy(docs: DataFrame, threshold: Double = 0.8,
+                         evalMod: Int = 11): DataFrame = {
+    val bw = Window.partitionBy("train_id")
+      .orderBy(col("jaccard").desc, col("eval_id").asc)
+    incremental(docs, threshold, evalMod)
+      .select(col("hist_id").as("train_id"), col("inc_id").as("eval_id"),
+        col("jaccard"))
+      .withColumn("rn", row_number().over(bw)).filter(col("rn") === 1)
+      .select("train_id", "eval_id", "jaccard")
+      .orderBy("train_id")
+  }
+
+  /** [[decontaminateFuzzy]] against a PRECOMPUTED band store built over
+    * the EVAL slice ([[buildBandStore]] — benchmarks change at releases,
+    * not daily, exactly the eval-store asymmetry): every arriving train
+    * shard is checked in O(shard), the eval set never re-signatured. The
+    * probe is [[incrementalStored]] with the roles read back out —
+    * store = eval, incoming = train. */
+  def decontaminateFuzzyStored(train: DataFrame, evalBandStoreDir: String,
+                               threshold: Double = 0.8): DataFrame = {
+    val bw = Window.partitionBy("train_id")
+      .orderBy(col("jaccard").desc, col("eval_id").asc)
+    incrementalStored(train, evalBandStoreDir, threshold)
+      .select(col("inc_id").as("train_id"), col("hist_id").as("eval_id"),
+        col("jaccard"))
+      .withColumn("rn", row_number().over(bw)).filter(col("rn") === 1)
+      .select("train_id", "eval_id", "jaccard")
+      .orderBy("train_id")
+  }
+
   /** 32 band signatures (4 rows each) of a 128-wide `sig` column — md5 of
     * each 4-slice; shared by every LSH consumer (including the streaming
     * store probe, [[graft.streaming.DocStreams.dedupAgainstStore]]) so band

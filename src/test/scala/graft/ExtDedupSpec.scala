@@ -51,6 +51,28 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(lsh.nonEmpty) // sf0.001 does contain near-dup pairs
   }
 
+  test("decontaminateFuzzy flags a one-token-edited eval twin the exact 5-gram check underweights; stored probe equals in-line") {
+    // 50 distinct tokens -> 48 shingles; one mid-doc swap changes 3 of
+    // them: J = 45/51 = 0.882 >= 0.8. Doc 0 is eval (0 % 11 == 0); doc 5
+    // is its edited training twin; doc 7 shares nothing.
+    val toks = (1 to 50).map(i => s"tok$i")
+    val base = toks.mkString(" ")
+    val near = toks.updated(24, "EDITED").mkString(" ")
+    val df = docsDf(0L -> base, 5L -> near, 7L -> "alpha beta gamma delta epsilon zeta")
+    val out = Dedup.decontaminateFuzzy(df).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((5L, 0L)))
+    assert(math.abs(out.head.getDouble(2) - 45.0 / 51.0) < 1e-5)
+    // stored = band store over the eval slice, probed by the train slice
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val basepath = java.nio.file.Files.createTempDirectory("fuzzdecon").toString
+    Dedup.buildBandStore(docs.filter(col("doc_id") % 11 === 0), s"$basepath/s")
+    val stored = Dedup.decontaminateFuzzyStored(
+      docs.filter(col("doc_id") % 11 =!= 0), s"$basepath/s").collect().map(_.toSeq).toSeq
+    val inline = Dedup.decontaminateFuzzy(docs).collect().map(_.toSeq).toSeq
+    assert(stored === inline)
+    assert(inline.nonEmpty, "fixture must contain fuzzy train-eval contamination")
+  }
+
   test("decontaminate flags exactly the train docs sharing an n-gram with the eval slice") {
     // evalMod=11 → doc 0 and 11 are eval. Doc 12 shares doc 0's opening
     // 5-gram; doc 13 is clean; doc 14 shares a 5-gram with BOTH eval docs'
