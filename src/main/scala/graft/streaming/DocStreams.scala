@@ -140,6 +140,45 @@ object DocStreams {
       .select(col("inc_id"), col("hist_id"), col("jaccard"))
   }
 
+  /** Streaming FUZZY decontamination against the PRECOMPUTED eval band
+    * store ([[graft.ext.Dedup.buildBandStore]] over the benchmark slice) —
+    * the continuous twin of [[graft.ext.Dedup.decontaminateFuzzyStored]]:
+    * each arriving TRAIN shard is banded with the shared batch
+    * expressions, stream-static-joined against the eval index, verified
+    * with exact Jaccard, and reduced to its best eval match with the
+    * batch tie rule (max(struct(jaccard, −eval_id)) ≡ jaccard DESC,
+    * eval_id ASC) in ONE windowed aggregation. Only contaminated docs
+    * emit — the training firehose is filtered the moment it arrives,
+    * never re-batched. Differentially spec'd equal to the batch stored
+    * probe under random micro-batch splits. */
+  def decontaminateFuzzyStream(docs: DataFrame, evalBandStoreDir: String,
+                               threshold: Double = 0.8,
+                               watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val evalBands = spark.read.parquet(s"$evalBandStoreDir/bands")
+    val evalHashes = spark.read.parquet(s"$evalBandStoreDir/hashes")
+    val banded = docs.withWatermark("ingest_ts", watermark)
+      .select(col("doc_id").as("train_id"), col("ingest_ts"),
+        expr("shingle_hash60(text, 3)").as("si"))
+      .filter(expr("size(si) > 0")) // the batch sides' empty-signature guard
+      .withColumn("sig", expr("minhash_sig(si)"))
+      .select(col("train_id"), col("ingest_ts"), col("si"),
+        posexplode(expr(graft.ext.Dedup.bandSigsExpr)).as(Seq("band", "bsig")))
+    banded.join(evalBands, Seq("band", "bsig"))
+      .join(evalHashes, "hist_id")
+      .withColumn("c", expr("size(array_intersect(si, sh))"))
+      // filter on the UNROUNDED value, rank/emit rounded — the batch
+      // twin's exact order of operations
+      .withColumn("jacc", expr("c / (size(si) + size(sh) - c)"))
+      .filter(col("jacc") >= threshold)
+      .groupBy(window(col("ingest_ts"), "10 minutes"), col("train_id"))
+      .agg(max(struct(expr("round(jacc, 6)").as("j"),
+        (-col("hist_id")).as("ne"))).as("best"))
+      .select(col("train_id"), (-col("best.ne")).as("eval_id"),
+        col("best.j").as("jaccard"))
+  }
+
   /** Streaming SUBSTRING-SPAN dedup against the PRECOMPUTED window-hash
     * store ([[graft.ext.Dedup.buildSpanStore]]) — the continuous twin of
     * the batch [[graft.ext.Dedup.spansAgainstStore]]: each arriving doc's

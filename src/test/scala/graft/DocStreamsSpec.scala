@@ -353,6 +353,25 @@ class DocStreamsSpec extends AnyFunSuite {
       "fixture must mix passing and failing predictions")
   }
 
+  test("streaming fuzzy decontamination equals the batch stored probe under random micro-batch splits") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("fuzzdeconstream").toString
+    graft.ext.Dedup.buildBandStore(docs.filter(col("doc_id") % 11 === 0), s"$base/s")
+    val train = docs.filter(col("doc_id") % 11 =!= 0)
+    val rows = train.orderBy("doc_id").collect().map(r =>
+      d(r.getAs[Long]("doc_id"), 1000L + r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val cols = Seq("train_id", "eval_id", "jaccard")
+    // update mode: a doc's bands all explode from its single arrival row,
+    // so its windowed best-match finalizes within its own micro-batch
+    // (the triage-stream spec's discipline)
+    val streamed = runSplits(rows, "fuzzdecon_stream_out", "update", cols)(
+      df => DocStreams.decontaminateFuzzyStream(df, s"$base/s"))
+    val batch = graft.ext.Dedup.decontaminateFuzzyStored(train, s"$base/s")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture must contain fuzzy train-eval contamination")
+  }
+
   test("streaming DSIR scorer served from the store matches the batch stored scorer to float round-off") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val base = java.nio.file.Files.createTempDirectory("dsirstream").toString
