@@ -429,9 +429,20 @@ object ExtQueries {
     }),
     "embedding_kmeans" -> ((s, dir) => Similarity.kmeansStep(embs(s, dir))),
     "embedding_kmeans_run" -> ((s, dir) => Similarity.kmeansRun(embs(s, dir))),
+    // HIER-trained k-means: every Lloyd round assigns through the
+    // two-level quantizer (leaders refolded per round from the same
+    // bounded collect) — per-round arithmetic O((g + nList/g)·d) per
+    // vector instead of the flat O(nList·d) the r11 ceiling receipt
+    // measured as the training wall; nGroups=1 ≡ flat (spec)
+    "embedding_kmeans_run_hier" -> ((s, dir) =>
+      Similarity.kmeansRunHier(embs(s, dir), nGroups = 4)),
     // train-then-search: kmeansRun's converged centroids as the IVF
     // quantizer — the two proven parts composed into the pipeline users run
     "pipeline_ann_trained" -> ((s, dir) => Similarity.ivfTrainedTopK(embs(s, dir))),
+    // the flat arithmetic retired from BOTH halves: hier Lloyd training
+    // + the hier assign/probe query path over the converged centroids
+    "pipeline_ann_trained_hier" -> ((s, dir) =>
+      Similarity.ivfTrainedHierTopK(embs(s, dir), nGroups = 4)),
     // BOTH ANN stages trained: Lloyd coarse quantizer + per-subspace
     // Lloyd PQ codebooks, composed into the ivf+pq ADC query path
     "similarity_ivfpq_trained" -> ((s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))),
@@ -1281,6 +1292,115 @@ object ExtQueries {
        |       round(cosine, 6) AS cosine, list_id
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** One HIERARCHICAL assignment pass of the q vectors against the
+    * centroid relation `c` (cluster_id, i, x), replaying
+    * [[graft.ext.Similarity.hierAssigned]] exactly: leaders = the `g`
+    * lowest cluster_ids (`ld`), each centroid groups under its
+    * argmax-cosine leader with the lower-leader tie rule (`gd`/`grp`),
+    * each vector picks its argmax leader (`vl`/`vg`) and then its argmax
+    * member WITHIN that leader's group (`md` — the per-vector candidate
+    * relation the probe CTEs also rank). Emits `${p}ccos` (vec_id,
+    * cent_id, ccos over group members only) and `${p}a` (the final
+    * per-vector assignment). `cn` names the centroid-norm CTE. */
+  private def hierAssignCtes(c: String, cn: String, g: Int, p: String): String =
+    s"""${p}ld AS (SELECT cluster_id AS lead_id FROM
+       |         (SELECT cluster_id, row_number() OVER (ORDER BY cluster_id) AS r FROM $cn)
+       |         WHERE r <= $g),
+       |${p}gd AS (SELECT c.cluster_id AS cent_id, l.cluster_id AS lead_id,
+       |             CAST(sum(c.x * l.x) AS BIGINT) AS dot
+       |           FROM $c c JOIN $c l ON c.i = l.i
+       |                JOIN ${p}ld ON l.cluster_id = ${p}ld.lead_id
+       |           GROUP BY 1, 2),
+       |${p}grp AS MATERIALIZED (SELECT cent_id, lead_id FROM (
+       |             SELECT ${p}gd.cent_id, ${p}gd.lead_id,
+       |               row_number() OVER (PARTITION BY ${p}gd.cent_id ORDER BY
+       |                 dot / (sqrt(CAST(cc.n AS DOUBLE)) * sqrt(CAST(lc.n AS DOUBLE))) DESC,
+       |                 ${p}gd.lead_id ASC) AS r
+       |             FROM ${p}gd JOIN $cn cc ON ${p}gd.cent_id = cc.cluster_id
+       |                         JOIN $cn lc ON ${p}gd.lead_id = lc.cluster_id)
+       |            WHERE r = 1),
+       |${p}vl AS (SELECT qv.vec_id, l.cluster_id AS lead_id,
+       |             CAST(sum(qv.x * l.x) AS BIGINT) AS dot
+       |           FROM q qv JOIN $c l ON qv.i = l.i
+       |                JOIN ${p}ld ON l.cluster_id = ${p}ld.lead_id
+       |           GROUP BY 1, 2),
+       |${p}vg AS MATERIALIZED (SELECT vec_id, lead_id FROM (
+       |            SELECT ${p}vl.vec_id, ${p}vl.lead_id,
+       |              row_number() OVER (PARTITION BY ${p}vl.vec_id ORDER BY
+       |                dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(lc.n AS DOUBLE))) DESC,
+       |                ${p}vl.lead_id ASC) AS r
+       |            FROM ${p}vl JOIN nrm nv ON ${p}vl.vec_id = nv.vec_id
+       |                        JOIN $cn lc ON ${p}vl.lead_id = lc.cluster_id)
+       |           WHERE r = 1),
+       |${p}md AS (SELECT qv.vec_id, c.cluster_id, CAST(sum(qv.x * c.x) AS BIGINT) AS dot
+       |           FROM q qv JOIN ${p}vg ON qv.vec_id = ${p}vg.vec_id
+       |                JOIN ${p}grp ON ${p}grp.lead_id = ${p}vg.lead_id
+       |                JOIN $c c ON c.cluster_id = ${p}grp.cent_id AND qv.i = c.i
+       |           GROUP BY 1, 2),
+       |${p}ccos AS MATERIALIZED (SELECT ${p}md.vec_id AS vec_id, ${p}md.cluster_id AS cent_id,
+       |               dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(cc.n AS DOUBLE))) AS ccos
+       |             FROM ${p}md JOIN nrm nv ON ${p}md.vec_id = nv.vec_id
+       |                         JOIN $cn cc ON ${p}md.cluster_id = cc.cluster_id),
+       |${p}a AS MATERIALIZED (SELECT vec_id, cent_id AS cluster_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY vec_id
+       |             ORDER BY ccos DESC, cent_id ASC) AS r FROM ${p}ccos)
+       |          WHERE r = 1)""".stripMargin
+
+  /** `iters` chained HIERARCHICAL Lloyd rounds, replaying
+    * [[graft.ext.Similarity.kmeansRunHier]]: each round refolds the
+    * current centroids into the leader/member scheme (leaders = the g
+    * lowest surviving cluster_ids) and assigns through both levels —
+    * exactly [[hierAssignCtes]] per round — then sums the next centroids. */
+  private def hierKmeansCtes(iters: Int, g: Int): String = {
+    val blocks = (1 to iters).map { t =>
+      s"""n$t AS MATERIALIZED (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM c$t GROUP BY cluster_id),
+         |${hierAssignCtes(s"c$t", s"n$t", g, s"h$t")},
+         |c${t + 1} AS MATERIALIZED (SELECT h${t}a.cluster_id, q.i, CAST(sum(q.x) AS BIGINT) AS x
+         |        FROM h${t}a JOIN q ON q.vec_id = h${t}a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$quantCte,
+       |c1 AS MATERIALIZED (SELECT vec_id AS cluster_id, i, x FROM q WHERE vec_id >= 100 AND vec_id < 116),
+       |$blocks""".stripMargin
+  }
+
+  private def kmeansRunHierOracleSql(iters: Int, g: Int): String =
+    s"""${hierKmeansCtes(iters, g)},
+       |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM h${iters}a GROUP BY cluster_id)
+       |SELECT s.cluster_id AS cluster_id, CAST(s.i - 1 AS INT) AS dim, m.n_members,
+       |       s.x AS sum_x, round(s.x / m.n_members, 6) AS mean_x
+       |FROM c${iters + 1} s JOIN m ON s.cluster_id = m.cluster_id
+       |ORDER BY cluster_id, dim""".stripMargin
+
+  /** Hier-trained + hier-queried IVF: the hier Lloyd rounds' converged
+    * centroid sums (cf) feed ONE more hier assignment pass (prefix `f`) —
+    * its per-vector group-member ccos relation yields both the corpus
+    * assignment (r = 1) and the within-group nProbe probe ring (r <= 4),
+    * then the proven candidate/rerank tail. */
+  private def ivfTrainedHierOracleSql(iters: Int, g: Int): String =
+    s"""${hierKmeansCtes(iters, g)},
+       |cf AS MATERIALIZED (SELECT cluster_id, i, x FROM c${iters + 1}),
+       |nf AS MATERIALIZED (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM cf GROUP BY cluster_id),
+       |${hierAssignCtes("cf", "nf", g, "f")},
+       |assigned AS (SELECT vec_id, cluster_id AS list_id FROM fa),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS list_id FROM
+       |           (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |            FROM fccos WHERE vec_id < 10) WHERE r <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id, a.list_id
+       |         FROM probes p JOIN assigned a ON p.list_id = a.list_id AND a.vec_id != p.query_id),
+       |dots AS (SELECT cand.query_id, cand.vec_id, cand.list_id, CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+       |         FROM cand JOIN q qq ON qq.vec_id = cand.query_id
+       |                   JOIN q qv ON qv.vec_id = cand.vec_id AND qq.i = qv.i
+       |         GROUP BY cand.query_id, cand.vec_id, cand.list_id),
+       |scored AS (SELECT dots.query_id AS query_id, dots.vec_id AS vec_id, dots.list_id AS list_id,
+       |             dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+       |           FROM dots JOIN nrm nq ON dots.query_id = nq.vec_id
+       |                     JOIN nrm nv ON dots.vec_id = nv.vec_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+       |       round(cosine, 6) AS cosine, list_id
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Trained topic cards: [[kmeansCtes]]' final centroid sums become the
     * assignment quantizer (ivfTrained's cf/nf/ccos/assigned CTEs), the
     * assignment joins `documents` on vec_id = doc_id (the embedded
@@ -1702,9 +1822,15 @@ object ExtQueries {
     // engines); assignment ties break to the lower cluster_id, exactly the
     // engine's array_position first-max.
     "embedding_kmeans_run" -> kmeansRunOracleSql(3),
+    // the HIER trainer: every round replays leader grouping + two-level
+    // argmax (both tie rules) before the same member-sum centroid update
+    "embedding_kmeans_run_hier" -> kmeansRunHierOracleSql(3, 4),
 
     // trained-quantizer IVF: kmeans CTEs chained into the ivf CTEs
     "pipeline_ann_trained" -> ivfTrainedOracleSql(3),
+    // hier rounds chained into one more hier assignment pass over the
+    // converged centroids, then the proven candidate/rerank tail
+    "pipeline_ann_trained_hier" -> ivfTrainedHierOracleSql(3, 4),
     "similarity_ivfpq_trained" -> ivfPqTrainedOracleSql(3),
 
     // trained topic cards: kmeans CTEs chained into the c-TF-IDF CTEs

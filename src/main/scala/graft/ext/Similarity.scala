@@ -202,6 +202,40 @@ object Similarity {
     ivfQuery(vecs, centroidLits(cents), cents.length, nQueries, k, nProbe)
   }
 
+  /** [[ivfTrainedTopK]] with HIERARCHICAL assignment end to end — the
+    * train-then-search pipeline with the flat O(nList·d) arithmetic
+    * retired from BOTH halves: training rounds run [[lloydFinalHier]]'s
+    * two-level per-round assignment, and the query path is
+    * [[ivfHierTopK]]'s two-level assign/probe over the converged
+    * member-sum centroids (leaders = the g lowest surviving cluster_ids,
+    * the same rule every round used). Deterministic throughout (the
+    * family's argmax/lower-id tie rules at both levels), so the oracle
+    * chains the hier training rounds into the hier assignment/probe/rerank
+    * CTEs; nGroups = 1 degenerates to [[ivfTrainedTopK]] bit-for-bit
+    * (spec-asserted). */
+  def ivfTrainedHierTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+                         nList: Int = 16, nProbe: Int = 4,
+                         centroidBase: Int = 100, iters: Int = 3,
+                         nGroups: Int = 0): DataFrame = {
+    val vecs = quantized(embeddings)
+    val g = if (nGroups > 0) nGroups
+            else math.ceil(math.sqrt(nList.toDouble)).toInt
+    val cents = lloydFinalHier(vecs, nList, centroidBase, iters, g)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    require(cents.length >= g,
+      s"only ${cents.length} surviving clusters < nGroups=$g")
+    val scored = hierAssigned(vecs, hierFromCents(cents, g))
+    val assigned = scored
+      .withColumn("list_id", expr(hierListIdExpr))
+      .select("vec_id", "q", "nrm", "list_id")
+    val probes = scored.filter(col("vec_id") < nQueries)
+      .withColumn("list_id", explode(expr(hierProbeListsExpr(nProbe))))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nrm").as("nq"), col("list_id"))
+    rerankCandidates(assigned, probes, k)
+  }
+
   /** The nProbe-nearest-lists expression over a row's `scores` array:
     * struct sort = (score DESC, centroid index ASC), mapped back to list
     * ids — shared by [[ivfQuery]] and [[ivfAgainstStore]] so the in-line
@@ -489,32 +523,22 @@ object Similarity {
     Quantizer(cq, cn, cid)
   }
 
-  /** The Lloyd loop shared by [[kmeansRun]] (reports it) and
-    * [[ivfTrainedTopK]] (uses it as the quantizer): `iters` rounds from the
-    * deterministic seed, returning the FINAL round's
-    * (cluster_id, n_members, sums) aggregate — sums are the unnormalized
-    * member-sum centroids (see [[kmeansRun]]'s doc for why). */
-  private def lloydFinal(vecs: DataFrame, nList: Int, centroidBase: Int,
-                         iters: Int): DataFrame = {
+  /** The Lloyd iteration harness shared by the flat and hierarchical
+    * trainers: collect the deterministic seed centroids, run `step` (one
+    * assignment + partial-sum round against the CURRENT centroid set) to
+    * `iters` rounds or the exact fixpoint, return the final aggregate.
+    * Each round's centroids are a bounded collect (≤ nList rows — coarse
+    * quantizers are RAM-resident by design) constant-folded into the next
+    * round's plan, so lineage never grows. */
+  private def lloydLoop(vecs: DataFrame, nList: Int, centroidBase: Int,
+                        iters: Int)
+                       (step: Array[(Long, Array[Long])] => DataFrame): DataFrame = {
     require(iters >= 1, "need at least one Lloyd round")
     var cents: Array[(Long, Array[Long])] = vecs
       .filter(col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     require(cents.length == nList, s"expected $nList centroids, found ${cents.length}")
-
-    // one Lloyd round against folded centroid literals: narrow argmax
-    // assignment + the array-typed partial sum (one buffer per
-    // (cluster, task) crosses the shuffle)
-    def step(cs: Array[(Long, Array[Long])]): DataFrame = {
-      val qz = centroidLits(cs)
-      vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, cs.length)))
-        .withColumn("cluster_id",
-          expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
-        .groupBy("cluster_id")
-        .agg(count(lit(1)).as("n_members"), expr("vec_sum_agg(q)").as("sums"))
-    }
-
     var it = 1
     while (it < iters) {
       val next = step(cents).orderBy("cluster_id").collect()
@@ -525,6 +549,62 @@ object Similarity {
       if (fixpoint) it = iters else { cents = next; it += 1 }
     }
     step(cents)
+  }
+
+  /** The Lloyd loop shared by [[kmeansRun]] (reports it) and
+    * [[ivfTrainedTopK]] (uses it as the quantizer): `iters` rounds from the
+    * deterministic seed, returning the FINAL round's
+    * (cluster_id, n_members, sums) aggregate — sums are the unnormalized
+    * member-sum centroids (see [[kmeansRun]]'s doc for why). */
+  private def lloydFinal(vecs: DataFrame, nList: Int, centroidBase: Int,
+                         iters: Int): DataFrame =
+    // one Lloyd round against folded centroid literals: narrow argmax
+    // assignment + the array-typed partial sum (one buffer per
+    // (cluster, task) crosses the shuffle)
+    lloydLoop(vecs, nList, centroidBase, iters) { cs =>
+      val qz = centroidLits(cs)
+      vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, cs.length)))
+        .withColumn("cluster_id",
+          expr(s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), expr("vec_sum_agg(q)").as("sums"))
+    }
+
+  /** [[lloydFinal]] with every round's assignment routed through the
+    * TWO-LEVEL quantizer — the training-side closure of the
+    * r11 quantizer-ceiling receipt: the flat trainer pays the measured
+    * O(n·nList·d) assignment arithmetic EVERY round (38 s/round at 4096
+    * lists, sf10 — linear in nList), and training at the family's own
+    * sizing rule (nList ≈ √n) pays it × iters. Here each round refolds
+    * the CURRENT centroids into [[hierFromCents]]' leader/member scheme
+    * (leaders = the g lowest surviving cluster_ids — recomputed per round
+    * from the same bounded collect the flat loop already makes) and
+    * assigns in O((g + nList/g)·d) per vector. Like [[ivfHierTopK]], the
+    * result is a DIFFERENT (cheaper) deterministic trainer, not an
+    * approximation of the flat one — both levels use the family's
+    * argmax/lower-id tie rules, the oracle replays every round's two
+    * levels exactly, and nGroups = 1 degenerates to [[lloydFinal]]
+    * bit-for-bit (spec-asserted). `g` resolves ONCE from nList (default
+    * ⌈√nList⌉) and is fixed across rounds; a round with fewer survivors
+    * than g fails loudly (retrain with a smaller g or fewer lists).
+    *
+    * [[pqLloyd]] deliberately keeps the flat assignment: PQ codebooks are
+    * ≤ 256 codewords by the one-byte-code contract, so its per-round
+    * argmin is already bounded — the 32×-at-4096-lists win has no
+    * analogue there (and its encode is the native compiled `pq_codes`
+    * loop). */
+  private def lloydFinalHier(vecs: DataFrame, nList: Int, centroidBase: Int,
+                             iters: Int, nGroups: Int): DataFrame = {
+    val g = if (nGroups > 0) nGroups
+            else math.ceil(math.sqrt(nList.toDouble)).toInt
+    lloydLoop(vecs, nList, centroidBase, iters) { cs =>
+      require(cs.length >= g,
+        s"only ${cs.length} surviving clusters < nGroups=$g — retrain with fewer groups")
+      hierAssigned(vecs, hierFromCents(cs, g))
+        .withColumn("cluster_id", expr(hierListIdExpr))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"), expr("vec_sum_agg(q)").as("sums"))
+    }
   }
 
   /** k-means to (near-)convergence — `iters` Lloyd rounds from the same
@@ -558,15 +638,30 @@ object Similarity {
     * Output per surviving (cluster, dim): member count after the final
     * assignment, exact component sum, and the mean component. */
   def kmeansRun(embeddings: DataFrame, nList: Int = 16, centroidBase: Int = 100,
-                iters: Int = 3): DataFrame = {
-    lloydFinal(quantized(embeddings), nList, centroidBase, iters)
+                iters: Int = 3): DataFrame =
+    kmeansReport(lloydFinal(quantized(embeddings), nList, centroidBase, iters))
+
+  /** [[kmeansRun]] trained through [[lloydFinalHier]]'s two-level per-round
+    * assignment — the k-means a 100-TB corpus actually trains once nList
+    * passes ~1k (per-round wall O((g + nList/g)·d) per vector instead of
+    * the flat O(nList·d) the r11 ceiling receipt measured). Same report
+    * shape; nGroups = 1 is bit-identical to [[kmeansRun]] (spec). */
+  def kmeansRunHier(embeddings: DataFrame, nList: Int = 16,
+                    centroidBase: Int = 100, iters: Int = 3,
+                    nGroups: Int = 0): DataFrame =
+    kmeansReport(
+      lloydFinalHier(quantized(embeddings), nList, centroidBase, iters, nGroups))
+
+  /** The per-(cluster, dim) report tail shared by the flat and hier
+    * trainers: member counts + exact component sums + the IEEE mean. */
+  private def kmeansReport(finalAgg: DataFrame): DataFrame =
+    finalAgg
       .select(col("cluster_id"), col("n_members"),
         posexplode(col("sums")).as(Seq("dim", "sum_x")))
       .select(col("cluster_id"), col("dim").cast("int").as("dim"),
         col("n_members"), col("sum_x"),
         expr("round(sum_x / n_members, 6)").as("mean_x"))
       .orderBy("cluster_id", "dim")
-  }
 
   /** Cluster-balanced sampling — diversity-aware corpus selection: assign
     * every vector to its quantizer cluster (same narrow constant-folded

@@ -148,6 +148,57 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(hier.forall(r => r.getLong(1) >= 100L && r.getLong(1) < 116L))
   }
 
+  test("kmeansRunHier with nGroups=1 degenerates to kmeansRun bit-for-bit") {
+    // one leader → every round's level-2 argmax ranks ALL centroids in id
+    // order ≡ the flat argmax, so every round's assignment — and therefore
+    // every centroid update and the final report — must be identical
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val hier = Similarity.kmeansRunHier(embs, nGroups = 1).collect().map(_.toString).toSeq
+    val flat = Similarity.kmeansRun(embs).collect().map(_.toString).toSeq
+    assert(hier === flat)
+    assert(hier.nonEmpty)
+  }
+
+  test("kmeansRunHier (grouped): valid report shape, labels stay the seed ids") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.kmeansRunHier(embs, nGroups = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) >= 100L && r.getLong(0) < 116L))
+    // every surviving cluster reports all 64 dims with one member count
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (0 until 64))
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.length === 1)
+    }
+  }
+
+  test("ivfTrainedHierTopK with nGroups=1 degenerates to ivfTrainedTopK bit-for-bit") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val hier = Similarity.ivfTrainedHierTopK(embs, nGroups = 1).collect().map(_.toString).toSeq
+    val flat = Similarity.ivfTrainedTopK(embs).collect().map(_.toString).toSeq
+    assert(hier === flat)
+    assert(hier.nonEmpty)
+  }
+
+  test("ivfTrainedHierTopK (grouped): ranked per query, exact scoring core kept") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.ivfTrainedHierTopK(embs, nGroups = 4).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to rs.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // same quantized-integer scoring core as brute force on overlapping pairs
+    val bf = Similarity.bruteForceTopK(embs, nQueries = 10, k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    val overlaps = out.flatMap { r =>
+      bf.get((r.getLong(0), r.getAs[Long]("neighbor_id"))).map(_ -> r.getAs[Double]("cosine"))
+    }
+    assert(overlaps.nonEmpty)
+    overlaps.foreach { case (expected, got) => assert(got === expected) }
+  }
+
   test("ivfTrainedTopK: trained-quantizer search keeps the exact scoring core") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val out = Similarity.ivfTrainedTopK(embs).collect()
