@@ -102,16 +102,25 @@ object BloomDedup {
     gateOutput(probe(incoming, buildFilterBytes(history, expectedItems, fpp)),
       history, fpp * fpBoundFactor)
 
+  /** The stored gate's FP-bound MULTIPLIER (bound = factor · the fpp the
+    * store's meta records) — a distinct type, not a bare Double, because
+    * this slot previously held an ABSOLUTE bound: a stale positional
+    * caller passing 0.03 would otherwise silently get 0.03 × fpp, a 100×
+    * tighter check with no compile error. */
+  final case class FpBoundFactor(value: Double) {
+    require(value >= 1.0, s"fp bound factor $value < 1 can reject a filter meeting its own design fpp")
+  }
+
   /** [[exactBloomGate]] probing a PRECOMPUTED store instead of building
     * the filter in-line — same output, same oracle; `history` is joined
     * only for the exact confirmation columns. The FP bound derives from
-    * the fpp the store's meta.txt RECORDS (fpBoundFactor · stored fpp),
-    * so a store built with a non-default fpp is judged against its own
-    * design point, never a hardcoded constant. */
+    * the fpp the store's meta.txt RECORDS ([[FpBoundFactor]] · stored
+    * fpp), so a store built with a non-default fpp is judged against its
+    * own design point, never a hardcoded constant. */
   def gateStored(incoming: DataFrame, storeDir: String, history: DataFrame,
-                 fpBoundFactor: Double = 3.0): DataFrame =
+                 factor: FpBoundFactor = FpBoundFactor(3.0)): DataFrame =
     gateOutput(probeStored(incoming, storeDir), history,
-      fpBoundFactor * readMeta(storeDir)._2)
+      factor.value * readMeta(storeDir)._2)
 
   private def gateOutput(probed: DataFrame, history: DataFrame,
                          fpBound: Double): DataFrame = {
@@ -164,7 +173,11 @@ object BloomDedup {
     * against concurrent appends — two writers OR-merging in parallel is a
     * lost-update race (last publish wins one increment's bits away); the
     * daily loop's one owner runs it. */
-  def appendToBloomStore(increment: DataFrame, storeDir: String): Unit = {
+  def appendToBloomStore(increment: DataFrame, storeDir: String): Unit =
+    // the writer lock spans the whole READ-merge-publish, not just the
+    // inner publish — two appends interleaving their reads is exactly the
+    // lost-bits race the lock exists to refuse
+    graft.ops.StoreLifecycle.withWriterLock(storeDir) {
     val (expectedItems, fpp) = readMeta(storeDir)
     val live = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(java.nio.file.Files.readAllBytes(
@@ -176,7 +189,7 @@ object BloomDedup {
     val bos = new java.io.ByteArrayOutputStream()
     live.writeTo(bos)
     publish(storeDir, bos.toByteArray, expectedItems, fpp)
-  }
+    }
 
   /** Probe against the stored filter: reading the store costs exactly the
     * filter bytes (bounded by sizing, never by corpus rows), and the probe
@@ -190,8 +203,10 @@ object BloomDedup {
 
   /** Read the store's recorded sizing params, refusing a torn store: the
     * `_SUCCESS` marker is written last inside the published snapshot, so
-    * its absence means a half-written or foreign directory. */
-  private def readMeta(storeDir: String): (Long, Double) = {
+    * its absence means a half-written or foreign directory. Package-open
+    * so composite stores (the triage root) can VALIDATE their embedded
+    * Bloom snapshot before copying it forward at compact time. */
+  private[ext] def readMeta(storeDir: String): (Long, Double) = {
     require(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$storeDir/_SUCCESS")),
       s"no _SUCCESS marker at $storeDir — not a published Bloom store")

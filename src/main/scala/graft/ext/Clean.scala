@@ -146,7 +146,8 @@ object Clean {
 
   def appendToLineDfStore(increment: DataFrame, storeDir: String,
                           numFiles: Int = 1, textCol: String = "text"): Unit =
-    writeLineDfStore(increment, storeDir, "append", numFiles, textCol)
+    graft.ops.StoreLifecycle.withWriterLock(storeDir)(
+      writeLineDfStore(increment, storeDir, "append", numFiles, textCol))
 
   private def writeLineDfStore(docs: DataFrame, storeDir: String, mode: String,
                                numFiles: Int, textCol: String): Unit =

@@ -489,7 +489,8 @@ object Dedup {
     * restores the single-snapshot layout in place. */
   def appendToBandStore(increment: DataFrame, storeDir: String,
                         numFiles: Int = 1): Unit =
-    writeBandStore(increment, storeDir, mode = "append", numFiles = numFiles)
+    graft.ops.StoreLifecycle.withWriterLock(storeDir)(
+      writeBandStore(increment, storeDir, mode = "append", numFiles = numFiles))
 
   /** Store COMPACTION — the third verb of the store lifecycle
     * (build → append daily → compact when the batch count grows into a
@@ -602,35 +603,79 @@ object Dedup {
     * Disjoint daily batches keep every half exact; a key appearing in two
     * batches only duplicates rows in `keys/`, which the probe's hit-set
     * distinct folds (and [[compactTriageStore]] pays down). Single-writer,
-    * like every mutating store verb. */
+    * like every mutating store verb.
+    *
+    * NON-ATOMIC across the four relations, made LOUD instead of silent:
+    * `append.pending` is written before the first relation and removed
+    * after the last, and every probe ([[ingestTriageStored]], the
+    * streaming twin) refuses while it exists — a crash mid-append can
+    * therefore never serve a root whose exact and near halves disagree
+    * about which day they cover (the silent-false-negative torn state).
+    * RECOVERY, explicitly: re-run the SAME append (this verb takes over a
+    * leftover marker — the four writes are per-key idempotent: re-OR-ing
+    * Bloom bits is a no-op, and repeated band/hash/key rows change no
+    * verdict because the probes distinct their hit sets and rank one best
+    * match), then [[compactTriageStore]] to fold the duplicate rows out
+    * of the layout; or rebuild the snapshot. A day that cannot be
+    * replayed is a rebuild, as with any lost increment. */
   def appendToTriageStore(increment: DataFrame, storeDir: String,
-                          numFiles: Int = 1): Unit = {
-    appendToBandStore(increment, storeDir, numFiles)
-    writeTriageKeys(increment, storeDir, mode = "append", numFiles)
-    BloomDedup.appendToBloomStore(increment, s"$storeDir/bloom")
-  }
+                          numFiles: Int = 1): Unit =
+    graft.ops.StoreLifecycle.withWriterLock(storeDir) {
+      val pending = java.nio.file.Paths.get(s"$storeDir/append.pending")
+      java.nio.file.Files.write(pending, Array.empty[Byte]) // takes over a leftover
+      appendToBandStore(increment, storeDir, numFiles)
+      writeTriageKeys(increment, storeDir, mode = "append", numFiles)
+      BloomDedup.appendToBloomStore(increment, s"$storeDir/bloom")
+      java.nio.file.Files.delete(pending); ()
+    }
 
-  /** Compaction: one freshly clustered layout per relation (keys
-    * re-DISTINCTed — appends may repeat a key across batches), the Bloom
-    * bytes carried over verbatim (its append is already debt-free). */
+  /** The torn-append guard every triage probe takes (see
+    * [[appendToTriageStore]]): a leftover `append.pending` means the four
+    * relations may disagree about which day they cover — fail loudly with
+    * the recovery procedure instead of silently under-flagging. */
+  private[graft] def requireTriageStoreComplete(storeDir: String): Unit =
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$storeDir/append.pending")),
+      s"torn triage append at $storeDir (append.pending left by a crashed " +
+        "appendToTriageStore) — re-run the same append, then " +
+        "compactTriageStore; or rebuild the snapshot")
+
+  /** Compaction: one freshly clustered layout per relation, every half
+    * re-DISTINCTed — appends may legitimately repeat a key across daily
+    * batches, and a RE-RUN append (the documented torn-append recovery,
+    * see [[appendToTriageStore]]) repeats band/hash rows too; the row SETS
+    * are what the probes answer from, so distinct restores the
+    * single-snapshot semantics exactly. The Bloom bytes are VALIDATED
+    * (meta + `_SUCCESS`, [[BloomDedup.readMeta]]) before being carried
+    * over verbatim — a torn embedded snapshot fails HERE, at compact
+    * time, not at the next probe (its append is otherwise debt-free:
+    * re-OR-ing the same keys is a no-op). */
   def compactTriageStore(spark: org.apache.spark.sql.SparkSession,
-                         storeDir: String, numFiles: Int = 8): Unit =
+                         storeDir: String, numFiles: Int = 8): Unit = {
+    // a torn append must be repaired (re-run) BEFORE compacting: the swap
+    // would drop the pending marker and bake the disagreement into a
+    // clean-looking snapshot
+    requireTriageStoreComplete(storeDir)
     graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
       graft.ops.Scale.clusteredParquet(
-        spark.read.parquet(s"$storeDir/bands"), s"$tmp/bands",
+        spark.read.parquet(s"$storeDir/bands").distinct(), s"$tmp/bands",
         Seq("band", "bsig"), numFiles)
       graft.ops.Scale.clusteredParquet(
-        spark.read.parquet(s"$storeDir/hashes"), s"$tmp/hashes",
+        spark.read.parquet(s"$storeDir/hashes").distinct(), s"$tmp/hashes",
         Seq("hist_id"), numFiles)
       graft.ops.Scale.clusteredParquet(
         spark.read.parquet(s"$storeDir/keys").distinct(), s"$tmp/keys",
         Seq("k"), numFiles)
+      BloomDedup.readMeta(s"$storeDir/bloom") // refuse to copy a torn snapshot
       val src = java.nio.file.Paths.get(s"$storeDir/bloom")
       val dst = java.nio.file.Paths.get(s"$tmp/bloom")
       java.nio.file.Files.createDirectories(dst)
-      java.nio.file.Files.list(src).forEach(p =>
+      val listing = java.nio.file.Files.list(src)
+      try listing.forEach(p =>
         { java.nio.file.Files.copy(p, dst.resolve(p.getFileName)); () })
+      finally listing.close() // Files.list holds a directory fd until closed
     }
+  }
 
   private def writeTriageKeys(docs: DataFrame, storeDir: String,
                               mode: String, numFiles: Int): Unit =
@@ -659,22 +704,40 @@ object Dedup {
     * (jaccard DESC, hist_id ASC), near columns populated when a match
     * exists) — the in-line composite IS the oracle, so one oracle proves
     * both. */
+  /** `maxBroadcastKeys` — the broadcast CEILING guard: the gate-hit key
+    * relation is increment-bounded (the Bloom no-false-negative argument),
+    * which on a NORMAL day is a few-percent sliver that belongs on the
+    * broadcast path; but a backfill day (increment ≥ history) or a
+    * high-dup crawl (most of the increment gate-hits) can push it past
+    * Spark's broadcast limit and fail the daily front door exactly when
+    * it matters. The hit-key count is measured (one narrow O(increment)
+    * count of the gate output — no history touched) and above the ceiling
+    * BOTH key joins fall back to shuffled equi-joins on `k` (the store's
+    * `keys/` relation is already range-clustered on k, so the store side
+    * shuffles at most once and the probe file-prunes the same way);
+    * verdicts are row-identical either side of the threshold
+    * (spec-asserted — the joins compute the same relation, only the
+    * physical strategy moves). */
   def ingestTriageStored(incoming: DataFrame, storeDir: String,
-                         threshold: Double = 0.8): DataFrame = {
+                         threshold: Double = 0.8,
+                         maxBroadcastKeys: Long = 2000000L): DataFrame = {
     val spark = incoming.sparkSession
+    requireTriageStoreComplete(storeDir)
     val probed = BloomDedup.probeStored(incoming, s"$storeDir/bloom")
       .select(col("doc_id"), BloomDedup.contentKey(col("text")).as("k"),
         col("bloom_hit"))
     // no false negatives: only gate hits can be duplicates, so only their
     // keys reach the confirmation join — increment-bounded by the Bloom
-    // guarantee, hence broadcastable at any corpus size
+    // guarantee, hence broadcastable on a normal day
     val probeKeys = probed.filter(col("bloom_hit")).select("k").distinct()
+    val useBroadcast = probeKeys.count() <= maxBroadcastKeys
+    def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     val hits = spark.read.parquet(s"$storeDir/keys")
-      .join(broadcast(probeKeys), Seq("k"))
-      .distinct() // appended batches may repeat a key; fold the tiny hit set
+      .join(hinted(probeKeys), Seq("k"))
+      .distinct() // appended batches may repeat a key; fold the hit set
       .withColumn("seen", lit(true))
     val exact = probed
-      .join(broadcast(hits), Seq("k"), "left")
+      .join(hinted(hits), Seq("k"), "left")
       .select(col("doc_id"), coalesce(col("seen"), lit(false)).as("exact_dup"))
     val bw = Window.partitionBy("inc_id")
       .orderBy(col("jaccard").desc, col("hist_id").asc)
@@ -1386,7 +1449,8 @@ object Dedup {
 
   def appendToSpanStore(increment: DataFrame, storeDir: String, k: Int = 8,
                         numFiles: Int = 1): Unit =
-    writeSpanStore(increment, storeDir, k, "append", numFiles)
+    graft.ops.StoreLifecycle.withWriterLock(storeDir)(
+      writeSpanStore(increment, storeDir, k, "append", numFiles))
 
   /** Span-store COMPACTION — [[compactBandStore]]'s discipline for the
     * window-hash index: rewrite the accumulated per-append file sets as
@@ -1538,7 +1602,8 @@ object Dedup {
 
   def appendToParagraphStore(increment: DataFrame, storeDir: String, width: Int = 15,
                              numFiles: Int = 1): Unit =
-    writeParagraphStore(increment, storeDir, width, "append", numFiles)
+    graft.ops.StoreLifecycle.withWriterLock(storeDir)(
+      writeParagraphStore(increment, storeDir, width, "append", numFiles))
 
   private def writeParagraphStore(docs: DataFrame, storeDir: String, width: Int,
                                   mode: String, numFiles: Int): Unit =

@@ -281,7 +281,11 @@ object Sampling {
     val keyed = dsirWeights(docs, targetMod, dim)
       .withColumn("u", expr(
         "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 4), 16, 10) AS BIGINT) + 1) / 65537e0"))
-      .withColumn("gumbel_key", expr(s"weight / ${temperature}e0 - ln(0e0 - ln(u))"))
+      // lit(), not string interpolation: Double.toString renders 1e-4 as
+      // "1.0E-4", which "...e0"-suffixed interpolation turns into the
+      // unparseable literal "1.0E-4e0" — lit carries the exact double
+      .withColumn("gumbel_key",
+        col("weight") / lit(temperature) - expr("ln(0e0 - ln(u))"))
     val thr = keyed.agg(expr(s"percentile(gumbel_key, ${1 - frac}e0)").as("t"))
     keyed.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("in_target"), col("weight"),

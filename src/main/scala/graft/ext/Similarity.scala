@@ -1400,7 +1400,8 @@ object Similarity {
     * identical lists relations). Compact with [[compactIvfStore]] when the
     * batch count grows into a small-file problem. */
   def appendToIvfStore(increment: DataFrame, storeDir: String,
-                       numFiles: Int = 1): Unit = {
+                       numFiles: Int = 1): Unit =
+    graft.ops.StoreLifecycle.withWriterLock(storeDir) {
     val vecs = quantized(increment)
     loadHierGroups(storeDir) match {
       case Some(g) =>

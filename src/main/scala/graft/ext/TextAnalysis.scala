@@ -372,7 +372,8 @@ object TextAnalysis {
     * [[compactWinnowStore]] when batches pile up. */
   def appendToWinnowStore(increment: DataFrame, storeDir: String,
                           numFiles: Int = 1): Unit =
-    writeWinnowStore(increment, storeDir, mode = "append", numFiles)
+    graft.ops.StoreLifecycle.withWriterLock(storeDir)(
+      writeWinnowStore(increment, storeDir, mode = "append", numFiles))
 
   /** Store compaction — the family's side-directory + atomic-rename
     * discipline; pure layout, the probe relation is untouched. */

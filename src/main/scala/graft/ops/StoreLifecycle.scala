@@ -22,11 +22,76 @@ package graft.ops
   * Single-writer contract, shared by every store verb that mutates
   * (build / append / compact): one owner runs the daily loop. The swap
   * protects READERS against torn state; two concurrent WRITERS are a
-  * lost-update race by construction (last publish wins) and are the
-  * caller's lock to take.
+  * lost-update race by construction (last publish wins one increment's
+  * rows/bits away) — ENFORCED since r12 by [[withWriterLock]]: every
+  * mutating verb takes a create-exclusive `<store>.lock` sibling file for
+  * its duration, so a second concurrent writer REFUSES LOUDLY instead of
+  * silently losing an update. A lock left by a crashed process is taken
+  * over once it is older than `staleAfterMs` (or removed by the
+  * operator).
   */
 object StoreLifecycle {
   private def path(s: String) = java.nio.file.Paths.get(s)
+
+  /** Default stale age for crashed-writer takeover: long enough that no
+    * healthy verb on this family's stores holds a lock that long. */
+  val DefaultStaleAfterMs: Long = 60L * 60 * 1000
+
+  // locks held by THIS thread — nested verbs under one owner (the triage
+  // append runs the band append on the same root; every build/compact
+  // runs publish) re-enter instead of self-deadlocking
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Run `body` holding the store's writer lock (`<store>.lock`, a
+    * SIBLING of the store root — the root itself is renamed during
+    * swaps). Create-exclusive acquisition: a live second writer gets a
+    * loud IllegalStateException naming the lock; a lock older than
+    * `staleAfterMs` is presumed crashed and taken over (the takeover
+    * itself re-races through create-exclusive, so two takeover attempts
+    * cannot both win). Reentrant per thread, so composed verbs on one
+    * root acquire once. */
+  def withWriterLock[T](storeDir: String,
+                        staleAfterMs: Long = DefaultStaleAfterMs)(body: => T): T = {
+    val canonical = path(storeDir).toAbsolutePath.normalize.toString
+    if (held.get.contains(canonical)) body
+    else {
+      val lock = path(s"$canonical.lock")
+      acquire(lock, staleAfterMs)
+      held.set(held.get + canonical)
+      try body
+      finally {
+        held.set(held.get - canonical)
+        java.nio.file.Files.deleteIfExists(lock); ()
+      }
+    }
+  }
+
+  private def acquire(lock: java.nio.file.Path, staleAfterMs: Long): Unit = {
+    val parent = lock.toAbsolutePath.getParent
+    if (parent != null) java.nio.file.Files.createDirectories(parent)
+    try { java.nio.file.Files.createFile(lock); () }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age =
+          try System.currentTimeMillis() -
+            java.nio.file.Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry below
+        if (age <= staleAfterMs)
+          throw new IllegalStateException(
+            s"another writer holds $lock (age ${age} ms <= stale threshold " +
+              s"$staleAfterMs ms) — store verbs are single-writer; wait for " +
+              "the owner, or remove the lock if its process is dead")
+        java.nio.file.Files.deleteIfExists(lock) // stale: crashed writer
+        try { java.nio.file.Files.createFile(lock); () }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"lost the takeover race for stale $lock — another writer is live")
+        }
+    }
+  }
 
   /** Run `build` against a `.next-<uuid>` side directory (created by the
     * builder's own writes; pass-through path string), then [[swapIn]] it.
@@ -34,12 +99,13 @@ object StoreLifecycle {
     * Stale `.next-*` siblings from a crashed prior build are swept first
     * (safe under the single-writer contract — no other build can own
     * them), so a failed build's garbage never accumulates. */
-  def publish(storeDir: String)(build: String => Unit): Unit = {
-    sweepStaleNext(storeDir)
-    val next = s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}"
-    build(next)
-    swapIn(storeDir, next)
-  }
+  def publish(storeDir: String)(build: String => Unit): Unit =
+    withWriterLock(storeDir) {
+      sweepStaleNext(storeDir)
+      val next = s"$storeDir.next-${java.util.UUID.randomUUID().toString.take(8)}"
+      build(next)
+      swapIn(storeDir, next)
+    }
 
   private def sweepStaleNext(storeDir: String): Unit = {
     val live = path(storeDir).toAbsolutePath

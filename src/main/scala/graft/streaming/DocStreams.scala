@@ -370,7 +370,13 @@ object DocStreams {
                    watermark: String = "1 hour"): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val storeKeys = spark.read.parquet(s"$storeDir/keys")
+    graft.ext.Dedup.requireTriageStoreComplete(storeDir) // torn-append guard
+    // DISTINCT mirrors the batch twin's hit-set fold: daily appends may
+    // repeat a key, and every duplicate row would otherwise fan its doc
+    // out through the band explosion and the Jaccard verify join —
+    // verdicts would stay correct (the windowed max folds them) but
+    // per-doc work would multiply by the duplication factor
+    val storeKeys = spark.read.parquet(s"$storeDir/keys").distinct()
       .withColumn("seen", lit(true))
     val histBands = spark.read.parquet(s"$storeDir/bands")
     val histHashes = spark.read.parquet(s"$storeDir/hashes")

@@ -311,6 +311,49 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(Dedup.ingestTriageStored(inc, grown).collect().map(_.toSeq).toSeq === inline)
   }
 
+  test("ingestTriageStored: above the broadcast ceiling the shuffled key joins are row-identical") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    val inc = docs.filter(col("doc_id") % 7 === 0)
+    val store = java.nio.file.Files.createTempDirectory("graft_triage_bc").toString
+    Dedup.buildTriageStore(hist, store, expectedItems = 10000L)
+    val viaBroadcast = Dedup.ingestTriageStored(inc, store).collect().map(_.toSeq).toSeq
+    // maxBroadcastKeys = 0 forces the backfill path: both key joins run as
+    // shuffled equi-joins on k — same relation, only the strategy moves
+    val viaShuffle = Dedup.ingestTriageStored(inc, store, maxBroadcastKeys = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(viaShuffle === viaBroadcast)
+    assert(viaShuffle.nonEmpty)
+  }
+
+  test("triage torn append fails probes and compact loudly; re-run + compact recovers exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 7 =!= 0)
+    val inc = docs.filter(col("doc_id") % 7 === 0)
+    val inline = Dedup.ingestTriage(docs).collect().map(_.toSeq).toSeq
+    val store = java.nio.file.Files.createTempDirectory("graft_triage_torn").toString
+    Dedup.buildTriageStore(hist.filter(col("doc_id") % 2 === 1), store,
+      expectedItems = 10000L)
+    // simulate the crash appendToTriageStore guards against: the marker is
+    // down and only the FIRST of the four relations (bands/hashes) landed —
+    // the exact and near halves now disagree about which day they cover
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$store/append.pending"), Array.empty[Byte])
+    Dedup.appendToBandStore(hist.filter(col("doc_id") % 2 === 0), store)
+    val e1 = intercept[IllegalArgumentException](Dedup.ingestTriageStored(inc, store))
+    assert(e1.getMessage.contains("torn triage append"))
+    val e2 = intercept[IllegalArgumentException](Dedup.compactTriageStore(spark, store))
+    assert(e2.getMessage.contains("torn triage append"))
+    // the documented recovery: re-run the SAME append (takes over the
+    // marker; band/hash rows are now duplicated), then compact to fold the
+    // duplicates out — the probe equals the in-line oracle again
+    Dedup.appendToTriageStore(hist.filter(col("doc_id") % 2 === 0), store)
+    Dedup.compactTriageStore(spark, store)
+    assert(Dedup.ingestTriageStored(inc, store).collect().map(_.toSeq).toSeq === inline)
+  }
+
   test("embeddingCosinePruned equals the exact all-pairs result on the fixture") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     for (t <- Seq(0.4, 0.6)) {

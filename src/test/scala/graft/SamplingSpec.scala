@@ -208,6 +208,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === b)
   }
 
+  test("dsirSample: scientific-notation temperatures work, and T → 0 approaches top-frac by weight") {
+    val docs = Tables.load(spark, dir, "documents")
+    // regression: Double.toString(1e-4) = "1.0E-4"; the old string-built
+    // SQL appended e0 → "1.0E-4e0", a parse error at runtime. lit() must
+    // carry the exact double instead.
+    val tiny = Sampling.dsirSample(docs, temperature = 1e-4).collect()
+    assert(tiny.nonEmpty)
+    val sel = tiny.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(sel.nonEmpty)
+    // at T = 1e-4 the Gumbel term is negligible against weight/T: the
+    // selected set is the deterministic top-frac by weight (the paper's
+    // T → 0 degeneracy)
+    val byWeight = tiny.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      .take(sel.size).map(_.getLong(0)).toSet
+    assert(sel === byWeight)
+  }
+
   test("dsirWeights is stable under repartitioning and total over the corpus") {
     val docs = Tables.load(spark, dir, "documents")
     val a = Sampling.dsirWeights(docs).collect().map(_.toSeq).toSeq

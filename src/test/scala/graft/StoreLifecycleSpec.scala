@@ -70,4 +70,51 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(readStore(store) === "v1")
     assert(!Files.exists(Paths.get(s"$store.old")))
   }
+
+  test("writer lock: a concurrent second writer refuses loudly; the lock releases with its owner") {
+    val store = fresh("lockrace")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val owner = new Thread(() =>
+      graft.ops.StoreLifecycle.withWriterLock(store) {
+        entered.countDown(); release.await()
+      })
+    owner.start()
+    entered.await()
+    // a LIVE lock (fresh mtime) must refuse — publish, append-style direct
+    // lock, and takeover-race all route through the same acquire
+    val e = intercept[IllegalStateException](
+      graft.ops.StoreLifecycle.publish(store)(writeStore(_, "lost-update")))
+    assert(e.getMessage.contains("another writer holds"))
+    assert(!Files.exists(Paths.get(store)), "the refused publish must not have built")
+    release.countDown(); owner.join()
+    assert(!Files.exists(Paths.get(s"$store.lock")), "owner exit releases the lock")
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "v1"))
+    assert(readStore(store) === "v1")
+  }
+
+  test("writer lock: a stale lock from a crashed writer is taken over") {
+    val store = fresh("lockstale")
+    Files.createDirectories(Paths.get(store).toAbsolutePath.getParent)
+    val lock = Paths.get(s"$store.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs))
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "recovered"))
+    assert(readStore(store) === "recovered")
+    assert(!Files.exists(lock), "the takeover's lock is released after the publish")
+  }
+
+  test("writer lock is reentrant per thread — composed verbs on one root acquire once") {
+    val store = fresh("lockreenter")
+    graft.ops.StoreLifecycle.withWriterLock(store) {
+      // e.g. the triage append holds the root while the band append and the
+      // embedded publish run on the same path
+      graft.ops.StoreLifecycle.publish(store)(writeStore(_, "nested"))
+      assert(Files.exists(Paths.get(s"$store.lock")),
+        "the outer acquisition still holds after the nested verb returns")
+    }
+    assert(readStore(store) === "nested")
+    assert(!Files.exists(Paths.get(s"$store.lock")))
+  }
 }
