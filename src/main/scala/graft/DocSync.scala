@@ -81,12 +81,53 @@ object DocSync {
     else { if (write) Files.write(path, next.getBytes("UTF-8")); true }
   }
 
+  /** SURVEY's streaming-inventory table, generated from
+    * [[graft.streaming.StreamingInventory.twins]] (the registry) crossed
+    * with `BENCH_streaming.json` (the soak artifact actually on disk):
+    * each row names the streaming op, its batch twin, its differential
+    * spec, and whether the RocksDB soak covers it — a twin shipped
+    * without soak evidence renders as a visible "—/not soaked" cell
+    * instead of hiding in prose. */
+  def streamingBlock(root: Path): String = {
+    val f = root.resolve("BENCH_streaming.json")
+    val soaked: Set[String] =
+      if (!Files.exists(f)) Set.empty
+      else {
+        val ops = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f.toFile).get("operators")
+        val it = ops.fieldNames()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+    val rows = graft.streaming.StreamingInventory.twins.map { tw =>
+      val soak = tw.soakKey match {
+        case Some(k) if soaked(k) => s"soaked (`$k`)"
+        case Some(k) => s"**NOT in artifact** (`$k` expected)"
+        case None => "— (not soaked)"
+      }
+      s"| `${tw.op}` | ${tw.batchTwin} | ${tw.spec} | $soak |"
+    }
+    val n = graft.streaming.StreamingInventory.twins.size
+    val nSoaked = graft.streaming.StreamingInventory.twins
+      .count(_.soakKey.exists(soaked))
+    s"""Generated by `graft.DocSync` from `streaming/StreamingInventory.scala`
+       |× `BENCH_streaming.json` ($nSoaked of $n ops in the RocksDB soak
+       |artifact); SmokeSpec fails if this table drifts from the registry.
+       |
+       || streaming op | batch twin | differential spec | RocksDB soak |
+       ||---|---|---|---|
+       |${rows.mkString("\n|")}""".stripMargin
+  }
+
   private def run(root: Path, write: Boolean): Seq[String] = {
     val changed = Seq.newBuilder[String]
     if (spliceFile(root.resolve("README.md"), "counts", readmeBlock, write))
       changed += "README.md"
     if (spliceFile(root.resolve("BASELINE.md"), "bench", baselineBlock(root), write))
       changed += "BASELINE.md"
+    if (spliceFile(root.resolve("SURVEY.md"), "streaming", streamingBlock(root), write))
+      changed += "SURVEY.md"
     changed.result()
   }
 

@@ -5,16 +5,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming soak — drives the three headline streaming operators
-  * ([[graft.streaming.EventStreams.sessionize]],
-  * [[graft.streaming.EventStreams.funnelConversions]],
-  * [[graft.streaming.DocStreams.ingest]]) through a FILE source at sf1
-  * volume (1M events / 15k users / 30 days; 50k docs / 7 days — 10× the
-  * sf0.1 fixture's shape) on the RocksDB state store, and records per
-  * operator: throughput, micro-batch latency, and the STATE-ROWS SERIES
-  * across batches — the direct evidence for the O(active keys) state
-  * claim (the series must plateau at ~active keys while input keeps
-  * growing, not track cumulative input).
+/** Streaming soak — drives THIRTEEN streaming operators (the four event
+  * twins + asofEnrich, and the document twins: ingest, store dedup, pack,
+  * triage, fuzzy decontamination, boilerplate, and the two stateless
+  * model-serving scorers; see
+  * [[graft.streaming.StreamingInventory.twins]] for the registry DocSync
+  * renders) through a FILE source at sf1 volume (1M events / 15k users /
+  * 30 days; 50k docs / 7 days — 10× the sf0.1 fixture's shape) on the
+  * RocksDB state store, and records per operator: throughput, micro-batch
+  * latency, and the STATE-ROWS SERIES across batches — the direct
+  * evidence for the O(active keys) state claim (the series must plateau
+  * at ~active keys while input keeps growing, not track cumulative
+  * input). Store-probe twins probe stores PRECOMPUTED in batch (band,
+  * line-df, quality-model, DSIR, triage root, eval band store).
   *
   * Input files are written as time-ordered slices and fed
   * `maxFilesPerTrigger` at a time, so the run exercises genuine
@@ -141,12 +144,90 @@ object StreamBench {
           .outputMode("append")
           .option("checkpointLocation", s"$out/ckpt")
           .format("parquet").option("path", s"$out/data").start()
+      },
+      // ---- the r7-r11 twins, soaked on the same RocksDB store ------------
+      runOne(spark, "asof_enrich", nEvents, s"$work/out/asof_enrich") { out =>
+        streaming.EventStreams.asofEnrich(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      }, {
+        // line-df store precomputed in batch over the even half; all docs
+        // stream against its boilerplate set (the 4% clone families carry
+        // repeated lines past minDf)
+        val ldfStore = s"$work/linedf_store"
+        ext.Clean.buildLineDfStore(
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"), ldfStore)
+        runOne(spark, "boilerplate", nDocs, s"$work/out/boilerplate") { out =>
+          streaming.DocStreams.boilerplateStream(docStream, ldfStore, minDf = 3)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
+        // trained quality model published in batch, served as a folded
+        // literal map: STATELESS row-local scoring (state series all zero
+        // by design - the model travels with the query, not the store).
+        // Synthetic two-class labels: the generator's uniform docs all
+        // pass the Gopher rules (gopherLabels would be single-class and
+        // the closed-form trainer requires both); the soak measures the
+        // SERVING rate, which is label-independent
+        val qStore = s"$work/quality_store"
+        ext.TextAnalysis.buildQualityModelStore(
+          docs.select("doc_id", "text"), qStore,
+          labels = Some(docs.select(col("doc_id"),
+            (col("doc_id") % 3 === 0).cast("int").as("label"))))
+        runOne(spark, "quality_score", nDocs, s"$work/out/quality_score") { out =>
+          streaming.DocStreams.qualityScoreStoreStream(docStream, qStore)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
+        // DSIR model store served the same stateless way
+        val dStore = s"$work/dsir_store"
+        ext.Sampling.buildDsirStore(docs.select("doc_id", "text"), dStore)
+        runOne(spark, "dsir_score", nDocs, s"$work/out/dsir_score") { out =>
+          streaming.DocStreams.dsirScoreStoreStream(docStream, dStore)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
+        // the full triage store (Bloom + keys + bands) over the even half;
+        // every arriving doc gets its exact/near/fresh verdict
+        val tStore = s"$work/triage_store"
+        ext.Dedup.buildTriageStore(
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+          tStore, expectedItems = math.max(1L, nDocs / 2L))
+        runOne(spark, "triage", nDocs, s"$work/out/triage") { out =>
+          streaming.DocStreams.triageStream(docStream, tStore).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
+        // eval band store over the % 11 slice; the train firehose is
+        // checked for near-dup contamination as it lands
+        val eStore = s"$work/eval_band_store"
+        ext.Dedup.buildBandStore(
+          docs.filter(col("doc_id") % 11 === 0).select("doc_id", "text"), eStore)
+        runOne(spark, "fuzzy_decon", nDocs, s"$work/out/fuzzy_decon") { out =>
+          streaming.DocStreams.decontaminateFuzzyStream(
+            docStream.filter(col("doc_id") % 11 =!= 0), eStore).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
       })
 
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup at O(in-horizon candidate pairs) while probing a precomputed band store of n_docs/2 historical docs, pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score at ZERO state rows (stateless folded-literal model serving) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)
