@@ -354,6 +354,18 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(Dedup.ingestTriageStored(inc, store).collect().map(_.toSeq).toSeq === inline)
   }
 
+  test("compactTriageStore refuses a torn embedded Bloom snapshot (missing _SUCCESS)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_triage_noblm").toString
+    Dedup.buildTriageStore(docs.filter(col("doc_id") % 7 =!= 0), store,
+      expectedItems = 10000L)
+    // simulate a torn snapshot: the marker readMeta requires is gone
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/bloom/_SUCCESS"))
+    val e = intercept[IllegalArgumentException](Dedup.compactTriageStore(spark, store))
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
   test("embeddingCosinePruned equals the exact all-pairs result on the fixture") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     for (t <- Seq(0.4, 0.6)) {
