@@ -443,6 +443,20 @@ object ExtQueries {
     // + the hier assign/probe query path over the converged centroids
     "pipeline_ann_trained_hier" -> ((s, dir) =>
       Similarity.ivfTrainedHierTopK(embs(s, dir), nGroups = 4)),
+    // the TRAINED index stored: hier Lloyd training once, converged
+    // centroids published as the frozen quantizer, corpus assigned into
+    // clustered lists through the same two-level scheme the probe
+    // replays — the full train → publish → serve lifecycle; probe
+    // relation ≡ the in-line trained-hier search, so one oracle proves
+    // train, publish, and probe in one hash
+    "pipeline_ann_trained_hier_stored" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val store = cachedStore("graft_ivf_trained_hier_store_v1",
+        s"$dir/embeddings.parquet", "lists/_SUCCESS") { tmp =>
+        Similarity.buildTrainedIvfStore(e, tmp, nGroups = 4)
+      }
+      Similarity.ivfAgainstStore(e.filter(col("vec_id") < 10), store)
+    }),
     // BOTH ANN stages trained: Lloyd coarse quantizer + per-subspace
     // Lloyd PQ codebooks, composed into the ivf+pq ADC query path
     "similarity_ivfpq_trained" -> ((s, dir) => Similarity.ivfPqTrainedTopK(embs(s, dir))),
@@ -1831,6 +1845,10 @@ object ExtQueries {
     // hier rounds chained into one more hier assignment pass over the
     // converged centroids, then the proven candidate/rerank tail
     "pipeline_ann_trained_hier" -> ivfTrainedHierOracleSql(3, 4),
+    // the stored trained index MATERIALIZES that relation (frozen trained
+    // quantizer + hier scheme recorded in the snapshot), so the in-line
+    // trained-hier oracle proves train, publish, and probe in one hash
+    "pipeline_ann_trained_hier_stored" -> ivfTrainedHierOracleSql(3, 4),
     "similarity_ivfpq_trained" -> ivfPqTrainedOracleSql(3),
 
     // trained topic cards: kmeans CTEs chained into the c-TF-IDF CTEs

@@ -5,12 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming soak — drives THIRTEEN streaming operators (the four event
-  * twins + asofEnrich, and the document twins: ingest, store dedup, pack,
-  * triage, fuzzy decontamination, boilerplate, and the two stateless
-  * model-serving scorers; see
-  * [[graft.streaming.StreamingInventory.twins]] for the registry DocSync
-  * renders) through a FILE source at sf1 volume (1M events / 15k users /
+/** Streaming soak — drives EVERY runnable streaming operator (all 25 of
+  * [[graft.streaming.StreamingInventory.twins]], the registry DocSync
+  * renders into SURVEY's guarded table) through a FILE source at sf1 volume (1M events / 15k users /
   * 30 days; 50k docs / 7 days — 10× the sf0.1 fixture's shape) on the
   * RocksDB state store, and records per operator: throughput, micro-batch
   * latency, and the STATE-ROWS SERIES across batches — the direct
@@ -221,6 +218,110 @@ object StreamBench {
             .outputMode("append")
             .option("checkpointLocation", s"$out/ckpt")
             .format("parquet").option("path", s"$out/data").start()
+        }
+      },
+      // ---- the rest of the surface: every remaining runnable twin --------
+      runOne(spark, "tumbling", nEvents, s"$work/out/tumbling") { out =>
+        streaming.EventStreams.tumblingHourly(eventStream.toDF()).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      }, {
+        // 50 static incident windows spread across the event span —
+        // stateless stream-static tagging, re-broadcast per micro-batch
+        val anchors = spark.range(0, 50).select(
+          col("id").as("anchor_id"),
+          (lit(t0Ms) + col("id") * (span / 50)).as("lo"),
+          (lit(t0Ms) + col("id") * (span / 50) + 3600000L).as("hi"))
+        runOne(spark, "tag_incidents", nEvents, s"$work/out/tag_incidents") { out =>
+          streaming.EventStreams.tagIncidents(eventStream, anchors).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      },
+      runOne(spark, "status_history", nEvents, s"$work/out/status_history") { out =>
+        streaming.EventStreams.statusHistory(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "forecast_eval", nEvents, s"$work/out/forecast_eval") { out =>
+        streaming.EventStreams.forecastEvalHourly(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "dedup_events", nEvents, s"$work/out/dedup_events") { out =>
+        streaming.EventStreams.dedupEvents(eventStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "decon_static", nDocs, s"$work/out/decon_static") { out =>
+        // static eval side = the % 11 slice as a BATCH relation
+        streaming.DocStreams.decontaminateStream(
+          docStream.filter(col("doc_id") % 11 =!= 0),
+          docs.filter(col("doc_id") % 11 === 0).select("doc_id", "text"),
+          n = 3).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      }, {
+        val sStore = s"$work/span_store"
+        ext.Dedup.buildSpanStore(
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"), sStore)
+        runOne(spark, "spans_store", nDocs, s"$work/out/spans_store") { out =>
+          streaming.DocStreams.spansAgainstStore(docStream, sStore).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      },
+      runOne(spark, "pii_scrub", nDocs, s"$work/out/pii_scrub") { out =>
+        streaming.DocStreams.piiScrubStream(docStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      },
+      runOne(spark, "gopher", nDocs, s"$work/out/gopher") { out =>
+        streaming.DocStreams.gopherQualityStream(docStream).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$out/ckpt")
+          .format("parquet").option("path", s"$out/data").start()
+      }, {
+        // folded-weights variant of the quality scorer (the store-served
+        // twin is soaked above; this is the explicit-weights entry)
+        val (w, dim) = ext.TextAnalysis.loadQualityModelStore(
+          spark, s"$work/quality_store")
+        val weights = ext.TextAnalysis.foldQualityWeights(w)
+        runOne(spark, "quality_weights", nDocs, s"$work/out/quality_weights") { out =>
+          streaming.DocStreams.qualityScoreStream(docStream, weights, dim)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
+        val bytes = ext.BloomDedup.buildFilterBytes(
+          docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text"),
+          expectedItems = math.max(1L, nDocs / 2L))
+        runOne(spark, "bloom_gate", nDocs, s"$work/out/bloom_gate") { out =>
+          streaming.DocStreams.bloomGateStream(docStream, bytes).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
+        // the store-GROWING ingest loop: seed a small band store, then the
+        // foreachBatch loop rejects store near-dups + in-batch clone
+        // families and folds survivors back in, batch after batch
+        val gStore = s"$work/grow_store"
+        ext.Dedup.buildBandStore(
+          docs.filter(col("doc_id") < 500).select("doc_id", "text"), gStore)
+        runOne(spark, "store_ingest_loop", nDocs, s"$work/out/store_ingest_loop") { out =>
+          streaming.DocStreams.runStoreIngest(spark, s"$work/docs_src",
+            gStore, s"$out/data", s"$out/ckpt", maxFilesPerTrigger = Some(8))
         }
       })
 

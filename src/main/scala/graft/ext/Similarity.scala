@@ -1391,6 +1391,46 @@ object Similarity {
     }
   }
 
+  /** [[buildIvfStore]] with a TRAINED quantizer — the full production
+    * lifecycle composed: [[lloydFinalHier]] trains the coarse quantizer
+    * (hier per-round assignment — the measured training scale path), the
+    * converged member-sum centroids publish as the store's frozen
+    * quantizer (labels = surviving seed ids), and the corpus assigns into
+    * range-clustered lists through the SAME two-level scheme the probe
+    * and every append replay (`hier.txt` records g — the
+    * frozen-quantizer contract covers the assignment function). After the
+    * one-time train+build, query batches pay O(batch + probed lists) via
+    * [[ivfAgainstStore]] and daily appends pay O(increment) via
+    * [[appendToIvfStore]] — training never reruns on the serving path.
+    * The probe relation ≡ [[ivfTrainedHierTopK]] over the same corpus
+    * (spec-asserted; the trained-hier oracle proves train, publish,
+    * append, and probe in one hash). */
+  def buildTrainedIvfStore(embeddings: DataFrame, storeDir: String,
+                           nList: Int = 16, centroidBase: Int = 100,
+                           iters: Int = 3, numFiles: Int = 8,
+                           nGroups: Int = 0): Unit = {
+    val vecs = quantized(embeddings)
+    val g = if (nGroups > 0) nGroups
+            else math.ceil(math.sqrt(nList.toDouble)).toInt
+    val cents = lloydFinalHier(vecs, nList, centroidBase, iters, g)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    require(cents.length >= g,
+      s"only ${cents.length} surviving clusters < nGroups=$g")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      cents.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("list_id", "q")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/hier.txt"), s"nGroups=$g\n")
+      writeIvfHierLists(vecs, hierFromCents(cents, g), tmp,
+        mode = "overwrite", numFiles)
+    }
+  }
+
   /** O(increment) append: assign ONLY the increment against the store's
     * frozen centroids (one narrow constant-folded pass) and land it as its
     * own range-clustered file set — existing store files are untouched, so

@@ -515,9 +515,12 @@ object DocStreams {
     * restart-safe by construction and shared with the batch daily loop. */
   def runStoreIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
                      storeDir: String, outDir: String, ckptDir: String,
-                     threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery = {
-    val docs = spark.readStream
+                     threshold: Double = 0.8,
+                     maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[DocIn].schema)
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -27,13 +27,13 @@ object StreamingInventory {
     * the rendered table order: event streams, then document streams. */
   val twins: Seq[Twin] = Seq(
     t("EventStreams.tumblingHourly", "Events.tumblingHourly (finalized buckets)",
-      "EventStreamsSpec"),
+      "EventStreamsSpec", "tumbling"),
     t("EventStreams.sessionize", "Events.sessionize",
       "EventStreamsSpec (random micro-batch splits)", "sessionize"),
     t("EventStreams.asofEnrich", "Events.asofJoin",
       "EventStreamsSpec (random splits + late-right)", "asof_enrich"),
     t("EventStreams.tagIncidents", "Events.rangeJoin (stateless stream-static)",
-      "EventStreamsSpec"),
+      "EventStreamsSpec", "tag_incidents"),
     t("EventStreams.funnelConversions", "Events.funnel",
       "EventStreamsSpec (random splits)", "funnel"),
     t("EventStreams.anomalyHourly", "Events.anomalyHourly (finalized buckets)",
@@ -41,33 +41,33 @@ object StreamingInventory {
     t("EventStreams.retentionHits", "Events.retention",
       "EventStreamsSpec (random re-entry)", "retention"),
     t("EventStreams.statusHistory", "Events.statusHistory (SCD2)",
-      "EventStreamsSpec (random splits)"),
+      "EventStreamsSpec (random splits)", "status_history"),
     t("EventStreams.forecastEvalHourly", "Events.forecastEval (finalized buckets)",
-      "EventStreamsSpec"),
+      "EventStreamsSpec", "forecast_eval"),
     t("EventStreams.dedupEvents", "exact event dedup (at-least-once delivery)",
-      "EventStreamsSpec"),
+      "EventStreamsSpec", "dedup_events"),
     t("DocStreams.ingest", "pipeline_filter_dedup composite",
       "DocStreamsSpec (id-ordered arrival)", "doc_ingest"),
     t("DocStreams.decontaminateStream", "Dedup.decontaminate",
-      "DocStreamsSpec"),
+      "DocStreamsSpec", "decon_static"),
     t("DocStreams.dedupAgainstStore", "Dedup.incrementalStored",
       "DocStreamsSpec (adversarial splits)", "store_dedup"),
     t("DocStreams.decontaminateFuzzyStream", "Dedup.decontaminateFuzzyStored",
       "DocStreamsSpec (random splits)", "fuzzy_decon"),
     t("DocStreams.spansAgainstStore", "Dedup.spansAgainstStore",
-      "DocStreamsSpec (random splits)"),
+      "DocStreamsSpec (random splits)", "spans_store"),
     t("DocStreams.piiScrubStream", "IS Clean.piiScrubCols (shared projection)",
-      "DocStreamsSpec"),
+      "DocStreamsSpec", "pii_scrub"),
     t("DocStreams.gopherQualityStream", "IS Clean.gopherQualityCols (shared projection)",
-      "DocStreamsSpec"),
+      "DocStreamsSpec", "gopher"),
     t("DocStreams.qualityScoreStream", "TextAnalysis.qualityScore (folded weights)",
-      "DocStreamsSpec (random splits)"),
+      "DocStreamsSpec (random splits)", "quality_weights"),
     t("DocStreams.qualityScoreStoreStream", "TextAnalysis quality-model store serve",
       "DocStreamsSpec (random splits)", "quality_score"),
     t("DocStreams.dsirScoreStoreStream", "Sampling.scoreAgainstDsirStore",
       "DocStreamsSpec (2e-6 float bound)", "dsir_score"),
     t("DocStreams.bloomGateStream", "IS BloomDedup.probe (folded filter literal)",
-      "DocStreamsSpec (random splits)"),
+      "DocStreamsSpec (random splits)", "bloom_gate"),
     t("DocStreams.triageStream", "Dedup.ingestTriageStored",
       "DocStreamsSpec (random splits)", "triage"),
     t("DocStreams.boilerplateStream", "Clean.boilerplateAgainstStore",
@@ -75,5 +75,5 @@ object StreamingInventory {
     t("DocStreams.packStream", "Packing.pack",
       "DocStreamsSpec (id-ordered splits)", "pack_stream"),
     t("DocStreams.runStoreIngest", "incrementalStored + minhashClusters + appendToBandStore per micro-batch",
-      "DocStreamsSpec (two-batch cross-rejection)"))
+      "DocStreamsSpec (two-batch cross-rejection)", "store_ingest_loop"))
 }

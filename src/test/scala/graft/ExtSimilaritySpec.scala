@@ -199,6 +199,37 @@ class ExtSimilaritySpec extends AnyFunSuite {
     overlaps.foreach { case (expected, got) => assert(got === expected) }
   }
 
+  test("trained IVF store: probe equals in-line trained-hier search; appends are order-independent") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ivftrainedstore").toString
+    // full lifecycle on the whole corpus: train + publish + probe ≡ in-line
+    Similarity.buildTrainedIvfStore(embs, s"$base/full", nGroups = 4)
+    val stored = Similarity.ivfAgainstStore(embs.filter(col("vec_id") < 10), s"$base/full")
+      .collect().map(_.toString).toSeq
+    val inline = Similarity.ivfTrainedHierTopK(embs, nGroups = 4)
+      .collect().map(_.toString).toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty)
+    // frozen trained quantizer ⇒ appends commute: train+build on the
+    // sub-300 slice, then fold the rest in, in two different batch orders
+    def lists(dir: String) =
+      spark.read.parquet(s"$dir/lists").collect()
+        .map(_.toString).sorted.toSeq
+    Similarity.buildTrainedIvfStore(embs.filter(col("vec_id") < 300), s"$base/a", nGroups = 4)
+    Similarity.appendToIvfStore(
+      embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 0), s"$base/a")
+    Similarity.appendToIvfStore(
+      embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 1), s"$base/a")
+    Similarity.buildTrainedIvfStore(embs.filter(col("vec_id") < 300), s"$base/b", nGroups = 4)
+    Similarity.appendToIvfStore(
+      embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 1), s"$base/b")
+    Similarity.appendToIvfStore(
+      embs.filter(col("vec_id") >= 300 && col("vec_id") % 2 === 0), s"$base/b")
+    assert(lists(s"$base/a") === lists(s"$base/b"))
+    graft.ops.Scale.deleteRecursively(new java.io.File(base))
+  }
+
   test("ivfTrainedTopK: trained-quantizer search keeps the exact scoring core") {
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     val out = Similarity.ivfTrainedTopK(embs).collect()

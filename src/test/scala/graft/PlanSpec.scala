@@ -267,6 +267,27 @@ class PlanSpec extends AnyFunSuite {
       !stored.contains("BroadcastNestedLoopJoin"), stored)
   }
 
+  test("stored triage above the broadcast ceiling: key joins become shuffled equi-joins, never nested-loop") {
+    // force the backfill path (maxBroadcastKeys = 0): the two key joins
+    // must fall back to SHUFFLED equi-joins on k (SortMergeJoin /
+    // ShuffledHashJoin) — the exact relation, only the strategy moves —
+    // and never degrade to a nested-loop/cartesian shape
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft_triage_plan").toString
+    graft.ext.Dedup.buildTriageStore(docs.filter(col("doc_id") % 7 =!= 0), store,
+      expectedItems = 10000L)
+    val p = graft.ext.Dedup.ingestTriageStored(
+        docs.filter(col("doc_id") % 7 === 0), store, maxBroadcastKeys = 0L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"fallback path did not shuffle the key joins\n$p")
+    assert(p.contains("might_contain"),
+      s"exact gate must stay the folded Bloom literal on the fallback path\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.ops.Scale.deleteRecursively(new java.io.File(store))
+  }
+
   test("stored span probe reads the hash store, never the historical documents text") {
     val p = plan("dedup_spans_stored")
     // historical side = the persisted winhashes store...
