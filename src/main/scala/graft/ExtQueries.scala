@@ -443,6 +443,16 @@ object ExtQueries {
     // + the hier assign/probe query path over the converged centroids
     "pipeline_ann_trained_hier" -> ((s, dir) =>
       Similarity.ivfTrainedHierTopK(embs(s, dir), nGroups = 4)),
+    // SAMPLED training: the Lloyd rounds fit on the deterministic
+    // md5-bucket 40% slice (+ seeds) while the assignment/probe path
+    // still covers the FULL corpus — at 100 TB quantizer fitting is a
+    // few-percent statistics job; only the final assignment touches
+    // every vector
+    "pipeline_ann_sampled_trained" -> ((s, dir) =>
+      Similarity.ivfTrainedHierTopK(embs(s, dir), nGroups = 4,
+        trainSamplePct = 40)),
+    "embedding_kmeans_sampled" -> ((s, dir) =>
+      Similarity.kmeansRunHier(embs(s, dir), nGroups = 4, trainSamplePct = 40)),
     // the TRAINED index stored: hier Lloyd training once, converged
     // centroids published as the frozen quantizer, corpus assigned into
     // clustered lists through the same two-level scheme the probe
@@ -1316,7 +1326,8 @@ object ExtQueries {
     * relation the probe CTEs also rank). Emits `${p}ccos` (vec_id,
     * cent_id, ccos over group members only) and `${p}a` (the final
     * per-vector assignment). `cn` names the centroid-norm CTE. */
-  private def hierAssignCtes(c: String, cn: String, g: Int, p: String): String =
+  private def hierAssignCtes(c: String, cn: String, g: Int, p: String,
+                             vq: String = "q"): String =
     s"""${p}ld AS (SELECT cluster_id AS lead_id FROM
        |         (SELECT cluster_id, row_number() OVER (ORDER BY cluster_id) AS r FROM $cn)
        |         WHERE r <= $g),
@@ -1335,7 +1346,7 @@ object ExtQueries {
        |            WHERE r = 1),
        |${p}vl AS (SELECT qv.vec_id, l.cluster_id AS lead_id,
        |             CAST(sum(qv.x * l.x) AS BIGINT) AS dot
-       |           FROM q qv JOIN $c l ON qv.i = l.i
+       |           FROM $vq qv JOIN $c l ON qv.i = l.i
        |                JOIN ${p}ld ON l.cluster_id = ${p}ld.lead_id
        |           GROUP BY 1, 2),
        |${p}vg AS MATERIALIZED (SELECT vec_id, lead_id FROM (
@@ -1347,7 +1358,7 @@ object ExtQueries {
        |                        JOIN $cn lc ON ${p}vl.lead_id = lc.cluster_id)
        |           WHERE r = 1),
        |${p}md AS (SELECT qv.vec_id, c.cluster_id, CAST(sum(qv.x * c.x) AS BIGINT) AS dot
-       |           FROM q qv JOIN ${p}vg ON qv.vec_id = ${p}vg.vec_id
+       |           FROM $vq qv JOIN ${p}vg ON qv.vec_id = ${p}vg.vec_id
        |                JOIN ${p}grp ON ${p}grp.lead_id = ${p}vg.lead_id
        |                JOIN $c c ON c.cluster_id = ${p}grp.cent_id AND qv.i = c.i
        |           GROUP BY 1, 2),
@@ -1365,20 +1376,34 @@ object ExtQueries {
     * current centroids into the leader/member scheme (leaders = the g
     * lowest surviving cluster_ids) and assigns through both levels —
     * exactly [[hierAssignCtes]] per round — then sums the next centroids. */
-  private def hierKmeansCtes(iters: Int, g: Int): String = {
+  /** `samplePct` < 100 trains the rounds over the deterministic
+    * md5-bucket slice (+ the seed rows) — the engine's
+    * [[graft.ext.Sampling.assignSplits]] hex[1,5) bucket replayed with the
+    * strpos hex fold. */
+  private def hierKmeansCtes(iters: Int, g: Int, samplePct: Int = 100): String = {
+    val vq = if (samplePct < 100) "tr" else "q"
+    val trCte =
+      if (samplePct == 100) ""
+      else s""",
+        |tr AS MATERIALIZED (SELECT * FROM q WHERE
+        |  (CAST(list_sum(list_transform(range(0, 4), k ->
+        |     CAST(strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |       << CAST(4 * (3 - k) AS INT))) AS BIGINT) % 100) < $samplePct
+        |  OR (vec_id >= 100 AND vec_id < 116))""".stripMargin
     val blocks = (1 to iters).map { t =>
       s"""n$t AS MATERIALIZED (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM c$t GROUP BY cluster_id),
-         |${hierAssignCtes(s"c$t", s"n$t", g, s"h$t")},
+         |${hierAssignCtes(s"c$t", s"n$t", g, s"h$t", vq)},
          |c${t + 1} AS MATERIALIZED (SELECT h${t}a.cluster_id, q.i, CAST(sum(q.x) AS BIGINT) AS x
          |        FROM h${t}a JOIN q ON q.vec_id = h${t}a.vec_id GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""$quantCte,
+    s"""$quantCte$trCte,
        |c1 AS MATERIALIZED (SELECT vec_id AS cluster_id, i, x FROM q WHERE vec_id >= 100 AND vec_id < 116),
        |$blocks""".stripMargin
   }
 
-  private def kmeansRunHierOracleSql(iters: Int, g: Int): String =
-    s"""${hierKmeansCtes(iters, g)},
+  private def kmeansRunHierOracleSql(iters: Int, g: Int,
+                                     samplePct: Int = 100): String =
+    s"""${hierKmeansCtes(iters, g, samplePct)},
        |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM h${iters}a GROUP BY cluster_id)
        |SELECT s.cluster_id AS cluster_id, CAST(s.i - 1 AS INT) AS dim, m.n_members,
        |       s.x AS sum_x, round(s.x / m.n_members, 6) AS mean_x
@@ -1390,8 +1415,9 @@ object ExtQueries {
     * its per-vector group-member ccos relation yields both the corpus
     * assignment (r = 1) and the within-group nProbe probe ring (r <= 4),
     * then the proven candidate/rerank tail. */
-  private def ivfTrainedHierOracleSql(iters: Int, g: Int): String =
-    s"""${hierKmeansCtes(iters, g)},
+  private def ivfTrainedHierOracleSql(iters: Int, g: Int,
+                                      samplePct: Int = 100): String =
+    s"""${hierKmeansCtes(iters, g, samplePct)},
        |cf AS MATERIALIZED (SELECT cluster_id, i, x FROM c${iters + 1}),
        |nf AS MATERIALIZED (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM cf GROUP BY cluster_id),
        |${hierAssignCtes("cf", "nf", g, "f")},
@@ -1849,6 +1875,10 @@ object ExtQueries {
     // quantizer + hier scheme recorded in the snapshot), so the in-line
     // trained-hier oracle proves train, publish, and probe in one hash
     "pipeline_ann_trained_hier_stored" -> ivfTrainedHierOracleSql(3, 4),
+    // sampled training: rounds over the md5-bucket 40% slice (+ seeds,
+    // the strpos hex fold), full-corpus assignment/probe tail unchanged
+    "pipeline_ann_sampled_trained" -> ivfTrainedHierOracleSql(3, 4, 40),
+    "embedding_kmeans_sampled" -> kmeansRunHierOracleSql(3, 4, 40),
     "similarity_ivfpq_trained" -> ivfPqTrainedOracleSql(3),
 
     // trained topic cards: kmeans CTEs chained into the c-TF-IDF CTEs

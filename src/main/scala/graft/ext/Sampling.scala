@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Bucket 0..99 from hex digits [from, from+4) of md5(key). */
-  private def bucketExpr(from: Int, key: String = "doc_id"): String =
+  /** Bucket 0..99 from hex digits [from, from+4) of md5(key) — package-open
+    * so the sampled-training paths ([[graft.ext.Similarity]]) share the ONE
+    * deterministic bucket definition the oracles replay. */
+  private[graft] def bucketExpr(from: Int, key: String = "doc_id"): String =
     s"CAST(conv(substring(md5(CAST($key AS STRING)), $from, 4), 16, 10) AS BIGINT) % 100"
 
   /** Row-level assignment: `split` (train/val/test by id-hash bucket) and

@@ -213,14 +213,21 @@ object Similarity {
     * chains the hier training rounds into the hier assignment/probe/rerank
     * CTEs; nGroups = 1 degenerates to [[ivfTrainedTopK]] bit-for-bit
     * (spec-asserted). */
+  /** `trainSamplePct` < 100: the Lloyd rounds fit on the deterministic
+    * md5-bucket sample (+ seeds) while the assignment/probe/rerank path
+    * still covers the FULL corpus — the production shape at 100 TB, where
+    * quantizer fitting is a few-percent statistics job and only the one
+    * final assignment touches every vector. */
   def ivfTrainedHierTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
                          nList: Int = 16, nProbe: Int = 4,
                          centroidBase: Int = 100, iters: Int = 3,
-                         nGroups: Int = 0): DataFrame = {
+                         nGroups: Int = 0, trainSamplePct: Int = 100): DataFrame = {
     val vecs = quantized(embeddings)
     val g = if (nGroups > 0) nGroups
             else math.ceil(math.sqrt(nList.toDouble)).toInt
-    val cents = lloydFinalHier(vecs, nList, centroidBase, iters, g)
+    val cents = lloydFinalHier(
+        trainSlice(vecs, trainSamplePct, centroidBase, nList),
+        nList, centroidBase, iters, g)
       .orderBy("cluster_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
     require(cents.length >= g,
@@ -641,16 +648,44 @@ object Similarity {
                 iters: Int = 3): DataFrame =
     kmeansReport(lloydFinal(quantized(embeddings), nList, centroidBase, iters))
 
+  /** The TRAINING-SET restriction for sampled Lloyd: the deterministic
+    * md5-bucket slice (the [[Sampling.assignSplits]] bucket — hex [1, 5)
+    * of md5(vec_id), so any engine replays it) UNION the seed rows (the
+    * loop's seeds must be present in the training relation). pct = 100
+    * is the identity — the unsampled paths stay byte-identical. */
+  private def trainSlice(vecs: DataFrame, pct: Int, centroidBase: Int,
+                         nList: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"trainSamplePct=$pct out of (0, 100]")
+    if (pct == 100) vecs
+    else vecs.filter(
+      expr(s"${Sampling.bucketExpr(1, "vec_id")} < $pct") ||
+        (col("vec_id") >= centroidBase && col("vec_id") < centroidBase + nList))
+  }
+
   /** [[kmeansRun]] trained through [[lloydFinalHier]]'s two-level per-round
     * assignment — the k-means a 100-TB corpus actually trains once nList
     * passes ~1k (per-round wall O((g + nList/g)·d) per vector instead of
     * the flat O(nList·d) the r11 ceiling receipt measured). Same report
-    * shape; nGroups = 1 is bit-identical to [[kmeansRun]] (spec). */
+    * shape; nGroups = 1 is bit-identical to [[kmeansRun]] (spec).
+    *
+    * `trainSamplePct` < 100 runs the Lloyd rounds over the deterministic
+    * md5-bucket SAMPLE of the corpus (plus the seed rows) instead of every
+    * vector — the other half of the 100-TB training posture: quantizer
+    * FITTING is statistics, not coverage, so production trains on a few
+    * percent and pays the full corpus only for the one final assignment
+    * (here the report aggregates the TRAINING set — the model's own
+    * fitting summary; [[ivfTrainedHierTopK]] is where the full corpus
+    * meets the sampled-trained quantizer). The bucket is
+    * [[Sampling.assignSplits]]' md5 region — RNG-free, layout-independent,
+    * replayed exactly by the oracle. */
   def kmeansRunHier(embeddings: DataFrame, nList: Int = 16,
                     centroidBase: Int = 100, iters: Int = 3,
-                    nGroups: Int = 0): DataFrame =
+                    nGroups: Int = 0, trainSamplePct: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
     kmeansReport(
-      lloydFinalHier(quantized(embeddings), nList, centroidBase, iters, nGroups))
+      lloydFinalHier(trainSlice(vecs, trainSamplePct, centroidBase, nList),
+        nList, centroidBase, iters, nGroups))
+  }
 
   /** The per-(cluster, dim) report tail shared by the flat and hier
     * trainers: member counts + exact component sums + the IEEE mean. */

@@ -199,6 +199,29 @@ class ExtSimilaritySpec extends AnyFunSuite {
     overlaps.foreach { case (expected, got) => assert(got === expected) }
   }
 
+  test("sampled training: rounds fit on the md5 slice, search covers the full corpus, stable under repartition") {
+    import org.apache.spark.sql.functions.col
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val n = embs.count()
+    // the fitting report aggregates ONLY the training slice (~40% + seeds)
+    val report = Similarity.kmeansRunHier(embs, nGroups = 4, trainSamplePct = 40).collect()
+    val trained = report.filter(_.getInt(1) == 0).map(_.getAs[Long]("n_members")).sum
+    assert(trained < n, s"sampled trainer aggregated $trained of $n vectors")
+    assert(trained > n / 5, s"only $trained of $n trained — bucket slice off")
+    // pct = 100 is the identity
+    assert(Similarity.kmeansRunHier(embs, nGroups = 4, trainSamplePct = 100)
+      .collect().map(_.toString).toSeq ===
+      Similarity.kmeansRunHier(embs, nGroups = 4).collect().map(_.toString).toSeq)
+    // the sampled-trained SEARCH still ranks over the full corpus and is
+    // layout-independent (md5 bucket, no RNG)
+    val a = Similarity.ivfTrainedHierTopK(embs, nGroups = 4, trainSamplePct = 40)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.ivfTrainedHierTopK(embs.repartition(13), nGroups = 4,
+      trainSamplePct = 40).collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("trained IVF store: probe equals in-line trained-hier search; appends are order-independent") {
     import org.apache.spark.sql.functions.col
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
