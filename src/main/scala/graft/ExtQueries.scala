@@ -263,6 +263,10 @@ object ExtQueries {
     // semantic-dedup decision: components over the >=0.4-cosine pair
     // relation (dedup_embedding_cosine's bar) -> one keeper per cluster
     "dedup_embedding_keepers" -> ((s, dir) => Dedup.embeddingKeepers(embs(s, dir))),
+    // SemDeDup (cluster-SCOPED semantic dedup): duplicate groups only
+    // within each quantizer cluster, keeper = the member least similar to
+    // its centroid (the paper's keep-the-exemplar rule, ties -> low id)
+    "pipeline_semdedup"      -> ((s, dir) => Similarity.semDedup(embs(s, dir))),
     // the metric-pruned twins: identical exact results (recall-1 angular
     // triangle-inequality prune over IVF lists), sub-quadratic tile work
     // on clustered corpora — the 100-TB default for semantic dedup
@@ -413,6 +417,19 @@ object ExtQueries {
       }
       Similarity.ivfAgainstStore(e.filter(col("vec_id") < 10), store)
     }),
+    // the store-served cluster ASSIGNMENT as a public relation: every
+    // corpus vector labeled through the store's frozen quantizer in one
+    // narrow folded-literal pass (no join/shuffle/state — the projection
+    // VecStreams.assignStream serves on the vector stream; one definition)
+    "similarity_assign_stored" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val store = cachedStore("graft_ivf_store_v1",
+        s"$dir/embeddings.parquet", "lists/_SUCCESS") { tmp =>
+        Similarity.buildIvfStore(e.filter(col("vec_id") < 300), tmp)
+        Similarity.appendToIvfStore(e.filter(col("vec_id") >= 300), tmp)
+      }
+      Similarity.assignAgainstIvfStore(e, store).orderBy("vec_id")
+    }),
     // the hier-built store: lists assigned through the two-level quantizer
     // at build AND append (the scheme is recorded in hier.txt — the
     // frozen-quantizer contract covers the assignment function), probe
@@ -482,6 +499,12 @@ object ExtQueries {
     // RAG hybrid: rare-term text recall reranked by embedding cosine
     "pipeline_hybrid_search" -> ((s, dir) =>
       Similarity.hybridSearch(docs(s, dir), embs(s, dir))),
+    // reciprocal-rank fusion: each retriever (rare-shingle text recall,
+    // exact-cosine vector top-N) contributes its own ranked list; every
+    // candidate scores sum(1/(60+rank)) over the lists that found it —
+    // docs strong on EITHER signal surface, no score calibration needed
+    "pipeline_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(docs(s, dir), embs(s, dir))),
     // E4/E5 — event analytics
     "events_sessionize"      -> ((s, dir) => Events.sessionize(events(s, dir))),
     // session Markov matrix: within-session next-event counts + P(to|from)
@@ -978,6 +1001,43 @@ object ExtQueries {
        |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS cluster_id FROM reach GROUP BY id)
        |SELECT cluster_id, min(id) AS keeper_id, count(*) AS n_members
        |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** SemDeDup: the seeded-quantizer assignment (ivf oracle's argmax CTEs,
+    * cent_cos kept), intra-cluster exact-cosine pairs, recursive min-label
+    * closure, keeper = (cent_cos ASC, vec_id ASC) rank 1 per group. */
+  private val semDedupOracleSql: String =
+    s"""${quantCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+       |          GROUP BY 1, 2),
+       |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+       |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+       |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+       |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id),
+       |asg AS (SELECT vec_id, cent_id AS cluster_id, ccos AS cent_cos FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |         FROM ccos) WHERE r = 1),
+       |pd AS (SELECT a1.vec_id AS a, a2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+       |       FROM asg a1 JOIN asg a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+       |            JOIN q q1 ON q1.vec_id = a1.vec_id
+       |            JOIN q q2 ON q2.vec_id = a2.vec_id AND q1.i = q2.i
+       |       GROUP BY 1, 2),
+       |jp AS (SELECT a, b FROM pd
+       |       JOIN nrm na ON pd.a = na.vec_id JOIN nrm nb ON pd.b = nb.vec_id
+       |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
+       |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+       |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+       |reach(id, label) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+       |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id)
+       |SELECT a.cluster_id, cl.group_id, cl.id AS vec_id,
+       |       round(a.cent_cos, 6) AS cent_cos,
+       |       (row_number() OVER (PARTITION BY cl.group_id
+       |                           ORDER BY a.cent_cos ASC, cl.id ASC)) = 1 AS keep
+       |FROM cl JOIN asg a ON cl.id = a.vec_id
+       |ORDER BY group_id, vec_id""".stripMargin
 
   /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
     * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
@@ -2538,6 +2598,7 @@ object ExtQueries {
     // >=0.4-cosine pair relation (quantized-integer scoring core; same bar
     // as dedup_embedding_cosine, whose pair set this collapses)
     "dedup_embedding_keepers" -> embKeepersOracleSql,
+    "pipeline_semdedup" -> semDedupOracleSql,
 
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
     // shingle hashes (integer shifts — a double would round past 53 bits),
@@ -3231,6 +3292,52 @@ object ExtQueries {
          |       round(cosine, 6) AS cosine
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // RRF: the hybrid text CTEs cut to a rank list, the brute-force vector
+    // CTEs cut to another, FULL OUTER fused by the mirrored two-term
+    // 1e0/(60+rank) sum, ranked (rrf DESC, doc_id ASC)
+    "pipeline_hybrid_rrf" ->
+      s"""$quantCte,
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |shg AS (SELECT DISTINCT doc_id,
+         |          unnest(list_transform(range(1, len(w) - 1),
+         |                 i -> array_to_string(w[i:i+2], ' '))) AS g
+         |        FROM toks WHERE len(w) >= 3),
+         |rare AS (SELECT doc_id, g FROM
+         |          (SELECT *, count(*) OVER (PARTITION BY g) AS df FROM shg)
+         |         WHERE df <= 20),
+         |cands AS (SELECT qi.doc_id AS query_id, ri.doc_id AS doc_id,
+         |            CAST(count(*) AS BIGINT) AS n_shared_terms
+         |          FROM rare qi JOIN rare ri ON qi.g = ri.g
+         |          WHERE qi.doc_id < 10 AND ri.doc_id != qi.doc_id
+         |          GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tl AS (SELECT query_id, doc_id, CAST(r_text AS INT) AS r_text FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY n_shared_terms DESC, doc_id ASC) AS r_text FROM cands)
+         |       WHERE r_text <= 20),
+         |vdots AS (SELECT qq.vec_id AS query_id, qv.vec_id AS doc_id,
+         |            CAST(sum(qq.x * qv.x) AS BIGINT) AS dot
+         |          FROM q qq JOIN q qv ON qq.i = qv.i
+         |            AND qq.vec_id < 10 AND qv.vec_id != qq.vec_id
+         |          GROUP BY 1, 2),
+         |vscored AS (SELECT vdots.query_id AS query_id, vdots.doc_id AS doc_id,
+         |              dot / (sqrt(CAST(nq.n AS DOUBLE)) * sqrt(CAST(nv.n AS DOUBLE))) AS cosine
+         |            FROM vdots JOIN nrm nq ON vdots.query_id = nq.vec_id
+         |                       JOIN nrm nv ON vdots.doc_id = nv.vec_id),
+         |vl AS (SELECT query_id, doc_id, CAST(r_vec AS INT) AS r_vec FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, doc_id ASC) AS r_vec FROM vscored)
+         |       WHERE r_vec <= 20),
+         |fused AS (SELECT coalesce(tl.query_id, vl.query_id) AS query_id,
+         |            coalesce(tl.doc_id, vl.doc_id) AS doc_id, tl.r_text, vl.r_vec,
+         |            coalesce(1e0 / (60 + tl.r_text), 0e0) + coalesce(1e0 / (60 + vl.r_vec), 0e0) AS rrf
+         |          FROM tl FULL OUTER JOIN vl
+         |            ON tl.query_id = vl.query_id AND tl.doc_id = vl.doc_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, r_text, r_vec,
+         |       round(rrf, 6) AS rrf_score
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // ivf's assignment/probe CTEs chained into pq's code/table CTEs:
     // candidates from the probe join, scored by the query's ADC table
     "similarity_ivfpq" ->
@@ -3298,6 +3405,22 @@ object ExtQueries {
     // corpus, assignment is order-independent), so the in-line oracle
     // proves the store's build, append, and probe in one hash
     "similarity_ivf_stored" -> ivfOracleSql,
+
+    // store-served assignment: the frozen quantizer is the seeded [100,116)
+    // set (build covers the seeds; append reuses the frozen centroids), so
+    // the oracle is the family's argmax-cosine assignment replayed directly
+    "similarity_assign_stored" ->
+      s"""$quantCte,
+         |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
+         |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
+         |          GROUP BY 1, 2),
+         |ccos AS (SELECT cdots.vec_id AS vec_id, cdots.cent_id AS cent_id,
+         |           dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nc.n AS DOUBLE))) AS ccos
+         |         FROM cdots JOIN nrm nv ON cdots.vec_id = nv.vec_id
+         |                    JOIN nrm nc ON cdots.cent_id = nc.vec_id)
+         |SELECT vec_id, cent_id AS cluster_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+         |   FROM ccos) WHERE r = 1 ORDER BY vec_id""".stripMargin,
 
     // k-means Lloyd step: replay the IVF assignment (argmax cosine, ties →
     // lower cent_id) then per-(cluster, dim) exact sums; mean and shift are

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming soak — drives EVERY runnable streaming operator (all 25 of
+/** Streaming soak — drives EVERY runnable streaming operator (all 26 of
   * [[graft.streaming.StreamingInventory.twins]], the registry DocSync
   * renders into SURVEY's guarded table) through a FILE source at sf1 volume (1M events / 15k users /
   * 30 days; 50k docs / 7 days — 10× the sf0.1 fixture's shape) on the
@@ -77,8 +77,20 @@ object StreamBench {
         s"src${SoakGen.rand(i, 34) % 20}")
     }.toDF("doc_id", "ingest_ts", "text", "lang", "source")
 
+    // vectors: deterministic 64-dim embeddings, 4× the doc count (200k at
+    // the default args — 10× the sf0.1 fixture's vector count); the ts
+    // column exists only to drive the file slicing and is NOT in the
+    // stream's read schema (parquet projection drops it)
+    val nVecs = nDocs * 4
+    val vecs = spark.range(0, nVecs, 1, 64).map { i =>
+      val emb = Array.tabulate(64)(d =>
+        ((SoakGen.rand(i, 40 + d) % 2000 - 1000) / 1000.0).toFloat)
+      (i, new java.sql.Timestamp(t0Ms + i), emb)
+    }.toDF("vec_id", "ts", "embedding")
+
     writeTimeSlices(events, "ts", s"$work/events_src", nSlices = 40)
     writeTimeSlices(docs, "ingest_ts", s"$work/docs_src", nSlices = 40)
+    writeTimeSlices(vecs, "ts", s"$work/vecs_src", nSlices = 40)
 
     // ---- drive the three operators --------------------------------------
     def eventStream = spark.readStream
@@ -89,6 +101,10 @@ object StreamBench {
       .schema(org.apache.spark.sql.Encoders.product[streaming.DocIn].schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(s"$work/docs_src")
+    def vecStream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[streaming.VecIn].schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$work/vecs_src")
 
     val reports = Seq(
       runOne(spark, "sessionize", nEvents, s"$work/out/sessionize") { out =>
@@ -313,6 +329,20 @@ object StreamBench {
             .format("parquet").option("path", s"$out/data").start()
         }
       }, {
+        // IVF store built in batch over the vector corpus (hier scheme —
+        // the production quantizer shape); every arriving vector is
+        // argmax-assigned through the FROZEN folded centroids: stateless
+        // model serving, the vector twin of quality_score/dsir_score
+        val vStore = s"$work/ivf_store"
+        ext.Similarity.buildIvfStore(
+          vecs.select("vec_id", "embedding"), vStore, nGroups = 4)
+        runOne(spark, "vec_assign", nVecs, s"$work/out/vec_assign") { out =>
+          streaming.VecStreams.assignStream(vecStream, vStore).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
         // the store-GROWING ingest loop: seed a small band store, then the
         // foreachBatch loop rejects store near-dups + in-batch clone
         // families and folds survivors back in, batch after batch
@@ -326,9 +356,9 @@ object StreamBench {
       })
 
     val json =
-      s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
+      s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score at ZERO state rows (stateless folded-literal model serving) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)

@@ -20,9 +20,15 @@ object Similarity {
     * query and corpus branches derive from this relation; the corpus side
     * is scanned exactly once per consumer (the query branch reads with a
     * pushed vec_id filter). */
-  private[graft] def quantized(embeddings: DataFrame): DataFrame = {
+  private[graft] def quantized(embeddings: DataFrame): DataFrame =
+    quantizeCols(Dedup.spread(embeddings))
+
+  /** The bare quantize projection (no [[Dedup.spread]] — spread inspects
+    * `.rdd`, which a STREAMING DataFrame cannot answer): the streaming
+    * serving paths quantize arriving rows with this exact definition. */
+  private def quantizeCols(embeddings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    Dedup.spread(embeddings)
+    embeddings
       .select(col("vec_id"), expr("vec_quantize(embedding)").as("q"))
       .withColumn("nrm", expr("vec_dotl(q, q)"))
   }
@@ -1087,6 +1093,62 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) over the two
+    * retrievers [[hybridSearch]] cascades — the OTHER standard hybrid:
+    * instead of text-recall-then-vector-rerank (which can only return
+    * docs the text stage found), each retriever contributes its own
+    * top-`nCand` list and every candidate scores
+    * Σ 1/(rrfK + rank) over the lists that found it. A doc highly ranked
+    * by EITHER signal surfaces; score scales never need calibrating
+    * (ranks, not raw scores, fuse) — why RRF is the RAG default.
+    *
+    * Deterministic: both input ranks are the family's integer
+    * (signal DESC, doc_id ASC) row_numbers; 1e0/(rrfK + rank) is one IEEE
+    * division each, their sum is a fixed-shape two-term add the oracle
+    * mirrors literally; fusion ties (mirrored rank pairs sum bit-equal)
+    * break to the lower doc_id.
+    *
+    * Scale shape: the text list is the proven DF-capped inverted-index
+    * self-join; the vector list is the broadcast-queries × one-corpus-scan
+    * kernel (swap in the IVF/LSH candidate stage for large query sets);
+    * the fusion joins two nQueries·nCand-row relations — never anything
+    * corpus-sized — and ranks over ≤ 2·nCand rows per query. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, nQueries: Int = 10,
+                k: Int = 5, nCand: Int = 20, rrfK: Int = 60,
+                maxDocFreq: Int = 20, minShared: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = Window.partitionBy("g")
+    val idx = Dedup.spread(docs)
+      .select(col("doc_id"), explode(expr("shingle_hash60(text, 3)")).as("g"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDocFreq)
+      .select("doc_id", "g")
+    val qIdx = idx.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("g"))
+    val tw = Window.partitionBy("query_id")
+      .orderBy(col("n_shared_terms").desc, col("doc_id").asc)
+    val textList = qIdx.join(idx, "g")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared_terms"))
+      .filter(col("n_shared_terms") >= minShared)
+      .withColumn("r_text", row_number().over(tw))
+      .filter(col("r_text") <= nCand)
+      .select("query_id", "doc_id", "r_text")
+    val vecList = rankSlice(cosineScored(quantized(embeddings), nQueries), 0, nCand)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("r_vec"))
+    val rk = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    textList.join(vecList, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", expr(
+        s"coalesce(1e0 / ($rrfK + r_text), 0e0) + coalesce(1e0 / ($rrfK + r_vec), 0e0)"))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("doc_id"),
+        col("r_text"), col("r_vec"), expr("round(rrf, 6)").as("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding OUTLIER report — the data-quality triage of an embedding
     * corpus: the bottom-`k` vectors by nearest-centroid cosine (vectors
     * far from EVERY cluster center — encoder failures, corrupted inputs,
@@ -1364,6 +1426,75 @@ object Similarity {
       .select("vec_id", "cluster_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication made tractable by CLUSTER SCOPING: instead of the
+    * global pair space ([[Dedup.embeddingCosine]]'s exact relation, or its
+    * metric-pruned production twin), vectors are compared only WITHIN
+    * their k-means cluster, accepting (by design — the paper's trade) that
+    * a duplicate pair straddling a cluster boundary is missed. With
+    * nList ≈ √n the per-cluster pair space is ~n total instead of n², and
+    * the work is embarrassingly cluster-parallel.
+    *
+    * Semantics, deterministic end to end:
+    *  - assignment = the family's argmax-cosine / lower-id quantizer
+    *    kernel (seeded [centroidBase, centroidBase+nList) quantizer —
+    *    [[assignClustersTrained]]'s folded trained centroids slot into
+    *    the same expression unchanged);
+    *  - duplicate groups = connected components ([[Dedup.clusters]]' min-
+    *    label closure) over the intra-cluster pairs with exact-integer
+    *    cosine ≥ `eps`;
+    *  - the KEPT representative per group follows the paper's rule — the
+    *    member with the LOWEST cosine to its cluster centroid (keep the
+    *    least-redundant exemplar), ties → lower vec_id. `cent_cos` is one
+    *    IEEE division of exact BIGINTs, so the argmin replays bit-for-bit
+    *    in the oracle.
+    *
+    * Output: one row per DUP-GROUP MEMBER (singletons aren't decisions —
+    * the relation stays bounded by duplicate density, the
+    * [[Dedup.embeddingKeepers]] convention): (cluster_id, group_id,
+    * vec_id, cent_cos, keep).
+    *
+    * Scale shape: one narrow folded-quantizer assignment pass; ONE
+    * exchange of the corpus keyed by cluster_id (the clustering shuffle —
+    * co-locating a cluster's vectors is inherent to cluster-scoped
+    * scoring); intra-cluster pair scoring runs join-local per cluster and
+    * only (a, b) id pairs survive the eps filter into the closure, which
+    * is the proven pointer-doubling loop over pair-sized relations. A
+    * pathological mega-cluster (quantizer collapse) is Θ(size²) — the
+    * [[geometry]] histogram is the pre-flight read that catches that
+    * corpus before this op runs. */
+  def semDedup(embeddings: DataFrame, eps: Double = 0.4, nList: Int = 16,
+               centroidBase: Int = 100): DataFrame = {
+    val vecs = quantized(embeddings)
+    val qz = foldQuantizer(vecs, nList, centroidBase)
+    val assigned = vecs
+      .withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
+      .withColumn("cluster_id", expr(
+        s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+      .withColumn("cent_cos", expr("array_max(scores)"))
+      .select("vec_id", "q", "nrm", "cluster_id", "cent_cos")
+    val lhs = assigned.select(col("cluster_id"), col("vec_id").as("a"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val rhs = assigned.select(col("cluster_id"), col("vec_id").as("b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val pairs = lhs.join(rhs, Seq("cluster_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("dot", expr("vec_dotl(qa, qb)"))
+      .filter(expr(
+        s"dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $eps"))
+      .select("a", "b")
+    val groups = Dedup.clusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("group_id"))
+    val kw = Window.partitionBy("group_id")
+      .orderBy(col("cent_cos").asc, col("vec_id").asc)
+    groups
+      .join(assigned.select("vec_id", "cluster_id", "cent_cos"), "vec_id")
+      .withColumn("rn", row_number().over(kw))
+      .select(col("cluster_id"), col("group_id"), col("vec_id"),
+        expr("round(cent_cos, 6)").as("cent_cos"), (col("rn") === 1).as("keep"))
+      .orderBy("group_id", "vec_id")
+  }
+
   // ---- stored IVF index ---------------------------------------------------
 
   /** IVF index STORE — the incremental-dedup store family's ANN member
@@ -1551,6 +1682,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         expr("round(cosine, 6)").as("cosine"), col("list_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The store-served cluster ASSIGNMENT as a public relation — (vec_id,
+    * cluster_id) through the store's FROZEN quantizer, flat or hier,
+    * whichever `hier.txt` records (the frozen-quantizer contract covers
+    * the assignment function, so this is bit-identical to the assignment
+    * the store's own lists hold). A pure narrow projection over folded
+    * centroid literals: no join, no shuffle, no state — which is exactly
+    * what makes it the streaming model-serving twin's shared definition
+    * ([[graft.streaming.VecStreams.assignStream]] IS this function applied
+    * to a streaming DataFrame; one definition, nothing to drift). */
+  def assignAgainstIvfStore(embeddings: DataFrame, storeDir: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    val vecs =
+      if (embeddings.isStreaming) quantizeCols(embeddings)
+      else quantized(embeddings)
+    loadHierGroups(storeDir) match {
+      case Some(g) =>
+        hierAssigned(vecs, hierFromCents(loadIvfCents(spark, storeDir), g))
+          .withColumn("cluster_id", expr(hierListIdExpr))
+          .select("vec_id", "cluster_id")
+      case None =>
+        val (qz, n) = loadIvfQuantizer(spark, storeDir)
+        vecs.withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
+          .withColumn("cluster_id", expr(
+            s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
+          .select("vec_id", "cluster_id")
+    }
   }
 
   /** Collect the store's frozen quantizer and fold it to literals —

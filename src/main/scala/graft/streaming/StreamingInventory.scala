@@ -75,5 +75,7 @@ object StreamingInventory {
     t("DocStreams.packStream", "Packing.pack",
       "DocStreamsSpec (id-ordered splits)", "pack_stream"),
     t("DocStreams.runStoreIngest", "incrementalStored + minhashClusters + appendToBandStore per micro-batch",
-      "DocStreamsSpec (two-batch cross-rejection)", "store_ingest_loop"))
+      "DocStreamsSpec (two-batch cross-rejection)", "store_ingest_loop"),
+    t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",
+      "VecStreamsSpec (random splits, flat + hier)", "vec_assign"))
 }

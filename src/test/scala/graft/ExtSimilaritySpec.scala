@@ -657,4 +657,57 @@ class ExtSimilaritySpec extends AnyFunSuite {
     // range-clustered store file-prunes to the probed lists' key ranges
     assert(p.contains("In(list_id"), p.take(3000))
   }
+
+  test("hybridRrf: fuses both rank lists, surfaces single-retriever docs, rrf ordered") {
+    val docsDf = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val out = Similarity.hybridRrf(docsDf, embs).collect()
+    assert(out.nonEmpty)
+    // per query: ranks are 1..n and rrf is non-increasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // every fused row was found by at least one retriever
+    assert(out.forall(r => !r.isNullAt(3) || !r.isNullAt(4)))
+    // the point of RRF vs the cascade: docs the text stage never found
+    // (r_text null) can still surface on vector rank alone
+    assert(out.exists(_.isNullAt(3)))
+    // both-list docs outscore the same ranks alone: spot-check the formula
+    val r = out.head
+    val expected =
+      (if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))) +
+        (if (r.isNullAt(4)) 0.0 else 1.0 / (60 + r.getInt(4)))
+    assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-6)
+  }
+
+  test("semDedup: intra-cluster groups, paper keeper rule, boundary pairs scoped out") {
+    // two clusters around the x/y seeds (100/101); {0,1} and {2,3} are
+    // intra-cluster near-dups; 5 is a singleton in cluster 100; {6,7} are
+    // near-dups of each other but land in DIFFERENT clusters — scoped out
+    // by design (the paper's trade). Keeper = LOWEST cosine to centroid:
+    // in group {0,1} that is vec 1 (0.9320 < 0.9363), NOT the min id —
+    // distinguishing the paper rule from a min-id keeper.
+    val df = Seq(
+      (0L, Array(0.91f, 0.34f)), (1L, Array(0.9f, 0.35f)),
+      (2L, Array(0.35f, 0.9f)), (3L, Array(0.34f, 0.91f)),
+      (5L, Array(0.9f, -0.35f)),
+      (6L, Array(0.72f, 0.69f)), (7L, Array(0.69f, 0.72f)),
+      (100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, eps = 0.95, nList = 2).collect()
+    val rows = out.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq
+    assert(rows === Seq(
+      (100L, 0L, 0L, false), (100L, 0L, 1L, true),
+      (101L, 2L, 2L, true), (101L, 2L, 3L, false)))
+    // cent_cos is the member's cosine to its OWN centroid, rounded
+    val cc = out.map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(cc(1L) < cc(0L))
+    // nothing qualifies at a bar above every intra-cluster pair (the
+    // closest pair measures cosine 0.999906)
+    assert(Similarity.semDedup(df, eps = 0.99995, nList = 2).isEmpty)
+  }
 }

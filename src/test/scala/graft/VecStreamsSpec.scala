@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.streaming.{VecIn, VecStreams}
+
+class VecStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixtureVecs(): Array[VecIn] =
+    Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .collect()
+      .map(r => VecIn(r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_.vec_id)
+
+  /** Stream the fixture through assignStream in seeded random micro-batch
+    * splits and compare to the batch relation over the same rows. */
+  private def differential(store: String, seed: Int, sink: String): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(seed)
+    val vecs = fixtureVecs()
+    val input = MemoryStream[VecIn]
+    val q = VecStreams.assignStream(input.toDF(), store).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try {
+      var i = 0
+      while (i < vecs.length) {
+        val n = 1 + rnd.nextInt(200)
+        input.addData(vecs.slice(i, i + n).toSeq)
+        i += n
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val batch = Similarity.assignAgainstIvfStore(
+        Tables.load(spark, SparkTestSession.sfDir, "embeddings"), store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.map(_._2).distinct.size > 1)
+  }
+
+  test("assignStream equals the batch store assignment under random splits (flat store)") {
+    val base = java.nio.file.Files.createTempDirectory("vecstream_flat").toString
+    Similarity.buildIvfStore(
+      Tables.load(spark, SparkTestSession.sfDir, "embeddings"), s"$base/s")
+    differential(s"$base/s", seed = 11, sink = "vec_assign_flat")
+  }
+
+  test("assignStream equals the batch store assignment under random splits (hier store)") {
+    val base = java.nio.file.Files.createTempDirectory("vecstream_hier").toString
+    Similarity.buildIvfStore(
+      Tables.load(spark, SparkTestSession.sfDir, "embeddings"), s"$base/s",
+      nGroups = 4)
+    differential(s"$base/s", seed = 13, sink = "vec_assign_hier")
+  }
+
+  test("assignStream is stateless: zero state rows after multiple batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vecstream_state").toString
+    Similarity.buildIvfStore(
+      Tables.load(spark, SparkTestSession.sfDir, "embeddings"), s"$base/s")
+    val vecs = fixtureVecs()
+    val input = MemoryStream[VecIn]
+    val q = VecStreams.assignStream(input.toDF(), s"$base/s").writeStream
+      .format("memory").queryName("vec_assign_state").outputMode("append").start()
+    try {
+      input.addData(vecs.take(50).toSeq); q.processAllAvailable()
+      input.addData(vecs.slice(50, 100).toSeq); q.processAllAvailable()
+      val p = q.lastProgress
+      assert(p.stateOperators.isEmpty ||
+        p.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+}
