@@ -73,9 +73,26 @@ object EmbeddingSoak {
           time(s"exact keepers rep$rep")(
             graft.ext.Dedup.embeddingKeepers(emb, 0.4)
               .write.format("noop").mode("overwrite").save())
+      case "semdedup" =>
+        // SemDeDup vs the recall-1 pruned closure on the tight fixture —
+        // SemDeDup's own designed regime (√n clusters, seeds [0, C) cover
+        // every cluster): cluster scoping should pay ~intra-tile work only,
+        // the same tiles the metric prune leaves after its bound binds
+        val emb = spark.read.parquet(s"$dir/embeddings_tight.parquet")
+        val n = emb.count()
+        val c = math.ceil(math.sqrt(n.toDouble)).toInt
+        println(s"[scratch] $dir semdedup vecs=$n nList=$c")
+        for (rep <- 1 to 2)
+          time(s"semdedup rep$rep")(
+            graft.ext.Similarity.semDedup(emb, 0.8, c, 0)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"pruned keepers rep$rep")(
+            graft.ext.Dedup.embeddingKeepersPruned(emb, 0.8, c, 0)
+              .write.format("noop").mode("overwrite").save())
       case other =>
         System.err.println(
-          s"unknown mode '$other' — usage: EmbeddingSoak <fixtureDir> [tight|iso|default] [exact]")
+          s"unknown mode '$other' — usage: EmbeddingSoak <fixtureDir> [tight|iso|default|semdedup] [exact]")
         sys.exit(2)
     }
     spark.stop()

@@ -1462,9 +1462,16 @@ object Similarity {
     * is the proven pointer-doubling loop over pair-sized relations. A
     * pathological mega-cluster (quantizer collapse) is Θ(size²) — the
     * [[geometry]] histogram is the pre-flight read that catches that
-    * corpus before this op runs. */
+    * corpus before this op runs, and `maxClusterSize` is the run-time
+    * guard: clusters above the cap are DROPPED from pair scoring (the
+    * band-bucket-cap discipline — an over-cap cluster is retrain-with-
+    * more-lists business, not exhaustive-pair business; deterministic,
+    * replayed by a HAVING count ≤ cap in the oracle, and a cap ≥ the
+    * largest cluster is the identity — spec). Default None = every
+    * cluster scored, the oracle-exact shape. */
   def semDedup(embeddings: DataFrame, eps: Double = 0.4, nList: Int = 16,
-               centroidBase: Int = 100): DataFrame = {
+               centroidBase: Int = 100,
+               maxClusterSize: Option[Int] = None): DataFrame = {
     val vecs = quantized(embeddings)
     val qz = foldQuantizer(vecs, nList, centroidBase)
     val assigned = vecs
@@ -1473,9 +1480,21 @@ object Similarity {
         s"element_at(${qz.cid}, CAST(array_position(scores, array_max(scores)) AS INT))"))
       .withColumn("cent_cos", expr("array_max(scores)"))
       .select("vec_id", "q", "nrm", "cluster_id", "cent_cos")
-    val lhs = assigned.select(col("cluster_id"), col("vec_id").as("a"),
+    val scorable = maxClusterSize match {
+      case None => assigned
+      case Some(cap) =>
+        // one bounded partial agg (≤ nList rows) decides which clusters
+        // enter the quadratic stage; the broadcast semi-join adds no
+        // corpus shuffle beyond the clustering exchange
+        val ok = assigned.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= cap)
+          .select("cluster_id")
+        assigned.join(broadcast(ok), Seq("cluster_id"), "left_semi")
+    }
+    val lhs = scorable.select(col("cluster_id"), col("vec_id").as("a"),
       col("q").as("qa"), col("nrm").as("na"))
-    val rhs = assigned.select(col("cluster_id"), col("vec_id").as("b"),
+    val rhs = scorable.select(col("cluster_id"), col("vec_id").as("b"),
       col("q").as("qb"), col("nrm").as("nb"))
     val pairs = lhs.join(rhs, Seq("cluster_id"))
       .filter(col("a") < col("b"))

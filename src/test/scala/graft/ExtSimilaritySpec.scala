@@ -709,5 +709,14 @@ class ExtSimilaritySpec extends AnyFunSuite {
     // nothing qualifies at a bar above every intra-cluster pair (the
     // closest pair measures cosine 0.999906)
     assert(Similarity.semDedup(df, eps = 0.99995, nList = 2).isEmpty)
+    // density guard: a cap >= the largest cluster is the identity; a cap
+    // below cluster 100's size (5 members incl. seed) drops its groups
+    // while the smaller cluster (4 members) still scores
+    assert(Similarity.semDedup(df, eps = 0.95, nList = 2,
+      maxClusterSize = Some(9)).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4))).toSeq === rows)
+    val capped = Similarity.semDedup(df, eps = 0.95, nList = 2,
+      maxClusterSize = Some(4)).collect()
+    assert(capped.map(_.getLong(0)).distinct.toSeq === Seq(101L))
   }
 }
