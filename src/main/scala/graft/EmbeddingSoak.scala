@@ -90,6 +90,19 @@ object EmbeddingSoak {
           time(s"pruned keepers rep$rep")(
             graft.ext.Dedup.embeddingKeepersPruned(emb, 0.8, c, 0)
               .write.format("noop").mode("overwrite").save())
+        // the designed-win regime: isotropic geometry, where the metric
+        // prune cannot bind (adaptive twin falls back to the blocked
+        // all-pairs join — n²/2 work) while cluster scoping still cuts
+        // pair volume to ~n²/nList; exact iso walls are in the r8
+        // crossover receipts for comparison
+        val iso = spark.read.parquet(s"$dir/embeddings_iso.parquet")
+        val ni = iso.count()
+        val ci = math.ceil(math.sqrt(ni.toDouble)).toInt
+        println(s"[scratch] $dir semdedup ISO vecs=$ni nList=$ci")
+        for (rep <- 1 to 2)
+          time(s"semdedup iso rep$rep")(
+            graft.ext.Similarity.semDedup(iso, 0.4, ci, 0)
+              .write.format("noop").mode("overwrite").save())
       case other =>
         System.err.println(
           s"unknown mode '$other' — usage: EmbeddingSoak <fixtureDir> [tight|iso|default|semdedup] [exact]")

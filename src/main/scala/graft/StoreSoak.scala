@@ -33,8 +33,11 @@ import org.apache.spark.sql.functions._
   *           broadcast-vs-shuffle key-join paths on backfill-shaped and
   *           all-hit days.
   *
+  *   sampledtrain — the r12 sampled-fitting receipt: full-corpus vs
+  *           40%-md5-slice hier Lloyd training walls at nList 2048.
+  *
   * Usage: runMain graft.StoreSoak <fixtureDir>
-  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill]
+  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain]
   */
 object StoreSoak {
   def time[T](label: String)(f: => T): T = {
@@ -178,6 +181,29 @@ object StoreSoak {
           time(s"HIER kmeansRunHier rep$rep (nList=2048, g=46, 2 passes)")(
             graft.ext.Similarity.kmeansRunHier(embs, nList = 2048,
               centroidBase = 100, iters = 2, nGroups = 46)
+              .write.format("noop").mode("overwrite").save())
+      case "sampledtrain" =>
+        // r12: the sampled-fitting receipt — the hier trainer's Lloyd
+        // rounds over the deterministic md5-bucket 40% slice (+ seeds) vs
+        // the full corpus; the report aggregates the training set, so the
+        // wall gap is pure per-round assignment volume. The search-side
+        // twin (ivfTrainedHierTopK) pays the full corpus exactly once for
+        // the final assignment regardless of the slice.
+        val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+        println(s"[soak] $dir vecs=${embs.count()}")
+        // iters = 5: the slice materializes ONCE (one full scan) and the
+        // rounds then scan only the sample — the win amortizes with round
+        // count (at iters = 2 the materialization pass eats most of it)
+        for (rep <- 1 to 2)
+          time(s"FULL-corpus hier training rep$rep (nList=2048, 5 passes)")(
+            graft.ext.Similarity.kmeansRunHier(embs, nList = 2048,
+              centroidBase = 100, iters = 5, nGroups = 46)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"SAMPLED hier training rep$rep (40% md5 slice, 5 passes)")(
+            graft.ext.Similarity.kmeansRunHier(embs, nList = 2048,
+              centroidBase = 100, iters = 5, nGroups = 46,
+              trainSamplePct = 40)
               .write.format("noop").mode("overwrite").save())
       case "fuzzydecon" =>
         // r12: the fuzzy-decontamination receipt — eval band store built

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming soak — drives EVERY runnable streaming operator (all 26 of
+/** Streaming soak — drives EVERY runnable streaming operator (all 27 of
   * [[graft.streaming.StreamingInventory.twins]], the registry DocSync
   * renders into SURVEY's guarded table) through a FILE source at sf1 volume (1M events / 15k users /
   * 30 days; 50k docs / 7 days — 10× the sf0.1 fixture's shape) on the
@@ -85,12 +85,22 @@ object StreamBench {
     val vecs = spark.range(0, nVecs, 1, 64).map { i =>
       val emb = Array.tabulate(64)(d =>
         ((SoakGen.rand(i, 40 + d) % 2000 - 1000) / 1000.0).toFloat)
-      (i, new java.sql.Timestamp(t0Ms + i), emb)
+      (i, new java.sql.Timestamp(t0Ms + i * docSpan / nVecs), emb)
     }.toDF("vec_id", "ts", "embedding")
+    // ANN query stream: a bounded query batch (the serving twin's shape —
+    // queries are requests, not the corpus), spread over its OWN 7-day
+    // window so nearly every 10-min emission window finalizes in-run
+    val nQueries = 2000
+    val vecQueries = spark.range(0, nQueries, 1, 8).map { i =>
+      val emb = Array.tabulate(64)(d =>
+        ((SoakGen.rand(i, 40 + d) % 2000 - 1000) / 1000.0).toFloat)
+      (i, new java.sql.Timestamp(t0Ms + i * docSpan / nQueries), emb)
+    }.toDF("query_id", "ts", "embedding")
 
     writeTimeSlices(events, "ts", s"$work/events_src", nSlices = 40)
     writeTimeSlices(docs, "ingest_ts", s"$work/docs_src", nSlices = 40)
     writeTimeSlices(vecs, "ts", s"$work/vecs_src", nSlices = 40)
+    writeTimeSlices(vecQueries, "ts", s"$work/vecq_src", nSlices = 40)
 
     // ---- drive the three operators --------------------------------------
     def eventStream = spark.readStream
@@ -105,6 +115,10 @@ object StreamBench {
       .schema(org.apache.spark.sql.Encoders.product[streaming.VecIn].schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(s"$work/vecs_src")
+    def vecQueryStream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[streaming.VecQueryIn].schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$work/vecq_src")
 
     val reports = Seq(
       runOne(spark, "sessionize", nEvents, s"$work/out/sessionize") { out =>
@@ -329,19 +343,32 @@ object StreamBench {
             .format("parquet").option("path", s"$out/data").start()
         }
       }, {
-        // IVF store built in batch over the vector corpus (hier scheme —
-        // the production quantizer shape); every arriving vector is
-        // argmax-assigned through the FROZEN folded centroids: stateless
-        // model serving, the vector twin of quality_score/dsir_score
+        // IVF store built in batch over the vector corpus at the family's
+        // sizing (nList ≈ √n, hier scheme — the production quantizer
+        // shape); every arriving vector is argmax-assigned through the
+        // FROZEN folded centroids: stateless model serving, the vector
+        // twin of quality_score/dsir_score. The SAME store then serves
+        // the streaming ANN probe: arriving queries select their nProbe
+        // lists (shared projection), candidates stream-static join on
+        // list_id, top-k emits from one windowed agg — state bounded by
+        // in-horizon queries × candidates, never the store
         val vStore = s"$work/ivf_store"
         ext.Similarity.buildIvfStore(
-          vecs.select("vec_id", "embedding"), vStore, nGroups = 4)
-        runOne(spark, "vec_assign", nVecs, s"$work/out/vec_assign") { out =>
+          vecs.select("vec_id", "embedding"), vStore,
+          nList = 448, centroidBase = 100, nGroups = 22)
+        val assign = runOne(spark, "vec_assign", nVecs, s"$work/out/vec_assign") { out =>
           streaming.VecStreams.assignStream(vecStream, vStore).writeStream
             .outputMode("append")
             .option("checkpointLocation", s"$out/ckpt")
             .format("parquet").option("path", s"$out/data").start()
         }
+        val serve = runOne(spark, "ann_serve", nQueries, s"$work/out/ann_serve") { out =>
+          streaming.VecStreams.annStream(vecQueryStream, vStore).writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+        assign + "," + serve
       }, {
         // the store-GROWING ingest loop: seed a small band store, then the
         // foreachBatch loop rejects store near-dups + in-batch clone
@@ -356,9 +383,9 @@ object StreamBench {
       })
 
     val json =
-      s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
+      s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_ann_queries":$nQueries,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), ann_serve at O(in-horizon queries x their candidate lists) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)

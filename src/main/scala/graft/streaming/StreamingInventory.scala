@@ -77,5 +77,7 @@ object StreamingInventory {
     t("DocStreams.runStoreIngest", "incrementalStored + minhashClusters + appendToBandStore per micro-batch",
       "DocStreamsSpec (two-batch cross-rejection)", "store_ingest_loop"),
     t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",
-      "VecStreamsSpec (random splits, flat + hier)", "vec_assign"))
+      "VecStreamsSpec (random splits, flat + hier)", "vec_assign"),
+    t("VecStreams.annStream", "Similarity.ivfAgainstStore (stored IVF probe, shared list selection)",
+      "VecStreamsSpec (random splits)", "ann_serve"))
 }

@@ -59,6 +59,37 @@ class VecStreamsSpec extends AnyFunSuite {
     differential(s"$base/s", seed = 13, sink = "vec_assign_hier")
   }
 
+  test("annStream equals the batch store probe under random splits (hier store)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vecstream_ann").toString
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    Similarity.buildIvfStore(embs, s"$base/s", nGroups = 4)
+    val queries = fixtureVecs().filter(_.vec_id < 10)
+      .map(v => graft.streaming.VecQueryIn(v.vec_id,
+        new java.sql.Timestamp(1000L + v.vec_id), v.embedding))
+    val input = MemoryStream[graft.streaming.VecQueryIn]
+    val q = VecStreams.annStream(input.toDF(), s"$base/s").writeStream
+      .format("memory").queryName("ann_serve_out").outputMode("update").start()
+    try {
+      val rnd = new scala.util.Random(19)
+      var rest = queries.toIndexedSeq
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(4)
+        input.addData(rest.take(n).toSeq); q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      val cols = Seq("query_id", "rank", "neighbor_id", "cosine", "list_id")
+      val streamed = spark.table("ann_serve_out")
+        .select(cols.map(col): _*).collect().map(_.toSeq).distinct
+        .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int]))
+      val batch = Similarity.ivfAgainstStore(
+          embs.filter(col("vec_id") < 10), s"$base/s")
+        .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(streamed.toSeq === batch)
+      assert(batch.size === 50, "10 queries x top-5 expected on the fixture")
+    } finally q.stop()
+  }
+
   test("assignStream is stateless: zero state rows after multiple batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("vecstream_state").toString
