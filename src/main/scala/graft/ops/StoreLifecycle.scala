@@ -28,7 +28,10 @@ package graft.ops
   * its duration, so a second concurrent writer REFUSES LOUDLY instead of
   * silently losing an update. A lock left by a crashed process is taken
   * over once it is older than `staleAfterMs` (or removed by the
-  * operator).
+  * operator); a LIVE holder heartbeats the lock's mtime at a quarter of
+  * the threshold, so a healthy verb that runs longer than `staleAfterMs`
+  * (a multi-hour 100 TB build) can never have its lock stolen mid-run —
+  * age-based takeover only ever fires on a holder that stopped beating.
   */
 object StoreLifecycle {
   private def path(s: String) = java.nio.file.Paths.get(s)
@@ -59,10 +62,30 @@ object StoreLifecycle {
     else {
       val lock = path(s"$canonical.lock")
       acquire(lock, staleAfterMs)
+      // HEARTBEAT: a healthy verb that legitimately outlives the stale
+      // threshold (a multi-hour 100 TB build) must not age into takeover
+      // eligibility mid-run — a daemon refreshes the lock's mtime at a
+      // quarter of the threshold, so takeover only ever fires on a holder
+      // that stopped beating (crashed/hung), never on a live one
+      val beat = new Thread(() => {
+        try {
+          while (!Thread.interrupted()) {
+            Thread.sleep(math.max(50L, staleAfterMs / 4))
+            java.nio.file.Files.setLastModifiedTime(lock,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          }
+        } catch {
+          case _: InterruptedException => () // released
+          case _: java.io.IOException => () // lock vanished: stop beating
+        }
+      }, s"graft-lock-heartbeat-${path(storeDir).getFileName}")
+      beat.setDaemon(true)
+      beat.start()
       held.set(held.get + canonical)
       try body
       finally {
         held.set(held.get - canonical)
+        beat.interrupt()
         java.nio.file.Files.deleteIfExists(lock); ()
       }
     }

@@ -105,6 +105,28 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(!Files.exists(lock), "the takeover's lock is released after the publish")
   }
 
+  test("writer lock heartbeat: a live holder outliving the stale threshold is never stolen") {
+    val store = fresh("lockbeat")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val staleMs = 300L
+    val owner = new Thread(() =>
+      graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs) {
+        entered.countDown(); release.await()
+      })
+    owner.start()
+    entered.await()
+    // hold well past the stale threshold: the heartbeat (threshold/4)
+    // keeps the mtime fresh, so a second writer judging by the SAME
+    // threshold must still refuse instead of taking over
+    Thread.sleep(3 * staleMs)
+    val e = intercept[IllegalStateException](
+      graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs)(()))
+    assert(e.getMessage.contains("another writer holds"))
+    release.countDown(); owner.join()
+    assert(!Files.exists(Paths.get(s"$store.lock")))
+  }
+
   test("writer lock is reentrant per thread — composed verbs on one root acquire once") {
     val store = fresh("lockreenter")
     graft.ops.StoreLifecycle.withWriterLock(store) {
