@@ -267,6 +267,10 @@ object ExtQueries {
     // within each quantizer cluster, keeper = the member least similar to
     // its centroid (the paper's keep-the-exemplar rule, ties -> low id)
     "pipeline_semdedup"      -> ((s, dir) => Similarity.semDedup(embs(s, dir))),
+    // the paper's actual recipe: clusters from CONVERGED k-means (the
+    // lloydFinal member-sum centroids), same core downstream
+    "pipeline_semdedup_trained" -> ((s, dir) =>
+      Similarity.semDedupTrained(embs(s, dir))),
     // the metric-pruned twins: identical exact results (recall-1 angular
     // triangle-inequality prune over IVF lists), sub-quadratic tile work
     // on clustered corpora — the 100-TB default for semantic dedup
@@ -1002,9 +1006,35 @@ object ExtQueries {
        |SELECT cluster_id, min(id) AS keeper_id, count(*) AS n_members
        |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** SemDeDup's shared oracle TAIL (everything after an `asg(vec_id,
+    * cluster_id, cent_cos)` assignment relation): intra-cluster
+    * exact-cosine pairs, recursive min-label closure, keeper =
+    * (cent_cos ASC, vec_id ASC) rank 1 per group. */
+  private val semDedupTailSql: String =
+    """pd AS (SELECT a1.vec_id AS a, a2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+      |       FROM asg a1 JOIN asg a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+      |            JOIN q q1 ON q1.vec_id = a1.vec_id
+      |            JOIN q q2 ON q2.vec_id = a2.vec_id AND q1.i = q2.i
+      |       GROUP BY 1, 2),
+      |jp AS (SELECT a, b FROM pd
+      |       JOIN nrm na ON pd.a = na.vec_id JOIN nrm nb ON pd.b = nb.vec_id
+      |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
+      |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+      |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+      |reach(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+      |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id)
+      |SELECT a.cluster_id, cl.group_id, cl.id AS vec_id,
+      |       round(a.cent_cos, 6) AS cent_cos,
+      |       (row_number() OVER (PARTITION BY cl.group_id
+      |                           ORDER BY a.cent_cos ASC, cl.id ASC)) = 1 AS keep
+      |FROM cl JOIN asg a ON cl.id = a.vec_id
+      |ORDER BY group_id, vec_id""".stripMargin
+
   /** SemDeDup: the seeded-quantizer assignment (ivf oracle's argmax CTEs,
-    * cent_cos kept), intra-cluster exact-cosine pairs, recursive min-label
-    * closure, keeper = (cent_cos ASC, vec_id ASC) rank 1 per group. */
+    * cent_cos kept) feeding the shared tail. */
   private val semDedupOracleSql: String =
     s"""${quantCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
@@ -1017,27 +1047,25 @@ object ExtQueries {
        |asg AS (SELECT vec_id, cent_id AS cluster_id, ccos AS cent_cos FROM
        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
        |         FROM ccos) WHERE r = 1),
-       |pd AS (SELECT a1.vec_id AS a, a2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
-       |       FROM asg a1 JOIN asg a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
-       |            JOIN q q1 ON q1.vec_id = a1.vec_id
-       |            JOIN q q2 ON q2.vec_id = a2.vec_id AND q1.i = q2.i
-       |       GROUP BY 1, 2),
-       |jp AS (SELECT a, b FROM pd
-       |       JOIN nrm na ON pd.a = na.vec_id JOIN nrm nb ON pd.b = nb.vec_id
-       |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
-       |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
-       |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
-       |reach(id, label) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
-       |cl AS (SELECT id, CAST(min(label) AS BIGINT) AS group_id FROM reach GROUP BY id)
-       |SELECT a.cluster_id, cl.group_id, cl.id AS vec_id,
-       |       round(a.cent_cos, 6) AS cent_cos,
-       |       (row_number() OVER (PARTITION BY cl.group_id
-       |                           ORDER BY a.cent_cos ASC, cl.id ASC)) = 1 AS keep
-       |FROM cl JOIN asg a ON cl.id = a.vec_id
-       |ORDER BY group_id, vec_id""".stripMargin
+       |$semDedupTailSql""".stripMargin
+
+  /** SemDeDup over TRAINED clusters: the kmeans round CTEs' converged
+    * member-sum centroids (c_{iters+1}) replace the seeded rows in the
+    * assignment, then the shared tail — two proven oracles composed. */
+  private def semDedupTrainedOracleSql(iters: Int): String =
+    s"""${kmeansCtes(iters).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cf AS (SELECT cluster_id, i, x FROM c${iters + 1}),
+       |nf AS (SELECT cluster_id, CAST(sum(x * x) AS BIGINT) AS n FROM cf GROUP BY cluster_id),
+       |tdots AS (SELECT qv.vec_id, cf.cluster_id AS cent_id, CAST(sum(qv.x * cf.x) AS BIGINT) AS dot
+       |          FROM q qv JOIN cf ON qv.i = cf.i GROUP BY 1, 2),
+       |tccos AS (SELECT tdots.vec_id AS vec_id, tdots.cent_id AS cent_id,
+       |            dot / (sqrt(CAST(nv.n AS DOUBLE)) * sqrt(CAST(nf.n AS DOUBLE))) AS ccos
+       |          FROM tdots JOIN nrm nv ON tdots.vec_id = nv.vec_id
+       |                     JOIN nf ON tdots.cent_id = nf.cluster_id),
+       |asg AS (SELECT vec_id, cent_id AS cluster_id, ccos AS cent_cos FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
+       |         FROM tccos) WHERE r = 1),
+       |$semDedupTailSql""".stripMargin
 
   /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
     * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
@@ -2599,6 +2627,7 @@ object ExtQueries {
     // as dedup_embedding_cosine, whose pair set this collapses)
     "dedup_embedding_keepers" -> embKeepersOracleSql,
     "pipeline_semdedup" -> semDedupOracleSql,
+    "pipeline_semdedup_trained" -> semDedupTrainedOracleSql(3),
 
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
     // shingle hashes (integer shifts — a double would round past 53 bits),

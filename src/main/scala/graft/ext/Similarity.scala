@@ -1481,7 +1481,32 @@ object Similarity {
                centroidBase: Int = 100,
                maxClusterSize: Option[Int] = None): DataFrame = {
     val vecs = quantized(embeddings)
-    val qz = foldQuantizer(vecs, nList, centroidBase)
+    semDedupCore(vecs, foldQuantizer(vecs, nList, centroidBase), nList, eps,
+      maxClusterSize)
+  }
+
+  /** [[semDedup]] over TRAINED cluster structure — the paper's actual
+    * recipe (SemDeDup clusters with k-means, not a seed quantizer):
+    * [[lloydFinal]]'s converged member-sum centroids replace the seeded
+    * rows (the [[assignClustersTrained]] pattern), everything downstream
+    * identical by construction (one core). Oracle = the kmeans round CTEs
+    * chained into the semdedup CTEs — two proven oracles composed. */
+  def semDedupTrained(embeddings: DataFrame, eps: Double = 0.4, nList: Int = 16,
+                      centroidBase: Int = 100, iters: Int = 3,
+                      maxClusterSize: Option[Int] = None): DataFrame = {
+    val vecs = quantized(embeddings)
+    val cents = lloydFinal(vecs, nList, centroidBase, iters)
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](2).toArray))
+    semDedupCore(vecs, centroidLits(cents), cents.length, eps, maxClusterSize)
+  }
+
+  /** The cluster-scoped dedup core shared by the seeded and trained
+    * variants: assignment against the folded quantizer, intra-cluster
+    * pair scoring, closure, keeper rule. */
+  private def semDedupCore(vecs: DataFrame, qz: Quantizer, nList: Int,
+                           eps: Double,
+                           maxClusterSize: Option[Int]): DataFrame = {
     val assigned = vecs
       .withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, nList)))
       .withColumn("cluster_id", expr(

@@ -683,6 +683,19 @@ class ExtSimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-6)
   }
 
+  test("semDedupTrained: same relation shape over trained clusters, one keeper per group") {
+    val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val seeded = Similarity.semDedup(embs)
+    val trained = Similarity.semDedupTrained(embs)
+    assert(seeded.columns.toSeq === trained.columns.toSeq)
+    val rows = trained.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (g, members) =>
+      assert(members.count(_.getBoolean(4)) === 1, s"group $g must keep exactly one")
+      assert(members.length >= 2, s"group $g: singletons never emit")
+    }
+  }
+
   test("semDedup: intra-cluster groups, paper keeper rule, boundary pairs scoped out") {
     // two clusters around the x/y seeds (100/101); {0,1} and {2,3} are
     // intra-cluster near-dups; 5 is a singleton in cluster 100; {6,7} are
