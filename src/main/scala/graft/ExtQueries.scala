@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, when}
-import graft.ext.{BloomDedup, Dedup, Events, Graph, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{BloomDedup, Dedup, Events, Graph, LmFilter, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline extension queries (SURVEY.md §2.8) — dedup, similarity
   * search, text analysis, event windows, multimodal plumbing. Every entry
@@ -596,6 +596,25 @@ object ExtQueries {
         Sampling.buildDsirStore(d, tmp)
       }
       Sampling.scoreAgainstDsirStore(d, store)
+    }),
+
+    // CCNet-style LM-perplexity filter: interpolated bigram LM fit on the
+    // %3 reference slice, per-doc cross-entropy via equi-joins against the
+    // vocab²-bounded count tables (never a folded literal), per-lang
+    // tertile cutoffs → head/middle/tail, keep head+middle
+    "pipeline_perplexity_filter" ->
+      ((s, dir) => LmFilter.perplexityFilter(docs(s, dir))),
+    // the LM model store: train once, publish atomically (uni/big counts +
+    // the CCNet-faithful STORED per-lang cutoffs + smoothing totals), serve
+    // any batch after increment-locally — no percentile over history, no
+    // refit; the in-line oracle proves fit, publish, and serve in one hash
+    "pipeline_perplexity_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = cachedStore("graft_lm_store_v1",
+        s"$dir/documents.parquet", "_SUCCESS") { tmp =>
+        LmFilter.buildLmStore(d, tmp)
+      }
+      LmFilter.scoreAgainstLmStore(d, store)
     }),
     // leakage-free split: membership hashed on the near-dup CLUSTER id, so
     // a doc and its near-duplicates never straddle train/val/test
@@ -1199,6 +1218,47 @@ object ExtQueries {
       |          round(sum(dw.c * lr.lr), 6) AS weight
       |        FROM dw JOIN lr ON dw.b = lr.b
       |        GROUP BY 1, 2)""".stripMargin
+
+  /** CCNet LM-filter replay — the term relation mirrors
+    * [[graft.ext.LmFilter.termArrSql]] (bigram structs; single-token docs
+    * contribute one context-free (NULL, token) term), the model fits on
+    * the `in_ref` slice, and the probability/cutoff/bucket shapes are the
+    * module's own, literal for literal. */
+  private lazy val lmFilterOracleSql: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |tmu AS (SELECT doc_id, lang, doc_id % 3 = 0 AS in_ref,
+      |          unnest(CASE WHEN len(w) >= 2
+      |            THEN list_transform(range(1, len(w)), i ->
+      |                   struct_pack(prev := w[i], cur := w[i + 1]))
+      |            ELSE [struct_pack(prev := CAST(NULL AS VARCHAR), cur := w[1])] END) AS trm
+      |        FROM d),
+      |terms AS (SELECT doc_id, lang, in_ref, trm.prev AS prev, trm.cur AS cur FROM tmu),
+      |uni AS (SELECT cur AS token, CAST(count(*) AS BIGINT) AS uf
+      |        FROM terms WHERE in_ref GROUP BY 1),
+      |tot AS (SELECT CAST(sum(uf) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM uni),
+      |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bf
+      |        FROM terms WHERE in_ref AND prev IS NOT NULL GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, lang, in_ref, CAST(count(*) AS BIGINT) AS n_terms,
+      |         round(-sum(ln(0.75e0 * (coalesce(bf, 0) / greatest(coalesce(cf, 0), 1))
+      |                       + 0.25e0 * ((coalesce(uf, 0) + 1) / CAST(t + v + 1 AS DOUBLE))))
+      |               / count(*), 6) AS ce_nats
+      |       FROM terms
+      |       LEFT JOIN big USING (prev, cur)
+      |       LEFT JOIN (SELECT token AS prev, uf AS cf FROM uni) cu USING (prev)
+      |       LEFT JOIN (SELECT token AS cur, uf FROM uni) cu2 USING (cur)
+      |       CROSS JOIN tot
+      |       GROUP BY 1, 2, 3),
+      |cuts AS (SELECT lang, round(quantile_cont(ce_nats, 0.33e0), 6) AS c1,
+      |                round(quantile_cont(ce_nats, 0.67e0), 6) AS c2
+      |         FROM sc GROUP BY 1),
+      |b AS (SELECT doc_id, lang, in_ref, n_terms, ce_nats,
+      |        CAST(CASE WHEN c1 IS NULL THEN 3
+      |                  WHEN ce_nats <= c1 THEN 1
+      |                  WHEN ce_nats <= c2 THEN 2
+      |                  ELSE 3 END AS INT) AS bucket
+      |      FROM sc LEFT JOIN cuts USING (lang))
+      |SELECT doc_id, lang, in_ref, n_terms, ce_nats, bucket, bucket <= 2 AS kept
+      |FROM b ORDER BY doc_id""".stripMargin
 
   private lazy val dsirOracleSql: String =
     s"""$dsirCtes
@@ -2438,6 +2498,16 @@ object ExtQueries {
     // proves fit, publish, and serve in one hash
     "pipeline_dsir_weights_stored" -> dsirOracleSql,
     "pipeline_dsir_sample" -> dsirSampleOracleSql,
+
+    // CCNet LM filter replay: exact-BIGINT unigram/bigram counts from the
+    // %3 reference slice, the one interpolated-probability shape (λ = 0.75
+    // dyadic, add-1 unigram arm over V+1 classes), per-doc ln-sum
+    // (round-6, the bigramCE precedent), tertile cutoffs quantile_cont ≡
+    // percentile over the ROUNDED scores, bucket = two comparisons
+    "pipeline_perplexity_filter" -> lmFilterOracleSql,
+    // the store materializes the same model + its cutoffs (refit = atomic
+    // rebuild), so the in-line oracle proves fit, publish, and serve
+    "pipeline_perplexity_stored" -> lmFilterOracleSql,
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -224,6 +224,21 @@ object StreamBench {
             .format("parquet").option("path", s"$out/data").start()
         }
       }, {
+        // the LM store served via stream-static joins — the model-serving
+        // twin whose model does NOT fold (vocab²-bounded bigram table):
+        // each doc's exploded terms probe the static count relations, one
+        // windowed ln-sum agg per doc (state = in-horizon docs)
+        val lmStore = s"$work/lm_store"
+        ext.LmFilter.buildLmStore(
+          docs.select("doc_id", "text", "lang"), lmStore)
+        runOne(spark, "lm_score", nDocs, s"$work/out/lm_score") { out =>
+          streaming.DocStreams.lmScoreStream(docStream, lmStore)
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+      }, {
         // the full triage store (Bloom + keys + bands) over the even half;
         // every arriving doc gets its exact/near/fresh verdict
         val tStore = s"$work/triage_store"
@@ -385,7 +400,7 @@ object StreamBench {
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_ann_queries":$nQueries,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), ann_serve at O(in-horizon queries x their candidate lists) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state), ann_serve at O(in-horizon queries x their candidate lists) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)

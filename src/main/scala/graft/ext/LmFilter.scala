@@ -1,0 +1,266 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style LM-perplexity quality filtering — the classic
+  * train-on-reference / score-everything / bucket-by-tertile pipeline
+  * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  * from Web Crawl Data"): an interpolated bigram language model is fit on
+  * a REFERENCE slice of the corpus (the stand-in for CCNet's Wikipedia —
+  * here the deterministic `doc_id % refMod == 0` slice, the
+  * [[graft.ext.Sampling]] target-slice convention), every document scores
+  * its per-term cross-entropy against that model, and per-LANGUAGE tertile
+  * cutoffs split the corpus into head / middle / tail — CCNet keeps
+  * head+middle and drops the tail.
+  *
+  * Relationship to [[TextAnalysis.bigramCE]]: that query fits the LM on
+  * the whole corpus in-line (a corpus-health report); this family is the
+  * FILTER — a train/serve split with a published model, which is what a
+  * daily 100 TB ingest actually runs. The distinguishing scale property:
+  * the bigram count table is VOCAB²-bounded, far past the folded-literal /
+  * broadcast-map discipline of the DSIR and quality-model stores — so
+  * scoring joins the exploded term relation against the model tables as
+  * ordinary equi-joins on `(prev, cur)` / token (Catalyst broadcasts them
+  * while they fit and shuffle-joins co-partitioned beyond that; at 100 TB
+  * the stored `big/` relation is bucketed by its join key so serve-side
+  * joins co-locate). Nothing here ever folds the model into the plan or
+  * collects it to the driver.
+  *
+  * The tertile CUTOFFS are part of the model, not the serve query: CCNet
+  * precomputes per-language perplexity percentiles on the training data
+  * and ships them with the LM. [[buildLmStore]] does the same — `cuts/`
+  * holds per-lang (c1, c2) fitted over the build corpus's scores — so the
+  * serve path ([[scoreAgainstLmStore]], [[graft.streaming.DocStreams]]'
+  * stream twin) is fully increment-local: no percentile over history, no
+  * second pass, a document's bucket is a comparison against two stored
+  * doubles.
+  *
+  * Determinism (the oracle contract): all counts are exact BIGINTs;
+  * probabilities are IEEE divisions in one fixed literal shape (λ = 0.75
+  * dyadic); per-doc ln-sums sit far inside round-6 (the
+  * [[TextAnalysis.unigramCE]] precedent); tertile cutoffs are Spark's
+  * exact interpolated `percentile` ≡ DuckDB `quantile_cont` over the
+  * ROUNDED per-doc scores, themselves rounded before the bucket
+  * comparison — every compared quantity agrees bit-for-bit across engines
+  * at round-6, so bucket assignment replays exactly.
+  *
+  * Smoothing: P(cur|prev) = λ·bf/cf + (1−λ)·(uf+1)/(T+V+1) — add-1 on the
+  * unigram arm over V+1 classes (the +1 class absorbs every unseen token,
+  * so serving NEW text against a stored model never produces ln 0). A
+  * single-token document has no bigram context; its one term scores the
+  * interpolation's unigram arm alone (prev = NULL never matches the
+  * bigram table), a documented convention shared by the oracle. */
+object LmFilter {
+
+  /** The per-doc term array: adjacent bigram structs for ≥2-token docs,
+    * one (NULL, token) context-free term for single-token docs — ONE
+    * definition shared by training, batch scoring, and the streaming
+    * twin's row-local explode. */
+  private[graft] val termArrSql: String =
+    """CASE WHEN size(w) >= 2
+      |  THEN transform(sequence(1, size(w) - 1), i ->
+      |    struct(element_at(w, i) AS prev, element_at(w, i + 1) AS cur))
+      |  ELSE array(struct(CAST(NULL AS STRING) AS prev,
+      |                    element_at(w, 1) AS cur)) END""".stripMargin
+
+  /** The interpolated per-term probability — the ONE expression shape
+    * both engines evaluate: exact-BIGINT ratios, λ dyadic, denominators
+    * guarded (cf = 0 forces bf = 0, so the GREATEST guard value never
+    * changes a result). `tv1Sql` is the smoothed unigram denominator
+    * T + V + 1 — a column expression in-line, a folded literal at serve
+    * (same double either way: both are exact integers < 2^53). */
+  private[graft] def pSql(lambda: Double, tv1Sql: String): String = {
+    require(lambda > 0 && lambda < 1 && lambda * 4 == (lambda * 4).round.toDouble,
+      s"lambda $lambda must be dyadic (k/4) so both engines see the exact literal")
+    s"""${lambda}e0 * (coalesce(bf, 0L) / greatest(coalesce(cf, 0L), 1L))
+       | + ${1 - lambda}e0 * ((coalesce(uf, 0L) + 1L) / CAST($tv1Sql AS DOUBLE))""".stripMargin
+  }
+
+  /** (doc_id, lang, in_ref, prev, cur) — one row per scoring term. */
+  private def termRel(docs: DataFrame, refMod: Int): DataFrame =
+    Dedup.spread(docs)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % refMod === 0).as("in_ref"),
+        expr("split(text, ' ')").as("w"))
+      .select(col("doc_id"), col("lang"), col("in_ref"),
+        explode(expr(termArrSql)).as("t"))
+      .select(col("doc_id"), col("lang"), col("in_ref"),
+        col("t.prev").as("prev"), col("t.cur").as("cur"))
+
+  /** Model tables from the reference slice of a term relation:
+    * unigram counts (token, uf) and bigram counts (prev, cur, bf) —
+    * exact BIGINTs, one partial-agg shuffle each. The context-free
+    * single-token term (prev NULL) trains the unigram table only. */
+  private def lmTables(terms: DataFrame): (DataFrame, DataFrame) = {
+    val ref = terms.filter(col("in_ref"))
+    val uni = ref.groupBy(col("cur").as("token"))
+      .agg(count(lit(1)).cast("long").as("uf"))
+    val big = ref.filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).cast("long").as("bf"))
+    (uni, big)
+  }
+
+  /** The scoring tail: terms LEFT-join the model tables (unseen → null →
+    * the smoothed arms), one per-doc partial agg. `tv1Sql` see [[pSql]].
+    *
+    * NOTE the unigram table joins TWICE (context count cf on prev, token
+    * count uf on cur) — both plain equi-joins; a NULL prev (single-token
+    * doc) simply misses, which IS the back-off semantics. */
+  private def scoreTerms(terms: DataFrame, uni: DataFrame, big: DataFrame,
+                         lambda: Double, tv1Sql: String): DataFrame =
+    terms
+      .join(big, Seq("prev", "cur"), "left")
+      .join(uni.select(col("token").as("prev"), col("uf").as("cf")),
+        Seq("prev"), "left")
+      .join(uni.select(col("token").as("cur"), col("uf").as("uf")),
+        Seq("cur"), "left")
+      .groupBy("doc_id", "lang", "in_ref")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(expr(s"ln(${pSql(lambda, tv1Sql)})")).as("s"))
+      .select(col("doc_id"), col("lang"), col("in_ref"), col("n_terms"),
+        expr("round(-s / n_terms, 6)").as("ce_nats"))
+
+  /** Per-language tertile cutoffs over a scored relation — rounded
+    * exact-interpolated percentiles (`percentile` ≡ DuckDB
+    * `quantile_cont`, the [[Events.valueStats]] precedent), computed over
+    * the ROUNDED scores so every engine ranks identical doubles. ≤ one
+    * row per language — bounded by construction. */
+  private def tertileCuts(scored: DataFrame): DataFrame =
+    scored.groupBy("lang").agg(
+      expr("round(percentile(ce_nats, 0.33e0), 6)").as("c1"),
+      expr("round(percentile(ce_nats, 0.67e0), 6)").as("c2"))
+
+  /** Bucket + verdict columns against joined (possibly null) cutoffs:
+    * 1 = head (most reference-like), 2 = middle, 3 = tail; CCNet keeps
+    * head+middle. A language the model never saw has no cutoffs → tail,
+    * not kept (conservative: unknown-language text is exactly what the
+    * filter exists to quarantine). */
+  private def bucketCols(df: DataFrame): DataFrame =
+    df.withColumn("bucket", expr(
+        """CAST(CASE WHEN c1 IS NULL THEN 3
+          |          WHEN ce_nats <= c1 THEN 1
+          |          WHEN ce_nats <= c2 THEN 2
+          |          ELSE 3 END AS INT)""".stripMargin))
+      .withColumn("kept", col("bucket") <= 2)
+      .select("doc_id", "lang", "in_ref", "n_terms", "ce_nats", "bucket", "kept")
+
+  /** In-line train + score + bucket — fit the LM on the `% refMod` slice,
+    * score the whole corpus, cut per-lang tertiles, keep head+middle.
+    *
+    * Scale shape: one narrow term projection (the array assembles
+    * doc-side, the [[TextAnalysis.bigramCE]] pattern), two vocab-bounded
+    * partial-agg shuffles fit the model, the term relation equi-joins the
+    * model tables (no fold, no collect), one per-doc partial agg, a
+    * ≤-langs-row cutoff agg broadcast back. The corpus never joins
+    * anything corpus-sized. */
+  def perplexityFilter(docs: DataFrame, refMod: Int = 3,
+                       lambda: Double = 0.75): DataFrame = {
+    require(refMod >= 2, "refMod < 2 would train on everything")
+    val terms = termRel(docs, refMod)
+    val (uni, big) = lmTables(terms)
+    val tot = uni.agg(sum("uf").cast("long").as("t"),
+      count(lit(1)).cast("long").as("v"))
+    // t/v ride every term row as broadcast 1-row columns and are consumed
+    // INSIDE the sum — the grouped output never carries them
+    val scored = scoreTerms(
+      terms.crossJoin(broadcast(tot)), uni, big, lambda, "t + v + 1")
+    bucketCols(scored.join(broadcast(tertileCuts(scored)), Seq("lang"), "left"))
+      .orderBy("doc_id")
+  }
+
+  // ---- LM model store ------------------------------------------------------
+
+  /** LM MODEL STORE — train once on the reference slice, publish
+    * atomically (writer-locked, `_SUCCESS`-last), serve every batch after
+    * at O(batch): `uni/` + `big/` count relations (vocab-bounded — at
+    * 100 TB `big/` is bucketed by (prev, cur) so serve joins co-locate),
+    * `cuts/` per-lang tertile cutoffs fitted over the BUILD corpus's own
+    * scores (CCNet ships its percentile cutoffs with the LM), `meta.txt`
+    * records (lambda, refMod, t, v) because serving MUST smooth with the
+    * trainer's totals. No append verb on purpose — a fitted LM has no
+    * increment; refit = atomic rebuild-replace (the DSIR-store rule). */
+  def buildLmStore(docs: DataFrame, storeDir: String, refMod: Int = 3,
+                   lambda: Double = 0.75): Unit = {
+    require(refMod >= 2, "refMod < 2 would train on everything")
+    val terms = termRel(docs, refMod)
+    val (uni, big) = lmTables(terms)
+    val (t, v) = {
+      val r = uni.agg(sum("uf").cast("long"), count(lit(1)).cast("long")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val cuts = tertileCuts(
+      scoreTerms(terms, uni, big, lambda, s"${t}L + ${v}L + 1L"))
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      uni.write.mode("overwrite").parquet(s"$tmp/uni")
+      big.write.mode("overwrite").parquet(s"$tmp/big")
+      cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
+      val next = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.write(next.resolve("meta.txt"),
+        s"lambda=$lambda\nrefMod=$refMod\nt=$t\nv=$v\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+  }
+
+  /** Load the published model — refusing a torn store (`_SUCCESS`-last
+    * publish contract). Returns (uni, big, cuts, lambda, refMod, t, v). */
+  def loadLmStore(spark: SparkSession, storeDir: String)
+      : (DataFrame, DataFrame, DataFrame, Double, Int, Long, Long) = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$storeDir/_SUCCESS")),
+      s"no _SUCCESS marker at $storeDir — not a published LM store")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$storeDir/meta.txt")), "UTF-8")
+      .linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    (spark.read.parquet(s"$storeDir/uni"),
+      spark.read.parquet(s"$storeDir/big"),
+      spark.read.parquet(s"$storeDir/cuts"),
+      meta("lambda").toDouble, meta("refMod").toInt,
+      meta("t").toLong, meta("v").toLong)
+  }
+
+  /** Score ANY docs against the PUBLISHED model — zero fitting work, no
+    * percentile over history: equi-joins against the stored count
+    * relations, bucket = two comparisons against the stored per-lang
+    * cutoffs. Same relation as [[perplexityFilter]] when the store was
+    * fit on the same corpus — one oracle proves fit, publish, and serve. */
+  def scoreAgainstLmStore(docs: DataFrame, storeDir: String): DataFrame = {
+    val (uni, big, cuts, lambda, refMod, t, v) =
+      loadLmStore(docs.sparkSession, storeDir)
+    val scored = scoreTerms(termRel(docs, refMod), uni, big, lambda,
+      s"${t}L + ${v}L + 1L")
+    bucketCols(scored.join(broadcast(cuts), Seq("lang"), "left"))
+      .orderBy("doc_id")
+  }
+
+  /** Fold the stored per-lang cutoffs to a driver map for the streaming
+    * twin's stateless bucket expression — ≤ one row per LANGUAGE (a
+    * bounded world-fact, the trained-quantizer literal-fold discipline);
+    * the model tables themselves are never folded. */
+  def foldCuts(cuts: DataFrame): Map[String, (Double, Double)] =
+    cuts.collect().map(r =>
+      r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  /** The bucket/kept expressions over a folded cutoff map — shared shape
+    * with [[bucketCols]] (c1/c2 come from map lookups instead of a join);
+    * used by the streaming twin where the post-aggregation static join
+    * would add a second stateful boundary. */
+  private[graft] def bucketColsFolded(df: DataFrame,
+      cuts: Map[String, (Double, Double)]): DataFrame = {
+    val c1 = if (cuts.isEmpty) expr("map('', CAST(NULL AS DOUBLE))")
+      else map(cuts.toSeq.sortBy(_._1)
+        .flatMap { case (k, (a, _)) => Seq(lit(k), lit(a)) }: _*)
+    val c2 = if (cuts.isEmpty) expr("map('', CAST(NULL AS DOUBLE))")
+      else map(cuts.toSeq.sortBy(_._1)
+        .flatMap { case (k, (_, b)) => Seq(lit(k), lit(b)) }: _*)
+    df.withColumn("c1", element_at(c1, col("lang")))
+      .withColumn("c2", element_at(c2, col("lang")))
+      .withColumn("bucket", expr(
+        """CAST(CASE WHEN c1 IS NULL THEN 3
+          |          WHEN ce_nats <= c1 THEN 1
+          |          WHEN ce_nats <= c2 THEN 2
+          |          ELSE 3 END AS INT)""".stripMargin))
+      .withColumn("kept", col("bucket") <= 2)
+      .drop("c1", "c2")
+  }
+}

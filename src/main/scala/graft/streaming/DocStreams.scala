@@ -316,6 +316,51 @@ object DocStreams {
       .select("doc_id", "in_target", "n_feats", "weight")
   }
 
+  /** Streaming CCNet LM-perplexity scorer served FROM the published LM
+    * store ([[graft.ext.LmFilter.buildLmStore]]) — the model-serving
+    * family member whose model does NOT fit in a folded literal: the
+    * unigram/bigram count relations are VOCAB²-bounded, so each arriving
+    * document's exploded term rows probe them via stream-static LEFT
+    * joins (the [[boilerplateStream]] shape — static sides re-plan per
+    * micro-batch against the pinned snapshot their query start loaded),
+    * and the per-doc ln-sum folds in ONE windowed aggregation under the
+    * watermark (a doc's terms all explode from its single arrival row,
+    * so its window finalizes within its own micro-batch — the
+    * [[triageStream]] discipline). Only the per-LANG tertile CUTOFFS
+    * fold to a literal map (≤ one row per language, a bounded world
+    * fact) — bucketing is stateless row-local arithmetic after the agg,
+    * no second stateful boundary. Differentially spec'd ≈ the batch
+    * stored scorer (identical ln-terms, summation order differs →
+    * round-off bound; buckets exact). */
+  def lmScoreStream(docs: DataFrame, storeDir: String,
+                    watermark: String = "1 hour"): DataFrame = {
+    import graft.ext.LmFilter
+    val (uni, big, cuts, lambda, refMod, t, v) =
+      LmFilter.loadLmStore(docs.sparkSession, storeDir)
+    val terms = docs
+      .withWatermark("ingest_ts", watermark)
+      .withColumn("in_ref", col("doc_id") % refMod === 0)
+      .withColumn("w", expr("split(text, ' ')"))
+      .select(col("doc_id"), col("ingest_ts"), col("lang"), col("in_ref"),
+        explode(expr(LmFilter.termArrSql)).as("trm"))
+      .select(col("doc_id"), col("ingest_ts"), col("lang"), col("in_ref"),
+        col("trm.prev").as("prev"), col("trm.cur").as("cur"))
+    val scored = terms
+      .join(big, Seq("prev", "cur"), "left")
+      .join(uni.select(col("token").as("prev"), col("uf").as("cf")),
+        Seq("prev"), "left")
+      .join(uni.select(col("token").as("cur"), col("uf").as("uf")),
+        Seq("cur"), "left")
+      .groupBy(window(col("ingest_ts"), "10 minutes"),
+        col("doc_id"), col("lang"), col("in_ref"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(expr(s"ln(${LmFilter.pSql(lambda, s"${t}L + ${v}L + 1L")})")).as("s"))
+      .select(col("doc_id"), col("lang"), col("in_ref"), col("n_terms"),
+        expr("round(-s / n_terms, 6)").as("ce_nats"))
+    LmFilter.bucketColsFolded(scored, LmFilter.foldCuts(cuts))
+      .select("doc_id", "lang", "in_ref", "n_terms", "ce_nats", "bucket", "kept")
+  }
+
   def qualityScoreStoreStream(docs: DataFrame, storeDir: String): DataFrame = {
     val (weights, dim) =
       graft.ext.TextAnalysis.loadQualityModelStore(docs.sparkSession, storeDir)

@@ -66,6 +66,8 @@ object StreamingInventory {
       "DocStreamsSpec (random splits)", "quality_score"),
     t("DocStreams.dsirScoreStoreStream", "Sampling.scoreAgainstDsirStore",
       "DocStreamsSpec (2e-6 float bound)", "dsir_score"),
+    t("DocStreams.lmScoreStream", "LmFilter.scoreAgainstLmStore (stream-static model joins)",
+      "DocStreamsSpec (2e-6 ce bound, buckets exact)", "lm_score"),
     t("DocStreams.bloomGateStream", "IS BloomDedup.probe (folded filter literal)",
       "DocStreamsSpec (random splits)", "bloom_gate"),
     t("DocStreams.triageStream", "Dedup.ingestTriageStored",

@@ -372,6 +372,33 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must contain fuzzy train-eval contamination")
   }
 
+  test("streaming LM perplexity scorer served from the store matches the batch stored scorer") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("lmstream").toString
+    graft.ext.LmFilter.buildLmStore(docs, s"$base/m")
+    val rows = docs.orderBy("doc_id").limit(200).collect().map(r =>
+      DocIn(r.getAs[Long]("doc_id"), new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    val cols = Seq("doc_id", "lang", "in_ref", "n_terms", "ce_nats", "bucket", "kept")
+    // update mode: a doc's terms all explode from its single arrival row,
+    // so its windowed ln-sum finalizes within its own micro-batch
+    val streamed = runSplits(rows, "lm_stream_out", "update", cols)(
+      df => DocStreams.lmScoreStream(df, s"$base/m"))
+    val batch = graft.ext.LmFilter.scoreAgainstLmStore(rows.toSeq.toDF(), s"$base/m")
+      .orderBy("doc_id").select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed.length === batch.length)
+    // identical ln-terms, summation order differs (windowed agg vs batch
+    // partial agg) -> the rounded score compares under a round-off bound;
+    // buckets/kept must agree exactly (cutoffs are two stored doubles)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.take(4) === b.take(4), s"$s vs $b")
+      assert(math.abs(s(4).asInstanceOf[Double] - b(4).asInstanceOf[Double]) <= 2e-6,
+        s"ce drift beyond float round-off: $s vs $b")
+      assert(s.drop(5) === b.drop(5), s"bucket/kept drift: $s vs $b")
+    }
+    assert(batch.map(_(5)).distinct.size === 3, "fixture must hit all three buckets")
+  }
+
   test("streaming DSIR scorer served from the store matches the batch stored scorer to float round-off") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val base = java.nio.file.Files.createTempDirectory("dsirstream").toString

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.LmFilter
+
+class LmFilterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+
+  test("perplexityFilter: schema, ref slice, tertile balance, kept == head+middle") {
+    val out = LmFilter.perplexityFilter(docs).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("in_ref") === (r.getAs[Long]("doc_id") % 3 == 0))
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 1 && b <= 3)
+      assert(r.getAs[Boolean]("kept") === (b <= 2))
+      assert(!r.getAs[Double]("ce_nats").isNaN
+        && !r.getAs[Double]("ce_nats").isInfinite)
+    }
+    // per-lang tertiles: every language splits into all three buckets,
+    // each within one doc + remainder of n/3 (exact interpolated cutoffs)
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[Int]("bucket")).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1, 2, 3), s"$lang missing a bucket: $sizes")
+      val n = rs.size
+      sizes.values.foreach(s =>
+        assert(math.abs(s - n / 3.0) <= 2.0, s"$lang unbalanced tertiles: $sizes"))
+    }
+    // head docs score LOWER cross-entropy than tail docs within a language
+    byLang.foreach { case (lang, rs) =>
+      val maxHead = rs.filter(_.getAs[Int]("bucket") == 1).map(_.getAs[Double]("ce_nats")).max
+      val minTail = rs.filter(_.getAs[Int]("bucket") == 3).map(_.getAs[Double]("ce_nats")).min
+      assert(maxHead <= minTail, s"$lang: head ce $maxHead > tail ce $minTail")
+    }
+  }
+
+  test("stored LM serve equals the in-line filter row-for-row (fit, publish, serve)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lm_spec").toString + "/m"
+    LmFilter.buildLmStore(docs, store)
+    val served = LmFilter.scoreAgainstLmStore(docs, store).collect().map(_.toSeq)
+    val inline = LmFilter.perplexityFilter(docs).collect().map(_.toSeq)
+    assert(served.toSeq === inline.toSeq)
+  }
+
+  test("serving NEW text: unseen tokens score the smoothed floor, unseen language lands in the tail") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lm_new").toString + "/m"
+    LmFilter.buildLmStore(docs, store)
+    val (_, _, _, lambda, _, t, v) = LmFilter.loadLmStore(spark, store)
+    val novel = Seq(
+      (900001L, "qzxv1 qzxv2 qzxv3", "en"),   // seen lang, all-unseen tokens
+      (900002L, "qzxv1 qzxv2 qzxv3", "xx"))   // unseen lang
+      .toDF("doc_id", "text", "lang")
+    val out = LmFilter.scoreAgainstLmStore(novel, store)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every term: bf/cf/uf all miss -> p = (1-λ)·1/(T+V+1), no ln(0)
+    val floorCe = -math.log((1 - lambda) * (1.0 / (t + v + 1)))
+    val en = out(900001L)
+    assert(math.abs(en.getAs[Double]("ce_nats") - floorCe) < 1e-6)
+    assert(en.getAs[Int]("bucket") === 3, "floor-scored doc must be tail")
+    val xx = out(900002L)
+    assert(xx.getAs[Int]("bucket") === 3 && !xx.getAs[Boolean]("kept"),
+      "unseen language must quarantine to the tail")
+  }
+
+  test("single-token document scores the interpolation's unigram arm (one context-free term)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_lm_one").toString + "/m"
+    LmFilter.buildLmStore(docs, store)
+    val (uni, _, _, lambda, _, t, v) = LmFilter.loadLmStore(spark, store)
+    val word = uni.orderBy(desc("uf")).limit(1).collect()(0)
+    val (tok, uf) = (word.getString(0), word.getLong(1))
+    val one = Seq((900003L, tok, "en")).toDF("doc_id", "text", "lang")
+    val r = LmFilter.scoreAgainstLmStore(one, store).collect()(0)
+    assert(r.getAs[Long]("n_terms") === 1L)
+    val expected = -math.log((1 - lambda) * ((uf + 1).toDouble / (t + v + 1)))
+    assert(math.abs(r.getAs[Double]("ce_nats") - expected) < 1e-6)
+  }
+
+  test("a torn store (no _SUCCESS) is refused loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_torn").toString
+    val e = intercept[IllegalArgumentException] {
+      LmFilter.scoreAgainstLmStore(docs, dir)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+}

@@ -803,6 +803,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LM perplexity filter probes the model via equi-joins — never a fold, never a corpus-sized nested loop") {
+    for (q <- Seq("pipeline_perplexity_filter", "pipeline_perplexity_stored")) {
+      val p = plan(q)
+      // the vocab²-bounded model tables meet the term relation as HASH
+      // equi-joins (broadcast at this scale; shuffle-keyed beyond) — a
+      // folded-literal model would show NO term-side joins at all
+      assert(p.linesIterator.count(l =>
+        l.contains("HashJoin") && !l.contains("Reused")) >= 3,
+        s"$q: model joins missing — folded?\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      // count aggregations combine map-side before their shuffles
+      assert(p.contains("partial_"), s"$q: no map-side partial agg\n$p")
+    }
+    // the SERVE path's smoothing totals are meta literals — no 1-row
+    // broadcast nested loop survives to the stored plan
+    assert(!plan("pipeline_perplexity_stored").contains("BroadcastNestedLoopJoin"),
+      "stored serve should carry totals as folded meta literals")
+  }
+
   test("trained topic cards keep the seeded variant's plan shape: one assignment equi-join feeds the explode") {
     // training (lloydFinal) runs at CONSTRUCTION time as bounded collects;
     // the executed plan must stay the seeded pipeline's — the converged
