@@ -523,6 +523,19 @@ object ExtQueries {
     // exact, HLL estimate checked against its ±10% envelope; the raw
     // sketch value is the one documented exclusion (engine-specific)
     "events_approx_distinct" -> ((s, dir) => Events.approxDistinctChecked(events(s, dir))),
+    // the mergeable-sketch STORE behind the same question: one HLL sketch
+    // row per day, published atomically; a trailing-7-day distinct-user
+    // report unions 7 tiny rows instead of re-shuffling 7 days of raw
+    // events — the checked twin pins the estimate inside a 5% envelope
+    // against the exact count the oracle replays
+    "events_distinct_sketch_stored" -> ((s, dir) => {
+      val e = events(s, dir)
+      val store = cachedStore("graft_sketch_store_v1",
+        s"$dir/events.parquet", "_SUCCESS") { tmp =>
+        graft.ext.SketchStore.buildSketchStore(e, tmp)
+      }
+      graft.ext.SketchStore.trailingDistinctChecked(e, store)
+    }),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
     // A/B readout: deterministic md5 hash cohorts, conversion lift + z
@@ -4003,6 +4016,19 @@ object ExtQueries {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         |       CAST(1 AS INT) AS approx_within_10pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sketch store: n_days/exact replayed exactly (trailing-7-day window
+    // over daily-distinct user rows); the HLL estimate is DataSketches-
+    // implementation-specific, so what hashes is the envelope flag
+    "events_distinct_sketch_stored" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day AS day, CAST(count(DISTINCT u.day) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS INT) AS est_within_5pct
+        |FROM days d JOIN du u
+        |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     // text_compress_ratio: byte_len exact per doc; deflate_len/ratio are
     // zlib-implementation-specific, so what hashes is the sanity flag

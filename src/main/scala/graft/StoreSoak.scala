@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   *           40%-md5-slice hier Lloyd training walls at nList 2048.
   *
   * Usage: runMain graft.StoreSoak <fixtureDir>
-  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain]
+  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain|lmstore]
   */
 object StoreSoak {
   def time[T](label: String)(f: => T): T = {
@@ -226,6 +226,36 @@ object StoreSoak {
           time(s"in-line rep$rep (re-signatures the eval set per run)")(
             graft.ext.Dedup.decontaminateFuzzy(docs)
               .write.format("noop").mode("overwrite").save())
+      case "lmstore" =>
+        // r12: the LM-store receipt — perplexity-filter LM fit + cutoffs
+        // published once per refit cycle, every train shard then scored at
+        // O(shard) via equi-joins against the stored count relations, vs
+        // the in-line twin that refits the LM (and re-runs the history
+        // percentile) per run. Run on BOTH fixtures: the narrow-vocab docs
+        // (small model — broadcast joins) and the 100k-word widevocab docs
+        // (the vocab²-bounded bigram table the family's scale story is
+        // about).
+        for ((name, file) <- Seq(("narrow", "documents.parquet"),
+                                 ("widevocab", "documents_widevocab.parquet"))) {
+          val docs = spark.read.parquet(s"$dir/$file")
+            .select("doc_id", "text", "lang")
+          val store = s"/tmp/soak_lm_store_${name}_${dir.replace('/', '_')}"
+          graft.ops.Scale.deleteRecursively(new java.io.File(store))
+          time(s"[$name] LM fit + publish (once per refit cycle)")(
+            graft.ext.LmFilter.buildLmStore(docs, store))
+          val (uniN, bigN) = (
+            spark.read.parquet(s"$store/uni").count(),
+            spark.read.parquet(s"$store/big").count())
+          println(s"[soak] [$name] model: uni=$uniN bigram=$bigN rows")
+          for (rep <- 1 to 2)
+            time(s"[$name] stored serve rep$rep (equi-joins vs stored counts + cutoffs)")(
+              graft.ext.LmFilter.scoreAgainstLmStore(docs, store)
+                .write.format("noop").mode("overwrite").save())
+          for (rep <- 1 to 2)
+            time(s"[$name] in-line rep$rep (refits LM + history percentile per run)")(
+              graft.ext.LmFilter.perplexityFilter(docs)
+                .write.format("noop").mode("overwrite").save())
+        }
       case "triagebackfill" =>
         // r12: the broadcast-ceiling fallback receipt — a BACKFILL-shaped
         // day (increment >= history) and an all-hit day (the whole
