@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   *           40%-md5-slice hier Lloyd training walls at nList 2048.
   *
   * Usage: runMain graft.StoreSoak <fixtureDir>
-  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain|lmstore]
+  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain|lmstore|sketchstore]
   */
 object StoreSoak {
   def time[T](label: String)(f: => T): T = {
@@ -256,6 +256,35 @@ object StoreSoak {
               graft.ext.LmFilter.perplexityFilter(docs)
                 .write.format("noop").mode("overwrite").save())
         }
+      case "sketchstore" =>
+        // r12: the mergeable-sketch-store receipt — daily HLL rows built
+        // once (appendable at O(day)), the trailing-7-day distinct report
+        // then reads O(days) tiny rows vs the exact twin's per-report
+        // re-shuffle of the raw event log.
+        val events = spark.read.parquet(s"$dir/events.parquet")
+        println(s"[soak] events=${events.count()} days=" +
+          events.select(to_date(col("ts"))).distinct().count())
+        val store = s"/tmp/soak_sketch_store_${dir.replace('/', '_')}"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time("sketch store build (all days, once)")(
+          graft.ext.SketchStore.buildSketchStore(events, store))
+        for (rep <- 1 to 2)
+          time(s"stored trailing-7d probe rep$rep (O(days) rows, raw events untouched)")(
+            graft.ext.SketchStore.trailingDistinct(spark, store)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"exact trailing-7d rep$rep (re-shuffles the raw event log per report)") {
+            val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+            val anchors = du.select(col("day").as("anchor")).distinct()
+            du.join(broadcast(anchors),
+                col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+              .groupBy(col("anchor").as("day"))
+              .agg(countDistinct(col("user_id")).as("exact_users"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        val oneDay = events.filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+        time("append one re-delivered day (O(increment), idempotent)")(
+          graft.ext.SketchStore.appendToSketchStore(oneDay, store))
       case "triagebackfill" =>
         // r12: the broadcast-ceiling fallback receipt — a BACKFILL-shaped
         // day (increment >= history) and an all-hit day (the whole

@@ -395,12 +395,24 @@ object StreamBench {
           streaming.DocStreams.runStoreIngest(spark, s"$work/docs_src",
             gStore, s"$out/data", s"$out/ckpt", maxFilesPerTrigger = Some(8))
         }
+      }, {
+        // continuous sketch-store maintenance: each micro-batch's events
+        // append per-day HLL rows (state in the STORE — zero state-store
+        // rows; at-least-once replay healed by the register max-fold)
+        val skStore = s"$work/sketch_store"
+        graft.ops.Scale.deleteRecursively(new java.io.File(skStore))
+        ext.SketchStore.buildSketchStore(
+          spark.read.parquet(s"$work/events_src").limit(0), skStore)
+        runOne(spark, "sketch_ingest", nEvents, s"$work/out/sketch_ingest") { out =>
+          streaming.EventStreams.runSketchIngest(spark, s"$work/events_src",
+            skStore, s"$out/ckpt", maxFilesPerTrigger = Some(8))
+        }
       })
 
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_ann_queries":$nQueries,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state), ann_serve at O(in-horizon queries x their candidate lists) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state), ann_serve at O(in-horizon queries x their candidate lists), sketch_ingest at ZERO state rows (durable state is the sketch STORE it appends - the runStoreIngest rule) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)
@@ -418,7 +430,12 @@ object StreamBench {
     q.processAllAvailable()
     val wallSec = (System.nanoTime() - t0) / 1e9
     val progs = q.recentProgress.filter(_.numInputRows > 0)
-    val outRows = spark.read.parquet(s"$outDir/data").count()
+    // store-maintenance loops (runSketchIngest) have no row sink — their
+    // durable output is the store they append; report 0 emitted rows
+    val outRows =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$outDir/data")))
+        spark.read.parquet(s"$outDir/data").count()
+      else 0L
     q.stop()
     val batchMs = progs.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
     // sum over ALL stateful operators: a plan with more than one (e.g. a

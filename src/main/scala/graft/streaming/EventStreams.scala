@@ -800,6 +800,42 @@ object EventStreams {
   def dedupEvents(events: Dataset[Event], watermark: String = "2 hours"): Dataset[Event] =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** CONTINUOUS sketch ingest — streaming maintenance of the
+    * [[graft.ext.SketchStore]] daily-HLL relation: each micro-batch's
+    * events sketch into per-day rows appended to the store, so
+    * distinct-over-range reports stay O(days) while the raw firehose is
+    * discarded. `foreachBatch` is the right harness (the
+    * [[graft.streaming.DocStreams.runStoreIngest]] rule): the append IS
+    * the proven batch verb, state lives in the STORE (zero state-store
+    * rows), restart-safe by construction. Crash/replay semantics are the
+    * family's strongest: a re-delivered batch re-appends the same value
+    * set and the HLL register MAX-fold makes the union IDENTICAL — the
+    * sketch store is exactly-once-equivalent under at-least-once
+    * delivery, no dedup needed (spec'd: streamed store ≡ batch build,
+    * exact estimate equality). A day split across micro-batches lands as
+    * multiple rows the probe unions and [[graft.ext.SketchStore.compactSketchStore]]
+    * folds away. The store must be PUBLISHED before the stream starts
+    * (append refuses a torn/absent root) — day 0 bootstraps with a
+    * [[graft.ext.SketchStore.buildSketchStore]] over the history, or over
+    * an empty frame to start cold. */
+  def runSketchIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                      storeDir: String, ckptDir: String,
+                      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.SketchStore.appendToSketchStore(batch, storeDir)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .start()
+  }
+
   /** File-based entry point: tail a directory of parquet events (the stream
     * analogue of Tables.load) and write closed sessions to a parquet sink
     * with checkpointing — the full readStream → transform → writeStream

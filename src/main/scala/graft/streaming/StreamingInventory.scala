@@ -78,6 +78,8 @@ object StreamingInventory {
       "DocStreamsSpec (id-ordered splits)", "pack_stream"),
     t("DocStreams.runStoreIngest", "incrementalStored + minhashClusters + appendToBandStore per micro-batch",
       "DocStreamsSpec (two-batch cross-rejection)", "store_ingest_loop"),
+    t("EventStreams.runSketchIngest", "SketchStore.appendToSketchStore per micro-batch (durable state in the STORE; at-least-once replay healed by the register max-fold)",
+      "EventStreamsSpec (split days ≡ batch build, exact estimate equality)", "sketch_ingest"),
     t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",
       "VecStreamsSpec (random splits, flat + hier)", "vec_assign"),
     t("VecStreams.annStream", "Similarity.ivfAgainstStore (stored IVF probe, shared list selection)",

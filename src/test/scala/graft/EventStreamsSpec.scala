@@ -453,6 +453,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch ingest grows the store to exact estimate-equality with a batch build") {
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft_sk_ingest").toString
+    val src = s"$base/src"; val streamed = s"$base/streamed"; val batch = s"$base/batch"
+    // the firehose lands as file drops — days split ACROSS drops (slice
+    // by event_id, not by day, on purpose: the max-fold must heal it)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    (0 until 5).foreach { i =>
+      events.filter(col("event_id") % 5 === i).select(cols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    graft.ext.SketchStore.buildSketchStore(events.limit(0), streamed) // cold bootstrap
+    val q = EventStreams.runSketchIngest(spark, src, streamed, s"$base/ckpt",
+      maxFilesPerTrigger = Some(2))
+    try q.processAllAvailable() finally q.stop()
+    graft.ext.SketchStore.buildSketchStore(events, batch)
+    def est(d: String) = graft.ext.SketchStore.trailingDistinct(spark, d)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    // register max-fold: split days + any arrival order merge to the
+    // IDENTICAL union — exact equality, not a tolerance
+    assert(est(streamed) === est(batch))
+    // compaction folds the split-day rows without changing an estimate
+    graft.ext.SketchStore.compactSketchStore(spark, streamed)
+    assert(est(streamed) === est(batch))
+    val perDay = spark.read.parquet(s"$streamed/days")
+      .groupBy("day").count().agg(max("count")).collect()(0).getLong(0)
+    assert(perDay === 1L)
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
