@@ -623,7 +623,9 @@ object ExtQueries {
     // refit; the in-line oracle proves fit, publish, and serve in one hash
     "pipeline_perplexity_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      val store = cachedStore("graft_lm_store_v1",
+      // v2: v1 cached a model whose unigram table was counted over the
+      // term relation's `cur` side (missing doc-initial tokens)
+      val store = cachedStore("graft_lm_store_v2",
         s"$dir/documents.parquet", "_SUCCESS") { tmp =>
         LmFilter.buildLmStore(d, tmp)
       }
@@ -1246,8 +1248,9 @@ object ExtQueries {
       |            ELSE [struct_pack(prev := CAST(NULL AS VARCHAR), cur := w[1])] END) AS trm
       |        FROM d),
       |terms AS (SELECT doc_id, lang, in_ref, trm.prev AS prev, trm.cur AS cur FROM tmu),
-      |uni AS (SELECT cur AS token, CAST(count(*) AS BIGINT) AS uf
-      |        FROM terms WHERE in_ref GROUP BY 1),
+      |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS uf
+      |        FROM (SELECT unnest(w) AS token FROM d WHERE doc_id % 3 = 0)
+      |        GROUP BY 1),
       |tot AS (SELECT CAST(sum(uf) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM uni),
       |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bf
       |        FROM terms WHERE in_ref AND prev IS NOT NULL GROUP BY 1, 2),

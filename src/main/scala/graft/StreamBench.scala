@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-/** Streaming soak — drives EVERY runnable streaming operator (all 27 of
-  * [[graft.streaming.StreamingInventory.twins]], the registry DocSync
-  * renders into SURVEY's guarded table) through a FILE source at sf1 volume (1M events / 15k users /
+/** Streaming soak — drives EVERY runnable streaming operator (every
+  * [[graft.streaming.StreamingInventory.twins]] row, the registry DocSync
+  * renders into SURVEY's guarded table — the count lives THERE, not here,
+  * so this doc cannot drift) through a FILE source at sf1 volume (1M events / 15k users /
   * 30 days; 50k docs / 7 days — 10× the sf0.1 fixture's shape) on the
   * RocksDB state store, and records per operator: throughput, micro-batch
   * latency, and the STATE-ROWS SERIES across batches — the direct

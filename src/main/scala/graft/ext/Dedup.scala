@@ -728,8 +728,12 @@ object Dedup {
         col("bloom_hit"))
     // no false negatives: only gate hits can be duplicates, so only their
     // keys reach the confirmation join — increment-bounded by the Bloom
-    // guarantee, hence broadcastable on a normal day
+    // guarantee, hence broadcastable on a normal day. MATERIALIZED once
+    // (keys only — bytes, not documents): the ceiling count and both key
+    // joins reuse it, instead of each re-running the Bloom probe over the
+    // increment (three passes where one narrow one suffices)
     val probeKeys = probed.filter(col("bloom_hit")).select("k").distinct()
+      .localCheckpoint()
     val useBroadcast = probeKeys.count() <= maxBroadcastKeys
     def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     val hits = spark.read.parquet(s"$storeDir/keys")

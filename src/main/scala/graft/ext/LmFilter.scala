@@ -88,16 +88,29 @@ object LmFilter {
       .select(col("doc_id"), col("lang"), col("in_ref"),
         col("t.prev").as("prev"), col("t.cur").as("cur"))
 
-  /** Model tables from the reference slice of a term relation:
-    * unigram counts (token, uf) and bigram counts (prev, cur, bf) —
-    * exact BIGINTs, one partial-agg shuffle each. The context-free
-    * single-token term (prev NULL) trains the unigram table only. */
-  private def lmTables(terms: DataFrame): (DataFrame, DataFrame) = {
-    val ref = terms.filter(col("in_ref"))
-    val uni = ref.groupBy(col("cur").as("token"))
-      .agg(count(lit(1)).cast("long").as("uf"))
-    val big = ref.filter(col("prev").isNotNull)
-      .groupBy("prev", "cur").agg(count(lit(1)).cast("long").as("bf"))
+  /** Model tables from the `% refMod` reference slice: unigram counts
+    * over ALL token positions (token, uf) and adjacent-bigram counts
+    * (prev, cur, bf) — exact BIGINTs, one partial-agg shuffle each. */
+  private def lmTables(docs: DataFrame, refMod: Int): (DataFrame, DataFrame) = {
+    val ref = Dedup.spread(docs)
+      .filter(col("doc_id") % refMod === 0)
+      .select(expr("split(text, ' ')").as("w"))
+    // uni counts EVERY reference token — not the term relation's `cur`
+    // side, which misses each document's FIRST token: an undercounted
+    // context cf would let bf/cf exceed 1 for sentence-starter words
+    // (ln p > 0, negative cross-entropy — an inverted ranking for
+    // template/spam text built from doc-initial phrases). Counting all
+    // positions restores bf ≤ count(prev at non-final positions) ≤ cf,
+    // so every interpolated p stays in (0, 1].
+    val uni = ref.select(explode(col("w")).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("uf"))
+    val big = ref.filter(expr("size(w) >= 2"))
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1), i ->
+          |  struct(element_at(w, i) AS prev, element_at(w, i + 1) AS cur))""".stripMargin))
+        .as("t"))
+      .groupBy(col("t.prev").as("prev"), col("t.cur").as("cur"))
+      .agg(count(lit(1)).cast("long").as("bf"))
     (uni, big)
   }
 
@@ -148,6 +161,15 @@ object LmFilter {
   /** In-line train + score + bucket — fit the LM on the `% refMod` slice,
     * score the whole corpus, cut per-lang tertiles, keep head+middle.
     *
+    * COST NOTE (measured): the cutoff aggregate re-derives the scored
+    * subtree (no exchange reuse — the [[graft.ext.Sampling.dsirSample]]
+    * threshold shape), so the in-line twin pays ~2 corpus passes; the
+    * window-function alternative would be one pass but shuffles EVERY doc
+    * of a language into one partition — unshippable skew at 100 TB. The
+    * production daily path is [[scoreAgainstLmStore]], which is single-pass
+    * because the cutoffs were fitted at build time (bench: 0.81 s stored
+    * vs 2.0 s in-line at sf0.1; 8.0 s vs 24–36 s at 500k widevocab docs).
+    *
     * Scale shape: one narrow term projection (the array assembles
     * doc-side, the [[TextAnalysis.bigramCE]] pattern), two vocab-bounded
     * partial-agg shuffles fit the model, the term relation equi-joins the
@@ -158,7 +180,7 @@ object LmFilter {
                        lambda: Double = 0.75): DataFrame = {
     require(refMod >= 2, "refMod < 2 would train on everything")
     val terms = termRel(docs, refMod)
-    val (uni, big) = lmTables(terms)
+    val (uni, big) = lmTables(docs, refMod)
     val tot = uni.agg(sum("uf").cast("long").as("t"),
       count(lit(1)).cast("long").as("v"))
     // t/v ride every term row as broadcast 1-row columns and are consumed
@@ -184,7 +206,7 @@ object LmFilter {
                    lambda: Double = 0.75): Unit = {
     require(refMod >= 2, "refMod < 2 would train on everything")
     val terms = termRel(docs, refMod)
-    val (uni, big) = lmTables(terms)
+    val (uni, big) = lmTables(docs, refMod)
     val (t, v) = {
       val r = uni.agg(sum("uf").cast("long"), count(lit(1)).cast("long")).collect()(0)
       (r.getLong(0), r.getLong(1))
@@ -206,12 +228,7 @@ object LmFilter {
     * publish contract). Returns (uni, big, cuts, lambda, refMod, t, v). */
   def loadLmStore(spark: SparkSession, storeDir: String)
       : (DataFrame, DataFrame, DataFrame, Double, Int, Long, Long) = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$storeDir/_SUCCESS")),
-      s"no _SUCCESS marker at $storeDir — not a published LM store")
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$storeDir/meta.txt")), "UTF-8")
-      .linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val meta = graft.ops.StoreLifecycle.readMeta(storeDir)
     (spark.read.parquet(s"$storeDir/uni"),
       spark.read.parquet(s"$storeDir/big"),
       spark.read.parquet(s"$storeDir/cuts"),

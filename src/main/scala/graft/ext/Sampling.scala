@@ -333,12 +333,7 @@ object Sampling {
     * store (the `_SUCCESS`-last publish contract). */
   def loadDsirStore(spark: org.apache.spark.sql.SparkSession,
                     storeDir: String): (DataFrame, Int, Int, Long, Long) = {
-    require(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$storeDir/_SUCCESS")),
-      s"no _SUCCESS marker at $storeDir — not a published DSIR store")
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$storeDir/meta.txt")), "UTF-8")
-      .linesIterator.map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    val meta = graft.ops.StoreLifecycle.readMeta(storeDir)
     (spark.read.parquet(s"$storeDir/logratios"),
       meta("dim").toInt, meta("targetMod").toInt,
       meta("tt").toLong, meta("rt").toLong)

@@ -81,14 +81,8 @@ object SketchStore {
     }
   }
 
-  private def readLgK(spark: SparkSession, storeDir: String): Int = {
-    require(java.nio.file.Files.exists(path(s"$storeDir/_SUCCESS")),
-      s"no _SUCCESS marker at $storeDir — not a published sketch store")
-    new String(java.nio.file.Files.readAllBytes(path(s"$storeDir/meta.txt")),
-      "UTF-8").linesIterator
-      .map(_.split("=", 2)).collectFirst { case Array("lgK", v) => v.toInt }
-      .getOrElse(sys.error(s"no lgK in $storeDir/meta.txt"))
-  }
+  private def readLgK(spark: SparkSession, storeDir: String): Int =
+    graft.ops.StoreLifecycle.readMeta(storeDir)("lgK").toInt
 
   /** Trailing-`windowDays` distinct-user estimates, one row per stored
     * day: the window's sketch rows union (a ≤ days × windowDays

@@ -1293,11 +1293,7 @@ object TextAnalysis {
     * the bounded read every serving path starts from (≤ dim rows). */
   def loadQualityModelStore(spark: SparkSession,
                             storeDir: String): (DataFrame, Int) = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$storeDir/meta.txt")), "UTF-8")
-    val dim = meta.linesIterator.map(_.split("=", 2))
-      .collectFirst { case Array("dim", v) => v.trim.toInt }
-      .getOrElse(sys.error(s"no dim in $storeDir/meta.txt"))
+    val dim = graft.ops.StoreLifecycle.readMeta(storeDir)("dim").trim.toInt
     (spark.read.parquet(s"$storeDir/weights"), dim)
   }
 

@@ -69,14 +69,22 @@ object StoreLifecycle {
       // that stopped beating (crashed/hung), never on a live one
       val beat = new Thread(() => {
         try {
-          while (!Thread.interrupted()) {
+          var live = true
+          while (live && !Thread.interrupted()) {
             Thread.sleep(math.max(50L, staleAfterMs / 4))
-            java.nio.file.Files.setLastModifiedTime(lock,
+            // a TRANSIENT touch failure (NFS blip) must not kill the
+            // beat — a dead heartbeat re-exposes a healthy multi-hour
+            // holder to stale-age takeover; only a lock that is truly
+            // GONE (released/stolen) ends the loop
+            try java.nio.file.Files.setLastModifiedTime(lock,
               java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+            catch {
+              case _: java.io.IOException =>
+                live = java.nio.file.Files.exists(lock)
+            }
           }
         } catch {
           case _: InterruptedException => () // released
-          case _: java.io.IOException => () // lock vanished: stop beating
         }
       }, s"graft-lock-heartbeat-${path(storeDir).getFileName}")
       beat.setDaemon(true)
@@ -106,7 +114,20 @@ object StoreLifecycle {
             s"another writer holds $lock (age ${age} ms <= stale threshold " +
               s"$staleAfterMs ms) — store verbs are single-writer; wait for " +
               "the owner, or remove the lock if its process is dead")
-        java.nio.file.Files.deleteIfExists(lock) // stale: crashed writer
+        // stale: take over by atomically MOVING the dead writer's lock
+        // aside — rename, not delete-then-create: a deleteIfExists here
+        // could remove a RIVAL taker's freshly created lock (both rivals
+        // saw the same stale file), letting two writers win. Exactly one
+        // mover succeeds; the loser's move throws and fails loudly.
+        val tomb = lock.resolveSibling(
+          s"${lock.getFileName}.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+        try java.nio.file.Files.move(lock, tomb)
+        catch {
+          case _: java.io.IOException =>
+            throw new IllegalStateException(
+              s"lost the takeover race for stale $lock — another writer is live")
+        }
+        java.nio.file.Files.deleteIfExists(tomb)
         try { java.nio.file.Files.createFile(lock); () }
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
@@ -129,6 +150,19 @@ object StoreLifecycle {
       build(next)
       swapIn(storeDir, next)
     }
+
+  /** The ONE reader of the store-meta contract every store writes:
+    * require the `_SUCCESS`-last publish marker (refusing a torn root
+    * loudly), then parse `meta.txt`'s `k=v` lines. Each store picks its
+    * typed fields from the map — one parser, one error text, instead of
+    * a per-store hand-rolled copy that drifts. */
+  def readMeta(storeDir: String): Map[String, String] = {
+    require(java.nio.file.Files.exists(path(s"$storeDir/_SUCCESS")),
+      s"no _SUCCESS marker at $storeDir — not a published store")
+    new String(java.nio.file.Files.readAllBytes(path(s"$storeDir/meta.txt")),
+      "UTF-8").linesIterator.filter(_.contains("="))
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+  }
 
   private def sweepStaleNext(storeDir: String): Unit = {
     val live = path(storeDir).toAbsolutePath
