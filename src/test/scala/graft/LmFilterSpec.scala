@@ -80,6 +80,26 @@ class LmFilterSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ce_nats") - expected) < 1e-6)
   }
 
+  test("every interpolated probability stays in (0, 1]: cross-entropy is never negative") {
+    // regression for the cur-side-only unigram table: doc-INITIAL tokens
+    // trained the bigram table but not the context counts, so a
+    // sentence-starter's bf/cf could exceed 1 (ln p > 0) and text built
+    // from doc-initial phrases scored NEGATIVE ce — an inverted ranking
+    import spark.implicits._
+    val corpus = (0L until 30L).map(i => (i, s"start tok w$i w${i + 1} w$i end", "en"))
+      .toDF("doc_id", "text", "lang")
+    val store = java.nio.file.Files.createTempDirectory("graft_lm_pos").toString + "/m"
+    LmFilter.buildLmStore(corpus, store)
+    // the adversarial doc is NOTHING BUT the doc-initial bigram repeated
+    val adv = Seq((900004L, "start tok start tok start tok", "en"))
+      .toDF("doc_id", "text", "lang")
+    val advCe = LmFilter.scoreAgainstLmStore(adv, store)
+      .collect()(0).getAs[Double]("ce_nats")
+    assert(advCe > 0, s"doc-initial-phrase doc scored ce $advCe <= 0")
+    // and corpus-wide on the real fixture: no doc anywhere scores <= 0
+    assert(LmFilter.perplexityFilter(docs).filter(col("ce_nats") <= 0).count() === 0)
+  }
+
   test("a torn store (no _SUCCESS) is refused loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lm_torn").toString
     val e = intercept[IllegalArgumentException] {

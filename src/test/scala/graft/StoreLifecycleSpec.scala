@@ -105,6 +105,40 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(!Files.exists(lock), "the takeover's lock is released after the publish")
   }
 
+  test("writer lock: rivals racing a stale takeover — exactly one writer inside at a time") {
+    val store = fresh("lockrace")
+    Files.createDirectories(Paths.get(store).toAbsolutePath.getParent)
+    val lock = Paths.get(s"$store.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs))
+    // 8 rivals all see the SAME stale lock and race the takeover: the
+    // rename-based path guarantees at most one is ever inside the body
+    // (delete-then-create could remove a rival's FRESH lock — two
+    // winners); losers refuse loudly, they never block or corrupt
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        try graft.ops.StoreLifecycle.withWriterLock(store) {
+          val now = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, now))
+          Thread.sleep(30) // widen the overlap window
+          inside.decrementAndGet()
+          winners.incrementAndGet()
+        } catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(winners.get() >= 1, "the stale lock must be taken over by someone")
+    assert(maxInside.get() === 1,
+      s"${maxInside.get()} writers inside the lock concurrently — takeover race lost twice")
+    assert(!Files.exists(lock))
+  }
+
   test("writer lock heartbeat: a live holder outliving the stale threshold is never stolen") {
     val store = fresh("lockbeat")
     val entered = new java.util.concurrent.CountDownLatch(1)
