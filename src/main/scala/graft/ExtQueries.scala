@@ -611,7 +611,8 @@ object ExtQueries {
       Sampling.scoreAgainstDsirStore(d, store)
     }),
 
-    // CCNet-style LM-perplexity filter: interpolated bigram LM fit on the
+    // CCNet-style LM-perplexity filter: one interpolated bigram LM PER
+    // LANGUAGE fit on the
     // %3 reference slice, per-doc cross-entropy via equi-joins against the
     // vocab²-bounded count tables (never a folded literal), per-lang
     // tertile cutoffs → head/middle/tail, keep head+middle
@@ -623,9 +624,10 @@ object ExtQueries {
     // refit; the in-line oracle proves fit, publish, and serve in one hash
     "pipeline_perplexity_stored" -> ((s, dir) => {
       val d = docs(s, dir)
-      // v2: v1 cached a model whose unigram table was counted over the
-      // term relation's `cur` side (missing doc-initial tokens)
-      val store = cachedStore("graft_lm_store_v2",
+      // v3: v1 counted unigrams over the term relation's `cur` side
+      // (missing doc-initial tokens); v2 trained ONE mixed-language LM
+      // (CCNet's models are per-language)
+      val store = cachedStore("graft_lm_store_v3",
         s"$dir/documents.parquet", "_SUCCESS") { tmp =>
         LmFilter.buildLmStore(d, tmp)
       }
@@ -1248,21 +1250,23 @@ object ExtQueries {
       |            ELSE [struct_pack(prev := CAST(NULL AS VARCHAR), cur := w[1])] END) AS trm
       |        FROM d),
       |terms AS (SELECT doc_id, lang, in_ref, trm.prev AS prev, trm.cur AS cur FROM tmu),
-      |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS uf
-      |        FROM (SELECT unnest(w) AS token FROM d WHERE doc_id % 3 = 0)
-      |        GROUP BY 1),
-      |tot AS (SELECT CAST(sum(uf) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM uni),
-      |big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bf
-      |        FROM terms WHERE in_ref AND prev IS NOT NULL GROUP BY 1, 2),
+      |uni AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS uf
+      |        FROM (SELECT lang, unnest(w) AS token FROM d WHERE doc_id % 3 = 0)
+      |        GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(uf) AS BIGINT) AS t,
+      |               CAST(count(*) AS BIGINT) AS v FROM uni GROUP BY 1),
+      |big AS (SELECT lang, prev, cur, CAST(count(*) AS BIGINT) AS bf
+      |        FROM terms WHERE in_ref AND prev IS NOT NULL GROUP BY 1, 2, 3),
       |sc AS (SELECT doc_id, lang, in_ref, CAST(count(*) AS BIGINT) AS n_terms,
       |         round(-sum(ln(0.75e0 * (coalesce(bf, 0) / greatest(coalesce(cf, 0), 1))
-      |                       + 0.25e0 * ((coalesce(uf, 0) + 1) / CAST(t + v + 1 AS DOUBLE))))
+      |                       + 0.25e0 * ((coalesce(uf, 0) + 1)
+      |                           / CAST(coalesce(t, 0) + coalesce(v, 0) + 1 AS DOUBLE))))
       |               / count(*), 6) AS ce_nats
       |       FROM terms
-      |       LEFT JOIN big USING (prev, cur)
-      |       LEFT JOIN (SELECT token AS prev, uf AS cf FROM uni) cu USING (prev)
-      |       LEFT JOIN (SELECT token AS cur, uf FROM uni) cu2 USING (cur)
-      |       CROSS JOIN tot
+      |       LEFT JOIN big USING (lang, prev, cur)
+      |       LEFT JOIN (SELECT lang, token AS prev, uf AS cf FROM uni) cu USING (lang, prev)
+      |       LEFT JOIN (SELECT lang, token AS cur, uf FROM uni) cu2 USING (lang, cur)
+      |       LEFT JOIN tot USING (lang)
       |       GROUP BY 1, 2, 3),
       |cuts AS (SELECT lang, round(quantile_cont(ce_nats, 0.33e0), 6) AS c1,
       |                round(quantile_cont(ce_nats, 0.67e0), 6) AS c2

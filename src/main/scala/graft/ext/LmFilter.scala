@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** CCNet-style LM-perplexity quality filtering — the classic
   * train-on-reference / score-everything / bucket-by-tertile pipeline
   * (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
-  * from Web Crawl Data"): an interpolated bigram language model is fit on
-  * a REFERENCE slice of the corpus (the stand-in for CCNet's Wikipedia —
-  * here the deterministic `doc_id % refMod == 0` slice, the
-  * [[graft.ext.Sampling]] target-slice convention), every document scores
-  * its per-term cross-entropy against that model, and per-LANGUAGE tertile
+  * from Web Crawl Data"): one interpolated bigram language model PER
+  * LANGUAGE (CCNet's LMs are per-language — its reference is each
+  * language's Wikipedia) is fit on a REFERENCE slice of the corpus (the
+  * deterministic `doc_id % refMod == 0` slice, the [[graft.ext.Sampling]]
+  * target-slice convention), every document scores its per-term
+  * cross-entropy against ITS language's model, and per-language tertile
   * cutoffs split the corpus into head / middle / tail — CCNet keeps
   * head+middle and drops the tail.
   *
@@ -45,12 +46,14 @@ import org.apache.spark.sql.functions._
   * comparison — every compared quantity agrees bit-for-bit across engines
   * at round-6, so bucket assignment replays exactly.
   *
-  * Smoothing: P(cur|prev) = λ·bf/cf + (1−λ)·(uf+1)/(T+V+1) — add-1 on the
-  * unigram arm over V+1 classes (the +1 class absorbs every unseen token,
-  * so serving NEW text against a stored model never produces ln 0). A
-  * single-token document has no bigram context; its one term scores the
-  * interpolation's unigram arm alone (prev = NULL never matches the
-  * bigram table), a documented convention shared by the oracle. */
+  * Smoothing: P(cur|prev) = λ·bf/cf + (1−λ)·(uf+1)/(T_lang+V_lang+1) —
+  * add-1 on the unigram arm over V_lang+1 classes (the +1 class absorbs
+  * every unseen token, so serving NEW text against a stored model never
+  * produces ln 0); T/V are the term's LANGUAGE's totals from the ≤-langs
+  * `tots` relation. A single-token document has no bigram context; its
+  * one term scores the interpolation's unigram arm alone (prev = NULL
+  * never matches the bigram table), a documented convention shared by
+  * the oracle. */
 object LmFilter {
 
   /** The per-doc term array: adjacent bigram structs for ≥2-token docs,
@@ -65,16 +68,20 @@ object LmFilter {
       |                    element_at(w, 1) AS cur)) END""".stripMargin
 
   /** The interpolated per-term probability — the ONE expression shape
-    * both engines evaluate: exact-BIGINT ratios, λ dyadic, denominators
-    * guarded (cf = 0 forces bf = 0, so the GREATEST guard value never
-    * changes a result). `tv1Sql` is the smoothed unigram denominator
-    * T + V + 1 — a column expression in-line, a folded literal at serve
-    * (same double either way: both are exact integers < 2^53). */
-  private[graft] def pSql(lambda: Double, tv1Sql: String): String = {
+    * both engines evaluate everywhere (in-line, stored serve, stream):
+    * exact-BIGINT ratios, λ dyadic, denominators guarded (cf = 0 forces
+    * bf = 0, so the GREATEST guard value never changes a result). The
+    * smoothed unigram denominator is the term's LANGUAGE's totals
+    * T_lang + V_lang + 1, riding each term row from the ≤-langs totals
+    * relation; an unseen language coalesces to (0 + 0 + 1) — the term
+    * scores λ1·1, finite and conservative, and the missing cutoffs send
+    * the doc to the tail regardless. */
+  private[graft] def pSql(lambda: Double): String = {
     require(lambda > 0 && lambda < 1 && lambda * 4 == (lambda * 4).round.toDouble,
       s"lambda $lambda must be dyadic (k/4) so both engines see the exact literal")
     s"""${lambda}e0 * (coalesce(bf, 0L) / greatest(coalesce(cf, 0L), 1L))
-       | + ${1 - lambda}e0 * ((coalesce(uf, 0L) + 1L) / CAST($tv1Sql AS DOUBLE))""".stripMargin
+       | + ${1 - lambda}e0 * ((coalesce(uf, 0L) + 1L)
+       |     / CAST(coalesce(t, 0L) + coalesce(v, 0L) + 1L AS DOUBLE))""".stripMargin
   }
 
   /** (doc_id, lang, in_ref, prev, cur) — one row per scoring term. */
@@ -88,13 +95,19 @@ object LmFilter {
       .select(col("doc_id"), col("lang"), col("in_ref"),
         col("t.prev").as("prev"), col("t.cur").as("cur"))
 
-  /** Model tables from the `% refMod` reference slice: unigram counts
-    * over ALL token positions (token, uf) and adjacent-bigram counts
-    * (prev, cur, bf) — exact BIGINTs, one partial-agg shuffle each. */
-  private def lmTables(docs: DataFrame, refMod: Int): (DataFrame, DataFrame) = {
+  /** PER-LANGUAGE model tables from the `% refMod` reference slice —
+    * CCNet trains one LM per language (its Wikipedia is per-language),
+    * so every count is keyed by lang: unigram counts (lang, token, uf),
+    * adjacent-bigram counts (lang, prev, cur, bf), and the ≤-langs-row
+    * smoothing totals (lang, t, v). Exact BIGINTs, one partial-agg
+    * shuffle each. A token shared across languages is a DIFFERENT model
+    * row per language — scoring joins carry lang, so "die" in German
+    * text is judged by the German model only. */
+  private def lmTables(docs: DataFrame, refMod: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ref = Dedup.spread(docs)
       .filter(col("doc_id") % refMod === 0)
-      .select(expr("split(text, ' ')").as("w"))
+      .select(col("lang"), expr("split(text, ' ')").as("w"))
     // uni counts EVERY reference token — not the term relation's `cur`
     // side, which misses each document's FIRST token: an undercounted
     // context cf would let bf/cf exceed 1 for sentence-starter words
@@ -102,35 +115,40 @@ object LmFilter {
     // template/spam text built from doc-initial phrases). Counting all
     // positions restores bf ≤ count(prev at non-final positions) ≤ cf,
     // so every interpolated p stays in (0, 1].
-    val uni = ref.select(explode(col("w")).as("token"))
-      .groupBy("token").agg(count(lit(1)).cast("long").as("uf"))
+    val uni = ref.select(col("lang"), explode(col("w")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).cast("long").as("uf"))
     val big = ref.filter(expr("size(w) >= 2"))
-      .select(explode(expr(
+      .select(col("lang"), explode(expr(
         """transform(sequence(1, size(w) - 1), i ->
           |  struct(element_at(w, i) AS prev, element_at(w, i + 1) AS cur))""".stripMargin))
         .as("t"))
-      .groupBy(col("t.prev").as("prev"), col("t.cur").as("cur"))
+      .groupBy(col("lang"), col("t.prev").as("prev"), col("t.cur").as("cur"))
       .agg(count(lit(1)).cast("long").as("bf"))
-    (uni, big)
+    val tots = uni.groupBy("lang").agg(sum("uf").cast("long").as("t"),
+      count(lit(1)).cast("long").as("v"))
+    (uni, big, tots)
   }
 
-  /** The scoring tail: terms LEFT-join the model tables (unseen → null →
-    * the smoothed arms), one per-doc partial agg. `tv1Sql` see [[pSql]].
+  /** The scoring tail: terms LEFT-join the per-language model tables
+    * (unseen → null → the smoothed arms), one per-doc partial agg.
     *
-    * NOTE the unigram table joins TWICE (context count cf on prev, token
-    * count uf on cur) — both plain equi-joins; a NULL prev (single-token
-    * doc) simply misses, which IS the back-off semantics. */
-  private def scoreTerms(terms: DataFrame, uni: DataFrame, big: DataFrame,
-                         lambda: Double, tv1Sql: String): DataFrame =
+    * NOTE the unigram table joins TWICE (context count cf on
+    * (lang, prev), token count uf on (lang, cur)) — plain equi-joins; a
+    * NULL prev (single-token doc) simply misses, which IS the back-off
+    * semantics; the ≤-langs totals relation BROADCASTS onto each term. */
+  private[graft] def scoreTerms(terms: DataFrame, uni: DataFrame,
+                                big: DataFrame, tots: DataFrame,
+                                lambda: Double): DataFrame =
     terms
-      .join(big, Seq("prev", "cur"), "left")
-      .join(uni.select(col("token").as("prev"), col("uf").as("cf")),
-        Seq("prev"), "left")
-      .join(uni.select(col("token").as("cur"), col("uf").as("uf")),
-        Seq("cur"), "left")
+      .join(big, Seq("lang", "prev", "cur"), "left")
+      .join(uni.select(col("lang"), col("token").as("prev"), col("uf").as("cf")),
+        Seq("lang", "prev"), "left")
+      .join(uni.select(col("lang"), col("token").as("cur"), col("uf").as("uf")),
+        Seq("lang", "cur"), "left")
+      .join(broadcast(tots), Seq("lang"), "left")
       .groupBy("doc_id", "lang", "in_ref")
       .agg(count(lit(1)).cast("long").as("n_terms"),
-        sum(expr(s"ln(${pSql(lambda, tv1Sql)})")).as("s"))
+        sum(expr(s"ln(${pSql(lambda)})")).as("s"))
       .select(col("doc_id"), col("lang"), col("in_ref"), col("n_terms"),
         expr("round(-s / n_terms, 6)").as("ce_nats"))
 
@@ -179,14 +197,8 @@ object LmFilter {
   def perplexityFilter(docs: DataFrame, refMod: Int = 3,
                        lambda: Double = 0.75): DataFrame = {
     require(refMod >= 2, "refMod < 2 would train on everything")
-    val terms = termRel(docs, refMod)
-    val (uni, big) = lmTables(docs, refMod)
-    val tot = uni.agg(sum("uf").cast("long").as("t"),
-      count(lit(1)).cast("long").as("v"))
-    // t/v ride every term row as broadcast 1-row columns and are consumed
-    // INSIDE the sum — the grouped output never carries them
-    val scored = scoreTerms(
-      terms.crossJoin(broadcast(tot)), uni, big, lambda, "t + v + 1")
+    val (uni, big, tots) = lmTables(docs, refMod)
+    val scored = scoreTerms(termRel(docs, refMod), uni, big, tots, lambda)
     bucketCols(scored.join(broadcast(tertileCuts(scored)), Seq("lang"), "left"))
       .orderBy("doc_id")
   }
@@ -195,45 +207,41 @@ object LmFilter {
 
   /** LM MODEL STORE — train once on the reference slice, publish
     * atomically (writer-locked, `_SUCCESS`-last), serve every batch after
-    * at O(batch): `uni/` + `big/` count relations (vocab-bounded — at
-    * 100 TB `big/` is bucketed by (prev, cur) so serve joins co-locate),
+    * at O(batch): `uni/` + `big/` per-language count relations
+    * (vocab-bounded — at 100 TB `big/` is bucketed by its join key so
+    * serve joins co-locate), `tots/` the ≤-langs smoothing totals
+    * (serving MUST smooth with the trainer's per-language totals),
     * `cuts/` per-lang tertile cutoffs fitted over the BUILD corpus's own
-    * scores (CCNet ships its percentile cutoffs with the LM), `meta.txt`
-    * records (lambda, refMod, t, v) because serving MUST smooth with the
-    * trainer's totals. No append verb on purpose — a fitted LM has no
-    * increment; refit = atomic rebuild-replace (the DSIR-store rule). */
+    * scores (CCNet ships its percentile cutoffs with the LM). No append
+    * verb on purpose — a fitted LM has no increment; refit = atomic
+    * rebuild-replace (the DSIR-store rule). */
   def buildLmStore(docs: DataFrame, storeDir: String, refMod: Int = 3,
                    lambda: Double = 0.75): Unit = {
     require(refMod >= 2, "refMod < 2 would train on everything")
-    val terms = termRel(docs, refMod)
-    val (uni, big) = lmTables(docs, refMod)
-    val (t, v) = {
-      val r = uni.agg(sum("uf").cast("long"), count(lit(1)).cast("long")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    val cuts = tertileCuts(
-      scoreTerms(terms, uni, big, lambda, s"${t}L + ${v}L + 1L"))
+    val (uni, big, tots) = lmTables(docs, refMod)
+    val cuts = tertileCuts(scoreTerms(termRel(docs, refMod), uni, big, tots, lambda))
     graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
       uni.write.mode("overwrite").parquet(s"$tmp/uni")
       big.write.mode("overwrite").parquet(s"$tmp/big")
+      tots.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tots")
       cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
       val next = java.nio.file.Paths.get(tmp)
       java.nio.file.Files.write(next.resolve("meta.txt"),
-        s"lambda=$lambda\nrefMod=$refMod\nt=$t\nv=$v\n".getBytes("UTF-8"))
+        s"lambda=$lambda\nrefMod=$refMod\n".getBytes("UTF-8"))
       java.nio.file.Files.write(next.resolve("_SUCCESS"), Array.empty[Byte])
     }
   }
 
   /** Load the published model — refusing a torn store (`_SUCCESS`-last
-    * publish contract). Returns (uni, big, cuts, lambda, refMod, t, v). */
+    * publish contract). Returns (uni, big, tots, cuts, lambda, refMod). */
   def loadLmStore(spark: SparkSession, storeDir: String)
-      : (DataFrame, DataFrame, DataFrame, Double, Int, Long, Long) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Double, Int) = {
     val meta = graft.ops.StoreLifecycle.readMeta(storeDir)
     (spark.read.parquet(s"$storeDir/uni"),
       spark.read.parquet(s"$storeDir/big"),
+      spark.read.parquet(s"$storeDir/tots"),
       spark.read.parquet(s"$storeDir/cuts"),
-      meta("lambda").toDouble, meta("refMod").toInt,
-      meta("t").toLong, meta("v").toLong)
+      meta("lambda").toDouble, meta("refMod").toInt)
   }
 
   /** Score ANY docs against the PUBLISHED model — zero fitting work, no
@@ -242,10 +250,9 @@ object LmFilter {
     * cutoffs. Same relation as [[perplexityFilter]] when the store was
     * fit on the same corpus — one oracle proves fit, publish, and serve. */
   def scoreAgainstLmStore(docs: DataFrame, storeDir: String): DataFrame = {
-    val (uni, big, cuts, lambda, refMod, t, v) =
+    val (uni, big, tots, cuts, lambda, refMod) =
       loadLmStore(docs.sparkSession, storeDir)
-    val scored = scoreTerms(termRel(docs, refMod), uni, big, lambda,
-      s"${t}L + ${v}L + 1L")
+    val scored = scoreTerms(termRel(docs, refMod), uni, big, tots, lambda)
     bucketCols(scored.join(broadcast(cuts), Seq("lang"), "left"))
       .orderBy("doc_id")
   }

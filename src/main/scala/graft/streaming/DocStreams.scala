@@ -335,7 +335,7 @@ object DocStreams {
   def lmScoreStream(docs: DataFrame, storeDir: String,
                     watermark: String = "1 hour"): DataFrame = {
     import graft.ext.LmFilter
-    val (uni, big, cuts, lambda, refMod, t, v) =
+    val (uni, big, tots, cuts, lambda, refMod) =
       LmFilter.loadLmStore(docs.sparkSession, storeDir)
     val terms = docs
       .withWatermark("ingest_ts", watermark)
@@ -346,15 +346,16 @@ object DocStreams {
       .select(col("doc_id"), col("ingest_ts"), col("lang"), col("in_ref"),
         col("trm.prev").as("prev"), col("trm.cur").as("cur"))
     val scored = terms
-      .join(big, Seq("prev", "cur"), "left")
-      .join(uni.select(col("token").as("prev"), col("uf").as("cf")),
-        Seq("prev"), "left")
-      .join(uni.select(col("token").as("cur"), col("uf").as("uf")),
-        Seq("cur"), "left")
+      .join(big, Seq("lang", "prev", "cur"), "left")
+      .join(uni.select(col("lang"), col("token").as("prev"), col("uf").as("cf")),
+        Seq("lang", "prev"), "left")
+      .join(uni.select(col("lang"), col("token").as("cur"), col("uf").as("uf")),
+        Seq("lang", "cur"), "left")
+      .join(broadcast(tots), Seq("lang"), "left")
       .groupBy(window(col("ingest_ts"), "10 minutes"),
         col("doc_id"), col("lang"), col("in_ref"))
       .agg(count(lit(1)).cast("long").as("n_terms"),
-        sum(expr(s"ln(${LmFilter.pSql(lambda, s"${t}L + ${v}L + 1L")})")).as("s"))
+        sum(expr(s"ln(${LmFilter.pSql(lambda)})")).as("s"))
       .select(col("doc_id"), col("lang"), col("in_ref"), col("n_terms"),
         expr("round(-s / n_terms, 6)").as("ce_nats"))
     LmFilter.bucketColsFolded(scored, LmFilter.foldCuts(cuts))

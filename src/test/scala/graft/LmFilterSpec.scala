@@ -50,34 +50,60 @@ class LmFilterSpec extends AnyFunSuite {
   test("serving NEW text: unseen tokens score the smoothed floor, unseen language lands in the tail") {
     val store = java.nio.file.Files.createTempDirectory("graft_lm_new").toString + "/m"
     LmFilter.buildLmStore(docs, store)
-    val (_, _, _, lambda, _, t, v) = LmFilter.loadLmStore(spark, store)
+    val (_, _, tots, _, lambda, _) = LmFilter.loadLmStore(spark, store)
+    val enTot = tots.filter(col("lang") === "en").collect()(0)
+    val (t, v) = (enTot.getAs[Long]("t"), enTot.getAs[Long]("v"))
     val novel = Seq(
       (900001L, "qzxv1 qzxv2 qzxv3", "en"),   // seen lang, all-unseen tokens
       (900002L, "qzxv1 qzxv2 qzxv3", "xx"))   // unseen lang
       .toDF("doc_id", "text", "lang")
     val out = LmFilter.scoreAgainstLmStore(novel, store)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // every term: bf/cf/uf all miss -> p = (1-λ)·1/(T+V+1), no ln(0)
+    // every term: bf/cf/uf all miss -> p = (1-λ)·1/(T_en+V_en+1), no ln(0)
     val floorCe = -math.log((1 - lambda) * (1.0 / (t + v + 1)))
     val en = out(900001L)
     assert(math.abs(en.getAs[Double]("ce_nats") - floorCe) < 1e-6)
     assert(en.getAs[Int]("bucket") === 3, "floor-scored doc must be tail")
+    // an unseen LANGUAGE has no model rows and no totals: p coalesces to
+    // the finite (1-λ)·1/(0+0+1) floor, and the missing cutoffs quarantine
     val xx = out(900002L)
+    assert(math.abs(xx.getAs[Double]("ce_nats") - (-math.log(1 - lambda))) < 1e-6)
     assert(xx.getAs[Int]("bucket") === 3 && !xx.getAs[Boolean]("kept"),
       "unseen language must quarantine to the tail")
   }
 
-  test("single-token document scores the interpolation's unigram arm (one context-free term)") {
+  test("single-token document scores its LANGUAGE's unigram arm (one context-free term)") {
     val store = java.nio.file.Files.createTempDirectory("graft_lm_one").toString + "/m"
     LmFilter.buildLmStore(docs, store)
-    val (uni, _, _, lambda, _, t, v) = LmFilter.loadLmStore(spark, store)
-    val word = uni.orderBy(desc("uf")).limit(1).collect()(0)
-    val (tok, uf) = (word.getString(0), word.getLong(1))
+    val (uni, _, tots, _, lambda, _) = LmFilter.loadLmStore(spark, store)
+    val enTot = tots.filter(col("lang") === "en").collect()(0)
+    val (t, v) = (enTot.getAs[Long]("t"), enTot.getAs[Long]("v"))
+    val word = uni.filter(col("lang") === "en").orderBy(desc("uf")).limit(1).collect()(0)
+    val (tok, uf) = (word.getAs[String]("token"), word.getAs[Long]("uf"))
     val one = Seq((900003L, tok, "en")).toDF("doc_id", "text", "lang")
     val r = LmFilter.scoreAgainstLmStore(one, store).collect()(0)
     assert(r.getAs[Long]("n_terms") === 1L)
     val expected = -math.log((1 - lambda) * ((uf + 1).toDouble / (t + v + 1)))
     assert(math.abs(r.getAs[Double]("ce_nats") - expected) < 1e-6)
+  }
+
+  test("per-language models: the same token sequence scores differently under different language models") {
+    // one corpus, two languages with DIFFERENT reference text: a doc's ce
+    // must depend on which language's model judges it (the CCNet property
+    // a single mixed-language LM cannot have)
+    import spark.implicits._
+    val corpus = ((0L until 30L).map(i => (i, s"alpha beta gamma d$i", "aa")) ++
+      (30L until 60L).map(i => (i, s"zeta eta theta d$i", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val store = java.nio.file.Files.createTempDirectory("graft_lm_perlang").toString + "/m"
+    LmFilter.buildLmStore(corpus, store)
+    val probe = Seq((900005L, "alpha beta gamma", "aa"),
+                    (900006L, "alpha beta gamma", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val out = LmFilter.scoreAgainstLmStore(probe, store)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ce_nats")).toMap
+    assert(out(900005L) < out(900006L),
+      s"aa-reference text must score lower under the aa model: $out")
   }
 
   test("every interpolated probability stays in (0, 1]: cross-entropy is never negative") {
