@@ -267,6 +267,12 @@ object ExtQueries {
     // within each quantizer cluster, keeper = the member least similar to
     // its centroid (the paper's keep-the-exemplar rule, ties -> low id)
     "pipeline_semdedup"      -> ((s, dir) => Similarity.semDedup(embs(s, dir))),
+    // the BINDING density-guard twin (the graph_*_capped discipline):
+    // cap=30 genuinely drops the fixture's over-cap clusters from pair
+    // scoring (10 rows vs 29 uncapped at sf0.01), oracle replays the cap
+    // as a HAVING over the assignment
+    "pipeline_semdedup_capped" -> ((s, dir) =>
+      Similarity.semDedup(embs(s, dir), maxClusterSize = Some(30))),
     // the paper's actual recipe: clusters from CONVERGED k-means (the
     // lloydFinal member-sum centroids), same core downstream
     "pipeline_semdedup_trained" -> ((s, dir) =>
@@ -535,6 +541,17 @@ object ExtQueries {
         graft.ext.SketchStore.buildSketchStore(e, tmp)
       }
       graft.ext.SketchStore.trailingDistinctChecked(e, store)
+    }),
+    // the same store's AD-HOC range entry point: distinct users over an
+    // arbitrary [start, end] day span — 14 sketch rows union to ONE row,
+    // raw events untouched; exactness is the checked twin's job
+    "events_distinct_sketch_range" -> ((s, dir) => {
+      val e = events(s, dir)
+      val store = cachedStore("graft_sketch_store_v1",
+        s"$dir/events.parquet", "_SUCCESS") { tmp =>
+        graft.ext.SketchStore.buildSketchStore(e, tmp)
+      }
+      graft.ext.SketchStore.rangeDistinctChecked(e, store, "2024-01-08", "2024-01-21")
     }),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
@@ -1046,12 +1063,24 @@ object ExtQueries {
     * cluster_id, cent_cos)` assignment relation): intra-cluster
     * exact-cosine pairs, recursive min-label closure, keeper =
     * (cent_cos ASC, vec_id ASC) rank 1 per group. */
-  private val semDedupTailSql: String =
-    """pd AS (SELECT a1.vec_id AS a, a2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
-      |       FROM asg a1 JOIN asg a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+  private def semDedupTailCappedSql(cap: Option[Int]): String = {
+    // the cap replays as a HAVING over the assignment: only clusters at or
+    // under the cap enter the quadratic pair stage (the Scala's broadcast
+    // semi-join); the final member join stays against the FULL asg
+    val pairSrc = cap.fold("asg") { c =>
+      s"""(SELECT a.* FROM asg a JOIN (
+         |   SELECT cluster_id FROM asg GROUP BY cluster_id
+         |   HAVING count(*) <= $c) ok USING (cluster_id))""".stripMargin
+    }
+    s"""pd AS (SELECT a1.vec_id AS a, a2.vec_id AS b, CAST(sum(q1.x * q2.x) AS BIGINT) AS dot
+      |       FROM $pairSrc a1 JOIN $pairSrc a2 ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
       |            JOIN q q1 ON q1.vec_id = a1.vec_id
       |            JOIN q q2 ON q2.vec_id = a2.vec_id AND q1.i = q2.i
-      |       GROUP BY 1, 2),
+      |       GROUP BY 1, 2),""".stripMargin
+  }
+
+  private def semDedupTailSql(cap: Option[Int] = None): String =
+    s"""${semDedupTailCappedSql(cap)}
       |jp AS (SELECT a, b FROM pd
       |       JOIN nrm na ON pd.a = na.vec_id JOIN nrm nb ON pd.b = nb.vec_id
       |       WHERE dot / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE))) >= 0.4),
@@ -1070,8 +1099,9 @@ object ExtQueries {
       |ORDER BY group_id, vec_id""".stripMargin
 
   /** SemDeDup: the seeded-quantizer assignment (ivf oracle's argmax CTEs,
-    * cent_cos kept) feeding the shared tail. */
-  private val semDedupOracleSql: String =
+    * cent_cos kept) feeding the shared tail; `cap` replays
+    * `maxClusterSize` for the capped twin. */
+  private def semDedupOracleSql(cap: Option[Int] = None): String =
     s"""${quantCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |cdots AS (SELECT qv.vec_id, qc.vec_id AS cent_id, CAST(sum(qv.x * qc.x) AS BIGINT) AS dot
        |          FROM q qv JOIN q qc ON qv.i = qc.i AND qc.vec_id >= 100 AND qc.vec_id < 116
@@ -1083,7 +1113,7 @@ object ExtQueries {
        |asg AS (SELECT vec_id, cent_id AS cluster_id, ccos AS cent_cos FROM
        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
        |         FROM ccos) WHERE r = 1),
-       |$semDedupTailSql""".stripMargin
+       |${semDedupTailSql(cap)}""".stripMargin
 
   /** SemDeDup over TRAINED clusters: the kmeans round CTEs' converged
     * member-sum centroids (c_{iters+1}) replace the seeded rows in the
@@ -1101,7 +1131,7 @@ object ExtQueries {
        |asg AS (SELECT vec_id, cent_id AS cluster_id, ccos AS cent_cos FROM
        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r
        |         FROM tccos) WHERE r = 1),
-       |$semDedupTailSql""".stripMargin
+       |${semDedupTailSql()}""".stripMargin
 
   /** Cross-side exact Jaccard between the historical (doc_id % 7 != 0) and
     * incoming (doc_id % 7 = 0) slices — the oracle of BOTH incremental
@@ -2716,7 +2746,8 @@ object ExtQueries {
     // >=0.4-cosine pair relation (quantized-integer scoring core; same bar
     // as dedup_embedding_cosine, whose pair set this collapses)
     "dedup_embedding_keepers" -> embKeepersOracleSql,
-    "pipeline_semdedup" -> semDedupOracleSql,
+    "pipeline_semdedup" -> semDedupOracleSql(),
+    "pipeline_semdedup_capped" -> semDedupOracleSql(Some(30)),
     "pipeline_semdedup_trained" -> semDedupTrainedOracleSql(3),
 
     // replays the engine's MinHash union sketch exactly: 60-bit md5-prefix
@@ -4036,6 +4067,16 @@ object ExtQueries {
         |FROM days d JOIN du u
         |  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // ad-hoc range probe on the same store: one row, exact side replayed,
+    // HLL estimate hashed through its 5% envelope flag
+    "events_distinct_sketch_range" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS INT) AS est_within_5pct
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |""".stripMargin,
 
     // text_compress_ratio: byte_len exact per doc; deflate_len/ratio are
     // zlib-implementation-specific, so what hashes is the sanity flag

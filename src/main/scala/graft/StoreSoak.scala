@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
   *           40%-md5-slice hier Lloyd training walls at nList 2048.
   *
   * Usage: runMain graft.StoreSoak <fixtureDir>
-  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain|lmstore|sketchstore]
+  *   [bloom|ivf|winnow|triage|dsir|quantceil|hiertrain|fuzzydecon|triagebackfill|sampledtrain|lmstore|lmlayout|sketchstore]
   */
 object StoreSoak {
   def time[T](label: String)(f: => T): T = {
@@ -256,6 +256,43 @@ object StoreSoak {
               graft.ext.LmFilter.perplexityFilter(docs)
                 .write.format("noop").mode("overwrite").save())
         }
+      case "lmlayout" =>
+        // r13: the clustered-layout receipt — uni/ and big/ are
+        // range-clustered on their join keys (Scale.clusteredParquet), so
+        // (a) the full-corpus serve join is co-partition-friendly and no
+        // slower than the r12 plain layout, and (b) a single-language
+        // shard probe file-prunes to that language's key-range files via
+        // the batch-langs isin pushdown.
+        val docs = spark.read.parquet(s"$dir/documents_widevocab.parquet")
+          .select("doc_id", "text", "lang")
+        val store = s"/tmp/soak_lm_layout_${dir.replace('/', '_')}"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time("LM fit + publish (clustered uni/big)")(
+          graft.ext.LmFilter.buildLmStore(docs, store))
+        for (rep <- 1 to 2)
+          time(s"full-corpus stored serve rep$rep (clustered layout)")(
+            graft.ext.LmFilter.scoreAgainstLmStore(docs, store)
+              .write.format("noop").mode("overwrite").save())
+        // per-file lang key ranges: how many of big/'s files a one-language
+        // probe's isin can touch at all
+        val ranges = spark.read.parquet(s"$store/big")
+          .groupBy(input_file_name().as("f"))
+          .agg(min("lang").as("lo"), max("lang").as("hi"))
+          .collect()
+        val langs = docs.select("lang").distinct()
+          .collect().map(_.getString(0)).sorted
+        langs.foreach { l =>
+          val touched = ranges.count(r =>
+            r.getAs[String]("lo") <= l && l <= r.getAs[String]("hi"))
+          println(s"[soak] lang=$l: big/ files covering its key range: " +
+            s"$touched of ${ranges.length}")
+        }
+        val oneLang = docs.filter(col("lang") === langs.head)
+        println(s"[soak] single-language shard: lang=${langs.head} docs=${oneLang.count()}")
+        for (rep <- 1 to 2)
+          time(s"single-language shard serve rep$rep (file-pruned model scan)")(
+            graft.ext.LmFilter.scoreAgainstLmStore(oneLang, store)
+              .write.format("noop").mode("overwrite").save())
       case "sketchstore" =>
         // r12: the mergeable-sketch-store receipt — daily HLL rows built
         // once (appendable at O(day)), the trailing-7-day distinct report

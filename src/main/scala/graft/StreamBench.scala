@@ -364,10 +364,10 @@ object StreamBench {
         // shape); every arriving vector is argmax-assigned through the
         // FROZEN folded centroids: stateless model serving, the vector
         // twin of quality_score/dsir_score. The SAME store then serves
-        // the streaming ANN probe: arriving queries select their nProbe
-        // lists (shared projection), candidates stream-static join on
-        // list_id, top-k emits from one windowed agg — state bounded by
-        // in-horizon queries × candidates, never the store
+        // the streaming ANN probe: foreachBatch runs the BATCH probe per
+        // trigger (one definition), so each trigger's store reads are
+        // bounded by its probed lists via the collected-ids isin pushdown
+        // and the operator carries zero state rows
         val vStore = s"$work/ivf_store"
         ext.Similarity.buildIvfStore(
           vecs.select("vec_id", "embedding"), vStore,
@@ -379,10 +379,8 @@ object StreamBench {
             .format("parquet").option("path", s"$out/data").start()
         }
         val serve = runOne(spark, "ann_serve", nQueries, s"$work/out/ann_serve") { out =>
-          streaming.VecStreams.annStream(vecQueryStream, vStore).writeStream
-            .outputMode("append")
-            .option("checkpointLocation", s"$out/ckpt")
-            .format("parquet").option("path", s"$out/data").start()
+          streaming.VecStreams.runAnnServe(spark, s"$work/vecq_src", vStore,
+            s"$out/data", s"$out/ckpt", maxFilesPerTrigger = Some(2))
         }
         assign + "," + serve
       }, {
@@ -413,7 +411,7 @@ object StreamBench {
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_ann_queries":$nQueries,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state), ann_serve at O(in-horizon queries x their candidate lists), sketch_ingest at ZERO state rows (durable state is the sketch STORE it appends - the runStoreIngest rule) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state), ann_serve at ZERO state rows (foreachBatch runs the batch probe per trigger - probed-ids isin bounds each trigger's store reads), sketch_ingest at ZERO state rows (durable state is the sketch STORE it appends - the runStoreIngest rule) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)

@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   * broadcast-map discipline of the DSIR and quality-model stores — so
   * scoring joins the exploded term relation against the model tables as
   * ordinary equi-joins on `(prev, cur)` / token (Catalyst broadcasts them
-  * while they fit and shuffle-joins co-partitioned beyond that; at 100 TB
-  * the stored `big/` relation is bucketed by its join key so serve-side
-  * joins co-locate). Nothing here ever folds the model into the plan or
-  * collects it to the driver.
+  * while they fit and shuffle-joins co-partitioned beyond that; the
+  * stored `uni/` and `big/` relations are range-clustered on their join
+  * keys so at 100 TB serve-side joins co-locate and file-prune). Nothing
+  * here ever folds the model into the plan or collects it to the driver.
   *
   * The tertile CUTOFFS are part of the model, not the serve query: CCNet
   * precomputes per-language perplexity percentiles on the training data
@@ -208,21 +208,29 @@ object LmFilter {
   /** LM MODEL STORE — train once on the reference slice, publish
     * atomically (writer-locked, `_SUCCESS`-last), serve every batch after
     * at O(batch): `uni/` + `big/` per-language count relations
-    * (vocab-bounded — at 100 TB `big/` is bucketed by its join key so
-    * serve joins co-locate), `tots/` the ≤-langs smoothing totals
+    * (vocab-bounded — range-clustered on their join keys via
+    * [[graft.ops.Scale.clusteredParquet]], the band/line-df/winnow store
+    * layout, so at 100 TB each serve-join task reads a tight key range of
+    * the model with per-file min/max pruning instead of the whole
+    * relation), `tots/` the ≤-langs smoothing totals
     * (serving MUST smooth with the trainer's per-language totals),
     * `cuts/` per-lang tertile cutoffs fitted over the BUILD corpus's own
     * scores (CCNet ships its percentile cutoffs with the LM). No append
     * verb on purpose — a fitted LM has no increment; refit = atomic
     * rebuild-replace (the DSIR-store rule). */
   def buildLmStore(docs: DataFrame, storeDir: String, refMod: Int = 3,
-                   lambda: Double = 0.75): Unit = {
+                   lambda: Double = 0.75, modelFiles: Int = 8): Unit = {
     require(refMod >= 2, "refMod < 2 would train on everything")
     val (uni, big, tots) = lmTables(docs, refMod)
     val cuts = tertileCuts(scoreTerms(termRel(docs, refMod), uni, big, tots, lambda))
     graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
-      uni.write.mode("overwrite").parquet(s"$tmp/uni")
-      big.write.mode("overwrite").parquet(s"$tmp/big")
+      // range-clustered on the serve joins' keys: the layout IS the scale
+      // property this store claims — a shuffled serve join co-partitions,
+      // and a language/prefix-filtered probe file-prunes on min/max
+      graft.ops.Scale.clusteredParquet(uni, s"$tmp/uni",
+        Seq("lang", "token"), modelFiles)
+      graft.ops.Scale.clusteredParquet(big, s"$tmp/big",
+        Seq("lang", "prev", "cur"), modelFiles)
       tots.coalesce(1).write.mode("overwrite").parquet(s"$tmp/tots")
       cuts.coalesce(1).write.mode("overwrite").parquet(s"$tmp/cuts")
       val next = java.nio.file.Paths.get(tmp)
@@ -252,7 +260,19 @@ object LmFilter {
   def scoreAgainstLmStore(docs: DataFrame, storeDir: String): DataFrame = {
     val (uni, big, tots, cuts, lambda, refMod) =
       loadLmStore(docs.sparkSession, storeDir)
-    val scored = scoreTerms(termRel(docs, refMod), uni, big, tots, lambda)
+    // prune the model relations to the BATCH's languages before the serve
+    // joins: the left joins only ever match same-lang model rows, so this
+    // is a pure scan reduction — and because uni/big are range-clustered
+    // on (lang, …), the pushed isin file-prunes to the batch languages'
+    // key ranges (a one-language daily shard reads ~1/langs of the model
+    // instead of all of it). The collect is bounded by the language
+    // inventory (the foldCuts discipline), via one langs-bounded partial
+    // agg over the batch's lang column only.
+    val batchLangs = docs.select("lang").distinct()
+      .collect().map(_.getString(0))
+    val uniP = uni.filter(col("lang").isin(batchLangs: _*))
+    val bigP = big.filter(col("lang").isin(batchLangs: _*))
+    val scored = scoreTerms(termRel(docs, refMod), uniP, bigP, tots, lambda)
     bucketCols(scored.join(broadcast(cuts), Seq("lang"), "left"))
       .orderBy("doc_id")
   }

@@ -1723,14 +1723,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** The store probe's LIST-SELECTION projection, shared by
-    * [[ivfAgainstStore]] and the streaming ANN twin
-    * ([[graft.streaming.VecStreams.annStream]]) so both probes select the
-    * same lists by one definition: the store's frozen quantizer (flat or
-    * hier, per `hier.txt`) folds to literals at plan time, each input row
-    * gains an exploded `list_id` per probed list. Pure narrow projection —
-    * input columns (incl. any event-time column) pass through, so it is
-    * streaming-safe. */
+  /** The store probe's LIST-SELECTION projection: the store's frozen
+    * quantizer (flat or hier, per `hier.txt`) folds to literals at plan
+    * time, each input row gains an exploded `list_id` per probed list.
+    * Pure narrow projection — input columns pass through. The streaming
+    * ANN twin ([[graft.streaming.VecStreams.runAnnServe]]) shares the
+    * WHOLE of [[ivfAgainstStore]] per micro-batch, this projection
+    * included. */
   private[graft] def storeProbeCols(queryVecs: DataFrame, storeDir: String,
                                     nProbe: Int): DataFrame = {
     val spark = queryVecs.sparkSession

@@ -101,6 +101,39 @@ object SketchStore {
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
   }
 
+  /** Distinct-user estimate over an ARBITRARY `[startDay, endDay]` range —
+    * the store's pitch made an entry point: the range's sketch rows union
+    * to ONE row (n_days, approx_users). Same union shape as
+    * [[trailingDistinct]] without the per-anchor fan-out; the day filter
+    * reads only the range's O(days) sketch rows, raw events never. */
+  def rangeDistinct(spark: SparkSession, storeDir: String,
+                    startDay: String, endDay: String): DataFrame = {
+    readLgK(spark, storeDir) // _SUCCESS + meta guard
+    spark.read.parquet(s"$storeDir/days")
+      .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
+      .agg(countDistinct(col("day")).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
+  }
+
+  /** [[rangeDistinct]]'s oracle-checked twin — the
+    * [[trailingDistinctChecked]] pattern: the stored estimate beside the
+    * exact range distinct from raw events, envelope flag pinned to 1 by
+    * the oracle. The two 1-row aggregates cross-join (bounded by
+    * construction). */
+  def rangeDistinctChecked(events: DataFrame, storeDir: String,
+                           startDay: String, endDay: String): DataFrame = {
+    val est = rangeDistinct(events.sparkSession, storeDir, startDay, endDay)
+    val exact = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.crossJoin(exact)
+      .select(col("n_days").cast("long").as("n_days"),
+        col("exact_users").cast("long").as("exact_users"),
+        when(expr("abs(approx_users - exact_users) <= 0.05e0 * exact_users"), 1)
+          .otherwise(0).cast("int").as("est_within_5pct"))
+  }
+
   /** The oracle-checked twin: [[trailingDistinct]] plus the EXACT trailing
     * distinct computed from raw events, emitting the envelope flag the
     * oracle pins to 1 — exactness is the CHECK's job; production runs the

@@ -32,9 +32,33 @@ package graft.ops
   * the threshold, so a healthy verb that runs longer than `staleAfterMs`
   * (a multi-hour 100 TB build) can never have its lock stolen mid-run —
   * age-based takeover only ever fires on a holder that stopped beating.
+  *
+  * Takeover protocol (r13 — the r12 rename-based takeover lost a TOCTOU:
+  * a rival that age-checked the OLD stale lock could `move` aside the
+  * winner's FRESH lock, because rename cannot re-verify what it moves).
+  * Filesystems give no compare-and-swap on mtime, so every mtime
+  * DECISION is now serialized through a second create-exclusive file,
+  * `<store>.lock.takeover`:
+  *
+  *   - a TAKEOVER re-reads the lock's age UNDER the mutex and, if still
+  *     stale, atomically REPLACES it (`ATOMIC_MOVE + REPLACE_EXISTING`
+  *     of a pre-staged claim file) — the lock path is never empty, so a
+  *     rival's plain `createFile` cannot slip in mid-takeover;
+  *   - the HEARTBEAT touches mtime under the same mutex, so an age read
+  *     inside a takeover can never race a live holder's beat;
+  *   - RELEASE deletes under the mutex only after verifying the owner
+  *     token, so a releasing holder whose lock was legitimately taken
+  *     over never deletes the new owner's lock.
+  *
+  * The lock file's CONTENT is the owner's token (UUID): beat and release
+  * verify it, so a holder whose lock was stolen (its beats stalled past
+  * `staleAfterMs` — the one documented breach window, a holder the
+  * contract already presumes dead) stops beating and leaves the new
+  * owner's lock alone instead of fighting over the path.
   */
 object StoreLifecycle {
   private def path(s: String) = java.nio.file.Paths.get(s)
+  import java.nio.file.{Files, Path, FileAlreadyExistsException, NoSuchFileException}
 
   /** Default stale age for crashed-writer takeover: long enough that no
     * healthy verb on this family's stores holds a lock that long. */
@@ -61,27 +85,39 @@ object StoreLifecycle {
     if (held.get.contains(canonical)) body
     else {
       val lock = path(s"$canonical.lock")
-      acquire(lock, staleAfterMs)
+      val token = java.util.UUID.randomUUID().toString
+      acquire(lock, token, staleAfterMs)
       // HEARTBEAT: a healthy verb that legitimately outlives the stale
       // threshold (a multi-hour 100 TB build) must not age into takeover
       // eligibility mid-run — a daemon refreshes the lock's mtime at a
       // quarter of the threshold, so takeover only ever fires on a holder
-      // that stopped beating (crashed/hung), never on a live one
+      // that stopped beating (crashed/hung), never on a live one. Each
+      // touch runs under the takeover mutex, so a takeover's age check
+      // can never interleave with a beat (the r12 TOCTOU).
       val beat = new Thread(() => {
         try {
           var live = true
           while (live && !Thread.interrupted()) {
             Thread.sleep(math.max(50L, staleAfterMs / 4))
-            // a TRANSIENT touch failure (NFS blip) must not kill the
-            // beat — a dead heartbeat re-exposes a healthy multi-hour
-            // holder to stale-age takeover; only a lock that is truly
-            // GONE (released/stolen) ends the loop
-            try java.nio.file.Files.setLastModifiedTime(lock,
-              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-            catch {
-              case _: java.io.IOException =>
-                live = java.nio.file.Files.exists(lock)
-            }
+            if (tryTakeoverMutex(lock, staleAfterMs)) {
+              try {
+                readToken(lock) match {
+                  case Some(t) if t == token =>
+                    // a TRANSIENT touch failure (NFS blip) must not kill
+                    // the beat — a dead heartbeat re-exposes a healthy
+                    // multi-hour holder to stale-age takeover; only a
+                    // definitive verdict (gone / stolen) ends the loop
+                    try Files.setLastModifiedTime(lock,
+                      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+                    catch {
+                      case _: NoSuchFileException => live = false // released under us
+                      case _: java.io.IOException => () // indeterminate: keep beating
+                    }
+                  case Some(_) => live = false // stolen: the new owner beats now
+                  case None => live = Files.exists(lock) // unreadable ≠ gone
+                }
+              } finally releaseTakeoverMutex(lock)
+            } // mutex busy: skip this tick — the next lands well inside staleAfterMs/2
           }
         } catch {
           case _: InterruptedException => () // released
@@ -94,47 +130,117 @@ object StoreLifecycle {
       finally {
         held.set(held.get - canonical)
         beat.interrupt()
-        java.nio.file.Files.deleteIfExists(lock); ()
+        release(lock, token, staleAfterMs)
       }
     }
   }
 
-  private def acquire(lock: java.nio.file.Path, staleAfterMs: Long): Unit = {
-    val parent = lock.toAbsolutePath.getParent
-    if (parent != null) java.nio.file.Files.createDirectories(parent)
-    try { java.nio.file.Files.createFile(lock); () }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val age =
-          try System.currentTimeMillis() -
-            java.nio.file.Files.getLastModifiedTime(lock).toMillis
-          catch { case _: java.io.IOException => Long.MaxValue } // vanished: retry below
-        if (age <= staleAfterMs)
-          throw new IllegalStateException(
-            s"another writer holds $lock (age ${age} ms <= stale threshold " +
-              s"$staleAfterMs ms) — store verbs are single-writer; wait for " +
-              "the owner, or remove the lock if its process is dead")
-        // stale: take over by atomically MOVING the dead writer's lock
-        // aside — rename, not delete-then-create: a deleteIfExists here
-        // could remove a RIVAL taker's freshly created lock (both rivals
-        // saw the same stale file), letting two writers win. Exactly one
-        // mover succeeds; the loser's move throws and fails loudly.
-        val tomb = lock.resolveSibling(
-          s"${lock.getFileName}.stale-${java.util.UUID.randomUUID().toString.take(8)}")
-        try java.nio.file.Files.move(lock, tomb)
-        catch {
-          case _: java.io.IOException =>
-            throw new IllegalStateException(
-              s"lost the takeover race for stale $lock — another writer is live")
-        }
-        java.nio.file.Files.deleteIfExists(tomb)
-        try { java.nio.file.Files.createFile(lock); () }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new IllegalStateException(
-              s"lost the takeover race for stale $lock — another writer is live")
-        }
+  private def nowMs(): Long = System.currentTimeMillis()
+
+  private def readAgeMs(p: Path): Option[Long] =
+    try Some(nowMs() - Files.getLastModifiedTime(p).toMillis)
+    catch { case _: java.io.IOException => None } // vanished or unreadable
+
+  private def readToken(p: Path): Option[String] =
+    try Some(new String(Files.readAllBytes(p), "UTF-8"))
+    catch { case _: java.io.IOException => None }
+
+  /** Test seam: invoked after an acquire observes a stale lock and before
+    * it enters the takeover mutex — the adversarial spec interleaves a
+    * heartbeat at the exact point that broke the r12 rename takeover. */
+  private[graft] var takeoverPause: () => Unit = () => ()
+
+  /** The serialization point for every mtime DECISION (takeover age
+    * re-check, heartbeat touch, release-delete): a create-exclusive
+    * `<lock>.takeover` sibling. Critical sections are milliseconds and
+    * heartbeat-free, so a mutex older than `staleAfterMs` is a crashed
+    * taker's leftover — cleaned and re-raced (exactly one re-creator
+    * wins). Returns false when a LIVE rival holds it. */
+  private def tryTakeoverMutex(lock: Path, staleAfterMs: Long): Boolean = {
+    val mutex = lock.resolveSibling(s"${lock.getFileName}.takeover")
+    def tryCreate(): Boolean =
+      try { Files.createFile(mutex); true }
+      catch { case _: FileAlreadyExistsException => false }
+    tryCreate() || {
+      // forall on None (mutex vanished between fail and stat) → retry
+      val stale = readAgeMs(mutex).forall(_ > staleAfterMs)
+      stale && { Files.deleteIfExists(mutex); tryCreate() }
     }
+  }
+
+  private def releaseTakeoverMutex(lock: Path): Unit = {
+    Files.deleteIfExists(lock.resolveSibling(s"${lock.getFileName}.takeover")); ()
+  }
+
+  private def lostRace(lock: Path): Nothing =
+    throw new IllegalStateException(
+      s"lost the takeover race for stale $lock — another writer is live")
+
+  private def acquire(lock: Path, token: String, staleAfterMs: Long): Unit = {
+    val parent = lock.toAbsolutePath.getParent
+    if (parent != null) Files.createDirectories(parent)
+    def createOwn(): Boolean =
+      try { Files.write(lock, token.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW); true }
+      catch { case _: FileAlreadyExistsException => false }
+    if (!createOwn()) {
+      val age = readAgeMs(lock).getOrElse(Long.MaxValue) // vanished: re-race under the mutex
+      if (age <= staleAfterMs)
+        throw new IllegalStateException(
+          s"another writer holds $lock (age ${age} ms <= stale threshold " +
+            s"$staleAfterMs ms) — store verbs are single-writer; wait for " +
+            "the owner, or remove the lock if its process is dead")
+      takeoverPause()
+      // stale: take over UNDER the mutex. Beats touch mtime under the same
+      // mutex, so the age re-read below cannot race a live holder's beat —
+      // the r12 defect, where a rival age-checked the OLD stale lock and
+      // then renamed aside whatever file was at the path by move time.
+      if (!tryTakeoverMutex(lock, staleAfterMs)) lostRace(lock)
+      try {
+        readAgeMs(lock) match {
+          case Some(a) if a <= staleAfterMs => lostRace(lock) // beat fired / rival won
+          case Some(_) =>
+            // still stale under the mutex: REPLACE atomically with a
+            // pre-staged claim carrying our token — the lock path is never
+            // empty, so no rival's plain createFile can slip in mid-takeover
+            val claim = lock.resolveSibling(
+              s"${lock.getFileName}.claim-${token.take(8)}")
+            Files.write(claim, token.getBytes("UTF-8"))
+            try Files.move(claim, lock,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            catch {
+              case e: java.io.IOException =>
+                Files.deleteIfExists(claim)
+                throw new IllegalStateException(
+                  s"takeover replace failed for stale $lock", e)
+            }
+          case None =>
+            // the stale lock vanished (its owner released): plain exclusive
+            // create still decides — a concurrent fresh writer may win it
+            if (!createOwn()) lostRace(lock)
+        }
+      } finally releaseTakeoverMutex(lock)
+    }
+  }
+
+  /** Token-verified release: delete only a lock we still own, under the
+    * mutex, so a holder whose lock was legitimately taken over (beats
+    * stalled past the threshold) never deletes the NEW owner's lock. A
+    * mutex held by an in-flight takeover clears in milliseconds — retry
+    * briefly, then fall back to a token-checked best-effort delete. */
+  private def release(lock: Path, token: String, staleAfterMs: Long): Unit = {
+    var tries = 0
+    var gotMutex = tryTakeoverMutex(lock, staleAfterMs)
+    while (!gotMutex && tries < 200) {
+      Thread.sleep(5); tries += 1
+      gotMutex = tryTakeoverMutex(lock, staleAfterMs)
+    }
+    // POSITIVE verification only: an unreadable token (transient I/O)
+    // leaves the lock behind rather than risking the new owner's — it
+    // ages into takeover after staleAfterMs, safe-but-slow
+    try { if (readToken(lock).contains(token)) Files.deleteIfExists(lock); () }
+    finally { if (gotMutex) releaseTakeoverMutex(lock) }
   }
 
   /** Run `build` against a `.next-<uuid>` side directory (created by the

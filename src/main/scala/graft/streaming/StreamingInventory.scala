@@ -82,6 +82,6 @@ object StreamingInventory {
       "EventStreamsSpec (split days ≡ batch build, exact estimate equality)", "sketch_ingest"),
     t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",
       "VecStreamsSpec (random splits, flat + hier)", "vec_assign"),
-    t("VecStreams.annStream", "Similarity.ivfAgainstStore (stored IVF probe, shared list selection)",
-      "VecStreamsSpec (random splits)", "ann_serve"))
+    t("VecStreams.runAnnServe", "IS Similarity.ivfAgainstStore per micro-batch (probed-ids isin pushdown bounds each trigger's store reads)",
+      "VecStreamsSpec (random splits + plan pushdown)", "ann_serve"))
 }

@@ -45,53 +45,53 @@ object VecStreams {
   def assignStream(vecs: DataFrame, storeDir: String): DataFrame =
     graft.ext.Similarity.assignAgainstIvfStore(vecs, storeDir)
 
-  /** Streaming ANN SERVING against the stored IVF index — the online form
-    * of [[graft.ext.Similarity.ivfAgainstStore]]: each arriving query
-    * vector probes its nProbe lists (the SHARED `storeProbeCols`
-    * list-selection projection — one definition with the batch probe),
-    * candidates come from a stream-static equi-join on `list_id` against
-    * the store's lists relation, and the top-k emits from ONE windowed
-    * aggregation (collect the bounded candidate set, sort by the batch tie
-    * rule (cosine DESC, vec_id ASC) as a struct sort, slice k) once the
-    * watermark passes — the batch twin's exact columns, differentially
-    * spec'd equal under seeded random micro-batch splits.
+  /** One micro-batch of ANN serving — IS the batch store probe
+    * ([[graft.ext.Similarity.ivfAgainstStore]]) applied to the arriving
+    * query rows: one definition, so the stream can never drift from the
+    * batch relation, and the batch probe's scan discipline comes with it —
+    * the batch's probed list ids (≤ nQueries × nProbe longs) collect and
+    * push down as the lists scan's `isin` filter, so per-batch store bytes
+    * are bounded by the PROBED lists' files (range-clustered on list_id),
+    * never the whole lists relation. */
+  def annServeBatch(batch: DataFrame, storeDir: String, k: Int = 5,
+                    nProbe: Int = 4): DataFrame =
+    graft.ext.Similarity.ivfAgainstStore(
+      batch.select(col("query_id").as("vec_id"), col("embedding")),
+      storeDir, k, nProbe)
+
+  /** Streaming ANN SERVING against the stored IVF index — the 24/7 form
+    * of [[graft.ext.Similarity.ivfAgainstStore]]: tail a directory of
+    * query-vector drops and run [[annServeBatch]] per micro-batch inside
+    * `foreachBatch` (the [[DocStreams.runStoreIngest]] pattern — the loop
+    * needs the batch-side collect of probed list ids, which a pure
+    * streaming plan cannot express).
     *
-    * Scale shape: one stateful operator, state bounded by in-horizon
-    * queries × their candidate lists (candidates per query ≈
-    * nProbe/nList of the corpus — the IVF contract), never the store
-    * size. The static side re-plans per micro-batch, so store APPENDS are
-    * picked up on the next batch (a mid-run append changes candidate
-    * sets exactly as it would for the next batch run — the frozen
-    * quantizer keeps list selection fixed). Trade vs batch: the batch
-    * probe collects the probed list ids and file-prunes the lists scan;
-    * a stream cannot collect per batch, so the join itself does the
-    * pruning — one lists-relation scan per micro-batch instead. */
-  def annStream(queries: DataFrame, storeDir: String, k: Int = 5,
-                nProbe: Int = 4, watermark: String = "1 hour"): DataFrame = {
-    val spark = queries.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    val qv = queries.withWatermark("ts", watermark)
-      .select(col("query_id").as("vec_id"), col("ts"),
-        expr("vec_quantize(embedding)").as("q"))
-      .withColumn("nrm", expr("vec_dotl(q, q)"))
-    val probed = graft.ext.Similarity.storeProbeCols(qv, storeDir, nProbe)
-      .select(col("vec_id").as("query_id"), col("ts"), col("q").as("qq"),
-        col("nrm").as("nq"), col("list_id"))
-    val lists = spark.read.parquet(s"$storeDir/lists")
-    probed.join(lists, "list_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", expr(
-        "vec_dotl(qq, q) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))"))
-      .groupBy(window(col("ts"), "10 minutes"), col("query_id"))
-      .agg(collect_list(
-        struct(col("cosine"), col("vec_id"), col("list_id"))).as("cands"))
-      .select(col("query_id"), posexplode(expr(
-        s"""slice(array_sort(transform(cands, c ->
-           |  struct(0e0 - c.cosine AS nc, c.vec_id AS vec_id,
-           |         c.cosine AS cosine, c.list_id AS list_id))), 1, $k)"""
-          .stripMargin)).as(Seq("r", "c")))
-      .select(col("query_id"), (col("r") + 1).cast("int").as("rank"),
-        col("c.vec_id").as("neighbor_id"),
-        expr("round(c.cosine, 6)").as("cosine"), col("c.list_id").as("list_id"))
+    * Scale shape: ZERO state rows (each query's candidates resolve within
+    * its own micro-batch — top-k emits immediately, no watermark wait),
+    * and per-batch store reads are bounded by the batch's probed lists
+    * via the pushed `isin` (the r12 version's stream-static join scanned
+    * the ENTIRE lists relation every micro-batch — the one serving path
+    * most likely to run 24/7 paid the full store per trigger). Store
+    * APPENDS are picked up on the next batch (foreachBatch re-plans the
+    * static read); a store REBUILD (new quantizer) is a new deployment,
+    * the frozen-quantizer contract. */
+  def runAnnServe(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                  storeDir: String, outDir: String, ckptDir: String,
+                  k: Int = 5, nProbe: Int = 4,
+                  maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[VecQueryIn].schema)
+    val queries = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annServeBatch(batch, storeDir, k, nProbe)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .start()
   }
 }

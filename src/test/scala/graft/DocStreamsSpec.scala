@@ -389,13 +389,24 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(streamed.length === batch.length)
     // identical ln-terms, summation order differs (windowed agg vs batch
     // partial agg) -> the rounded score compares under a round-off bound;
-    // buckets/kept must agree exactly (cutoffs are two stored doubles)
+    // buckets/kept agree exactly EXCEPT at cutoff ties — a doc whose
+    // round-6 ce lands within the round-off bound of a stored cutoff can
+    // legitimately round across it under a different summation order, so
+    // those (rare) docs are excluded from the exact-bucket assertion
+    val cuts = graft.ext.LmFilter.foldCuts(
+      spark.read.parquet(s"$base/m/cuts"))
+    var tieDocs = 0
     streamed.zip(batch).foreach { case (s, b) =>
       assert(s.take(4) === b.take(4), s"$s vs $b")
       assert(math.abs(s(4).asInstanceOf[Double] - b(4).asInstanceOf[Double]) <= 2e-6,
         s"ce drift beyond float round-off: $s vs $b")
-      assert(s.drop(5) === b.drop(5), s"bucket/kept drift: $s vs $b")
+      val ce = b(4).asInstanceOf[Double]
+      val nearCut = cuts.get(b(1).asInstanceOf[String]).exists { case (c1, c2) =>
+        math.abs(ce - c1) <= 2e-6 || math.abs(ce - c2) <= 2e-6 }
+      if (nearCut) tieDocs += 1
+      else assert(s.drop(5) === b.drop(5), s"bucket/kept drift: $s vs $b")
     }
+    assert(tieDocs < batch.length / 10, s"$tieDocs cutoff-tie docs — bound too loose")
     assert(batch.map(_(5)).distinct.size === 3, "fixture must hit all three buckets")
   }
 

@@ -161,6 +161,53 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$store.lock")))
   }
 
+  test("writer lock: a heartbeat firing between a rival's age-check and its takeover move loses the rival, not the holder") {
+    // The exact interleaving that broke r12, latch-sequenced: the rival
+    // age-checks a stale-LOOKING lock (the holder's beats had stalled),
+    // then the holder's heartbeat fires, THEN the rival proceeds. The r12
+    // rename-based takeover moved the just-refreshed lock aside anyway;
+    // the mutex-serialized takeover must re-read the age under the mutex,
+    // see the beat's fresh mtime, and throw lost-race — holder unharmed.
+    val store = fresh("lockbeatrace")
+    val staleMs = 100000L // beat interval staleMs/4 is huge: WE fire the beat
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs) {
+        entered.countDown(); release.await()
+      })
+    holder.start()
+    entered.await()
+    val lock = Paths.get(s"$store.lock")
+    // simulate a stalled-beat holder: age the live lock past the threshold
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * staleMs))
+    val sawStale = new java.util.concurrent.CountDownLatch(1)
+    val beatFired = new java.util.concurrent.CountDownLatch(1)
+    graft.ops.StoreLifecycle.takeoverPause = () => {
+      sawStale.countDown()
+      beatFired.await() // hold the rival between its age-check and its move
+    }
+    try {
+      val rivalErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val rival = new Thread(() =>
+        try graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs)(())
+        catch { case t: Throwable => rivalErr.set(t) })
+      rival.start()
+      sawStale.await() // rival has age-checked: it believes the lock is stale
+      // the holder's heartbeat fires NOW (mtime refreshed to current)
+      Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis()))
+      beatFired.countDown() // rival resumes its takeover
+      rival.join()
+      assert(rivalErr.get() != null, "the rival must lose, not enter")
+      assert(rivalErr.get().getMessage.contains("lost the takeover race"))
+      assert(Files.exists(lock), "the holder's refreshed lock must survive the rival")
+      release.countDown(); holder.join()
+      assert(!Files.exists(lock), "the holder still owns and releases its lock")
+    } finally graft.ops.StoreLifecycle.takeoverPause = () => ()
+  }
+
   test("writer lock is reentrant per thread — composed verbs on one root acquire once") {
     val store = fresh("lockreenter")
     graft.ops.StoreLifecycle.withWriterLock(store) {

@@ -59,35 +59,50 @@ class VecStreamsSpec extends AnyFunSuite {
     differential(s"$base/s", seed = 13, sink = "vec_assign_hier")
   }
 
-  test("annStream equals the batch store probe under random splits (hier store)") {
-    implicit val sqlCtx = spark.sqlContext
+  test("runAnnServe equals the batch store probe under random splits (hier store), scanning only probed lists per batch") {
     val base = java.nio.file.Files.createTempDirectory("vecstream_ann").toString
     val embs = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
     Similarity.buildIvfStore(embs, s"$base/s", nGroups = 4)
     val queries = fixtureVecs().filter(_.vec_id < 10)
       .map(v => graft.streaming.VecQueryIn(v.vec_id,
         new java.sql.Timestamp(1000L + v.vec_id), v.embedding))
-    val input = MemoryStream[graft.streaming.VecQueryIn]
-    val q = VecStreams.annStream(input.toDF(), s"$base/s").writeStream
-      .format("memory").queryName("ann_serve_out").outputMode("update").start()
-    try {
-      val rnd = new scala.util.Random(19)
-      var rest = queries.toIndexedSeq
-      while (rest.nonEmpty) {
-        val n = 1 + rnd.nextInt(4)
-        input.addData(rest.take(n).toSeq); q.processAllAvailable()
-        rest = rest.drop(n)
-      }
-      val cols = Seq("query_id", "rank", "neighbor_id", "cosine", "list_id")
-      val streamed = spark.table("ann_serve_out")
-        .select(cols.map(col): _*).collect().map(_.toSeq).distinct
-        .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int]))
-      val batch = Similarity.ivfAgainstStore(
-          embs.filter(col("vec_id") < 10), s"$base/s")
-        .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
-      assert(streamed.toSeq === batch)
-      assert(batch.size === 50, "10 queries x top-5 expected on the fixture")
-    } finally q.stop()
+    // random micro-batch splits as FILE drops (the runner's source shape):
+    // maxFilesPerTrigger=1 makes each slice its own micro-batch
+    val rnd = new scala.util.Random(19)
+    var rest = queries.toIndexedSeq
+    var slice = 0
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/q"))
+    while (rest.nonEmpty) {
+      val n = 1 + rnd.nextInt(4)
+      spark.createDataFrame(rest.take(n)).coalesce(1)
+        .write.parquet(s"$base/src/slice_$slice")
+      val part = new java.io.File(s"$base/src/slice_$slice").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(part.length === 1)
+      java.nio.file.Files.move(part(0).toPath,
+        java.nio.file.Paths.get(s"$base/q/slice_$slice.parquet"))
+      rest = rest.drop(n); slice += 1
+    }
+    assert(slice > 2, "splits must produce multiple micro-batches")
+    val q = VecStreams.runAnnServe(spark, s"$base/q", s"$base/s",
+      s"$base/out", s"$base/ckpt", maxFilesPerTrigger = Some(1))
+    try q.processAllAvailable() finally q.stop()
+    val cols = Seq("query_id", "rank", "neighbor_id", "cosine", "list_id")
+    val streamed = spark.read.parquet(s"$base/out")
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int]))
+    val batch = Similarity.ivfAgainstStore(
+        embs.filter(col("vec_id") < 10), s"$base/s")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed.toSeq === batch)
+    assert(batch.size === 50, "10 queries x top-5 expected on the fixture")
+    // the per-batch plan is the BATCH probe: its lists scan carries the
+    // collected probed-ids isin pushdown (bounded store reads per trigger)
+    val plan = VecStreams.annServeBatch(
+      spark.read.parquet(s"$base/q"), s"$base/s")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("list_id IN") || plan.contains("In(list_id"),
+      s"lists scan must carry the probed-ids pushdown:\n$plan")
   }
 
   test("assignStream is stateless: zero state rows after multiple batches") {
