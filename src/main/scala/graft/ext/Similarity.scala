@@ -302,8 +302,17 @@ object Similarity {
     * lower leader index), computed driver-side over the same bounded
     * centroid collect every IVF path already makes. Every leader is its own
     * nearest leader (cos = 1), so no group is ever empty. */
-  private final case class HierQuantizer(lq: String, ln: String, cq3: String,
-                                         cn2: String, cid2: String, g: Int)
+  /** Carries the two-level quantizer as TYPED driver data (id, vector,
+    * squared norm); [[hierAssignCols]] folds it into single pre-built
+    * `typedLit` Literal nodes — one Literal per array, never a parsed
+    * `array(array(...))` constructor tree. A 448-centroid quantizer as
+    * SQL text is a ~60k-node tree that the analyzer and constant-folder
+    * re-walk on EVERY plan construction (~1.4 s fixed per probe call,
+    * measured — the cost that throttled the serving loop); as typedLit it
+    * is 5 leaf nodes. */
+  private final case class HierQuantizer(
+      leaders: Array[(Long, Array[Long], Long)],
+      members: Array[Array[(Long, Array[Long], Long)]], g: Int)
 
   private def foldHierQuantizer(vecs: DataFrame, nList: Int, centroidBase: Int,
                                 nGroups: Int): HierQuantizer = {
@@ -352,17 +361,7 @@ object Similarity {
       cents.foreach(c => buf(groupOf(c)) += c) // id order preserved per group
       buf.map(_.result().toArray)
     }
-    def vecLit(v: Array[Long]) = v.mkString("array(", "L,", "L)")
-    HierQuantizer(
-      lq = leaders.map(l => vecLit(l._2)).mkString("array(", ", ", ")"),
-      ln = leaders.map(_._3).mkString("array(", "L, ", "L)"),
-      cq3 = members.map(ms => ms.map(m => vecLit(m._2)).mkString("array(", ", ", ")"))
-        .mkString("array(", ", ", ")"),
-      cn2 = members.map(ms => ms.map(_._3).mkString("array(", "L, ", "L)"))
-        .mkString("array(", ", ", ")"),
-      cid2 = members.map(ms => ms.map(_._1).mkString("array(", "L, ", "L)"))
-        .mkString("array(", ", ", ")"),
-      g = g)
+    HierQuantizer(leaders = leaders, members = members, g = g)
   }
 
   /** The two-level assignment columns over a [[quantized]] relation —
@@ -372,19 +371,37 @@ object Similarity {
     * arrays, `s2` = cosine to each member. Per-row arithmetic is
     * O((g + nList/g)·d) instead of the flat quantizer's O(nList·d). */
   private def hierAssigned(vecs: DataFrame, hq: HierQuantizer): DataFrame =
-    vecs
-      .withColumn("s1", expr(
-        s"""transform(sequence(0, ${hq.g - 1}), i ->
-           |  vec_dotl(q, element_at(${hq.lq}, i + 1))
-           |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(${hq.ln}, i + 1) AS DOUBLE))))""".stripMargin))
-      .withColumn("gidx", expr("CAST(array_position(s1, array_max(s1)) AS INT)"))
-      .withColumn("cq", expr(s"element_at(${hq.cq3}, gidx)"))
-      .withColumn("cn", expr(s"element_at(${hq.cn2}, gidx)"))
-      .withColumn("cid", expr(s"element_at(${hq.cid2}, gidx)"))
-      .withColumn("s2", expr(
-        """transform(sequence(1, size(cq)), j ->
-          |  vec_dotl(q, element_at(cq, j))
-          |    / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(element_at(cn, j) AS DOUBLE))))""".stripMargin))
+    hierAssignCols(hq).foldLeft(vecs) { case (df, (n, c)) => df.withColumn(n, c) }
+
+  /** The same assignment stages as pre-built (name, Column) pairs. The
+    * quantizer arrays enter as `typedLit` Literals (5 leaf nodes total),
+    * so a pre-bound prober ([[storeProbeColsFn]]) re-applies them per
+    * serving batch with NO per-trigger parse, analysis walk, or
+    * constant-folding of a 60k-node array-constructor tree — semantically
+    * the exact SQL shape the oracle replays (element_at / transform /
+    * the same IEEE divisions), just born folded. */
+  private def hierAssignCols(hq: HierQuantizer): Seq[(String, org.apache.spark.sql.Column)] = {
+    val lq = typedLit(hq.leaders.map(_._2.toSeq).toSeq)
+    val ln = typedLit(hq.leaders.map(_._3).toSeq)
+    val cq3 = typedLit(hq.members.map(_.map(_._2.toSeq).toSeq).toSeq)
+    val cn2 = typedLit(hq.members.map(_.map(_._3).toSeq).toSeq)
+    val cid2 = typedLit(hq.members.map(_.map(_._1).toSeq).toSeq)
+    def dotl(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("vec_dotl", a, b)
+    Seq(
+      "s1" -> transform(sequence(lit(0), lit(hq.g - 1)), i =>
+        dotl(col("q"), element_at(lq, (i + lit(1)).cast("int"))) /
+          (sqrt(col("nrm").cast("double")) *
+            sqrt(element_at(ln, (i + lit(1)).cast("int")).cast("double")))),
+      "gidx" -> array_position(col("s1"), array_max(col("s1"))).cast("int"),
+      "cq" -> element_at(cq3, col("gidx")),
+      "cn" -> element_at(cn2, col("gidx")),
+      "cid" -> element_at(cid2, col("gidx")),
+      "s2" -> transform(sequence(lit(1), size(col("cq"))), j =>
+        dotl(col("q"), element_at(col("cq"), j)) /
+          (sqrt(col("nrm").cast("double")) *
+            sqrt(element_at(col("cn"), j).cast("double")))))
+  }
 
   private val hierListIdExpr =
     "element_at(cid, CAST(array_position(s2, array_max(s2)) AS INT))"
@@ -1699,54 +1716,93 @@ object Similarity {
     * Same output relation as [[ivfTopK]] when the store covers the same
     * corpus with the same quantizer — one oracle proves both. */
   def ivfAgainstStore(queryEmbeddings: DataFrame, storeDir: String,
-                      k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val spark = queryEmbeddings.sparkSession
+                      k: Int = 5, nProbe: Int = 4): DataFrame =
+    ivfStoreProber(queryEmbeddings.sparkSession, storeDir, k, nProbe)(
+      queryEmbeddings)
+
+  /** [[ivfAgainstStore]] PRE-BOUND to its store: loads the frozen
+    * quantizer once and pre-parses its folded-literal expressions into
+    * Column trees, returning the function applied per query batch — the
+    * ONE definition both the batch query and the streaming serving loop
+    * ([[graft.streaming.VecStreams.runAnnServe]]) execute. The binding
+    * matters for 24/7 serving: foreachBatch constructs a NEW plan every
+    * trigger, and without it each trigger would re-collect the centroid
+    * relation and re-PARSE the MB-scale centroid literals (the parse, not
+    * the probe, dominated small batches when first measured — 3.2 s/batch
+    * on 100-query batches at nList 448). Pre-parsed Columns are plain
+    * expression trees, reusable across any number of batch DataFrames. */
+  def ivfStoreProber(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, k: Int = 5, nProbe: Int = 4,
+                     materializeProbes: Boolean = false): DataFrame => DataFrame = {
+    // register at BIND time on the bound session: the serving loop's
+    // micro-batch sessions clone the root registry at stream start, and
+    // the lists relation below is read through the bound session
+    graft.functions.GraftFunctions.register(spark)
     // hier-built stores replay the hier probe (argmax group, then nProbe
     // member lists) — same relation as ivfHierTopK, one oracle proves both
-    val probes = storeProbeCols(quantized(queryEmbeddings), storeDir, nProbe)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("nrm").as("nq"), col("list_id"))
-    val probedIds = probes.select("list_id").distinct()
-      .collect().map(_.getLong(0))
-    val lists = spark.read.parquet(s"$storeDir/lists")
-      .filter(col("list_id").isin(probedIds: _*))
+    val probeCols = storeProbeColsFn(spark, storeDir, nProbe)
+    val listsPath = s"$storeDir/lists"
     val rk = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    lists.join(broadcast(probes), "list_id")
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine",
-        expr("vec_dotl(qq, q) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))"))
-      .withColumn("rank", row_number().over(rk))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        expr("round(cosine, 6)").as("cosine"), col("list_id"))
-      .orderBy("query_id", "rank")
+    queryEmbeddings => {
+      val probesPlan = probeCols(quantized(queryEmbeddings))
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("nrm").as("nq"), col("list_id"))
+      // serving loops materialize the tiny probe relation (≤ nQueries ×
+      // nProbe rows) once per batch: the centroid-literal subtree then
+      // plans and runs ONCE — both the id collect and the join read the
+      // checkpointed leaf. Batch queries keep full lineage (plan-locked).
+      val probes =
+        if (materializeProbes) probesPlan.localCheckpoint() else probesPlan
+      val probedIds = probes.select("list_id").distinct()
+        .collect().map(_.getLong(0))
+      val lists = spark.read.parquet(listsPath)
+        .filter(col("list_id").isin(probedIds: _*))
+      lists.join(broadcast(probes), "list_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cosine",
+          expr("vec_dotl(qq, q) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE)))"))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          expr("round(cosine, 6)").as("cosine"), col("list_id"))
+        .orderBy("query_id", "rank")
+    }
   }
 
   /** The store probe's LIST-SELECTION projection: the store's frozen
     * quantizer (flat or hier, per `hier.txt`) folds to literals at plan
     * time, each input row gains an exploded `list_id` per probed list.
-    * Pure narrow projection — input columns pass through. The streaming
-    * ANN twin ([[graft.streaming.VecStreams.runAnnServe]]) shares the
-    * WHOLE of [[ivfAgainstStore]] per micro-batch, this projection
-    * included. */
-  private[graft] def storeProbeCols(queryVecs: DataFrame, storeDir: String,
-                                    nProbe: Int): DataFrame = {
-    val spark = queryVecs.sparkSession
+    * Pure narrow projection — input columns pass through. Returned as a
+    * pre-bound function: the centroid collect and the literal-expression
+    * PARSE happen once at bind time, not per application (the
+    * [[ivfStoreProber]] contract). */
+  private[graft] def storeProbeColsFn(spark: org.apache.spark.sql.SparkSession,
+                                      storeDir: String,
+                                      nProbe: Int): DataFrame => DataFrame =
     loadHierGroups(storeDir) match {
       case Some(g) =>
-        hierAssigned(queryVecs, hierFromCents(loadIvfCents(spark, storeDir), g))
-          .withColumn("list_id", explode(expr(hierProbeListsExpr(nProbe))))
-          .drop("s1", "gidx", "cq", "cn", "cid", "s2")
+        val hq = hierFromCents(loadIvfCents(spark, storeDir), g)
+        val assignCols = hierAssignCols(hq)
+        val probeList = explode(expr(hierProbeListsExpr(nProbe)))
+        queryVecs =>
+          assignCols.foldLeft(queryVecs) { case (df, (n, c)) => df.withColumn(n, c) }
+            .withColumn("list_id", probeList)
+            .drop("s1", "gidx", "cq", "cn", "cid", "s2")
       case None =>
         val (qz, n) = loadIvfQuantizer(spark, storeDir)
         require(n >= nProbe, s"only $n stored lists < nProbe=$nProbe")
-        queryVecs
-          .withColumn("scores", expr(centroidScoresExpr(qz.cq, qz.cn, n)))
-          .withColumn("list_id", explode(expr(probeListsExpr(qz, n, nProbe))))
-          .drop("scores")
+        val scores = expr(centroidScoresExpr(qz.cq, qz.cn, n))
+        val probeList = explode(expr(probeListsExpr(qz, n, nProbe)))
+        queryVecs =>
+          queryVecs.withColumn("scores", scores)
+            .withColumn("list_id", probeList)
+            .drop("scores")
     }
-  }
+
+  private[graft] def storeProbeCols(queryVecs: DataFrame, storeDir: String,
+                                    nProbe: Int): DataFrame =
+    storeProbeColsFn(queryVecs.sparkSession, storeDir, nProbe)(queryVecs)
 
   /** The store-served cluster ASSIGNMENT as a public relation — (vec_id,
     * cluster_id) through the store's FROZEN quantizer, flat or hier,

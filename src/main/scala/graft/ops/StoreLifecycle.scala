@@ -202,7 +202,16 @@ object StoreLifecycle {
           case Some(_) =>
             // still stale under the mutex: REPLACE atomically with a
             // pre-staged claim carrying our token — the lock path is never
-            // empty, so no rival's plain createFile can slip in mid-takeover
+            // empty, so no rival's plain createFile can slip in mid-takeover.
+            // A taker that crashed between staging and moving its claim
+            // left a .claim-* orphan — swept here (we hold the mutex; no
+            // live taker's claim can be this old)
+            val parentDir = lock.toAbsolutePath.getParent
+            val claimPrefix = s"${lock.getFileName}.claim-"
+            Option(parentDir.toFile.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.getName.startsWith(claimPrefix) &&
+                readAgeMs(f.toPath).exists(_ > staleAfterMs))
+              .foreach(f => Files.deleteIfExists(f.toPath))
             val claim = lock.resolveSibling(
               s"${lock.getFileName}.claim-${token.take(8)}")
             Files.write(claim, token.getBytes("UTF-8"))

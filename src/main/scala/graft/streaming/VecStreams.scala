@@ -85,9 +85,14 @@ object VecStreams {
     val queries = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
+    // bind ONCE: the prober pre-collects the frozen quantizer and
+    // pre-parses its folded-literal expressions — per-trigger work is the
+    // probe itself, not a re-parse of MB-scale centroid literals
+    val prober = graft.ext.Similarity.ivfStoreProber(spark, storeDir, k, nProbe,
+      materializeProbes = true)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        annServeBatch(batch, storeDir, k, nProbe)
+        prober(batch.select(col("query_id").as("vec_id"), col("embedding")))
           .write.mode("append").parquet(outDir)
         ()
       }
