@@ -394,9 +394,16 @@ object Similarity {
           (sqrt(col("nrm").cast("double")) *
             sqrt(element_at(ln, (i + lit(1)).cast("int")).cast("double")))),
       "gidx" -> array_position(col("s1"), array_max(col("s1"))).cast("int"),
-      "cq" -> element_at(cq3, col("gidx")),
-      "cn" -> element_at(cn2, col("gidx")),
-      "cid" -> element_at(cid2, col("gidx")),
+      // functions.element_at is null-on-out-of-bounds (nullable = true),
+      // unlike the ANSI SQL element_at the old parsed strings produced —
+      // and a NULLABLE cid poisons list_id, making every join on it plant
+      // an isnotnull filter that RE-COMPUTES this whole assignment per
+      // row (measured 2× on the hier queries). gidx is an argmax position,
+      // always in range, so the coalesce is a runtime no-op that restores
+      // the non-nullable metadata.
+      "cq" -> coalesce(element_at(cq3, col("gidx")), typedLit(Seq.empty[Seq[Long]])),
+      "cn" -> coalesce(element_at(cn2, col("gidx")), typedLit(Seq.empty[Long])),
+      "cid" -> coalesce(element_at(cid2, col("gidx")), typedLit(Seq.empty[Long])),
       "s2" -> transform(sequence(lit(1), size(col("cq"))), j =>
         dotl(col("q"), element_at(col("cq"), j)) /
           (sqrt(col("nrm").cast("double")) *
