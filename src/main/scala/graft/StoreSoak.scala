@@ -290,8 +290,9 @@ object StoreSoak {
         val oneLang = docs.filter(col("lang") === langs.head)
         println(s"[soak] single-language shard: lang=${langs.head} docs=${oneLang.count()}")
         for (rep <- 1 to 2)
-          time(s"single-language shard serve rep$rep (file-pruned model scan)")(
-            graft.ext.LmFilter.scoreAgainstLmStore(oneLang, store)
+          time(s"single-language shard serve rep$rep (named shard, file-pruned model scan)")(
+            graft.ext.LmFilter.scoreAgainstLmStore(oneLang, store,
+              langs = Some(Seq(langs.head)))
               .write.format("noop").mode("overwrite").save())
       case "sketchstore" =>
         // r12: the mergeable-sketch-store receipt — daily HLL rows built

@@ -257,22 +257,30 @@ object LmFilter {
     * relations, bucket = two comparisons against the stored per-lang
     * cutoffs. Same relation as [[perplexityFilter]] when the store was
     * fit on the same corpus — one oracle proves fit, publish, and serve. */
-  def scoreAgainstLmStore(docs: DataFrame, storeDir: String): DataFrame = {
+  /** `langs`: serve a NAMED language shard — CCNet's processing unit is
+    * per-language, so the daily caller knows its shard's language(s)
+    * without any inference pass. When given, the docs are filtered to
+    * those languages (explicit shard semantics — a stray other-language
+    * row is excluded, never silently floor-scored) and the model
+    * relations prune to them: the left joins only ever match same-lang
+    * model rows, so the prune is a pure scan reduction, and because
+    * uni/big are range-clustered on (lang, …) the pushed isin FILE-PRUNES
+    * to the shard's key-range files (~1/langs of the model bytes —
+    * BENCH_sf10 r13_lm_layout). Default None = whole-corpus serve, no
+    * extra pass, the r12 plan shape. */
+  def scoreAgainstLmStore(docs: DataFrame, storeDir: String,
+                          langs: Option[Seq[String]] = None): DataFrame = {
     val (uni, big, tots, cuts, lambda, refMod) =
       loadLmStore(docs.sparkSession, storeDir)
-    // prune the model relations to the BATCH's languages before the serve
-    // joins: the left joins only ever match same-lang model rows, so this
-    // is a pure scan reduction — and because uni/big are range-clustered
-    // on (lang, …), the pushed isin file-prunes to the batch languages'
-    // key ranges (a one-language daily shard reads ~1/langs of the model
-    // instead of all of it). The collect is bounded by the language
-    // inventory (the foldCuts discipline), via one langs-bounded partial
-    // agg over the batch's lang column only.
-    val batchLangs = docs.select("lang").distinct()
-      .collect().map(_.getString(0))
-    val uniP = uni.filter(col("lang").isin(batchLangs: _*))
-    val bigP = big.filter(col("lang").isin(batchLangs: _*))
-    val scored = scoreTerms(termRel(docs, refMod), uniP, bigP, tots, lambda)
+    require(langs.forall(_.nonEmpty), "langs, when given, must be non-empty")
+    val (d, uniP, bigP) = langs match {
+      case Some(ls) =>
+        (docs.filter(col("lang").isin(ls: _*)),
+          uni.filter(col("lang").isin(ls: _*)),
+          big.filter(col("lang").isin(ls: _*)))
+      case None => (docs, uni, big)
+    }
+    val scored = scoreTerms(termRel(d, refMod), uniP, bigP, tots, lambda)
     bucketCols(scored.join(broadcast(cuts), Seq("lang"), "left"))
       .orderBy("doc_id")
   }
