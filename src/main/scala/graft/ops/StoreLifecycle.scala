@@ -97,8 +97,10 @@ object StoreLifecycle {
       val beat = new Thread(() => {
         try {
           var live = true
+          var interval = math.max(50L, staleAfterMs / 4)
           while (live && !Thread.interrupted()) {
-            Thread.sleep(math.max(50L, staleAfterMs / 4))
+            Thread.sleep(interval)
+            interval = math.max(50L, staleAfterMs / 4)
             if (tryTakeoverMutex(lock, staleAfterMs)) {
               try {
                 readToken(lock) match {
@@ -117,7 +119,12 @@ object StoreLifecycle {
                   case None => live = Files.exists(lock) // unreadable ≠ gone
                 }
               } finally releaseTakeoverMutex(lock)
-            } // mutex busy: skip this tick — the next lands well inside staleAfterMs/2
+            } else {
+              // mutex busy (a rival mid-takeover-attempt, or another
+              // beat): retry SOON, not a full period later — a skipped
+              // tick must not let the mtime age toward the threshold
+              interval = math.max(25L, staleAfterMs / 16)
+            }
           }
         } catch {
           case _: InterruptedException => () // released

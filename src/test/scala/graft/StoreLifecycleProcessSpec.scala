@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Cross-PROCESS writer-lock holder: acquires the store's writer lock,
+  * prints `HELD`, sleeps, releases. Run as a separate JVM by
+  * [[StoreLifecycleProcessSpec]] — the in-JVM specs share a reentrancy
+  * map and a filesystem view; only a second process proves the
+  * create-exclusive / atomic-replace protocol across OS process
+  * boundaries, which is the deployment shape (concurrent store verbs are
+  * separate Spark drivers, not threads). */
+object LockHolderMain {
+  def main(args: Array[String]): Unit = {
+    val store = args(0)
+    val holdMs = args(1).toLong
+    graft.ops.StoreLifecycle.withWriterLock(store) {
+      println("HELD"); Console.flush()
+      Thread.sleep(holdMs)
+    }
+    println("RELEASED"); Console.flush()
+  }
+}
+
+/** The writer-lock protocol across real process boundaries: a live
+  * second JVM refuses, a kill -9'd holder's lock survives fresh (refused
+  * until stale), and a stale crashed-holder lock is taken over — the
+  * exact crashed-writer story the takeover exists for, exercised with an
+  * actual dead process instead of a thread standing in for one. */
+class StoreLifecycleProcessSpec extends AnyFunSuite {
+  private val root = "/tmp/graft-lifecycle-proc"
+
+  private def fresh(name: String): String = {
+    graft.ops.Scale.deleteRecursively(new java.io.File(root))
+    Files.createDirectories(Paths.get(root))
+    s"$root/$name"
+  }
+
+  private def spawnHolder(store: String, holdMs: Long): Process = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val pb = new ProcessBuilder(java,
+      "-cp", System.getProperty("java.class.path"),
+      "graft.LockHolderMain", store, holdMs.toString)
+    pb.redirectErrorStream(true)
+    pb.start()
+  }
+
+  /** Block until the subprocess prints `marker` (its acquisition point). */
+  private def awaitMarker(p: Process, marker: String, timeoutMs: Long): Unit = {
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var line = r.readLine()
+    while (line != null && !line.contains(marker)) {
+      assert(System.currentTimeMillis() < deadline, s"no $marker within ${timeoutMs} ms")
+      line = r.readLine()
+    }
+    assert(line != null, s"holder exited before printing $marker")
+  }
+
+  test("cross-process: a second JVM holding the lock refuses this one; release hands it over") {
+    val store = fresh("proclive")
+    val holder = spawnHolder(store, holdMs = 4000)
+    try {
+      awaitMarker(holder, "HELD", 30000)
+      val e = intercept[IllegalStateException](
+        graft.ops.StoreLifecycle.withWriterLock(store)(()))
+      assert(e.getMessage.contains("another writer holds"))
+      assert(holder.waitFor(30, java.util.concurrent.TimeUnit.SECONDS),
+        "holder process must exit")
+      assert(!Files.exists(Paths.get(s"$store.lock")),
+        "the holder's release must remove the lock")
+      // and the lock is free for this process now
+      graft.ops.StoreLifecycle.withWriterLock(store)(())
+      assert(!Files.exists(Paths.get(s"$store.lock")))
+    } finally { holder.destroyForcibly(); () }
+  }
+
+  test("cross-process crash: a kill -9'd holder's lock refuses while fresh, takes over once stale") {
+    val store = fresh("proccrash")
+    val holder = spawnHolder(store, holdMs = 60000)
+    try {
+      awaitMarker(holder, "HELD", 30000)
+      holder.destroyForcibly()
+      assert(holder.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      val lock = Paths.get(s"$store.lock")
+      assert(Files.exists(lock), "a killed holder leaves its lock behind")
+      // fresh mtime: the crashed lock still refuses (age <= threshold) —
+      // takeover must never fire early just because the process is gone
+      val e = intercept[IllegalStateException](
+        graft.ops.StoreLifecycle.withWriterLock(store)(()))
+      assert(e.getMessage.contains("another writer holds"))
+      // age it past the threshold: the takeover path claims it
+      Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs))
+      var entered = false
+      graft.ops.StoreLifecycle.withWriterLock(store) { entered = true }
+      assert(entered, "stale crashed-process lock must be taken over")
+      assert(!Files.exists(lock))
+      // no protocol litter: no .takeover / .claim-* / .stale-* left behind
+      val litter = Paths.get(root).toFile.listFiles()
+        .filter(f => f.getName.contains(".takeover") ||
+          f.getName.contains(".claim-") || f.getName.contains(".stale-"))
+      assert(litter.isEmpty, s"protocol litter: ${litter.map(_.getName).mkString(",")}")
+    } finally { holder.destroyForcibly(); () }
+  }
+}

@@ -143,7 +143,10 @@ class StoreLifecycleSpec extends AnyFunSuite {
     val store = fresh("lockbeat")
     val entered = new java.util.concurrent.CountDownLatch(1)
     val release = new java.util.concurrent.CountDownLatch(1)
-    val staleMs = 300L
+    // 1200 ms: the beat fires every 300 ms, leaving ~900 ms of slack — a
+    // 300 ms threshold left only 225 ms and flaked under box load (one
+    // failure observed in ~30 soak runs); production thresholds are hours
+    val staleMs = 1200L
     val owner = new Thread(() =>
       graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs) {
         entered.countDown(); release.await()
