@@ -43,6 +43,23 @@ object Bench {
           w -> s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}"
       }
     }
+    // BOX-CALIBRATION ANCHOR: a fixed deterministic CPU-bound workload —
+    // a 4-deep xxhash64 chain over 512M rows in one codegen'd stage per
+    // core, no I/O, no data shuffle (the partial bit_xor folds map-side;
+    // the final exchange carries `cpus` rows). Same-code bench totals on
+    // this box have drifted 1.15-1.4x round-over-round (adjudicated by
+    // median-uniformity argument in r10-r13); recording this anchor in
+    // every artifact lets cross-round ratios normalize mechanically:
+    // divide a query's ratio by the rounds' anchor ratio.
+    val calibration = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 512L * 1000 * 1000, 1, cpus.toInt)
+        .selectExpr("xxhash64(xxhash64(xxhash64(xxhash64(id)))) AS h")
+        .selectExpr("bit_xor(h) AS x")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     // optional 2nd arg: comma-separated name substrings for targeted
     // profiling — matched against ALL queries, not just the headline set
     val bq =
@@ -78,7 +95,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"warmup":$warmJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calibration,"queries":$qs,"errors":$errJson,"warmup":$warmJson,"reps":$reps,"sf":"$sfDir"}"""
     println(line)
     // Self-sufficient artifact alongside stdout: the driver's BENCH_r{N}
     // capture truncates long runs to a tail, which has repeatedly cost a
@@ -93,6 +110,7 @@ object Bench {
     }.mkString(",")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"reps":$reps,
+         |"calibration":{"sec":$calibration,"work":"min-of-3: xxhash64^4 over 512M rows, $cpus codegen'd partitions, no I/O"},
          |"warmup":$warmJson,"errors":$errJson,
          |"queries":$qs,
          |$perRep}""".stripMargin

@@ -57,8 +57,16 @@ object DocSync {
       .split('/').last
     val cpus = Option(m.get("cpus")).map(_.asText()).getOrElse("?")
     val reps = Option(m.get("reps")).map(_.asInt()).getOrElse(1)
+    // box-calibration anchor (r14+ artifacts): a fixed CPU-bound query
+    // recorded per run, so cross-round ratios normalize out box-rate
+    // drift mechanically (divide by the rounds' anchor ratio) instead of
+    // the median-uniformity argument re-made in r10-r13
+    val cal = Option(m.get("calibration")).flatMap(c => Option(c.get("sec")))
+      .map(c => f"; calibration anchor ${c.asDouble()}%.3f s — divide cross-round" +
+        " ratios by the anchor ratio to remove box drift")
+      .getOrElse("")
     s"""**Current full-set bench (`BENCH_full.json`): $n queries, $total s total
-       |(local[$cpus], $sf, min-of-$reps, $errs errors)** — this row is regenerated
+       |(local[$cpus], $sf, min-of-$reps, $errs errors$cal)** — this row is regenerated
        |from the artifact by `graft.DocSync` (graft.Bench re-syncs it whenever it
        |rewrites the artifact; SmokeSpec only checks); the per-round narrative
        |rows below are historical context with their round's committed numbers.""".stripMargin

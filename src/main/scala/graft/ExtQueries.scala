@@ -650,6 +650,21 @@ object ExtQueries {
       }
       LmFilter.scoreAgainstLmStore(d, store)
     }),
+    // the NAMED-SHARD serve (CCNet's per-language processing unit): the
+    // same stored model serves only the shard's language — docs filter to
+    // it and the model relations prune to it, so the pushed `lang isin`
+    // file-prunes the range-clustered uni/big to the shard's key-range
+    // files (~2 of 8 model files at sf10 — BENCH_sf10 r13_lm_layout).
+    // Same-lang left joins make the prune a pure scan reduction: the
+    // oracle is the whole-corpus relation restricted to the shard
+    "pipeline_perplexity_shard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = cachedStore("graft_lm_store_v3",
+        s"$dir/documents.parquet", "_SUCCESS") { tmp =>
+        LmFilter.buildLmStore(d, tmp)
+      }
+      LmFilter.scoreAgainstLmStore(d, store, langs = Some(Seq("de")))
+    }),
     // leakage-free split: membership hashed on the near-dup CLUSTER id, so
     // a doc and its near-duplicates never straddle train/val/test
     "pipeline_cluster_split" -> ((s, dir) => Sampling.clusterSplit(docs(s, dir))),
@@ -2558,6 +2573,13 @@ object ExtQueries {
     // the store materializes the same model + its cutoffs (refit = atomic
     // rebuild), so the in-line oracle proves fit, publish, and serve
     "pipeline_perplexity_stored" -> lmFilterOracleSql,
+    // the named-shard serve: the model trains on the WHOLE corpus and the
+    // joins are same-lang, so the shard relation IS the whole-corpus
+    // relation restricted to the shard's language — one oracle body, one
+    // restriction (string-derived so the two can never drift)
+    "pipeline_perplexity_shard" ->
+      lmFilterOracleSql.replace("FROM b ORDER BY doc_id",
+        "FROM b WHERE lang = 'de' ORDER BY doc_id"),
 
     "sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -109,10 +109,24 @@ object SketchStore {
   def rangeDistinct(spark: SparkSession, storeDir: String,
                     startDay: String, endDay: String): DataFrame = {
     readLgK(spark, storeDir) // _SUCCESS + meta guard
+    // malformed dates and an inverted range are CALLER errors — refuse at
+    // construction (LocalDate.parse also rejects non-ISO strings) instead
+    // of silently matching zero rows
+    val s = java.time.LocalDate.parse(startDay)
+    require(!s.isAfter(java.time.LocalDate.parse(endDay)),
+      s"rangeDistinct: startDay $startDay is after endDay $endDay")
     spark.read.parquet(s"$storeDir/days")
       .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
       .agg(countDistinct(col("day")).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
+      // a range covering NO stored days would emit (0, NULL) — a union
+      // over zero sketches — and the checked twin would then report a
+      // NULL-driven est_within_5pct=0; fail loudly at execution instead
+      .select(col("n_days"),
+        when(col("n_days") === lit(0), raise_error(lit(
+          s"rangeDistinct: [$startDay, $endDay] covers no stored days — " +
+            "check the range against the store's published days")))
+          .otherwise(col("approx_users")).as("approx_users"))
   }
 
   /** [[rangeDistinct]]'s oracle-checked twin — the

@@ -55,6 +55,32 @@ package graft.ops
   * `staleAfterMs` — the one documented breach window, a holder the
   * contract already presumes dead) stops beating and leaves the new
   * owner's lock alone instead of fighting over the path.
+  *
+  * r14 replaces the mutex's ARBITRATION: the `.takeover` sibling is now a
+  * permanent rendezvous file locked with an OS ADVISORY FILE LOCK
+  * (`FileChannel.tryLock`) instead of a create-exclusive file with its
+  * own mtime-staleness recovery. Every recovery protocol for a "stale"
+  * mutex FILE — r13's delete+recreate, and the atomic rename-aside with
+  * verify-and-restore tried first this round — leaves a window where the
+  * path is vacated while a live claimant still believes it holds it,
+  * admitting a third creator (the adversarial 8-rival spec REPRODUCED a
+  * double-entry through the rename-aside restore). The kernel releases a
+  * flock when its holder dies, so the mutex needs no staleness heuristic,
+  * no recovery protocol, and a crashed taker can never starve the
+  * heartbeat. The r13 residuals close with it:
+  *
+  *   - stale-mutex recovery races: GONE (no recovery protocol exists);
+  *   - orphaned-mutex heartbeat starvation: GONE (a corpse's flock dies
+  *     with it); a belt-and-braces token-verified direct touch remains
+  *     for pathological live contention;
+  *   - release NEVER deletes without the mutex: if the mutex stays busy,
+  *     the lock is left to age out (safe-but-slow), closing the
+  *     read-token-then-delete race with an in-flight takeover.
+  *
+  * The LOCK file keeps its r13 lease semantics (mtime age + owner token +
+  * heartbeat + REPLACE-takeover) — it must survive holder crashes and be
+  * age-adjudicated, which a flock cannot express; only the ms-scale mutex
+  * moved to the kernel.
   */
 object StoreLifecycle {
   private def path(s: String) = java.nio.file.Paths.get(s)
@@ -97,33 +123,47 @@ object StoreLifecycle {
       val beat = new Thread(() => {
         try {
           var live = true
+          var busy = 0
           var interval = math.max(50L, staleAfterMs / 4)
+          // shared by the mutexed and fallback touch paths: a TRANSIENT
+          // touch failure (NFS blip) must not kill the beat — a dead
+          // heartbeat re-exposes a healthy multi-hour holder to stale-age
+          // takeover; only a definitive verdict (gone / stolen) ends the loop
+          def touchOwn(): Unit = readToken(lock) match {
+            case Some(t) if t == token =>
+              try Files.setLastModifiedTime(lock,
+                java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+              catch {
+                case _: NoSuchFileException => live = false // released under us
+                case _: java.io.IOException => () // indeterminate: keep beating
+              }
+            case Some(_) => live = false // stolen: the new owner beats now
+            case None => live = Files.exists(lock) // unreadable ≠ gone
+          }
           while (live && !Thread.interrupted()) {
             Thread.sleep(interval)
             interval = math.max(50L, staleAfterMs / 4)
-            if (tryTakeoverMutex(lock, staleAfterMs)) {
-              try {
-                readToken(lock) match {
-                  case Some(t) if t == token =>
-                    // a TRANSIENT touch failure (NFS blip) must not kill
-                    // the beat — a dead heartbeat re-exposes a healthy
-                    // multi-hour holder to stale-age takeover; only a
-                    // definitive verdict (gone / stolen) ends the loop
-                    try Files.setLastModifiedTime(lock,
-                      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-                    catch {
-                      case _: NoSuchFileException => live = false // released under us
-                      case _: java.io.IOException => () // indeterminate: keep beating
-                    }
-                  case Some(_) => live = false // stolen: the new owner beats now
-                  case None => live = Files.exists(lock) // unreadable ≠ gone
+            tryMutex(lock) match {
+              case Some(m) =>
+                busy = 0
+                try touchOwn() finally m.release()
+              case None =>
+                // mutex busy (a rival mid-takeover-attempt, or another
+                // beat): retry SOON, not a full period later — a skipped
+                // tick must not let the mtime age toward the threshold.
+                // (A crashed taker cannot block here: the kernel released
+                // its flock with the process.)
+                interval = math.max(25L, staleAfterMs / 16)
+                busy += 1
+                if (busy >= 6) {
+                  // pathological contention (rivals looping takeover
+                  // attempts for ~6 × threshold/16): belt-and-braces —
+                  // don't let OUR lock age toward the threshold while
+                  // starved; a token-verified direct touch refreshes only
+                  // a lock we still own.
+                  busy = 0
+                  touchOwn()
                 }
-              } finally releaseTakeoverMutex(lock)
-            } else {
-              // mutex busy (a rival mid-takeover-attempt, or another
-              // beat): retry SOON, not a full period later — a skipped
-              // tick must not let the mtime age toward the threshold
-              interval = math.max(25L, staleAfterMs / 16)
             }
           }
         } catch {
@@ -157,26 +197,65 @@ object StoreLifecycle {
     * heartbeat at the exact point that broke the r12 rename takeover. */
   private[graft] var takeoverPause: () => Unit = () => ()
 
-  /** The serialization point for every mtime DECISION (takeover age
-    * re-check, heartbeat touch, release-delete): a create-exclusive
-    * `<lock>.takeover` sibling. Critical sections are milliseconds and
-    * heartbeat-free, so a mutex older than `staleAfterMs` is a crashed
-    * taker's leftover — cleaned and re-raced (exactly one re-creator
-    * wins). Returns false when a LIVE rival holds it. */
-  private def tryTakeoverMutex(lock: Path, staleAfterMs: Long): Boolean = {
-    val mutex = lock.resolveSibling(s"${lock.getFileName}.takeover")
-    def tryCreate(): Boolean =
-      try { Files.createFile(mutex); true }
-      catch { case _: FileAlreadyExistsException => false }
-    tryCreate() || {
-      // forall on None (mutex vanished between fail and stat) → retry
-      val stale = readAgeMs(mutex).forall(_ > staleAfterMs)
-      stale && { Files.deleteIfExists(mutex); tryCreate() }
+  /** Test seam: invoked INSIDE the takeover's mutexed section, after the
+    * age re-check confirms the lock is still stale and before the REPLACE
+    * claim — parking here pins the lock in its stale state, so the
+    * deterministic mutex-race spec can prove at most one claimant ever
+    * reaches this point concurrently (two could, under the r13
+    * delete+recreate mutex cleanup). */
+  private[graft] var claimPause: () => Unit = () => ()
+
+  /** A held takeover mutex: the open channel + its OS lock. Releasing
+    * closes both; the rendezvous FILE is never deleted (see [[tryMutex]]). */
+  private final class MutexHold(ch: java.nio.channels.FileChannel,
+                                fl: java.nio.channels.FileLock) {
+    def release(): Unit = {
+      try fl.release() catch { case _: java.io.IOException => () }
+      try ch.close() catch { case _: java.io.IOException => () }
     }
   }
 
-  private def releaseTakeoverMutex(lock: Path): Unit = {
-    Files.deleteIfExists(lock.resolveSibling(s"${lock.getFileName}.takeover")); ()
+  /** The serialization point for every mtime DECISION (takeover age
+    * re-check, heartbeat touch, release-delete): an OS ADVISORY FILE LOCK
+    * (`FileChannel.tryLock`) on a permanent `<lock>.takeover` rendezvous
+    * sibling.
+    *
+    * Why a flock and not a lock FILE (r14): the r13 design arbitrated the
+    * mutex with its own create-exclusive file plus mtime-staleness
+    * recovery, and EVERY recovery protocol for a "stale" mutex file —
+    * delete+recreate (r13) and atomic rename-aside with verify-and-restore
+    * (tried this round) — leaves a window in which the path is vacated
+    * while a live claimant still believes it holds it, admitting a third
+    * creator: the adversarial 8-rival spec REPRODUCED a double-entry
+    * through the rename-aside restore. An OS flock has exactly the
+    * semantics a millisecond-scale mutex needs and none of those failure
+    * modes: the kernel releases it when its holder dies (no staleness
+    * heuristic, no recovery protocol, no orphan starvation of the
+    * heartbeat), and acquisition has exactly one winner across processes
+    * and threads. The rendezvous FILE is NEVER deleted — unlinking and
+    * recreating a flock file lets two holders lock two different inodes
+    * of the same path (the classic flock-unlink race); one empty sibling
+    * per store root is the entire footprint. The LOCK file keeps its
+    * mtime+token lease semantics (it must survive holder crashes and be
+    * age-adjudicated); only the mutex arbitration changes. */
+  private def tryMutex(lock: Path): Option[MutexHold] = {
+    val mutex = lock.resolveSibling(s"${lock.getFileName}.takeover")
+    val ch =
+      try java.nio.channels.FileChannel.open(mutex,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case _: java.io.IOException => return None }
+    val fl =
+      try ch.tryLock()
+      catch {
+        // held by another thread of THIS JVM (beat vs release contention)
+        case _: java.nio.channels.OverlappingFileLockException => null
+        case _: java.io.IOException => null
+      }
+    if (fl == null) {
+      try ch.close() catch { case _: java.io.IOException => () }
+      None
+    } else Some(new MutexHold(ch, fl))
   }
 
   private def lostRace(lock: Path): Nothing =
@@ -202,11 +281,12 @@ object StoreLifecycle {
       // mutex, so the age re-read below cannot race a live holder's beat —
       // the r12 defect, where a rival age-checked the OLD stale lock and
       // then renamed aside whatever file was at the path by move time.
-      if (!tryTakeoverMutex(lock, staleAfterMs)) lostRace(lock)
+      val mutex = tryMutex(lock).getOrElse(lostRace(lock))
       try {
         readAgeMs(lock) match {
           case Some(a) if a <= staleAfterMs => lostRace(lock) // beat fired / rival won
           case Some(_) =>
+            claimPause()
             // still stale under the mutex: REPLACE atomically with a
             // pre-staged claim carrying our token — the lock path is never
             // empty, so no rival's plain createFile can slip in mid-takeover.
@@ -236,7 +316,7 @@ object StoreLifecycle {
             // create still decides — a concurrent fresh writer may win it
             if (!createOwn()) lostRace(lock)
         }
-      } finally releaseTakeoverMutex(lock)
+      } finally mutex.release()
     }
   }
 
@@ -244,19 +324,24 @@ object StoreLifecycle {
     * mutex, so a holder whose lock was legitimately taken over (beats
     * stalled past the threshold) never deletes the NEW owner's lock. A
     * mutex held by an in-flight takeover clears in milliseconds — retry
-    * briefly, then fall back to a token-checked best-effort delete. */
+    * briefly; if it never clears there is NO safe delete (read-token-
+    * then-delete without the mutex is read-then-act: a takeover landing
+    * between them would lose the NEW owner's lock), so the lock is left
+    * to age into takeover after `staleAfterMs` — the same safe-but-slow
+    * stance as an unreadable token. */
   private def release(lock: Path, token: String, staleAfterMs: Long): Unit = {
     var tries = 0
-    var gotMutex = tryTakeoverMutex(lock, staleAfterMs)
-    while (!gotMutex && tries < 200) {
+    var m = tryMutex(lock)
+    while (m.isEmpty && tries < 200) {
       Thread.sleep(5); tries += 1
-      gotMutex = tryTakeoverMutex(lock, staleAfterMs)
+      m = tryMutex(lock)
     }
     // POSITIVE verification only: an unreadable token (transient I/O)
-    // leaves the lock behind rather than risking the new owner's — it
-    // ages into takeover after staleAfterMs, safe-but-slow
-    try { if (readToken(lock).contains(token)) Files.deleteIfExists(lock); () }
-    finally { if (gotMutex) releaseTakeoverMutex(lock) }
+    // leaves the lock behind rather than risking the new owner's
+    m.foreach { h =>
+      try { if (readToken(lock).contains(token)) Files.deleteIfExists(lock); () }
+      finally h.release()
+    }
   }
 
   /** Run `build` against a `.next-<uuid>` side directory (created by the
@@ -297,6 +382,12 @@ object StoreLifecycle {
     }
   }
 
+  /** Test seam: invoked between the swap's two renames — the cross-process
+    * crash spec parks a second JVM here and kill -9s it, proving the torn
+    * window (live gone, `.old` = last good store) refuses probes loudly
+    * and the next publish recovers. */
+  private[graft] var swapPause: () => Unit = () => ()
+
   /** The two-rename atomic swap: live → `.old` (skipped on first build),
     * `tmpDir` → live, `.old` deleted. Each rename is atomic; a crash
     * between them leaves a recoverable `.old`, never a torn live store. */
@@ -304,9 +395,11 @@ object StoreLifecycle {
     val live = path(storeDir)
     val old = path(s"$storeDir.old")
     Scale.deleteRecursively(old.toFile) // a crashed prior swap's leftover
-    if (java.nio.file.Files.exists(live))
+    if (java.nio.file.Files.exists(live)) {
       java.nio.file.Files.move(live, old,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      swapPause()
+    }
     java.nio.file.Files.move(path(tmpDir), live,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Scale.deleteRecursively(old.toFile)

@@ -331,13 +331,32 @@ object DocStreams {
     * fact) — bucketing is stateless row-local arithmetic after the agg,
     * no second stateful boundary. Differentially spec'd ≈ the batch
     * stored scorer (identical ln-terms, summation order differs →
-    * round-off bound; buckets exact). */
+    * round-off bound; buckets exact).
+    *
+    * `langs`: serve a NAMED language shard — the streaming twin of
+    * [[graft.ext.LmFilter.scoreAgainstLmStore]]'s r13 parameter (CCNet's
+    * processing unit is per-language, and the 24/7 scorer is exactly
+    * where the prune pays per MICRO-BATCH): arriving docs filter to the
+    * shard's languages (explicit shard semantics — a stray other-language
+    * row is excluded, never floor-scored) and the static model sides
+    * prune to them, so the pushed `lang isin` FILE-PRUNES the
+    * range-clustered `uni/`+`big/` to the shard's key-range files on
+    * every trigger. Default None = whole-corpus serve, the r13 plan. */
   def lmScoreStream(docs: DataFrame, storeDir: String,
-                    watermark: String = "1 hour"): DataFrame = {
+                    watermark: String = "1 hour",
+                    langs: Option[Seq[String]] = None): DataFrame = {
     import graft.ext.LmFilter
-    val (uni, big, tots, cuts, lambda, refMod) =
+    val (uni0, big0, tots, cuts, lambda, refMod) =
       LmFilter.loadLmStore(docs.sparkSession, storeDir)
-    val terms = docs
+    require(langs.forall(_.nonEmpty), "langs, when given, must be non-empty")
+    val (docsP, uni, big) = langs match {
+      case Some(ls) =>
+        (docs.filter(col("lang").isin(ls: _*)),
+          uni0.filter(col("lang").isin(ls: _*)),
+          big0.filter(col("lang").isin(ls: _*)))
+      case None => (docs, uni0, big0)
+    }
+    val terms = docsP
       .withWatermark("ingest_ts", watermark)
       .withColumn("in_ref", col("doc_id") % refMod === 0)
       .withColumn("w", expr("split(text, ' ')"))

@@ -66,8 +66,8 @@ object StreamingInventory {
       "DocStreamsSpec (random splits)", "quality_score"),
     t("DocStreams.dsirScoreStoreStream", "Sampling.scoreAgainstDsirStore",
       "DocStreamsSpec (2e-6 float bound)", "dsir_score"),
-    t("DocStreams.lmScoreStream", "LmFilter.scoreAgainstLmStore (stream-static model joins)",
-      "DocStreamsSpec (2e-6 ce bound, buckets exact)", "lm_score"),
+    t("DocStreams.lmScoreStream", "LmFilter.scoreAgainstLmStore (stream-static model joins; langs=… serves a NAMED language shard — the pushed lang isin file-prunes the range-clustered model per micro-batch, r14)",
+      "DocStreamsSpec (2e-6 ce bound, buckets exact; shard twin ≡ batch shard serve ≡ whole serve restricted to the shard)", "lm_score"),
     t("DocStreams.bloomGateStream", "IS BloomDedup.probe (folded filter literal)",
       "DocStreamsSpec (random splits)", "bloom_gate"),
     t("DocStreams.triageStream", "Dedup.ingestTriageStored",
@@ -82,6 +82,6 @@ object StreamingInventory {
       "EventStreamsSpec (split days ≡ batch build, exact estimate equality)", "sketch_ingest"),
     t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",
       "VecStreamsSpec (random splits, flat + hier)", "vec_assign"),
-    t("VecStreams.runAnnServe", "IS Similarity.ivfAgainstStore per micro-batch (probed-ids isin pushdown bounds each trigger's store reads)",
-      "VecStreamsSpec (random splits + plan pushdown)", "ann_serve"))
+    t("VecStreams.runAnnServe", "IS Similarity.ivfAgainstStore per micro-batch (probed-ids isin pushdown bounds each trigger's store reads; idempotent replay — each batch OVERWRITES its batchId-deterministic partition dir, r14)",
+      "VecStreamsSpec (random splits + plan pushdown + double-write idempotence)", "ann_serve"))
 }

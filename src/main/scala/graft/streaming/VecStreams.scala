@@ -91,9 +91,15 @@ object VecStreams {
     val prober = graft.ext.Similarity.ivfStoreProber(spark, storeDir, k, nProbe,
       materializeProbes = true)
     queries.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent replay: foreachBatch is at-least-once on crash-restart,
+        // so each micro-batch OVERWRITES its own batchId-deterministic
+        // partition directory — a replayed batch replaces its previous
+        // (possibly partial) output instead of appending duplicate
+        // (query_id, rank) rows (the file-sink exactly-once property the
+        // r12 annStream had, restored to the foreachBatch loop)
         prober(batch.select(col("query_id").as("vec_id"), col("embedding")))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", ckptDir)

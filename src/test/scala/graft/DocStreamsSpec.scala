@@ -410,6 +410,45 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.map(_(5)).distinct.size === 3, "fixture must hit all three buckets")
   }
 
+  test("streaming NAMED-SHARD LM scorer (langs=de) matches the batch named-shard serve under random micro-batch splits") {
+    // the r14 streaming twin of scoreAgainstLmStore(langs=…): per-language
+    // shard semantics must agree between the 24/7 scorer and the batch
+    // serve — arriving other-language docs are EXCLUDED (never
+    // floor-scored), and the shard relation is the whole-corpus relation
+    // restricted to the shard's language
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("lmshardstream").toString
+    graft.ext.LmFilter.buildLmStore(docs, s"$base/m")
+    val rows = docs.orderBy("doc_id").limit(200).collect().map(r =>
+      DocIn(r.getAs[Long]("doc_id"), new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    assert(rows.exists(_.lang == "de") && rows.exists(_.lang != "de"),
+      "fixture must mix shard and non-shard languages")
+    val cols = Seq("doc_id", "lang", "in_ref", "n_terms", "ce_nats", "bucket", "kept")
+    val shard = Some(Seq("de"))
+    val streamed = runSplits(rows, "lm_shard_stream_out", "update", cols)(
+      df => DocStreams.lmScoreStream(df, s"$base/m", langs = shard))
+    val batch = graft.ext.LmFilter.scoreAgainstLmStore(rows.toSeq.toDF(), s"$base/m",
+        langs = shard)
+      .orderBy("doc_id").select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(streamed.length === batch.length)
+    assert(batch.nonEmpty && batch.forall(_(1) === "de"),
+      "the shard serve must emit exactly the shard's language")
+    assert(batch.length < rows.length, "the shard must be a strict subset of arrivals")
+    // whole-corpus serve restricted to de ≡ the shard serve (same-lang
+    // joins make the prune a pure scan reduction) — the registry twin's
+    // oracle argument, asserted here end-to-end
+    val wholeDe = graft.ext.LmFilter.scoreAgainstLmStore(rows.toSeq.toDF(), s"$base/m")
+      .filter(col("lang") === "de")
+      .orderBy("doc_id").select(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    assert(batch === wholeDe)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.take(4) === b.take(4), s"$s vs $b")
+      assert(math.abs(s(4).asInstanceOf[Double] - b(4).asInstanceOf[Double]) <= 2e-6,
+        s"ce drift beyond float round-off: $s vs $b")
+    }
+  }
+
   test("streaming DSIR scorer served from the store matches the batch stored scorer to float round-off") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val base = java.nio.file.Files.createTempDirectory("dsirstream").toString

@@ -497,7 +497,10 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(files("bands").size < filesBeforeCompact)
     val parent = new java.io.File(storeA).getParentFile.listFiles().map(_.getName)
     val base = new java.io.File(storeA).getName
-    assert(!parent.exists(n => n.startsWith(base) && n != base),
+    // the bare `.lock.takeover` rendezvous is BY DESIGN permanent (a
+    // flock file is never unlinked); anything else is residue
+    assert(!parent.exists(n => n.startsWith(base) && n != base &&
+        n != s"$base.lock.takeover"),
       s"compaction residue: ${parent.filter(_.startsWith(base)).mkString(",")}")
   }
 

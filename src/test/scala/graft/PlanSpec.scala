@@ -822,6 +822,43 @@ class PlanSpec extends AnyFunSuite {
       "stored serve should carry totals as folded meta literals")
   }
 
+  test("hier assignment keys are non-nullable and no planted isnotnull re-computes the assignment subtree") {
+    // The r13 regression class: functions.element_at is null-on-out-of-
+    // bounds, so an un-coalesced member lookup makes list_id NULLABLE —
+    // every join on it then plants an isnotnull filter whose condition
+    // INLINES (re-computes) the whole two-level assignment per row
+    // (measured 2× on every hier query, caught only by a manual plan
+    // diff). This locks both halves: the key's nullability metadata and
+    // the absence of the inlined-recompute filter signature. Red if any
+    // coalesce guard in hierAssignCols is dropped.
+    // nullability is asserted where list_id is COMPUTED in-plan (the
+    // in-line hier family and the store-served assignment projection);
+    // `similarity_ivf_hier_stored`'s output list_id rides the store's
+    // lists SCAN, and Spark file sources force scan columns nullable —
+    // there the planted isnotnull is a pushed parquet filter (cheap and
+    // harmless), so only the no-recompute half applies.
+    val computedKey = Map(
+      "similarity_ivf_hier" -> "list_id",
+      "pipeline_ann_trained_hier" -> "list_id",
+      "pipeline_ann_sampled_trained" -> "list_id",
+      "similarity_assign_stored" -> "cluster_id")
+    for (q <- computedKey.keys.toSeq.sorted :+ "similarity_ivf_hier_stored") {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val key = computedKey.getOrElse(q, "list_id")
+      assert(df.schema.fieldNames.contains(key), s"$q lost its $key column")
+      computedKey.get(q).foreach { k =>
+        df.schema.fields.filter(f => f.name == k || f.name == "gidx").foreach { f =>
+          assert(!f.nullable,
+            s"$q: ${f.name} is nullable — joins on it will plant assignment-recomputing isnotnull filters")
+        }
+      }
+      val p = df.queryExecution.executedPlan.toString
+      for (sig <- Seq("isnotnull(element_at", "isnotnull(coalesce", "isnotnull(transform"))
+        assert(!p.contains(sig),
+          s"$q: planted `$sig…` filter — the assignment subtree is re-computed per row\n${p.take(4000)}")
+    }
+  }
+
   test("trained topic cards keep the seeded variant's plan shape: one assignment equi-join feeds the explode") {
     // training (lloydFinal) runs at CONSTRUCTION time as bounded collects;
     // the executed plan must stay the seeded pipeline's — the converged

@@ -75,6 +75,32 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(stored.map(t => (t._1, t._3)) === inline)
   }
 
+  test("rangeDistinct guards its range: inverted order refuses at construction, an uncovered range fails loudly at execution") {
+    val store = java.nio.file.Files.createTempDirectory("graft_sk_rg").toString + "/s"
+    SketchStore.buildSketchStore(events, store)
+    val days = spark.read.parquet(s"$store/days")
+      .agg(min(col("day")).cast("string"), max(col("day")).cast("string"))
+      .collect()(0)
+    val (lo, hi) = (days.getString(0), days.getString(1))
+    // the happy path still answers one row
+    val ok = SketchStore.rangeDistinct(spark, store, lo, hi).collect()
+    assert(ok.length === 1 && ok(0).getAs[Long]("n_days") > 0)
+    // inverted range: a caller error, refused before any job runs
+    val inv = intercept[IllegalArgumentException](
+      SketchStore.rangeDistinct(spark, store, hi, lo))
+    assert(inv.getMessage.contains("is after"))
+    // malformed date: refused at construction too
+    intercept[java.time.format.DateTimeParseException](
+      SketchStore.rangeDistinct(spark, store, "20-bad-01", hi))
+    // a range covering no stored days: (0, NULL) would silently poison the
+    // checked twin's envelope — it must fail loudly instead
+    val e = intercept[Exception](
+      SketchStore.rangeDistinct(spark, store, "1970-01-01", "1970-01-02").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("covers no stored days")), e.getMessage)
+  }
+
   test("a torn store (no _SUCCESS) is refused loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sk_torn").toString
     val e = intercept[IllegalArgumentException] {

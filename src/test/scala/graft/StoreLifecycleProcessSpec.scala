@@ -22,6 +22,27 @@ object LockHolderMain {
   }
 }
 
+/** Cross-PROCESS mid-swap crasher: publishes a v2 build but parks forever
+  * BETWEEN [[graft.ops.StoreLifecycle.swapIn]]'s two renames (live already
+  * moved to `.old`, the new build not yet moved in) — the parent spec
+  * kill -9s it there, leaving the torn window an OS crash would: no live
+  * root, `.old` = last good store, the crashed holder's lock behind. */
+object SwapCrashMain {
+  def main(args: Array[String]): Unit = {
+    val store = args(0)
+    graft.ops.StoreLifecycle.swapPause = () => {
+      println("MIDSWAP"); Console.flush()
+      Thread.sleep(600000) // killed here
+    }
+    graft.ops.StoreLifecycle.publish(store) { tmp =>
+      java.nio.file.Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(s"$tmp/data.txt"), "v2-mid-crash")
+      Files.writeString(Paths.get(s"$tmp/meta.txt"), "v=2\n")
+      Files.write(Paths.get(s"$tmp/_SUCCESS"), Array.empty[Byte])
+    }
+  }
+}
+
 /** The writer-lock protocol across real process boundaries: a live
   * second JVM refuses, a kill -9'd holder's lock survives fresh (refused
   * until stale), and a stale crashed-holder lock is taken over — the
@@ -36,11 +57,14 @@ class StoreLifecycleProcessSpec extends AnyFunSuite {
     s"$root/$name"
   }
 
-  private def spawnHolder(store: String, holdMs: Long): Process = {
+  private def spawnHolder(store: String, holdMs: Long): Process =
+    spawn("graft.LockHolderMain", store, holdMs.toString)
+
+  private def spawn(mainClass: String, args: String*): Process = {
     val java = s"${System.getProperty("java.home")}/bin/java"
-    val pb = new ProcessBuilder(java,
-      "-cp", System.getProperty("java.class.path"),
-      "graft.LockHolderMain", store, holdMs.toString)
+    val pb = new ProcessBuilder(
+      (Seq(java, "-cp", System.getProperty("java.class.path"), mainClass)
+        ++ args): _*)
     pb.redirectErrorStream(true)
     pb.start()
   }
@@ -97,11 +121,62 @@ class StoreLifecycleProcessSpec extends AnyFunSuite {
       graft.ops.StoreLifecycle.withWriterLock(store) { entered = true }
       assert(entered, "stale crashed-process lock must be taken over")
       assert(!Files.exists(lock))
-      // no protocol litter: no .takeover / .claim-* / .stale-* left behind
+      // no protocol litter: no .claim-* / .stale-* left behind; the bare
+      // `.lock.takeover` rendezvous file is BY DESIGN permanent (a flock
+      // file is never unlinked — the flock-unlink race)
       val litter = Paths.get(root).toFile.listFiles()
-        .filter(f => f.getName.contains(".takeover") ||
-          f.getName.contains(".claim-") || f.getName.contains(".stale-"))
+        .filter(f => (f.getName.contains(".takeover") ||
+            f.getName.contains(".claim-") || f.getName.contains(".stale-")) &&
+          !f.getName.endsWith(".lock.takeover"))
       assert(litter.isEmpty, s"protocol litter: ${litter.map(_.getName).mkString(",")}")
     } finally { holder.destroyForcibly(); () }
+  }
+
+  test("cross-process crash MID-SWAP: kill -9 between the two renames — probes refuse the torn root loudly, the next publish recovers") {
+    val store = fresh("procmidswap")
+    def publishV(v: String): Unit =
+      graft.ops.StoreLifecycle.publish(store) { tmp =>
+        Files.createDirectories(Paths.get(tmp))
+        Files.writeString(Paths.get(s"$tmp/data.txt"), v)
+        Files.writeString(Paths.get(s"$tmp/meta.txt"), s"v=$v\n")
+        Files.write(Paths.get(s"$tmp/_SUCCESS"), Array.empty[Byte])
+      }
+    publishV("v1")
+    assert(graft.ops.StoreLifecycle.readMeta(store)("v") === "v1")
+    val crasher = spawn("graft.SwapCrashMain", store)
+    try {
+      awaitMarker(crasher, "MIDSWAP", 30000)
+      crasher.destroyForcibly()
+      assert(crasher.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      // the torn window an OS crash leaves: live root GONE, .old = last
+      // good store, the dead holder's lock behind
+      assert(!Files.exists(Paths.get(store)), "mid-swap: the live root is gone")
+      assert(Files.readString(Paths.get(s"$store.old/data.txt")) === "v1",
+        ".old must hold the last good store")
+      assert(Files.exists(Paths.get(s"$store.lock")),
+        "the killed publisher leaves its lock")
+      // a probe NEVER sees a torn root as data: readMeta refuses loudly
+      val torn = intercept[IllegalArgumentException](
+        graft.ops.StoreLifecycle.readMeta(store))
+      assert(torn.getMessage.contains("not a published store"))
+      // a rival publish while the crashed lock is FRESH refuses (the
+      // crashed-holder contract — takeover only once stale)
+      val refused = intercept[IllegalStateException](publishV("v2"))
+      assert(refused.getMessage.contains("another writer holds"))
+      // age the lock past the threshold: the next publish takes over,
+      // sweeps the crash's .old and .next-* garbage, and lands v2
+      Files.setLastModifiedTime(Paths.get(s"$store.lock"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs))
+      publishV("v2")
+      assert(graft.ops.StoreLifecycle.readMeta(store)("v") === "v2")
+      assert(Files.readString(Paths.get(s"$store/data.txt")) === "v2")
+      assert(!Files.exists(Paths.get(s"$store.old")), ".old swept by the recovery publish")
+      val litter = Paths.get(root).toFile.listFiles()
+        .filter(f => f.getName.startsWith("procmidswap.") &&
+          f.getName != "procmidswap" &&
+          f.getName != "procmidswap.lock.takeover") // permanent rendezvous
+      assert(litter.isEmpty, s"crash litter: ${litter.map(_.getName).mkString(",")}")
+    } finally { crasher.destroyForcibly(); () }
   }
 }

@@ -211,6 +211,167 @@ class StoreLifecycleSpec extends AnyFunSuite {
     } finally graft.ops.StoreLifecycle.takeoverPause = () => ()
   }
 
+  test("writer lock: a PRE-SEEDED stale takeover mutex under the 8-rival stale-lock race — exactly one writer inside") {
+    // The adversarial spec that killed two designs: r13's delete+recreate
+    // mutex cleanup let two rivals each delete the other's fresh
+    // re-creation, and the rename-aside-with-restore replacement could
+    // vacate the mutex path mid-restore and admit a third creator (both
+    // reproduced here as "2 writers inside"). Under the flock mutex the
+    // pre-seeded file is an inert rendezvous — the kernel arbitrates.
+    // Both the lock AND its mutex file start stale (crashed holder +
+    // crashed taker), 8 rivals race.
+    for (round <- 1 to 3) {
+      val store = fresh(s"mutexstale$round")
+      Files.createDirectories(Paths.get(store).toAbsolutePath.getParent)
+      val lock = Paths.get(s"$store.lock")
+      val mutex = Paths.get(s"$store.lock.takeover")
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs)
+      Files.createFile(lock); Files.setLastModifiedTime(lock, past)
+      Files.createFile(mutex); Files.setLastModifiedTime(mutex, past)
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          start.await()
+          try graft.ops.StoreLifecycle.withWriterLock(store) {
+            val now = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, now))
+            Thread.sleep(30)
+            inside.decrementAndGet()
+            winners.incrementAndGet()
+          } catch { case _: IllegalStateException => () }
+        })
+      }
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+      assert(winners.get() >= 1, s"round $round: the stale lock must be taken over")
+      assert(maxInside.get() === 1,
+        s"round $round: ${maxInside.get()} writers inside concurrently — the stale-mutex cleanup raced")
+      assert(!Files.exists(lock))
+      // no trash/claim orphans. The bare mutex MAY remain in one narrow
+      // legal outcome: a loser that moved a winner's fresh re-creation
+      // restores it (safety over litter — it ages out); everything else
+      // must be cleaned.
+      val litter = Paths.get(store).toAbsolutePath.getParent.toFile.listFiles()
+        .filter(f => f.getName.startsWith(s"mutexstale$round.lock") &&
+          f.toPath != mutex)
+      assert(litter.isEmpty, s"round $round protocol litter: ${litter.map(_.getName).mkString(",")}")
+      Files.deleteIfExists(mutex)
+    }
+  }
+
+  test("writer lock: a claimant parked pre-REPLACE holds the mutex — a second rival loses deterministically, never double-enters") {
+    // The pre-REPLACE point inside the mutexed section is where every
+    // historical breach materialized (r12 TOCTOU; the r13 mutex-file
+    // cleanups — both delete+recreate and rename-aside-with-restore —
+    // could vacate the mutex path and admit a second claimant here,
+    // reproduced by the 8-rival spec). With the flock mutex: park rival #1
+    // pre-REPLACE (flock held, lock pinned stale), then prove rival #2
+    // cannot acquire the mutex and loses — even with a pre-seeded orphan
+    // rendezvous file standing in for a crashed taker's leftovers.
+    val store = fresh("mutexdet")
+    Files.createDirectories(Paths.get(store).toAbsolutePath.getParent)
+    val lock = Paths.get(s"$store.lock")
+    val mutex = Paths.get(s"$store.lock.takeover")
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs)
+    Files.createFile(lock); Files.setLastModifiedTime(lock, past)
+    // a crashed taker's leftover rendezvous file, aged stale: under the
+    // flock design it is inert (the corpse's kernel lock died with it)
+    Files.createFile(mutex); Files.setLastModifiedTime(mutex, past)
+    val claimParked = new java.util.concurrent.atomic.AtomicInteger(0)
+    val proceedClaim = new java.util.concurrent.CountDownLatch(1)
+    graft.ops.StoreLifecycle.claimPause = () => {
+      claimParked.incrementAndGet(); proceedClaim.await()
+    }
+    try {
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lostRace = new java.util.concurrent.atomic.AtomicInteger(0)
+      val finished = new java.util.concurrent.atomic.AtomicInteger(0)
+      def rival() = new Thread(() => {
+        try graft.ops.StoreLifecycle.withWriterLock(store) {
+          val now = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, now))
+          Thread.sleep(30)
+          inside.decrementAndGet()
+          entered.incrementAndGet()
+        } catch {
+          case e: IllegalStateException =>
+            assert(e.getMessage.contains("lost the takeover race"))
+            lostRace.incrementAndGet()
+        } finally finished.incrementAndGet()
+      })
+      val deadline = System.currentTimeMillis() + 30000
+      val r1 = rival(); r1.start() // rival #1: takeover → parks pre-REPLACE
+      while (claimParked.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      assert(claimParked.get() === 1, "rival #1 must reach the claim point")
+      val r2 = rival(); r2.start() // rival #2 races a HELD mutex + stale lock
+      // #2 must die of lost-race WITHOUT ever reaching the claim point
+      while (finished.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      val concurrentClaimants = claimParked.get()
+      proceedClaim.countDown()
+      r1.join(); r2.join()
+      assert(concurrentClaimants === 1,
+        s"$concurrentClaimants claimants reached the pre-REPLACE point concurrently — the mutex admitted two")
+      assert(entered.get() === 1, s"${entered.get()} rivals entered — exactly one must win the claim")
+      assert(lostRace.get() === 1, "the mutex loser must throw lost-race")
+      assert(maxInside.get() === 1)
+      assert(!Files.exists(lock))
+      Files.deleteIfExists(mutex) // tests may clean the rendezvous; prod never does
+    } finally graft.ops.StoreLifecycle.claimPause = () => ()
+  }
+
+  test("writer lock: an orphaned FRESH takeover mutex cannot get a live holder's lock stolen") {
+    // ADVICE r13: a taker that died inside its ms critical section leaves
+    // a mutex leftover that (under the r13 file-based design) blocked the
+    // holder's heartbeat until the unrefreshed lock aged into takeover
+    // eligibility — a stray file getting a HEALTHY holder's lock stolen.
+    // Under the flock design the leftover FILE carries no lock (the
+    // kernel released the corpse's flock), so the beat is never starved;
+    // the mtime refresher below keeps the file looking maximally "alive"
+    // to prove no mtime heuristic on the mutex remains in play.
+    val store = fresh("mutexorphan")
+    val staleMs = 1200L
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val owner = new Thread(() =>
+      graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs) {
+        entered.countDown(); release.await()
+      })
+    owner.start()
+    entered.await()
+    val mutex = Paths.get(s"$store.lock.takeover")
+    try Files.createFile(mutex) catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    val refresher = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(100)
+        try Files.setLastModifiedTime(mutex, java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    })
+    refresher.setDaemon(true); refresher.start()
+    try {
+      Thread.sleep(3 * staleMs) // well past the stale threshold
+      val e = intercept[IllegalStateException](
+        graft.ops.StoreLifecycle.withWriterLock(store, staleAfterMs = staleMs)(()))
+      assert(e.getMessage.contains("another writer holds"),
+        "the live holder must still refuse rivals despite the orphaned mutex")
+    } finally { refresher.interrupt(); refresher.join() }
+    release.countDown(); owner.join()
+    // the orphan file carries no flock, so release acquires the mutex
+    // normally and deletes the holder's lock
+    assert(!Files.exists(Paths.get(s"$store.lock")),
+      "release must clean the lock — the orphan rendezvous file never held it")
+    Files.deleteIfExists(mutex) // tests may clean the rendezvous; prod never does
+  }
+
   test("writer lock is reentrant per thread — composed verbs on one root acquire once") {
     val store = fresh("lockreenter")
     graft.ops.StoreLifecycle.withWriterLock(store) {

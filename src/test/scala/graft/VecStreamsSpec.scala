@@ -96,6 +96,24 @@ class VecStreamsSpec extends AnyFunSuite {
       .select(cols.map(col): _*).collect().map(_.toSeq).toSeq
     assert(streamed.toSeq === batch)
     assert(batch.size === 50, "10 queries x top-5 expected on the fixture")
+    // idempotent-replay contract: each micro-batch owns a
+    // batchId-deterministic partition dir it OVERWRITES, so an
+    // at-least-once foreachBatch replay after crash-restart replaces its
+    // previous output instead of appending duplicate (query_id, rank) rows
+    val batchDirs = new java.io.File(s"$base/out").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(batchDirs.nonEmpty && batchDirs.forall(_.startsWith("batch_id=")),
+      s"output must be batchId-partitioned: ${batchDirs.mkString(",")}")
+    // simulate the at-least-once replay: the same batch write lands twice
+    // on its deterministic dir — row count must be stable (overwrite),
+    // where the old append sink would have doubled it
+    def replayOnce(): Unit =
+      VecStreams.annServeBatch(spark.read.parquet(s"$base/q"), s"$base/s")
+        .write.mode("overwrite").parquet(s"$base/out/${batchDirs.min}")
+    replayOnce(); val afterOnce = spark.read.parquet(s"$base/out").count()
+    replayOnce(); val afterTwice = spark.read.parquet(s"$base/out").count()
+    assert(afterOnce === afterTwice,
+      "replaying a batch must be idempotent (overwrite, not append)")
     // the per-batch plan is the BATCH probe: its lists scan carries the
     // collected probed-ids isin pushdown (bounded store reads per trigger)
     val plan = VecStreams.annServeBatch(
