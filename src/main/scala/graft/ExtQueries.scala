@@ -772,6 +772,12 @@ object ExtQueries {
     // n_dup_tokens), keep clean docs whole; the "remove repeated
     // substrings, not repeated documents" decision as one plan
     "pipeline_span_clean" -> ((s, dir) => Dedup.spanClean(docs(s, dir))),
+    // the KEEP-FIRST form (Lee et al. 2022 substring dedup): each
+    // duplicated window keeps its content in its lowest doc_id and is cut
+    // only elsewhere — repeated boilerplate survives exactly once
+    // corpus-wide instead of vanishing (span_clean cuts every occurrence);
+    // keeper rides the same per-hash partial agg, zero extra shuffles
+    "pipeline_span_dedup_once" -> ((s, dir) => Dedup.spanDedupOnce(docs(s, dir))),
     "pipeline_near_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val nonKeep = Dedup.minhashClusters(d)
@@ -1984,6 +1990,45 @@ object ExtQueries {
         |            WHEN ndt > 0 THEN 'cut' ELSE 'keep' END AS action,
         |       CASE WHEN 2 * ndt > n_words THEN CAST(0 AS BIGINT)
         |            ELSE n_words - ndt END AS tokens_kept
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // keep-first span dedup: the span_clean CTEs with a per-hash KEEPER
+    // (min doc_id) carried out of the dup aggregation, and the hits
+    // relation excluding the keeper's own rows — first occurrence keeps
+    "pipeline_span_dedup_once" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks),
+        |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |           CAST(list_sum(list_transform(range(0, 15), k ->
+        |             CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |               << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |         FROM toks, unnest(range(1, len(w) - 6)) AS r(i)
+        |         WHERE len(w) >= 8),
+        |dup AS (SELECT h, min(doc_id) AS keeper FROM wins
+        |        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT wins.doc_id AS doc_id, pos FROM wins JOIN dup USING (h)
+        |         WHERE wins.doc_id <> dup.keeper),
+        |sp AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS new_span
+        |       FROM hits),
+        |gp AS (SELECT doc_id, pos,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi
+        |          FROM gp GROUP BY doc_id, span_id),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(hi - lo + 8) AS BIGINT) AS n_cut
+        |        FROM spans GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.n_words,
+        |             CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_cut_spans,
+        |             CAST(coalesce(per.n_cut, 0) AS BIGINT) AS nct
+        |      FROM base b LEFT JOIN per ON per.doc_id = b.doc_id)
+        |SELECT doc_id, n_words, n_cut_spans, nct AS n_cut_tokens,
+        |       round(nct / n_words, 6) AS cut_frac,
+        |       CASE WHEN 2 * nct > n_words THEN 'drop'
+        |            WHEN nct > 0 THEN 'cut' ELSE 'keep' END AS action,
+        |       CASE WHEN 2 * nct > n_words THEN CAST(0 AS BIGINT)
+        |            ELSE n_words - nct END AS tokens_kept
         |FROM j ORDER BY doc_id""".stripMargin,
 
     // spans against the stored index: store = distinct window hashes of

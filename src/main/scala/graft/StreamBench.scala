@@ -33,6 +33,13 @@ object StreamBench {
     val outJson = args.headOption.getOrElse("BENCH_streaming.json")
     val nEvents = if (args.length > 1) args(1).toInt else 1000000
     val nDocs = if (args.length > 2) args(2).toInt else 50000
+    // optional 4th arg: comma-separated op-name substrings for TARGETED
+    // soak re-runs (the batch Bench's targeted-profiling discipline,
+    // needed for stream-mover adjudication): non-matching ops are skipped
+    // at runOne (generators and store builds still run — a targeted run
+    // measures the op, not the fixture prep). Targeted artifacts should
+    // redirect outJson away from BENCH_streaming.json.
+    only = if (args.length > 3) Some(args(3).split(',').toSet) else None
     val nUsers = nEvents / 67 // fixture ratio: 100k events / 1500 users
     val work = "/tmp/graft_stream_soak"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -232,13 +239,29 @@ object StreamBench {
         val lmStore = s"$work/lm_store"
         ext.LmFilter.buildLmStore(
           docs.select("doc_id", "text", "lang"), lmStore)
-        runOne(spark, "lm_score", nDocs, s"$work/out/lm_score") { out =>
+        val whole = runOne(spark, "lm_score", nDocs, s"$work/out/lm_score") { out =>
           streaming.DocStreams.lmScoreStream(docStream, lmStore)
             .writeStream
             .outputMode("append")
             .option("checkpointLocation", s"$out/ckpt")
             .format("parquet").option("path", s"$out/data").start()
         }
+        // the NAMED-SHARD 24/7 scorer (CCNet's per-language processing
+        // unit): the SAME firehose and store, but the stream serves only
+        // the de shard — the pushed lang isin prunes the arriving docs AND
+        // file-prunes the range-clustered model relations on every
+        // micro-batch. Reported against the full arrival count: the
+        // throughput delta vs lm_score IS the shard prune's payoff.
+        val shard = runOne(spark, "lm_score_shard", nDocs,
+            s"$work/out/lm_score_shard") { out =>
+          streaming.DocStreams.lmScoreStream(docStream, lmStore,
+              langs = Some(Seq("de")))
+            .writeStream
+            .outputMode("append")
+            .option("checkpointLocation", s"$out/ckpt")
+            .format("parquet").option("path", s"$out/data").start()
+        }
+        Seq(whole, shard).filter(_.nonEmpty).mkString(",")
       }, {
         // the full triage store (Bloom + keys + bands) over the even half;
         // every arriving doc gets its exact/near/fresh verdict
@@ -382,7 +405,7 @@ object StreamBench {
           streaming.VecStreams.runAnnServe(spark, s"$work/vecq_src", vStore,
             s"$out/data", s"$out/ckpt", maxFilesPerTrigger = Some(2))
         }
-        assign + "," + serve
+        Seq(assign, serve).filter(_.nonEmpty).mkString(",")
       }, {
         // the store-GROWING ingest loop: seed a small band store, then the
         // foreachBatch loop rejects store near-dups + in-batch clone
@@ -410,8 +433,8 @@ object StreamBench {
 
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_ann_queries":$nQueries,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
-         |"operators":{${reports.mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state), ann_serve at ZERO state rows (foreachBatch runs the batch probe per trigger - probed-ids isin bounds each trigger's store reads), sketch_ingest at ZERO state rows (durable state is the sketch STORE it appends - the runStoreIngest rule) - none track cumulative input rows."}"""
+         |"operators":{${reports.filter(_.nonEmpty).mkString(",")}},
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state; lm_score_shard serves ONE language from the same store - the pushed lang isin prunes arrivals and file-prunes the clustered model per micro-batch, state at O(in-horizon shard docs)), ann_serve at ZERO state rows (foreachBatch runs the batch probe per trigger - probed-ids isin bounds each trigger's store reads), sketch_ingest at ZERO state rows (durable state is the sketch STORE it appends - the runStoreIngest rule) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)
@@ -421,8 +444,12 @@ object StreamBench {
   /** Run one streaming query to completion of all generated files; report a
     * JSON fragment `"name":{...}` with throughput, latency, and the
     * per-batch state-rows series. */
+  // targeted-run filter (set once in main): None = run everything
+  private var only: Option[Set[String]] = None
+
   private def runOne(spark: SparkSession, name: String, inputRows: Long,
                      outDir: String)(start: String => StreamingQuery): String = {
+    if (!only.forall(_.exists(name.contains))) return ""
     deleteRec(outDir)
     val t0 = System.nanoTime()
     val q = start(outDir)

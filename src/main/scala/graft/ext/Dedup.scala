@@ -1409,6 +1409,65 @@ object Dedup {
           .otherwise(col("n_words") - col("n_dup_tokens")).as("tokens_kept"))
       .orderBy("doc_id")
 
+  /** SPAN-DEDUP-ONCE — the KEEP-FIRST-OCCURRENCE form of [[spanClean]]
+    * (the canonical substring-level corpus dedup of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": keep ONE
+    * copy of every repeated passage). [[spanClean]] cuts a duplicated
+    * span from EVERY doc containing it — a passage duplicated everywhere
+    * vanishes from the corpus entirely; here each duplicated `k`-token
+    * window KEEPS its content in the lowest doc_id containing it and is
+    * cut only from the others, so repeated boilerplate survives exactly
+    * once corpus-wide and no content is lost. (Within-doc repeats of a
+    * window the doc keeps are all kept — the unit of deduplication is
+    * cross-DOC occurrence, the paper's semantics.)
+    *
+    * Scale shape: identical to [[substringSpans]] — the per-hash keeper
+    * (min doc_id) rides the SAME partial-agg shuffle that already counts
+    * distinct docs per window hash (no extra pass, no extra shuffle); the
+    * co-partitioned join-back then drops the keeper's own rows before the
+    * per-doc span merge, whose window work stays bounded by CUT windows.
+    *
+    * Determinism: keeper = min(doc_id) is unique; positions/counts exact
+    * integers; ONE final IEEE division; the drop/cut threshold compares
+    * in exact integers (the [[spanClean]] rule). */
+  def spanDedupOnce(docs: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = spread(docs).select(col("doc_id"), col("text"))
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2).select("h", "keeper")
+    val hits = wins.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper")) // first occurrence keeps
+      .select("doc_id", "pos")
+    val wo = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(wo) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("nw"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("hi") - col("lo") + k).as("n_cut"))
+    base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut_tokens"))
+      .withColumn("cut_frac", expr("round(n_cut_tokens / n_words, 6)"))
+      .withColumn("action",
+        when(col("n_cut_tokens") * 2 > col("n_words"), "drop")
+          .when(col("n_cut_tokens") > 0, "cut")
+          .otherwise("keep"))
+      .withColumn("tokens_kept",
+        when(col("n_cut_tokens") * 2 > col("n_words"), lit(0L))
+          .otherwise(col("n_words") - col("n_cut_tokens")))
+      .orderBy("doc_id")
+  }
+
   /** Span-merge FOLD over a sorted, distinct position array `ps` — ONE
     * definition of [[substringSpans]]' merge rule (consecutive duplicated
     * `k`-windows whose start positions differ by ≤ k coalesce; each span

@@ -93,13 +93,19 @@ object VecStreams {
     queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // idempotent replay: foreachBatch is at-least-once on crash-restart,
-        // so each micro-batch OVERWRITES its own batchId-deterministic
+        // so each micro-batch REPLACES its own batchId-deterministic
         // partition directory — a replayed batch replaces its previous
         // (possibly partial) output instead of appending duplicate
         // (query_id, rank) rows (the file-sink exactly-once property the
-        // r12 annStream had, restored to the foreachBatch loop)
+        // r12 annStream had, restored to the foreachBatch loop). The
+        // replace is a driver-side delete + plain write, NOT
+        // mode("overwrite"): the overwrite machinery measured ~25% of
+        // serve throughput per trigger (targeted A/B at the soak volume:
+        // 60-71 q/s overwrite vs 77-84 q/s delete+write ≈ plain append)
+        val dir = s"$outDir/batch_id=$batchId"
+        graft.ops.Scale.deleteRecursively(new java.io.File(dir))
         prober(batch.select(col("query_id").as("vec_id"), col("embedding")))
-          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          .write.parquet(dir)
         ()
       }
       .option("checkpointLocation", ckptDir)

@@ -602,6 +602,42 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(o2(6L) === (("cut", 4L)) && o2(7L) === (("cut", 4L)))
   }
 
+  test("spanDedupOnce keeps the first occurrence: lowest doc_id retains every duplicated span, later docs cut") {
+    // Same fixture as the spanClean test. The keep-first semantics flip
+    // exactly the rows where spanClean loses content: doc 1 (the lower
+    // id of the shared trigram) KEEPS it; doc 4 (the lower clone) keeps
+    // EVERYTHING while its clone 5 still drops — repeated passages
+    // survive exactly once corpus-wide.
+    val docs = docsDf(
+      (1L, "a b x y z c d"),
+      (2L, "x y z q r s t"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (4L, "m n o p m n o p"),
+      (5L, "m n o p m n o p"))
+    val out = Dedup.spanDedupOnce(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getLong(6))).toMap
+    assert(out(1L) === (("keep", 7L)), "first occurrence must keep the shared trigram")
+    assert(out(2L) === (("cut", 4L)))
+    assert(out(3L) === (("keep", 8L)))
+    assert(out(4L) === (("keep", 8L)), "the lower clone keeps everything")
+    assert(out(5L) === (("drop", 0L)), "the higher clone is fully duplicated elsewhere")
+    // differential vs the cut-everywhere form on the corpus fixture:
+    // pointwise n_cut_tokens <= n_dup_tokens, strictly less in total
+    // (keepers exist), and total kept content strictly greater
+    val corpus = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val once = Dedup.spanDedupOnce(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val all = Dedup.substringSpans(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(once.keySet === all.keySet)
+    once.foreach { case (d, cut) =>
+      assert(cut <= all(d), s"doc $d: keep-first cut $cut > cut-everywhere ${all(d)}")
+    }
+    assert(once.values.sum < all.values.sum,
+      "keep-first must retain strictly more tokens than cut-everywhere")
+    assert(once.values.exists(_ > 0), "fixture must contain cross-doc duplicated spans")
+  }
+
   test("substringSpans: overlapping and touching windows merge; disjoint ones don't") {
     // k=2; shared bigrams "p q" and "q r" overlap in doc 1 (positions 1,2
     // -> one span of 3 tokens); "s t" at pos 6 is disjoint -> second span

@@ -105,11 +105,15 @@ class VecStreamsSpec extends AnyFunSuite {
     assert(batchDirs.nonEmpty && batchDirs.forall(_.startsWith("batch_id=")),
       s"output must be batchId-partitioned: ${batchDirs.mkString(",")}")
     // simulate the at-least-once replay: the same batch write lands twice
-    // on its deterministic dir — row count must be stable (overwrite),
-    // where the old append sink would have doubled it
-    def replayOnce(): Unit =
+    // on its deterministic dir — row count must be stable (the sink's
+    // delete+write replace), where the old append sink would have doubled
+    // it. Mirrors runAnnServe's foreachBatch body exactly.
+    def replayOnce(): Unit = {
+      val dir = s"$base/out/${batchDirs.min}"
+      graft.ops.Scale.deleteRecursively(new java.io.File(dir))
       VecStreams.annServeBatch(spark.read.parquet(s"$base/q"), s"$base/s")
-        .write.mode("overwrite").parquet(s"$base/out/${batchDirs.min}")
+        .write.parquet(dir)
+    }
     replayOnce(); val afterOnce = spark.read.parquet(s"$base/out").count()
     replayOnce(); val afterTwice = spark.read.parquet(s"$base/out").count()
     assert(afterOnce === afterTwice,
