@@ -294,6 +294,33 @@ object StoreSoak {
             graft.ext.LmFilter.scoreAgainstLmStore(oneLang, store,
               langs = Some(Seq(langs.head)))
               .write.format("noop").mode("overwrite").save())
+      case "spandedup" =>
+        // r14: keep-first substring dedup at scale — the per-hash keeper
+        // (min doc_id) rides the SAME partial agg substringSpans already
+        // pays, so the keep-first manifest must cost ≈ the cut-everywhere
+        // signal at 10× data; and keep-first must retain strictly more
+        // tokens (repeated passages survive exactly once instead of
+        // vanishing from every occurrence).
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "text")
+        println(s"[soak] docs=${docs.count()}")
+        for (rep <- 1 to 2) {
+          time(s"substringSpans (cut-everywhere signal) rep$rep")(
+            graft.ext.Dedup.substringSpans(docs)
+              .write.format("noop").mode("overwrite").save())
+          time(s"spanDedupOnce (keep-first manifest) rep$rep")(
+            graft.ext.Dedup.spanDedupOnce(docs)
+              .write.format("noop").mode("overwrite").save())
+        }
+        val once = graft.ext.Dedup.spanDedupOnce(docs)
+          .agg(sum("n_cut_tokens").as("cut"), sum("n_words").as("w"))
+          .collect()(0)
+        val all = graft.ext.Dedup.substringSpans(docs)
+          .agg(sum("n_dup_tokens").as("dup")).collect()(0)
+        println(s"[soak] corpus words=${once.getAs[Long]("w")}; " +
+          s"cut-everywhere dup tokens=${all.getAs[Long]("dup")}; " +
+          s"keep-first cut tokens=${once.getAs[Long]("cut")} " +
+          s"(keep-first retains ${all.getAs[Long]("dup") - once.getAs[Long]("cut")} more)")
       case "sketchstore" =>
         // r12: the mergeable-sketch-store receipt — daily HLL rows built
         // once (appendable at O(day)), the trailing-7-day distinct report
