@@ -778,6 +778,18 @@ object ExtQueries {
     // corpus-wide instead of vanishing (span_clean cuts every occurrence);
     // keeper rides the same per-hash partial agg, zero extra shuffles
     "pipeline_span_dedup_once" -> ((s, dir) => Dedup.spanDedupOnce(docs(s, dir))),
+    // the daily O(increment) form: history (the stored window-hash set)
+    // keeps by definition — incoming occurrences of stored windows are
+    // cut — and windows NEW to the increment keep-first within it, so a
+    // sequence of daily runs preserves the one-copy-corpus-wide invariant;
+    // reuses dedup_spans_stored's cached %7!=0 store
+    "pipeline_span_dedup_once_stored" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val store = cachedStore("graft_span_store_v1", s"$dir/documents.parquet",
+        "winhashes/_SUCCESS")(tmp =>
+        Dedup.buildSpanStore(d.filter(col("doc_id") % 7 =!= 0), tmp))
+      Dedup.spanDedupOnceStored(d.filter(col("doc_id") % 7 === 0), store)
+    }),
     "pipeline_near_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val nonKeep = Dedup.minhashClusters(d)
@@ -2008,6 +2020,56 @@ object ExtQueries {
         |        GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
         |hits AS (SELECT wins.doc_id AS doc_id, pos FROM wins JOIN dup USING (h)
         |         WHERE wins.doc_id <> dup.keeper),
+        |sp AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+        |              THEN 0 ELSE 1 END AS new_span
+        |       FROM hits),
+        |gp AS (SELECT doc_id, pos,
+        |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM sp),
+        |spans AS (SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi
+        |          FROM gp GROUP BY doc_id, span_id),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(hi - lo + 8) AS BIGINT) AS n_cut
+        |        FROM spans GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, b.n_words,
+        |             CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_cut_spans,
+        |             CAST(coalesce(per.n_cut, 0) AS BIGINT) AS nct
+        |      FROM base b LEFT JOIN per ON per.doc_id = b.doc_id)
+        |SELECT doc_id, n_words, n_cut_spans, nct AS n_cut_tokens,
+        |       round(nct / n_words, 6) AS cut_frac,
+        |       CASE WHEN 2 * nct > n_words THEN 'drop'
+        |            WHEN nct > 0 THEN 'cut' ELSE 'keep' END AS action,
+        |       CASE WHEN 2 * nct > n_words THEN CAST(0 AS BIGINT)
+        |            ELSE n_words - nct END AS tokens_kept
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // stored keep-first span dedup: hist = distinct window hashes of the
+    // %7!=0 slice (the store relation), probe = the %7==0 increment; cut =
+    // (windows IN the store — history keeps) UNION (store-miss windows
+    // duplicated within the increment, excluding the increment's own
+    // min-doc keeper). The lag/sum window merge replays the engine's
+    // aggregate-HOF fold — DIFFERENT machinery, so the hash match also
+    // cross-checks the fold (the dedup_spans_stored discipline)
+    "pipeline_span_dedup_once_stored" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |           CAST(list_sum(list_transform(range(0, 15), k ->
+        |             CAST(strpos('0123456789abcdef', substr(md5(array_to_string(w[i:i+7], ' ')), CAST(k AS INT) + 1, 1)) - 1 AS BIGINT)
+        |               << CAST(4 * (14 - k) AS INT))) AS BIGINT) AS h
+        |         FROM toks, unnest(range(1, len(w) - 6)) AS r(i)
+        |         WHERE len(w) >= 8),
+        |hist AS (SELECT DISTINCT h FROM wins0 WHERE doc_id % 7 <> 0),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM toks
+        |         WHERE doc_id % 7 = 0),
+        |wins AS (SELECT * FROM wins0 WHERE doc_id % 7 = 0),
+        |hist_hits AS (SELECT doc_id, pos FROM wins WHERE h IN (SELECT h FROM hist)),
+        |freshw AS (SELECT * FROM wins WHERE h NOT IN (SELECT h FROM hist)),
+        |dupnew AS (SELECT h, min(doc_id) AS keeper FROM freshw
+        |           GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |new_hits AS (SELECT freshw.doc_id AS doc_id, pos
+        |             FROM freshw JOIN dupnew USING (h)
+        |             WHERE freshw.doc_id <> dupnew.keeper),
+        |hits AS (SELECT * FROM hist_hits UNION SELECT * FROM new_hits),
         |sp AS (SELECT doc_id, pos,
         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
         |              THEN 0 ELSE 1 END AS new_span

@@ -1578,6 +1578,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[spanDedupOnce]] against the PRECOMPUTED window-hash store — the
+    * DAILY keep-first substring dedup at O(increment): HISTORY keeps by
+    * definition (a window already in the store was first seen on an
+    * earlier day, so the incoming occurrence is cut), and windows NEW to
+    * this increment keep-first WITHIN it (lowest incoming doc_id keeps —
+    * the in-line [[spanDedupOnce]] rule), so across any sequence of daily
+    * runs every repeated passage still survives exactly once corpus-wide.
+    * Run [[appendToSpanStore]] on the increment AFTER the probe (the
+    * band-store daily loop's order) and the store stays the cumulative
+    * first-seen window set.
+    *
+    * Scale shape: [[spansAgainstStore]]'s probe (one narrow native-hash
+    * pass, one 8-byte equi-join against the range-clustered store — the
+    * semi side) plus the in-line keeper rule applied ONLY to store-MISS
+    * windows (the anti side, bounded by the increment); historical text
+    * and hashes are never rescanned beyond the file-pruned equi-join.
+    * Span merging is the shared [[spanFoldExpr]] (a (doc,pos)'s hash is
+    * either in the store or not, so the two cut sets are disjoint).
+    *
+    * Determinism: [[spanDedupOnce]]'s (unique min keeper, exact integer
+    * threshold, ONE final IEEE division). */
+  def spanDedupOnceStored(incoming: DataFrame, storeDir: String,
+                          k: Int = 8): DataFrame = {
+    val spark = incoming.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val store = spark.read.parquet(s"$storeDir/winhashes")
+    val base = spread(incoming).select(col("doc_id"), col("text"))
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val histHits = wins.join(store, Seq("h"), "left_semi").select("doc_id", "pos")
+    val fresh = wins.join(store, Seq("h"), "left_anti")
+    val dupNew = fresh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2).select("h", "keeper")
+    val newHits = fresh.join(dupNew, "h")
+      .filter(col("doc_id") =!= col("keeper")) // first incoming occurrence keeps
+      .select("doc_id", "pos")
+    val per = histHits.unionByName(newHits)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(spanFoldExpr(k)).as("sp"))
+    base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("sp.n_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("sp.n_dup_tokens"), lit(0L)).as("n_cut_tokens"))
+      .withColumn("cut_frac", expr("round(n_cut_tokens / n_words, 6)"))
+      .withColumn("action",
+        when(col("n_cut_tokens") * 2 > col("n_words"), "drop")
+          .when(col("n_cut_tokens") > 0, "cut")
+          .otherwise("keep"))
+      .withColumn("tokens_kept",
+        when(col("n_cut_tokens") * 2 > col("n_words"), lit(0L))
+          .otherwise(col("n_words") - col("n_cut_tokens")))
+      .orderBy("doc_id")
+  }
+
   /** The SQL transform-lambda twin of `shingle_hash60_pos` — the
     * oracle-shaped (doc_id, pos, h) window relation, kept ONLY as the
     * spec reference the native expression is asserted against. */

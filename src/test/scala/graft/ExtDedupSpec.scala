@@ -638,6 +638,44 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(once.values.exists(_ > 0), "fixture must contain cross-doc duplicated spans")
   }
 
+  test("spanDedupOnceStored: history keeps by definition; windows new to the increment keep-first within it") {
+    val base = java.nio.file.Files.createTempDirectory("spanonce").toString
+    // history: doc 10 contains the trigram "x y z"
+    val hist = docsDf((10L, "p q x y z r s"))
+    Dedup.buildSpanStore(hist, s"$base/s", k = 3)
+    // incoming: doc 1 re-contains the historical trigram (cut — history
+    // keeps); docs 2 & 3 share a NEW trigram (2 keeps as the increment's
+    // first occurrence, 3 cuts); doc 4 is clean
+    val inc = docsDf(
+      (1L, "a b x y z c d"),
+      (2L, "u v w e f g h"),
+      (3L, "u v w m n o p2"),
+      (4L, "k1 k2 k3 k4 k5 k6 k7"))
+    val out = Dedup.spanDedupOnceStored(inc, s"$base/s", k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(5), r.getLong(6))).toMap
+    assert(out(1L) === (("cut", 4L)), "a window already in history is cut from the increment")
+    assert(out(2L) === (("keep", 7L)), "the increment's first occurrence of a NEW window keeps")
+    assert(out(3L) === (("cut", 4L)))
+    assert(out(4L) === (("keep", 7L)))
+    // corpus differential: the stored keep-first probe cuts AT LEAST what
+    // the history-only probe cuts (merged span coverage is monotone in
+    // the cut-position set — the in-increment keeper rule only adds)
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val store2 = s"$base/s2"
+    Dedup.buildSpanStore(docs.filter(col("doc_id") % 7 =!= 0), store2)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val stored = Dedup.spanDedupOnceStored(probe, store2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val histOnly = Dedup.spansAgainstStore(probe, store2).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(stored.keySet === histOnly.keySet)
+    histOnly.foreach { case (d, hcut) =>
+      assert(stored(d) >= hcut,
+        s"doc $d: keep-first stored cut ${stored(d)} < history-only cut $hcut")
+    }
+    assert(histOnly.values.exists(_ > 0), "fixture must contain history-duplicated spans")
+  }
+
   test("substringSpans: overlapping and touching windows merge; disjoint ones don't") {
     // k=2; shared bigrams "p q" and "q r" overlap in doc 1 (positions 1,2
     // -> one span of 3 tokens); "s t" at pos 6 is disjoint -> second span
