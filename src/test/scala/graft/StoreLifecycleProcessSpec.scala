@@ -43,6 +43,32 @@ object SwapCrashMain {
   }
 }
 
+/** Cross-PROCESS stale-takeover racer: waits for the parent's go-file
+  * (so two racers attempt the SAME pre-aged stale lock near-simultaneously
+  * across JVM boundaries), then tries to acquire. The winner prints `WON`,
+  * holds long enough that the rival's attempt lands while held, and
+  * releases; the loser prints `LOST <message>` from the loud
+  * IllegalStateException — either the mutex lost-race or, if it arrived
+  * after the winner's REPLACE landed, the fresh-lock refusal. */
+object StaleRaceMain {
+  def main(args: Array[String]): Unit = {
+    val store = args(0)
+    val goFile = args(1)
+    println("READY"); Console.flush()
+    while (!Files.exists(Paths.get(goFile))) Thread.sleep(2)
+    try {
+      graft.ops.StoreLifecycle.withWriterLock(store) {
+        println("WON"); Console.flush()
+        Thread.sleep(3000)
+      }
+      println("EXITED"); Console.flush()
+    } catch {
+      case e: IllegalStateException =>
+        println(s"LOST ${e.getMessage.linesIterator.next()}"); Console.flush()
+    }
+  }
+}
+
 /** The writer-lock protocol across real process boundaries: a live
   * second JVM refuses, a kill -9'd holder's lock survives fresh (refused
   * until stale), and a stale crashed-holder lock is taken over — the
@@ -130,6 +156,61 @@ class StoreLifecycleProcessSpec extends AnyFunSuite {
           !f.getName.endsWith(".lock.takeover"))
       assert(litter.isEmpty, s"protocol litter: ${litter.map(_.getName).mkString(",")}")
     } finally { holder.destroyForcibly(); () }
+  }
+
+  test("cross-process: two LIVE JVMs racing a pre-aged stale lock — exactly one wins the flock + REPLACE, the loser throws loudly") {
+    // The r14 verdict's last uncovered adversary: the in-JVM 8-rival spec
+    // proves the mutex within one process; the kernel guarantees exactly
+    // one flock winner ACROSS processes — this spec says so with two real
+    // second JVMs attempting the same stale takeover simultaneously.
+    val store = fresh("procstalerace")
+    val lock = Paths.get(s"$store.lock")
+    Files.writeString(lock, "crashed-owner-token")
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs))
+    val goFile = s"$root/procstalerace.go"
+    val r1 = spawn("graft.StaleRaceMain", store, goFile)
+    val r2 = spawn("graft.StaleRaceMain", store, goFile)
+    try {
+      // ONE reader per process for its whole life: a second BufferedReader
+      // on the same stream could miss lines the first buffered ahead
+      val rd1 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(r1.getInputStream))
+      val rd2 = new java.io.BufferedReader(
+        new java.io.InputStreamReader(r2.getInputStream))
+      def awaitReady(rd: java.io.BufferedReader): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        var line = rd.readLine()
+        while (line != null && !line.contains("READY")) {
+          assert(System.currentTimeMillis() < deadline, "no READY within 30 s")
+          line = rd.readLine()
+        }
+        assert(line != null, "racer exited before READY")
+      }
+      awaitReady(rd1); awaitReady(rd2)
+      Files.write(Paths.get(goFile), Array.empty[Byte]) // both attempt NOW
+      def drain(p: Process, rd: java.io.BufferedReader): Seq[String] = {
+        assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS),
+          "racer process must exit")
+        Iterator.continually(rd.readLine()).takeWhile(_ != null).toSeq
+      }
+      val (o1, o2) = (drain(r1, rd1), drain(r2, rd2))
+      val all = o1 ++ o2
+      val wins = all.count(_ == "WON")
+      val losses = all.filter(_.startsWith("LOST"))
+      assert(wins === 1, s"exactly one racer must win the takeover; output: $all")
+      assert(losses.size === 1, s"exactly one racer must lose loudly; output: $all")
+      assert(losses.head.contains("lost the takeover race") ||
+        losses.head.contains("another writer holds"),
+        s"the loser's error must be one of the two loud refusals: ${losses.head}")
+      assert(all.contains("EXITED"), "the winner must complete its hold and release")
+      assert(!Files.exists(lock), "the winner's release must remove the lock")
+      val litter = Paths.get(root).toFile.listFiles()
+        .filter(f => f.getName.startsWith("procstalerace.") &&
+          f.getName != "procstalerace.go" &&
+          f.getName != "procstalerace.lock.takeover") // permanent rendezvous
+      assert(litter.isEmpty, s"race litter: ${litter.map(_.getName).mkString(",")}")
+    } finally { r1.destroyForcibly(); r2.destroyForcibly(); () }
   }
 
   test("cross-process crash MID-SWAP: kill -9 between the two renames — probes refuse the torn root loudly, the next publish recovers") {

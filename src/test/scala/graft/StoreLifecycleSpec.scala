@@ -372,6 +372,61 @@ class StoreLifecycleSpec extends AnyFunSuite {
     Files.deleteIfExists(mutex) // tests may clean the rendezvous; prod never does
   }
 
+  test("heartbeat fallback never re-owns a stolen lock — token-verified touch leaves a foreign lock byte-for-byte and mtime alone") {
+    // The ONE mtime write outside the takeover mutex (the busy>=6
+    // starvation fallback) is touchIfOwned; pin its contract so a future
+    // refactor cannot widen the window: against a lock whose content is a
+    // FOREIGN token (a landed takeover), the touch must change neither
+    // content nor mtime and must tell the beat to stop.
+    val store = fresh("touchstolen")
+    Files.createDirectories(Paths.get(store).toAbsolutePath.getParent)
+    val lock = Paths.get(s"$store.lock")
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 5000)
+    // 1) stolen: the path holds the NEW owner's token
+    Files.writeString(lock, "new-owner-token")
+    Files.setLastModifiedTime(lock, past)
+    assert(!graft.ops.StoreLifecycle.touchIfOwned(lock, "old-owner-token"),
+      "a foreign token must stop the beat")
+    assert(Files.readString(lock) === "new-owner-token",
+      "the stolen lock's content must never regress to the old owner")
+    assert(Files.getLastModifiedTime(lock) === past,
+      "the stolen lock's mtime must not be freshened by the old owner's beat")
+    // 2) still ours: the touch freshens mtime, content untouched
+    Files.writeString(lock, "old-owner-token")
+    Files.setLastModifiedTime(lock, past)
+    assert(graft.ops.StoreLifecycle.touchIfOwned(lock, "old-owner-token"))
+    assert(Files.getLastModifiedTime(lock).toMillis > past.toMillis,
+      "an owned lock's mtime must be freshened")
+    assert(Files.readString(lock) === "old-owner-token")
+    // 3) gone (released under us): definitive stop
+    Files.delete(lock)
+    assert(!graft.ops.StoreLifecycle.touchIfOwned(lock, "old-owner-token"))
+  }
+
+  test("crashed-taker .claim-* orphans are swept at threshold/16, not the full stale age") {
+    // r14 verdict cosmetic item: live claims exist for milliseconds (they
+    // are staged INSIDE the held mutex), so hour-old sweep litter served
+    // nothing. A claim older than threshold/16 but far younger than the
+    // threshold must be swept by the next takeover's mutexed section.
+    val store = fresh("claimsweep")
+    Files.createDirectories(Paths.get(store).toAbsolutePath.getParent)
+    val lock = Paths.get(s"$store.lock")
+    Files.writeString(lock, "crashed-owner")
+    Files.setLastModifiedTime(lock, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * graft.ops.StoreLifecycle.DefaultStaleAfterMs))
+    val orphan = Paths.get(s"$store.lock.claim-deadbeef")
+    Files.writeString(orphan, "crashed-taker")
+    // aged past threshold/16 (the sweep age) but well under the threshold
+    // (the r14 sweep age, under which this orphan lingered a full hour)
+    Files.setLastModifiedTime(orphan, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - graft.ops.StoreLifecycle.DefaultStaleAfterMs / 8))
+    graft.ops.StoreLifecycle.publish(store)(writeStore(_, "recovered"))
+    assert(readStore(store) === "recovered")
+    assert(!Files.exists(orphan), "the sub-threshold claim orphan must be swept")
+    assert(!Files.exists(lock))
+  }
+
   test("writer lock is reentrant per thread — composed verbs on one root acquire once") {
     val store = fresh("lockreenter")
     graft.ops.StoreLifecycle.withWriterLock(store) {
