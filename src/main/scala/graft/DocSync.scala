@@ -41,6 +41,56 @@ object DocSync {
        |engine-specific value. Across:""".stripMargin
   }
 
+  /** ANCHOR-NORMALIZED cross-round drift (r15, VERDICT r14 #2) — the
+    * mechanical replacement for the median-uniformity argument re-made by
+    * hand in r10–r14: compare the CURRENT `BENCH_full.json` against the
+    * committed `BENCH_prior.json` snapshot (the prior round's final
+    * artifact — roll it forward with `runMain graft.DocSync snapshot` when
+    * adopting a new baseline) on their common queries, and divide the raw
+    * ratios by the rounds' calibration-anchor ratio so box-rate drift
+    * (the adjudicated 1.15–1.4× same-code class) cancels out. Emits the
+    * raw AND normalized total/median plus the max mover — the numbers
+    * every round's verdict recomputed by hand. Empty when no prior
+    * snapshot exists or either side lacks an anchor (pre-r14 artifacts). */
+  def driftBlock(root: Path): String = {
+    val cur = root.resolve("BENCH_full.json")
+    val prior = root.resolve("BENCH_prior.json")
+    if (!Files.exists(cur) || !Files.exists(prior)) return ""
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (mc, mp) = (om.readTree(cur.toFile), om.readTree(prior.toFile))
+    def queries(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+      val q = n.get("queries")
+      if (q == null) Map.empty
+      else {
+        val it = q.fields(); val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    }
+    def anchor(n: com.fasterxml.jackson.databind.JsonNode): Option[Double] =
+      Option(n.get("calibration")).flatMap(c => Option(c.get("sec"))).map(_.asDouble())
+    val (qc, qp) = (queries(mc), queries(mp))
+    val common = qc.keySet.intersect(qp.keySet).toSeq.sorted
+    val aOpt = for (ac <- anchor(mc); ap <- anchor(mp)) yield (ap, ac)
+    if (common.isEmpty || aOpt.isEmpty) return ""
+    val (ap, ac) = aOpt.get
+    val aRatio = ac / ap
+    val rawTotal = common.map(qc).sum / common.map(qp).sum
+    val ratios = common.map(k => k -> qc(k) / qp(k)).sortBy(_._2)
+    val median = {
+      val v = ratios.map(_._2)
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+    }
+    val (mvName, mvRatio) = ratios.last
+    f"""**Cross-round drift (generated; `BENCH_full.json` vs the `BENCH_prior.json`
+       |snapshot): ${common.size} common queries — raw total $rawTotal%.3f×, median
+       |$median%.3f×; calibration anchor $ap%.3f s → $ac%.3f s (box ratio $aRatio%.3f×);
+       |anchor-normalized total ${rawTotal / aRatio}%.3f×, median ${median / aRatio}%.3f×; max mover
+       |`$mvName` $mvRatio%.2f× raw / ${mvRatio / aRatio}%.2f× normalized.** Adjudicate movers
+       |against the NORMALIZED ratio; roll the snapshot with `runMain graft.DocSync snapshot`.""".stripMargin
+  }
+
   /** BASELINE.md current-bench row, from BENCH_full.json (Bench.scala's
     * complete artifact: every rep of every query, config, errors). The
     * config facts in the row — local[n], min-of-k — come from the
@@ -134,6 +184,9 @@ object DocSync {
       changed += "README.md"
     if (spliceFile(root.resolve("BASELINE.md"), "bench", baselineBlock(root), write))
       changed += "BASELINE.md"
+    if (spliceFile(root.resolve("BASELINE.md"), "drift", driftBlock(root), write)
+        && !changed.result().contains("BASELINE.md"))
+      changed += "BASELINE.md"
     if (spliceFile(root.resolve("SURVEY.md"), "streaming", streamingBlock(root), write))
       changed += "SURVEY.md"
     changed.result()
@@ -147,7 +200,17 @@ object DocSync {
   def check(root: Path = Paths.get(".")): Seq[String] = run(root, write = false)
 
   def main(args: Array[String]): Unit = {
-    val changed = sync(Paths.get(args.headOption.getOrElse(".")))
+    val (modes, rest) = args.partition(_ == "snapshot")
+    val root = Paths.get(rest.headOption.getOrElse("."))
+    if (modes.nonEmpty) {
+      // roll the cross-round comparator: adopt the CURRENT full artifact
+      // as the committed prior-round snapshot (do this when a round's
+      // final artifact becomes the next round's baseline)
+      Files.copy(root.resolve("BENCH_full.json"), root.resolve("BENCH_prior.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      println("docsync: rolled BENCH_full.json -> BENCH_prior.json")
+    }
+    val changed = sync(root)
     println(if (changed.isEmpty) "docsync: up to date"
             else s"docsync: rewrote ${changed.mkString(", ")}")
   }

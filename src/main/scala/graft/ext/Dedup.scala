@@ -1417,9 +1417,17 @@ object Dedup {
     * vanishes from the corpus entirely; here each duplicated `k`-token
     * window KEEPS its content in the lowest doc_id containing it and is
     * cut only from the others, so repeated boilerplate survives exactly
-    * once corpus-wide and no content is lost. (Within-doc repeats of a
-    * window the doc keeps are all kept — the unit of deduplication is
-    * cross-DOC occurrence, the paper's semantics.)
+    * once AT THE MANIFEST level. (Within-doc repeats of a window the doc
+    * keeps are all kept — the unit of deduplication is cross-DOC
+    * occurrence, the paper's semantics.) One stated limit (ADVICE r14):
+    * the `drop` rule can still eliminate a KEEPER doc — a doc that keeps
+    * some windows but is mostly made of OTHER docs' passages (2·n_cut >
+    * n_words via the windows it does NOT keep) drops whole, taking the
+    * only surviving copy of the passages it kept with it. That is the
+    * [[spanClean]] drop rule applied uniformly (a mostly-duplicated doc
+    * is low-value regardless of what it nominally keeps); a build that
+    * wants the strict exactly-once invariant executes `cut` surgery on
+    * such docs instead of honoring their `drop`.
     *
     * Scale shape: identical to [[substringSpans]] — the per-hash keeper
     * (min doc_id) rides the SAME partial-agg shuffle that already counts
@@ -1584,7 +1592,11 @@ object Dedup {
     * earlier day, so the incoming occurrence is cut), and windows NEW to
     * this increment keep-first WITHIN it (lowest incoming doc_id keeps —
     * the in-line [[spanDedupOnce]] rule), so across any sequence of daily
-    * runs every repeated passage still survives exactly once corpus-wide.
+    * runs the UNION of the daily cut manifests equals the in-line
+    * [[spanDedupOnce]] manifest on the union corpus whenever ids are
+    * arrival-ordered (spec'd: the ≥3-batch composition differential in
+    * ExtDedupSpec) — with the same keeper-drop caveat [[spanDedupOnce]]
+    * documents.
     * Run [[appendToSpanStore]] on the increment AFTER the probe (the
     * band-store daily loop's order) and the store stays the cumulative
     * first-seen window set.

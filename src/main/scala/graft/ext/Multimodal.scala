@@ -17,16 +17,43 @@ case class MediaBlob(doc_id: Long, media_type: String, content: Array[Byte],
 case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Long,
                          content_md5: String, width: Int, height: Int, n_frames: Int)
 
+/** The DECODE SEAM (r15, VERDICT r14 #8): payload bytes → (width, height,
+  * n_frames). A real deployment injects a codec-backed implementation
+  * (JPEG/PNG header parse, ffprobe, an ONNX vision model's preprocessor);
+  * this environment ships [[StubFrameDecoder]] — the deterministic
+  * arithmetic fake every `multimodal_*` oracle has verified against since
+  * r2 — as the DEFAULT, so swapping the decoder is a constructor argument,
+  * not a code change. Must be Serializable: instances ride the
+  * `mapPartitions` closure to executors. `init()` runs once per PARTITION
+  * before the first decode (the codec/model-handle amortization point the
+  * iterator shape exists for). */
+trait FrameDecoder extends Serializable {
+  /** Once-per-partition setup hook (load codec, open model handle). */
+  def init(): Unit = ()
+  def decode(content: Array[Byte], byteLen: Long): (Int, Int, Int)
+}
+
+/** The default decoder: [[Multimodal.decodeStub]]'s deterministic fake
+  * dimensions from the payload size — the documented r2 deviation (no
+  * image/audio codecs in this container), now an injectable default
+  * instead of a hardwired call. */
+object StubFrameDecoder extends FrameDecoder {
+  def decode(content: Array[Byte], byteLen: Long): (Int, Int, Int) =
+    Multimodal.decodeStub(byteLen)
+}
+
 /** Multimodal-column plumbing (builder-prompt extension): ingest bytes as a
   * typed Dataset, run per-partition batch "decode"/feature-extraction, and
   * keep everything columnar on the way in and out.
   *
-  * The decode step is a STUB — image/audio codecs are not available in this
-  * environment — implemented as a deterministic arithmetic fake over the
-  * real byte length. The Spark-side plumbing is real: schema, Encoders,
-  * partition-batched iteration (`mapPartitions` so a production decoder
-  * could amortize model/codec initialization per partition, the same shape
-  * as a Pandas-UDF batch), and a pure-column fast path for the oracle. */
+  * The decode step defaults to a STUB — image/audio codecs are not
+  * available in this environment — implemented as a deterministic
+  * arithmetic fake over the real byte length, injectable through the
+  * [[FrameDecoder]] seam. The Spark-side plumbing is real: schema,
+  * Encoders, partition-batched iteration (`mapPartitions` so a production
+  * decoder amortizes model/codec initialization per partition via
+  * `init()`, the same shape as a Pandas-UDF batch), and a pure-column
+  * fast path for the oracle. */
 object Multimodal {
 
   /** Ingest: documents → typed media blobs (UTF-8 bytes of the text stand
@@ -73,17 +100,20 @@ object Multimodal {
     }.toDF("vec_id", "embedding")
   }
 
-  /** Typed per-partition feature extraction. The iterator shape lets a real
-    * decoder batch its work per partition (load codec once, stream blobs
-    * through); state stays on executors. */
-  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+  /** Typed per-partition feature extraction through the [[FrameDecoder]]
+    * seam (default: the stub every oracle verifies against). The iterator
+    * shape lets a real decoder batch its work per partition —
+    * `decoder.init()` runs once before the first blob (load codec / open
+    * model handle); state stays on executors. */
+  def extractFeatures(blobs: Dataset[MediaBlob],
+                      decoder: FrameDecoder = StubFrameDecoder): Dataset[MediaFeatures] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
-      // per-partition init would go here (codec/model handle)
+      decoder.init() // once per partition: the codec/model-handle point
       val md = () => java.security.MessageDigest.getInstance("MD5")
       it.map { b =>
-        val (w, h, f) = decodeStub(b.byte_len)
+        val (w, h, f) = decoder.decode(b.content, b.byte_len)
         val digest = md().digest(b.content).map("%02x".format(_)).mkString
         MediaFeatures(b.doc_id, b.media_type, b.byte_len, digest, w, h, f)
       }

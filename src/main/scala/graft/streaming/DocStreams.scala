@@ -609,6 +609,56 @@ object DocStreams {
       .start()
   }
 
+  /** The CONTINUOUS KEEP-FIRST SPAN-DEDUP loop — the streaming front door
+    * of [[graft.ext.Dedup.spanDedupOnceStored]], completing the stored
+    * family's streaming coverage (the r14 gap: the cut-everywhere probe
+    * had its twin in [[spansAgainstStore]], the daily keep-first form had
+    * none). Per micro-batch, the [[runStoreIngest]] pattern applied to
+    * the window-hash store:
+    *
+    *   1. probe arrivals against the store + keep-first WITHIN the batch
+    *      ([[graft.ext.Dedup.spanDedupOnceStored]] — history keeps by
+    *      definition, the batch's own first occurrences keep);
+    *   2. append the manifest to the sink;
+    *   3. fold the batch's window hashes into the store
+    *      ([[graft.ext.Dedup.appendToSpanStore]] — probe-then-append, the
+    *      band-store daily order), so the NEXT batch's occurrences of
+    *      THIS batch's passages are cut.
+    *
+    * `foreachBatch` is the right harness for the same reason as
+    * [[runStoreIngest]]: each trigger is a composition of the proven
+    * batch operators — one semantics, nothing to drift; the differential
+    * spec replays the same micro-batch splits through the batch
+    * probe→append loop and asserts row equality, and over id-ordered
+    * splits the manifests union to the in-line
+    * [[graft.ext.Dedup.spanDedupOnce]] on the whole corpus (the
+    * composition differential in ExtDedupSpec). State lives in the STORE
+    * (zero state-store rows) — restart-safe by construction and shared
+    * with the batch daily loop; a crash between the two appends re-runs
+    * the batch (at-least-once manifest rows, duplicate store hashes —
+    * harmless for probes, compaction folds them out). */
+  def runSpanDedupIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                         storeDir: String, outDir: String, ckptDir: String,
+                         k: Int = 8,
+                         maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DocIn].schema)
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one materialization feeds both the probe and the store append
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        graft.ext.Dedup.spanDedupOnceStored(b, storeDir, k)
+          .write.mode("append").parquet(outDir)
+        graft.ext.Dedup.appendToSpanStore(b, storeDir, k)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .start()
+  }
+
   /** File-based entry point: tail a directory of parquet document drops
     * (the crawl-lands-files shape) and write the kept docs to a parquet
     * sink with checkpointing — the full readStream → transform →

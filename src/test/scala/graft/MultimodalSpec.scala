@@ -29,6 +29,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(emb.take(expected.length).toArray.toSeq === expected.toSeq)
   }
 
+  test("FrameDecoder seam: a custom pure-JVM decoder drives extractFeatures; the default stays the stub") {
+    // VERDICT r14 #8: the r2 decode stub lifted into an injectable seam.
+    // A trivial codec that "parses" dimensions from the first payload
+    // bytes — the shape a real JPEG/PNG header parse would take — wired
+    // through the default-stub signature every oracle already verifies.
+    object HeaderDecoder extends graft.ext.FrameDecoder {
+      def decode(content: Array[Byte], byteLen: Long): (Int, Int, Int) =
+        (if (content.nonEmpty) (content(0) & 0xff) + 1 else 1,
+         if (content.length > 1) (content(1) & 0xff) + 1 else 1,
+         content.length / 2 + 1)
+    }
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20)
+    val custom = Multimodal.extractFeatures(Multimodal.ingest(docs), HeaderDecoder)
+      .toDF().orderBy("doc_id").collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(custom.length === texts.size && custom.nonEmpty)
+    custom.foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      assert(r.getAs[Int]("width") === (bytes(0) & 0xff) + 1)
+      assert(r.getAs[Int]("height") === (bytes(1) & 0xff) + 1)
+      assert(r.getAs[Int]("n_frames") === bytes.length / 2 + 1)
+      // the REAL columns (md5 over actual payload bytes) are decoder-blind
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("content_md5") === md)
+    }
+    // default-arg path ≡ explicit stub ≡ the oracle-checked SQL twin
+    val viaDefault = Multimodal.extractFeatures(Multimodal.ingest(docs))
+      .toDF().orderBy("doc_id").collect()
+    val viaStub = Multimodal.extractFeatures(Multimodal.ingest(docs),
+      graft.ext.StubFrameDecoder).toDF().orderBy("doc_id").collect()
+    viaDefault.zip(viaStub).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
   test("decode stub is deterministic arithmetic on byte length") {
     assert(Multimodal.decodeStub(1000L) === (16 + 1000 % 241, 16 + (1000 * 31) % 239, 4))
     assert(Multimodal.decodeStub(256L)._3 === 1)
