@@ -211,6 +211,9 @@ object ExtQueries {
     // asymmetric containment: the doc-inside-doc (quote/snippet) detector
     "dedup_containment"      -> ((s, dir) => Dedup.containment(docs(s, dir))),
     "dedup_minhash_lsh"      -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    // the character-level certificate on the LSH pairs: capped
+    // Levenshtein separates true copies from token reorderings
+    "dedup_edit_verified"    -> ((s, dir) => Dedup.editDistanceVerified(docs(s, dir))),
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // duplication STRUCTURE: per-doc triangle count + clustering coeff
@@ -552,6 +555,29 @@ object ExtQueries {
         graft.ext.SketchStore.buildSketchStore(e, tmp)
       }
       graft.ext.SketchStore.rangeDistinctChecked(e, store, "2024-01-08", "2024-01-21")
+    }),
+    // the sketch store's exact-deterministic QUANTILE sibling: per-day
+    // fixed-width bin counts (an ADD fold — day splits sum exactly), a
+    // trailing-7-day p50/p90/p99 report reads O(days x bins) tiny rows
+    // instead of re-shuffling raw events; every column hash-matches the
+    // oracle (no envelope — interpolation is exact math over exact counts)
+    "events_quantile_hist_stored" -> ((s, dir) => {
+      val e = events(s, dir)
+      val store = cachedStore("graft_hist_store_v1",
+        s"$dir/events.parquet", "_SUCCESS") { tmp =>
+        graft.ext.HistStore.buildHistStore(e, tmp)
+      }
+      graft.ext.HistStore.trailingQuantiles(s, store)
+    }),
+    // the same store's AD-HOC range entry point: one row over an
+    // arbitrary [start, end] day span, raw events untouched
+    "events_quantile_hist_range" -> ((s, dir) => {
+      val e = events(s, dir)
+      val store = cachedStore("graft_hist_store_v1",
+        s"$dir/events.parquet", "_SUCCESS") { tmp =>
+        graft.ext.HistStore.buildHistStore(e, tmp)
+      }
+      graft.ext.HistStore.rangeQuantiles(s, store, "2024-01-08", "2024-01-21")
     }),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
@@ -1927,6 +1953,27 @@ object ExtQueries {
     // candidates are verified with exact Jaccard — so the approximate
     // pipeline equals the exact answer with near-certainty.
     "dedup_minhash_lsh" -> jaccardPairsSql("0.8"),
+
+    // edit-distance certificate on the exact-Jaccard pair set (band
+    // recall at J>=0.8 ~ 1, the minhash oracle argument); DuckDB's own
+    // levenshtein replays the capped distance as a CASE, the copy/reorder
+    // verdict is the same exact integer compare (5*dist <= max_len)
+    "dedup_edit_verified" ->
+      s"""WITH ${jaccardCtes(None)},
+         |p AS (SELECT a, b, round(c / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+         |      FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |                 JOIN sz sb ON inter.b = sb.doc_id
+         |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |e AS (SELECT p.a, p.b, p.jaccard,
+         |        CAST(CASE WHEN levenshtein(da.text, db.text) <= 64
+         |             THEN levenshtein(da.text, db.text) ELSE -1 END AS BIGINT) AS edit_dist,
+         |        CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+         |      FROM p JOIN documents da ON p.a = da.doc_id
+         |             JOIN documents db ON p.b = db.doc_id)
+         |SELECT a, b, jaccard, edit_dist, max_len,
+         |       CASE WHEN edit_dist >= 0 AND edit_dist * 5 <= max_len
+         |            THEN 'copy' ELSE 'reorder' END AS verdict
+         |FROM e ORDER BY a, b""".stripMargin,
 
     // cross-side exact-Jaccard: historical (doc_id % 7 != 0) × incoming
     // (doc_id % 7 = 0); the engine's band join has P[miss | J>=0.8] ~ 5e-8
@@ -4206,6 +4253,60 @@ object ExtQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
         |""".stripMargin,
+
+    // histogram store: EVERYTHING hash-matches — bin counts are an exact
+    // ADD fold and the crossing-bin interpolation mirrors the engine's
+    // operation order verbatim (one IEEE division per estimate)
+    "events_quantile_hist_stored" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day,
+        |                  CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |anchors AS (SELECT DISTINCT day AS anchor FROM h),
+        |win AS (SELECT a.anchor, h.day, h.bin, h.cnt FROM h JOIN anchors a
+        |        ON h.day BETWEEN a.anchor - INTERVAL 6 DAY AND a.anchor),
+        |g AS (SELECT anchor, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |      FROM win GROUP BY 1, 2),
+        |c AS (SELECT anchor, bin, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY anchor ORDER BY bin
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY anchor) AS BIGINT) AS n
+        |      FROM g),
+        |nd AS (SELECT anchor, count(DISTINCT day) AS n_days FROM win GROUP BY 1)
+        |SELECT c.anchor AS day,
+        |       CAST(max(nd.n_days) AS BIGINT) AS n_days,
+        |       CAST(max(n) AS BIGINT) AS n,
+        |       round(max(CASE WHEN cum - cnt < 0.5 * n AND 0.5 * n <= cum
+        |         THEN bin * 5.0 + ((0.5 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p50,
+        |       round(max(CASE WHEN cum - cnt < 0.9 * n AND 0.9 * n <= cum
+        |         THEN bin * 5.0 + ((0.9 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p90,
+        |       round(max(CASE WHEN cum - cnt < 0.99 * n AND 0.99 * n <= cum
+        |         THEN bin * 5.0 + ((0.99 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p99
+        |FROM c JOIN nd ON c.anchor = nd.anchor
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // ad-hoc range probe on the same store: one fully-exact row
+    "events_quantile_hist_range" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day,
+        |                  CAST(floor(value / 5.0) AS BIGINT) AS bin
+        |           FROM events
+        |           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'),
+        |g AS (SELECT bin, count(*) AS cnt FROM f GROUP BY 1),
+        |c AS (SELECT bin, cnt,
+        |        CAST(SUM(cnt) OVER (ORDER BY bin
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |      FROM g),
+        |nd AS (SELECT count(DISTINCT day) AS n_days FROM f)
+        |SELECT CAST(max(nd.n_days) AS BIGINT) AS n_days,
+        |       CAST(max(n) AS BIGINT) AS n,
+        |       round(max(CASE WHEN cum - cnt < 0.5 * n AND 0.5 * n <= cum
+        |         THEN bin * 5.0 + ((0.5 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p50,
+        |       round(max(CASE WHEN cum - cnt < 0.9 * n AND 0.9 * n <= cum
+        |         THEN bin * 5.0 + ((0.9 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p90,
+        |       round(max(CASE WHEN cum - cnt < 0.99 * n AND 0.99 * n <= cum
+        |         THEN bin * 5.0 + ((0.99 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p99
+        |FROM c CROSS JOIN nd""".stripMargin,
 
     // text_compress_ratio: byte_len exact per doc; deflate_len/ratio are
     // zlib-implementation-specific, so what hashes is the sanity flag

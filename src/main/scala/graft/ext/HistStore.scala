@@ -1,0 +1,206 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable HISTOGRAM store — exact-deterministic value-distribution
+  * reporting over ARBITRARY day ranges without ever rescanning raw
+  * events: one fixed-width bin-count relation per day, published
+  * atomically; a trailing-window (or ad-hoc range) quantile report then
+  * SUMs the window's bin rows and interpolates inside the crossing bin —
+  * O(days × bins) tiny rows read, never O(events).
+  *
+  * This is [[SketchStore]]'s sibling for the QUANTILE question (p50/p95
+  * latency, value-distribution drift): where the HLL store answers
+  * "how many distinct" with an implementation-specific estimate (hash
+  * gated through a 5% envelope), fixed-width bin counts are a pure ADD
+  * fold of exact integers, so every output column — including the
+  * interpolated quantile estimates — is deterministic and the DuckDB
+  * oracle hash-matches the whole row, no envelope. The trade is the
+  * estimate's resolution: error is bounded by the bin width (the stored
+  * answer is exact linear interpolation over the true per-bin counts),
+  * chosen once at build time and pinned in `meta.txt`.
+  *
+  * At 100 TB: a 30-day p99 report over raw events is a full re-shuffle
+  * of the window per report; the store reads ≤ days × bins rows (here
+  * 30 × ~100). Appends are O(increment): a day's (or an hourly slice's)
+  * bin counts just land as new rows — counts are commutative/associative
+  * under addition, so day SPLITS in any order sum to the identical
+  * histogram (append ≡ rebuild, spec'd as exact row equality) and
+  * [[compactHistStore]] folds split rows away. Unlike the HLL register
+  * MAX-fold, addition is NOT idempotent to re-delivery — a re-delivered
+  * slice double-counts — so the daily/streaming caller owes
+  * exactly-once slicing (the checkpointed `foreachBatch` loops and the
+  * build→append daily order both provide it); this is the honest
+  * semantics of any additive summary.
+  *
+  * Store layout (the [[graft.ops.StoreLifecycle]] discipline — atomic
+  * publish, writer-locked mutation, `_SUCCESS`-last):
+  *
+  *   days/     (day DATE, bin BIGINT, cnt BIGINT) — bin = floor(value /
+  *             binWidth); one or more rows per (day, bin)
+  *   meta.txt  binWidth — probes MUST bin at the builder's width
+  *   _SUCCESS
+  *
+  * Quantile math (mirrored verbatim by the oracle SQL): within a window,
+  * cum = running sum of cnt in bin order, n = window total; for target
+  * rank t = q·n the CROSSING bin is the unique row with
+  * cum − cnt < t ≤ cum (cnt ≥ 1 keeps cum strictly increasing), and the
+  * estimate is bin·w + ((t − (cum − cnt)) / cnt)·w — exact linear
+  * interpolation, one IEEE division, identical operation order on both
+  * engines. */
+object HistStore {
+
+  private def path(s: String) = java.nio.file.Paths.get(s)
+
+  /** (day, bin, cnt) — the per-day fixed-width histogram of `value`. */
+  private def dayHistogram(events: DataFrame, binWidth: Double): DataFrame =
+    events
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") / lit(binWidth)).cast("bigint").as("bin"))
+      .groupBy("day", "bin")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Build + atomically publish the daily histogram relation. */
+  def buildHistStore(events: DataFrame, storeDir: String,
+                     binWidth: Double = 5.0): Unit = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      dayHistogram(events, binWidth).write.mode("overwrite").parquet(s"$tmp/days")
+      java.nio.file.Files.write(path(tmp).resolve("meta.txt"),
+        s"binWidth=$binWidth\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(path(tmp).resolve("_SUCCESS"), Array.empty[Byte])
+    }
+  }
+
+  /** Fold a day's (or an hourly slice's) events in at O(increment): bin
+    * the new rows at the STORE's width and append them to `days/`. Day
+    * splits in any order sum exactly (append ≡ rebuild);
+    * [[compactHistStore]] folds the split rows away. Re-delivery is the
+    * CALLER's to prevent (additive counts double-count) — see the object
+    * doc. */
+  def appendToHistStore(events: DataFrame, storeDir: String): Unit =
+    graft.ops.StoreLifecycle.withWriterLock(storeDir) {
+      val w = readBinWidth(storeDir)
+      dayHistogram(events, w).write.mode("append").parquet(s"$storeDir/days")
+    }
+
+  /** Merge split rows back to one per (day, bin) — a new atomic snapshot
+    * (probes racing the swap keep their planned version). */
+  def compactHistStore(spark: SparkSession, storeDir: String): Unit = {
+    val w = readBinWidth(storeDir)
+    graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
+      spark.read.parquet(s"$storeDir/days")
+        .groupBy("day", "bin")
+        .agg(sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(s"$tmp/days")
+      java.nio.file.Files.write(path(tmp).resolve("meta.txt"),
+        s"binWidth=$w\n".getBytes("UTF-8"))
+      java.nio.file.Files.write(path(tmp).resolve("_SUCCESS"), Array.empty[Byte])
+    }
+  }
+
+  private def readBinWidth(storeDir: String): Double = {
+    val w = graft.ops.StoreLifecycle.readMeta(storeDir)("binWidth").toDouble
+    require(w > 0, s"corrupt meta: binWidth=$w")
+    w
+  }
+
+  /** The crossing-bin interpolated estimate for quantile `q`, as a column
+    * over the (bin, cnt, cum, n) relation. Exactly one row per group
+    * satisfies the crossing predicate, so the max() picks it. */
+  private def estCol(q: Double, w: Double): Column = {
+    val target = lit(q) * col("n")
+    round(max(when(col("cum") - col("cnt") < target && target <= col("cum"),
+      (col("bin") * lit(w)) +
+        ((target - (col("cum") - col("cnt"))) / col("cnt")) * lit(w))), 6)
+      .as(f"est_p${(q * 100).round}%d")
+  }
+
+  /** Trailing-`windowDays` quantile report, one row per stored day:
+    * (day, n_days, n, est_p50, est_p90, est_p99). The window's bin rows
+    * SUM (a ≤ days × windowDays broadcast range join over the TINY store
+    * relation — raw events are never read), then one bins-bounded window
+    * pass computes the running sum the crossing-bin rule needs. Every
+    * column is exact-deterministic — the oracle replays the math
+    * verbatim. */
+  def trailingQuantiles(spark: SparkSession, storeDir: String,
+                        windowDays: Int = 7,
+                        qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(windowDays >= 1)
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val w = readBinWidth(storeDir)
+    val h = spark.read.parquet(s"$storeDir/days")
+    val anchors = h.select(col("day").as("anchor")).distinct()
+    val win = h.join(broadcast(anchors),
+      col("day").between(date_sub(col("anchor"), windowDays - 1), col("anchor")))
+    // n_days from the pre-grouped window rows (day is folded away below)
+    val nd = win.groupBy("anchor").agg(countDistinct(col("day")).as("n_days"))
+    val g = win.groupBy("anchor", "bin").agg(sum("cnt").as("cnt"))
+    val cum = Window.partitionBy("anchor").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("anchor")
+    val c = g.withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+    c.groupBy("anchor")
+      .agg(max("n").as("n"), qs.map(estCol(_, w)): _*)
+      .join(nd, "anchor")
+      .select(Seq(col("anchor").as("day"), col("n_days"), col("n")) ++
+        qs.map(q => col(f"est_p${(q * 100).round}%d")): _*)
+      .orderBy("day")
+  }
+
+  /** Quantiles over an ARBITRARY `[startDay, endDay]` range — the store's
+    * pitch made an entry point: the range's bin rows fold to ONE row
+    * (n_days, n, est_p50, est_p90, est_p99); the day filter reads only
+    * the range's O(days × bins) rows, raw events never. */
+  def rangeQuantiles(spark: SparkSession, storeDir: String,
+                     startDay: String, endDay: String,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val w = readBinWidth(storeDir)
+    // malformed dates and an inverted range are CALLER errors — refuse at
+    // construction instead of silently matching zero rows
+    val s = java.time.LocalDate.parse(startDay)
+    require(!s.isAfter(java.time.LocalDate.parse(endDay)),
+      s"rangeQuantiles: startDay $startDay is after endDay $endDay")
+    val h = spark.read.parquet(s"$storeDir/days")
+      .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
+    val nd = h.agg(countDistinct(col("day")).as("n_days"))
+    val g = h.groupBy("bin").agg(sum("cnt").as("cnt"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
+    c.agg(max("n").as("n"), qs.map(estCol(_, w)): _*)
+      .crossJoin(nd)
+      .select(Seq(col("n_days"), col("n")) ++
+        qs.map(q => col(f"est_p${(q * 100).round}%d")): _*)
+  }
+
+  /** The IN-LINE twin: the same trailing report computed directly from
+    * raw events (what a store-less pipeline pays per report) — the spec's
+    * equality reference and the bench's scale contrast. */
+  def trailingQuantilesInline(events: DataFrame, windowDays: Int = 7,
+                              binWidth: Double = 5.0,
+                              qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val h = dayHistogram(events, binWidth)
+    val anchors = h.select(col("day").as("anchor")).distinct()
+    val win = h.join(broadcast(anchors),
+      col("day").between(date_sub(col("anchor"), windowDays - 1), col("anchor")))
+    val nd = win.groupBy("anchor").agg(countDistinct(col("day")).as("n_days"))
+    val g = win.groupBy("anchor", "bin").agg(sum("cnt").as("cnt"))
+    val cum = Window.partitionBy("anchor").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("anchor")
+    val c = g.withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+    c.groupBy("anchor")
+      .agg(max("n").as("n"), qs.map(estCol(_, binWidth)): _*)
+      .join(nd, "anchor")
+      .select(Seq(col("anchor").as("day"), col("n_days"), col("n")) ++
+        qs.map(q => col(f"est_p${(q * 100).round}%d")): _*)
+      .orderBy("day")
+  }
+}

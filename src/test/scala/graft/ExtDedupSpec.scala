@@ -923,4 +923,37 @@ class ExtDedupSpec extends AnyFunSuite {
       .find(_.getLong(0) == 14L).get.getAs[Double]("jaccard")
     assert(math.abs(j - 9.0 / 11.0) < 1e-5, j.toString)
   }
+
+  test("editDistanceVerified: copies get a small capped distance, block swaps read reorder") {
+    val a = (1 to 50).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 50).map(i => s"beta$i").mkString(" ")
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val oneEdit = ((1 to 49).map(i => s"tok$i") :+ "tok50x").mkString(" ")
+    val df = docsDf(
+      1L -> s"$a $b", // A+B
+      2L -> s"$b $a", // B+A: same shingle profile, huge character edit
+      3L -> base,
+      4L -> oneEdit,  // one-token tail edit: one appended character
+      5L -> base)     // exact twin of 3
+    val out = Dedup.editDistanceVerified(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // exact pair: distance 0, copy
+    assert(out((3L, 5L)).getAs[Long]("edit_dist") === 0L)
+    assert(out((3L, 5L)).getAs[String]("verdict") === "copy")
+    // one-char edit: "tok50" -> "tok50x" is a single insertion
+    assert(out((3L, 4L)).getAs[Long]("edit_dist") === 1L)
+    assert(out((4L, 5L)).getAs[String]("verdict") === "copy")
+    // block swap: shingle Jaccard keeps the pair (only the 4 boundary
+    // shingles differ), but the character DP blows the 64-edit cap ->
+    // -1 and the reorder verdict — the separation Jaccard cannot make
+    assert(out((1L, 2L)).getAs[Double]("jaccard") >= 0.8)
+    assert(out((1L, 2L)).getAs[Long]("edit_dist") === -1L)
+    assert(out((1L, 2L)).getAs[String]("verdict") === "reorder")
+    // the verdict is a pure function of the emitted integers
+    out.values.foreach { r =>
+      val d = r.getAs[Long]("edit_dist"); val m = r.getAs[Long]("max_len")
+      assert(r.getAs[String]("verdict") ===
+        (if (d >= 0 && d * 5 <= m) "copy" else "reorder"))
+    }
+  }
 }
