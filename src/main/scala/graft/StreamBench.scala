@@ -441,12 +441,25 @@ object StreamBench {
           streaming.EventStreams.runSketchIngest(spark, s"$work/events_src",
             skStore, s"$out/ckpt", maxFilesPerTrigger = Some(8))
         }
+      }, {
+        // continuous histogram-store maintenance: each micro-batch's
+        // events land per-day bin counts through the batchId-keyed atomic
+        // slot rename (additive counts, replay-exactly-once; state in the
+        // STORE — zero state-store rows)
+        val hStore = s"$work/hist_store"
+        graft.ops.Scale.deleteRecursively(new java.io.File(hStore))
+        ext.HistStore.buildHistStore(
+          spark.read.parquet(s"$work/events_src").limit(0), hStore)
+        runOne(spark, "hist_ingest", nEvents, s"$work/out/hist_ingest") { out =>
+          streaming.EventStreams.runHistIngest(spark, s"$work/events_src",
+            hStore, s"$out/ckpt", maxFilesPerTrigger = Some(8))
+        }
       })
 
     val json =
       s"""{"config":{"state_store":"rocksdb","cpus":$cpus,"n_events":$nEvents,"n_docs":$nDocs,"n_vecs":$nVecs,"n_ann_queries":$nQueries,"n_users":$nUsers,"max_files_per_trigger":2,"slices":40},
          |"operators":{${reports.filter(_.nonEmpty).mkString(",")}},
-         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state; lm_score_shard serves ONE language from the same store - the pushed lang isin prunes arrivals and file-prunes the clustered model per micro-batch, state at O(in-horizon shard docs)), ann_serve at ZERO state rows (foreachBatch runs the batch probe per trigger - probed-ids isin bounds each trigger's store reads), sketch_ingest and span_dedup_loop at ZERO state rows (durable state is the STORE each appends - the runStoreIngest rule) - none track cumulative input rows."}"""
+         |"note":"state_rows_series is numRowsTotal per micro-batch: sessionize/funnel/retention plateau at O(users active within the retention horizon) (~n_users + tombstones), anomaly at O(event types) (5 rows of keyed state against 1M events), doc_ingest at O(content keys inside the 1h watermark), store_dedup/triage/fuzzy_decon/boilerplate at O(in-horizon docs or candidate pairs) while probing precomputed stores, asof_enrich at O(users active within retention) (compacted best-right + in-horizon buffers), pack_stream at O(sources) (20 prefix-sum cursor rows against 50k docs), quality_score/dsir_score/vec_assign at ZERO state rows (stateless folded-literal model serving), lm_score at O(in-horizon docs) (stream-static model joins feed one windowed per-doc ln-sum - the model itself carries no state; lm_score_shard serves ONE language from the same store - the pushed lang isin prunes arrivals and file-prunes the clustered model per micro-batch, state at O(in-horizon shard docs)), ann_serve at ZERO state rows (foreachBatch runs the batch probe per trigger - probed-ids isin bounds each trigger's store reads), sketch_ingest, hist_ingest and span_dedup_loop at ZERO state rows (durable state is the STORE each appends - the runStoreIngest rule; hist_ingest's additive counts are replay-exactly-once via the batchId-keyed slot rename) - none track cumulative input rows."}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(outJson), json + "\n")
     println(json)

@@ -30,17 +30,22 @@ import org.apache.spark.sql.functions._
   * histogram (append ≡ rebuild, spec'd as exact row equality) and
   * [[compactHistStore]] folds split rows away. Unlike the HLL register
   * MAX-fold, addition is NOT idempotent to re-delivery — a re-delivered
-  * slice double-counts — so the daily/streaming caller owes
-  * exactly-once slicing (the checkpointed `foreachBatch` loops and the
-  * build→append daily order both provide it); this is the honest
-  * semantics of any additive summary.
+  * slice double-counts — so the caller owes exactly-once slicing: the
+  * daily loop gets it from the build→append order, and the streaming
+  * loop gets it STRUCTURALLY from [[appendStreamBatch]]'s batchId-keyed
+  * atomic rename (a replayed micro-batch finds its slot occupied and
+  * no-ops). This is the honest semantics of any additive summary.
   *
   * Store layout (the [[graft.ops.StoreLifecycle]] discipline — atomic
   * publish, writer-locked mutation, `_SUCCESS`-last):
   *
-  *   days/     (day DATE, bin BIGINT, cnt BIGINT) — bin = floor(value /
-  *             binWidth); one or more rows per (day, bin)
-  *   meta.txt  binWidth — probes MUST bin at the builder's width
+  *   days/         (day DATE, bin BIGINT, cnt BIGINT) — bin =
+  *                 floor(value / binWidth); one or more rows per (day, bin)
+  *   days_stream/  batch-&lt;id&gt; slots from the streaming loop
+  *                 ([[appendStreamBatch]]) — each an atomically-renamed
+  *                 per-micro-batch histogram; probes union them with
+  *                 days/, compact folds them away
+  *   meta.txt      binWidth — probes MUST bin at the builder's width
   *   _SUCCESS
   *
   * Quantile math (mirrored verbatim by the oracle SQL): within a window,
@@ -86,12 +91,14 @@ object HistStore {
       dayHistogram(events, w).write.mode("append").parquet(s"$storeDir/days")
     }
 
-  /** Merge split rows back to one per (day, bin) — a new atomic snapshot
-    * (probes racing the swap keep their planned version). */
+  /** Merge split rows — flat appends AND stream batch slots — back to
+    * one per (day, bin) in a new atomic snapshot (probes racing the swap
+    * keep their planned version; the swap also sweeps `days_stream/`,
+    * orphaned `.tmp-*` stages included). */
   def compactHistStore(spark: SparkSession, storeDir: String): Unit = {
     val w = readBinWidth(storeDir)
     graft.ops.StoreLifecycle.publish(storeDir) { tmp =>
-      spark.read.parquet(s"$storeDir/days")
+      readDays(spark, storeDir)
         .groupBy("day", "bin")
         .agg(sum("cnt").as("cnt"))
         .write.mode("overwrite").parquet(s"$tmp/days")
@@ -106,6 +113,49 @@ object HistStore {
     require(w > 0, s"corrupt meta: binWidth=$w")
     w
   }
+
+  /** The store's full histogram relation: the flat batch-maintained
+    * `days/` files plus every stream-published `days_stream/batch-*`
+    * slot. One read path for every probe, whichever loop maintains the
+    * store. */
+  private def readDays(spark: SparkSession, storeDir: String): DataFrame = {
+    val streamRoot = new java.io.File(s"$storeDir/days_stream")
+    val batchDirs = Option(streamRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(_.getPath).sorted.toSeq
+    spark.read.parquet(s"$storeDir/days" +: batchDirs: _*)
+  }
+
+  /** Fold ONE micro-batch in, EXACTLY-ONCE under at-least-once
+    * `foreachBatch` replay: the batch's histogram is staged to a temp dir
+    * and atomically RENAMED to its deterministic
+    * `days_stream/batch-<id>` slot; a replayed batch finds the slot
+    * occupied and no-ops. The HLL store gets replay safety from its
+    * register MAX-fold — an ADDITIVE summary must get it from
+    * publication atomicity instead, and the batchId-keyed rename is that
+    * atom (a crash mid-stage leaves only an orphaned `.tmp-*`, swept by
+    * the next [[compactHistStore]] snapshot). */
+  def appendStreamBatch(events: DataFrame, storeDir: String, batchId: Long): Unit =
+    graft.ops.StoreLifecycle.withWriterLock(storeDir) {
+      val target = path(s"$storeDir/days_stream/batch-$batchId")
+      if (!java.nio.file.Files.exists(target)) {
+        val w = readBinWidth(storeDir)
+        java.nio.file.Files.createDirectories(target.getParent)
+        val tmp = path(s"$storeDir/days_stream/.tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        dayHistogram(events, w).write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException =>
+            // a concurrent (or replayed) writer won the slot — theirs is
+            // the batch's one publication; drop ours
+            require(java.nio.file.Files.exists(target),
+              s"stream batch publish failed and no winner exists at $target")
+            graft.ops.Scale.deleteRecursively(tmp.toFile)
+        }
+      }
+    }
 
   /** The crossing-bin interpolated estimate for quantile `q`, as a column
     * over the (bin, cnt, cum, n) relation. Exactly one row per group
@@ -131,7 +181,7 @@ object HistStore {
     require(windowDays >= 1)
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
     val w = readBinWidth(storeDir)
-    val h = spark.read.parquet(s"$storeDir/days")
+    val h = readDays(spark, storeDir)
     val anchors = h.select(col("day").as("anchor")).distinct()
     val win = h.join(broadcast(anchors),
       col("day").between(date_sub(col("anchor"), windowDays - 1), col("anchor")))
@@ -165,7 +215,7 @@ object HistStore {
     val s = java.time.LocalDate.parse(startDay)
     require(!s.isAfter(java.time.LocalDate.parse(endDay)),
       s"rangeQuantiles: startDay $startDay is after endDay $endDay")
-    val h = spark.read.parquet(s"$storeDir/days")
+    val h = readDays(spark, storeDir)
       .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
     val nd = h.agg(countDistinct(col("day")).as("n_days"))
     val g = h.groupBy("bin").agg(sum("cnt").as("cnt"))

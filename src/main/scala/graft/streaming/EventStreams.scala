@@ -836,6 +836,34 @@ object EventStreams {
       .start()
   }
 
+  /** Continuous HISTOGRAM-store maintenance — [[runSketchIngest]]'s shape
+    * for the quantile store: each micro-batch's per-day bin counts are
+    * published into the store through
+    * [[graft.ext.HistStore.appendStreamBatch]]. Where the sketch loop
+    * leans on the HLL MAX-fold for at-least-once replay safety, the
+    * additive histogram gets it STRUCTURALLY: the batchId-keyed atomic
+    * rename means a replayed batch finds its slot occupied and no-ops —
+    * exactly-once counts over an at-least-once harness. Durable state is
+    * the STORE (zero state-store rows); trailing p50/p90/p99 reports run
+    * against it at any moment, O(days × bins) rows read. */
+  def runHistIngest(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+                    storeDir: String, ckptDir: String,
+                    maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(srcDir)
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.ext.HistStore.appendStreamBatch(batch, storeDir, batchId)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .start()
+  }
+
   /** File-based entry point: tail a directory of parquet events (the stream
     * analogue of Tables.load) and write closed sessions to a parquet sink
     * with checkpointing — the full readStream → transform → writeStream

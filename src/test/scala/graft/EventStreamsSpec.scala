@@ -482,6 +482,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(perDay === 1L)
   }
 
+  test("streaming hist ingest grows the store to exact report-equality with a batch build") {
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_ingest").toString
+    val src = s"$base/src"; val streamed = s"$base/streamed"; val batch = s"$base/batch"
+    // days split ACROSS file drops on purpose: additive bin counts must
+    // sum the splits exactly (and the slot rename must keep replay out)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    (0 until 5).foreach { i =>
+      events.filter(col("event_id") % 5 === i).select(cols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    graft.ext.HistStore.buildHistStore(events.limit(0), streamed) // cold bootstrap
+    val q = EventStreams.runHistIngest(spark, src, streamed, s"$base/ckpt",
+      maxFilesPerTrigger = Some(2))
+    try q.processAllAvailable() finally q.stop()
+    graft.ext.HistStore.buildHistStore(events, batch)
+    def rep(d: String) = graft.ext.HistStore.trailingQuantiles(spark, d)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    // ADD fold over exact integers: split days in any arrival order sum
+    // to the identical histogram — exact equality, not a tolerance
+    assert(rep(streamed) === rep(batch))
+    assert(rep(streamed).nonEmpty)
+    // compaction folds the stream slots into days/ without changing a row
+    graft.ext.HistStore.compactHistStore(spark, streamed)
+    assert(!new java.io.File(s"$streamed/days_stream").exists())
+    assert(rep(streamed) === rep(batch))
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -96,6 +96,27 @@ class HistStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("stream slots union with flat days; a replayed batchId no-ops; compact sweeps the slots") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_stream").toString
+    val full = s"$base/full"; val grown = s"$base/grown"
+    HistStore.buildHistStore(events, full)
+    val cut = to_date(col("ts")) <= lit("2024-01-15").cast("date")
+    HistStore.buildHistStore(events.filter(cut), grown)
+    HistStore.appendStreamBatch(events.filter(!cut), grown, batchId = 7L)
+    assert(rows(HistStore.trailingQuantiles(spark, grown)) ===
+      rows(HistStore.trailingQuantiles(spark, full)))
+    // at-least-once replay: the slot is taken, the re-delivered batch
+    // must NOT double-count (the additive-summary failure mode)
+    HistStore.appendStreamBatch(events.filter(!cut), grown, batchId = 7L)
+    assert(rows(HistStore.trailingQuantiles(spark, grown)) ===
+      rows(HistStore.trailingQuantiles(spark, full)))
+    // compaction folds the slot into days/ and removes days_stream
+    HistStore.compactHistStore(spark, grown)
+    assert(!new java.io.File(s"$grown/days_stream").exists())
+    assert(rows(HistStore.trailingQuantiles(spark, grown)) ===
+      rows(HistStore.trailingQuantiles(spark, full)))
+  }
+
   test("refusals: inverted range and non-positive bin width fail loudly") {
     val store = java.nio.file.Files.createTempDirectory("graft_hist_bad").toString + "/s"
     HistStore.buildHistStore(events, store)
