@@ -321,6 +321,46 @@ object StoreSoak {
           s"cut-everywhere dup tokens=${all.getAs[Long]("dup")}; " +
           s"keep-first cut tokens=${once.getAs[Long]("cut")} " +
           s"(keep-first retains ${all.getAs[Long]("dup") - once.getAs[Long]("cut")} more)")
+      case "histstore" =>
+        // r15: the histogram-store receipt — the sketch store's
+        // exact-deterministic quantile sibling: daily bin counts built
+        // once (appendable at O(day)), the trailing-7-day p50/p90/p99
+        // report then reads O(days × bins) tiny rows vs the exact twin's
+        // per-report re-sort of the raw event log's window fan-out.
+        val events = spark.read.parquet(s"$dir/events.parquet")
+        println(s"[soak] events=${events.count()} days=" +
+          events.select(to_date(col("ts"))).distinct().count())
+        val store = s"/tmp/soak_hist_store_${dir.replace('/', '_')}"
+        graft.ops.Scale.deleteRecursively(new java.io.File(store))
+        time("hist store build (all days, once)")(
+          graft.ext.HistStore.buildHistStore(events, store))
+        for (rep <- 1 to 2)
+          time(s"stored trailing-7d p50/p90/p99 rep$rep (O(days x bins) rows, raw events untouched)")(
+            graft.ext.HistStore.trailingQuantiles(spark, store)
+              .write.format("noop").mode("overwrite").save())
+        for (rep <- 1 to 2)
+          time(s"exact trailing-7d percentiles rep$rep (re-shuffles the raw event window fan-out per report)") {
+            val dv = events.select(to_date(col("ts")).as("day"), col("value"))
+            val anchors = dv.select(col("day").as("anchor")).distinct()
+            dv.join(broadcast(anchors),
+                col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+              .groupBy(col("anchor").as("day"))
+              .agg(expr("percentile(value, 0.5)").as("ex_p50"),
+                expr("percentile(value, 0.9)").as("ex_p90"),
+                expr("percentile(value, 0.99)").as("ex_p99"))
+              .write.format("noop").mode("overwrite").save()
+          }
+        val oneDay = events.filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+        time("append one day slice (O(increment))")(
+          graft.ext.HistStore.appendToHistStore(oneDay, store))
+        // resolution sanity at scale: stored estimate within one bin
+        // width of the exact percentile on the widest window
+        val est = graft.ext.HistStore.rangeQuantiles(spark, store,
+          "2024-01-01", "2024-01-07").collect()(0).getAs[Double]("est_p50")
+        val ex = events.filter(to_date(col("ts"))
+            .between(lit("2024-01-01").cast("date"), lit("2024-01-07").cast("date")))
+          .agg(expr("percentile(value, 0.5)")).collect()(0).getDouble(0)
+        println(f"[soak] range p50: stored-est $est%.3f vs exact $ex%.3f (bin width 5.0)")
       case "sketchstore" =>
         // r12: the mergeable-sketch-store receipt — daily HLL rows built
         // once (appendable at O(day)), the trailing-7-day distinct report
