@@ -214,6 +214,10 @@ object ExtQueries {
     // the character-level certificate on the LSH pairs: capped
     // Levenshtein separates true copies from token reorderings
     "dedup_edit_verified"    -> ((s, dir) => Dedup.editDistanceVerified(docs(s, dir))),
+    // ...and its decision layer: keeper + count per copy-edge component
+    // (reorderings stay out of the clusters — a distinct word order is a
+    // distinct training document)
+    "dedup_edit_clusters"    -> ((s, dir) => Dedup.editDistanceClusters(docs(s, dir))),
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // duplication STRUCTURE: per-doc triangle count + clustering coeff
@@ -578,6 +582,16 @@ object ExtQueries {
         graft.ext.HistStore.buildHistStore(e, tmp)
       }
       graft.ext.HistStore.rangeQuantiles(s, store, "2024-01-08", "2024-01-21")
+    }),
+    // the monitor verdict on the stored report: day-over-day p50 shift +
+    // >5% drift flag — what a distribution monitor pages on
+    "events_quantile_drift" -> ((s, dir) => {
+      val e = events(s, dir)
+      val store = cachedStore("graft_hist_store_v1",
+        s"$dir/events.parquet", "_SUCCESS") { tmp =>
+        graft.ext.HistStore.buildHistStore(e, tmp)
+      }
+      graft.ext.HistStore.quantileDrift(s, store)
     }),
     "events_anomaly"         -> ((s, dir) => Events.anomalyHourly(events(s, dir))),
     "events_top_users"       -> ((s, dir) => Events.topUsers(events(s, dir))),
@@ -1974,6 +1988,31 @@ object ExtQueries {
          |       CASE WHEN edit_dist >= 0 AND edit_dist * 5 <= max_len
          |            THEN 'copy' ELSE 'reorder' END AS verdict
          |FROM e ORDER BY a, b""".stripMargin,
+
+    // the decision layer: transitive closure over the COPY-verdict edges
+    // only, collapsed to keeper + member count per cluster
+    "dedup_edit_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+         |p AS (SELECT a, b
+         |      FROM inter JOIN sz sa ON inter.a = sa.doc_id
+         |                 JOIN sz sb ON inter.b = sb.doc_id
+         |      WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |jp AS (SELECT p.a, p.b
+         |       FROM p JOIN documents da ON p.a = da.doc_id
+         |              JOIN documents db ON p.b = db.doc_id
+         |       WHERE levenshtein(da.text, db.text) <= 64
+         |         AND levenshtein(da.text, db.text) * 5
+         |             <= greatest(length(da.text), length(db.text))),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id)
+         |SELECT cluster_id, min(doc_id) AS keeper_id, count(*) AS n_members
+         |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // cross-side exact-Jaccard: historical (doc_id % 7 != 0) × incoming
     // (doc_id % 7 = 0); the engine's band join has P[miss | J>=0.8] ~ 5e-8
@@ -4307,6 +4346,37 @@ object ExtQueries {
         |       round(max(CASE WHEN cum - cnt < 0.99 * n AND 0.99 * n <= cum
         |         THEN bin * 5.0 + ((0.99 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p99
         |FROM c CROSS JOIN nd""".stripMargin,
+
+    // drift monitor: the trailing p50 series lagged one day; the shift
+    // is rounded BEFORE the flag compare on both engines
+    "events_quantile_drift" ->
+      """WITH h AS (SELECT CAST(ts AS DATE) AS day,
+        |                  CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |                  count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |anchors AS (SELECT DISTINCT day AS anchor FROM h),
+        |win AS (SELECT a.anchor, h.day, h.bin, h.cnt FROM h JOIN anchors a
+        |        ON h.day BETWEEN a.anchor - INTERVAL 6 DAY AND a.anchor),
+        |g AS (SELECT anchor, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+        |      FROM win GROUP BY 1, 2),
+        |c AS (SELECT anchor, bin, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY anchor ORDER BY bin
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY anchor) AS BIGINT) AS n
+        |      FROM g),
+        |rep AS (SELECT anchor AS day,
+        |          round(max(CASE WHEN cum - cnt < 0.5 * n AND 0.5 * n <= cum
+        |            THEN bin * 5.0 + ((0.5 * n - (cum - cnt)) / cnt) * 5.0 END), 6) AS est_p50
+        |        FROM c GROUP BY 1),
+        |lagged AS (SELECT day, est_p50,
+        |             lag(est_p50) OVER (ORDER BY day) AS prev_p50
+        |           FROM rep),
+        |shifted AS (SELECT day, est_p50, prev_p50,
+        |              round(abs(est_p50 - prev_p50) / prev_p50, 6) AS shift
+        |            FROM lagged WHERE prev_p50 IS NOT NULL)
+        |SELECT day, est_p50, prev_p50, shift,
+        |       CAST(shift > 0.05 AS INT) AS drifted
+        |FROM shifted ORDER BY day""".stripMargin,
 
     // text_compress_ratio: byte_len exact per doc; deflate_len/ratio are
     // zlib-implementation-specific, so what hashes is the sanity flag

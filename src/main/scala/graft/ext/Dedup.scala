@@ -410,6 +410,21 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** The edit-verified DECISION layer: connected components over the
+    * 'copy'-verdict edges only — token-reordered near-dups stay OUT of
+    * the cluster (a reordering is a different document for training
+    * purposes; dropping it as a duplicate loses a distinct word order),
+    * so the keeper rule collapses only character-level clone families.
+    * Same shape as [[keepers]]: one row per cluster with the kept doc
+    * (min doc_id) and member count, O(clusters) output. */
+  def editDistanceClusters(docs: DataFrame, threshold: Double = 0.8,
+                           maxEdit: Int = 64): DataFrame =
+    clusters(editDistanceVerified(docs, threshold, maxEdit)
+        .filter(col("verdict") === "copy").select("a", "b"))
+      .groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
   /** Incremental dedup — the daily-increment shape of a production corpus:
     * flag INCOMING documents that are near-dups of the HISTORICAL corpus
     * (an incoming doc duplicating another incoming doc is minhashLsh's

@@ -229,6 +229,28 @@ object HistStore {
         qs.map(q => col(f"est_p${(q * 100).round}%d")): _*)
   }
 
+  /** Day-over-day distribution-drift monitor on the stored report: each
+    * day's trailing-window p50 against the previous day's, with the
+    * relative shift and a >5% drift flag — the alerting verdict a
+    * value-distribution monitor pages on (ingestion mix change, unit
+    * regression upstream). Pure composition over [[trailingQuantiles]],
+    * so it reads the same O(days × bins) store rows and every column is
+    * exact-deterministic; the single-partition lag window is over the
+    * days-bounded report relation, never the raw log. */
+  def quantileDrift(spark: SparkSession, storeDir: String,
+                    windowDays: Int = 7,
+                    driftPct: Double = 0.05): DataFrame = {
+    val rep = trailingQuantiles(spark, storeDir, windowDays)
+    val w = Window.orderBy("day")
+    rep.withColumn("prev_p50", lag(col("est_p50"), 1).over(w))
+      .filter(col("prev_p50").isNotNull)
+      .withColumn("shift",
+        round(abs(col("est_p50") - col("prev_p50")) / col("prev_p50"), 6))
+      .withColumn("drifted", (col("shift") > lit(driftPct)).cast("int"))
+      .select("day", "est_p50", "prev_p50", "shift", "drifted")
+      .orderBy("day")
+  }
+
   /** The IN-LINE twin: the same trailing report computed directly from
     * raw events (what a store-less pipeline pays per report) — the spec's
     * equality reference and the bench's scale contrast. */

@@ -956,4 +956,19 @@ class ExtDedupSpec extends AnyFunSuite {
         (if (d >= 0 && d * 5 <= m) "copy" else "reorder"))
     }
   }
+
+  test("editDistanceClusters: copy edges collapse to one keeper, reorder pairs stay out") {
+    val a = (1 to 50).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 50).map(i => s"beta$i").mkString(" ")
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val oneEdit = ((1 to 49).map(i => s"tok$i") :+ "tok50x").mkString(" ")
+    val df = docsDf(
+      1L -> s"$a $b", 2L -> s"$b $a", // reorder pair: must NOT cluster
+      3L -> base, 4L -> oneEdit, 5L -> base) // copy triangle
+    val out = Dedup.editDistanceClusters(df).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("cluster_id") === 3L)
+    assert(out(0).getAs[Long]("keeper_id") === 3L)
+    assert(out(0).getAs[Long]("n_members") === 3L)
+  }
 }

@@ -117,6 +117,30 @@ class HistStoreSpec extends AnyFunSuite {
       rows(HistStore.trailingQuantiles(spark, full)))
   }
 
+  test("quantileDrift: hand fixture flags the day the distribution jumps") {
+    import spark.implicits._
+    // day1: all values 10 (bin 2 -> est_p50 12.5 for ANY n); day2: all 20
+    // (bin 4 -> 22.5); day3: all 20 again. windowDays=1 isolates each day:
+    // day2 shift = 10/12.5 = 0.8 (drifted), day3 shift = 0 (not)
+    val ev = Seq(
+      ("2024-03-01", 10.0), ("2024-03-01", 10.0),
+      ("2024-03-02", 20.0), ("2024-03-02", 20.0), ("2024-03-02", 20.0),
+      ("2024-03-03", 20.0))
+      .map { case (d, v) => (java.sql.Timestamp.valueOf(s"$d 12:00:00"), v) }
+      .toDF("ts", "value")
+    val store = java.nio.file.Files.createTempDirectory("graft_hist_drift").toString + "/s"
+    HistStore.buildHistStore(ev, store)
+    val out = HistStore.quantileDrift(spark, store, windowDays = 1)
+      .orderBy("day").collect()
+    assert(out.length === 2) // first day has no predecessor
+    assert(out(0).getAs[Double]("est_p50") === 22.5)
+    assert(out(0).getAs[Double]("prev_p50") === 12.5)
+    assert(out(0).getAs[Double]("shift") === 0.8)
+    assert(out(0).getAs[Int]("drifted") === 1)
+    assert(out(1).getAs[Double]("shift") === 0.0)
+    assert(out(1).getAs[Int]("drifted") === 0)
+  }
+
   test("refusals: inverted range and non-positive bin width fail loudly") {
     val store = java.nio.file.Files.createTempDirectory("graft_hist_bad").toString + "/s"
     HistStore.buildHistStore(events, store)

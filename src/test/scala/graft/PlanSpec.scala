@@ -875,4 +875,28 @@ class PlanSpec extends AnyFunSuite {
     // term tf/df aggregations combine map-side before their shuffles
     assert(trained.contains("partial_"), trained)
   }
+
+  test("edit-distance certificate: the DP runs only above the pair joins, all joins are equi") {
+    val p = plan("dedup_edit_verified")
+    // the character DP must never fan out: no nested-loop/cartesian path
+    // anywhere — candidates come from the banded equi-join only
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // levenshtein is evaluated in exactly one projection (the post-join
+    // pair relation), never against a corpus-wide scan
+    val levLines = p.linesIterator.filter(_.contains("levenshtein")).toSeq
+    assert(levLines.nonEmpty, p)
+    assert(levLines.forall(l => !l.contains("Scan")),
+      s"levenshtein pushed into a scan-side stage:\n${levLines.mkString("\n")}")
+  }
+
+  test("hist-store probes read ONLY the store relation — raw events never appear") {
+    for (q <- Seq("events_quantile_hist_stored", "events_quantile_hist_range",
+                  "events_quantile_drift")) {
+      val p = plan(q)
+      assert(!p.contains("events.parquet"),
+        s"$q scans raw events — the store exists so it never has to:\n${p.take(3000)}")
+      assert(p.contains("days"), s"$q does not read the store's days relation\n${p.take(2000)}")
+    }
+  }
 }
