@@ -83,7 +83,7 @@ object StreamingInventory {
     t("EventStreams.runSketchIngest", "SketchStore.appendToSketchStore per micro-batch (durable state in the STORE; at-least-once replay healed by the register max-fold)",
       "EventStreamsSpec (split days ≡ batch build, exact estimate equality)", "sketch_ingest"),
     t("EventStreams.runHistIngest", "HistStore.appendStreamBatch per micro-batch (durable state in the STORE; additive counts made replay-exactly-once by the batchId-keyed atomic slot rename, r15)",
-      "EventStreamsSpec (split drops ≡ batch build, exact report equality; replayed slot no-ops)", "hist_ingest"),
+      "EventStreamsSpec (split drops ≡ batch build, exact report equality; replayed slot no-ops; checkpoint stop/restart never double-counts)", "hist_ingest"),
     t("VecStreams.assignStream", "IS Similarity.assignAgainstIvfStore (shared projection)",
       "VecStreamsSpec (random splits, flat + hier)", "vec_assign"),
     t("VecStreams.runAnnServe", "IS Similarity.ivfAgainstStore per micro-batch (probed-ids isin pushdown bounds each trigger's store reads; idempotent replay — each batch OVERWRITES its batchId-deterministic partition dir, r14)",

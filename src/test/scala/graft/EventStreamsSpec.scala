@@ -510,6 +510,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rep(streamed) === rep(batch))
   }
 
+  test("hist ingest survives a stop/restart from checkpoint without double-counting") {
+    val events = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_restart").toString
+    val src = s"$base/src"; val streamed = s"$base/streamed"; val batch = s"$base/batch"
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    def drop(i: Int): Unit =
+      events.filter(col("event_id") % 4 === i).select(cols.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(src)
+    drop(0); drop(1)
+    graft.ext.HistStore.buildHistStore(events.limit(0), streamed)
+    // wave 1: two drops, then a clean stop
+    val q1 = EventStreams.runHistIngest(spark, src, streamed, s"$base/ckpt",
+      maxFilesPerTrigger = Some(1))
+    try q1.processAllAvailable() finally q1.stop()
+    // wave 2: two more drops land while the query is DOWN; the restarted
+    // query must resume from the checkpoint — wave-1 files stay consumed
+    // (re-reading them would double their additive counts)
+    drop(2); drop(3)
+    val q2 = EventStreams.runHistIngest(spark, src, streamed, s"$base/ckpt",
+      maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+    graft.ext.HistStore.buildHistStore(events, batch)
+    def rep(d: String) = graft.ext.HistStore.trailingQuantiles(spark, d)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(rep(streamed) === rep(batch))
+  }
+
   test("streaming dedup keeps first delivery per event_id, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

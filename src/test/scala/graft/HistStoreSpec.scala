@@ -96,6 +96,29 @@ class HistStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("composition: 4 slices appended in shuffled arrival order rebuild the one-shot store exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_comp").toString
+    val full = s"$base/full"; val grown = s"$base/grown"
+    HistStore.buildHistStore(events, full)
+    // slices cut by event_id (NOT by day — every slice touches most days,
+    // the hourly-ingest shape) and applied out of order: ADD-fold
+    // commutativity must make arrival order unobservable
+    val slice = (i: Int) => events.filter(col("event_id") % 4 === i)
+    HistStore.buildHistStore(slice(2), grown)
+    Seq(0, 3, 1).foreach(i => HistStore.appendToHistStore(slice(i), grown))
+    assert(rows(HistStore.trailingQuantiles(spark, grown).orderBy("day")) ===
+      rows(HistStore.trailingQuantiles(spark, full).orderBy("day")))
+    // and the mixed form: compact mid-sequence, keep appending
+    HistStore.compactHistStore(spark, grown)
+    val grown2 = s"$base/grown2"
+    HistStore.buildHistStore(slice(1), grown2)
+    HistStore.appendToHistStore(slice(0), grown2)
+    HistStore.compactHistStore(spark, grown2)
+    Seq(3, 2).foreach(i => HistStore.appendToHistStore(slice(i), grown2))
+    assert(rows(HistStore.trailingQuantiles(spark, grown2).orderBy("day")) ===
+      rows(HistStore.trailingQuantiles(spark, full).orderBy("day")))
+  }
+
   test("stream slots union with flat days; a replayed batchId no-ops; compact sweeps the slots") {
     val base = java.nio.file.Files.createTempDirectory("graft_hist_stream").toString
     val full = s"$base/full"; val grown = s"$base/grown"
