@@ -218,6 +218,9 @@ object ExtQueries {
     // (reorderings stay out of the clusters — a distinct word order is a
     // distinct training document)
     "dedup_edit_clusters"    -> ((s, dir) => Dedup.editDistanceClusters(docs(s, dir))),
+    // keep-most-complete keeper rule: longest copy wins a truncation
+    // family, min doc_id breaks ties
+    "dedup_keepers_ranked"   -> ((s, dir) => Dedup.keepersRanked(docs(s, dir))),
     "dedup_simhash"          -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs"    -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // duplication STRUCTURE: per-doc triangle count + clustering coeff
@@ -2387,6 +2390,32 @@ object ExtQueries {
          |       FROM reach GROUP BY id)
          |SELECT cluster_id, min(doc_id) AS keeper_id, count(*) AS n_members
          |FROM cl GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // keep-most-complete keeper: longest copy wins, tie -> min doc_id
+    "dedup_keepers_ranked" ->
+      s"""WITH RECURSIVE ${jaccardCtes(None)},
+         |jp AS (SELECT a, b
+         |       FROM inter JOIN sz sa ON inter.a = sa.doc_id JOIN sz sb ON inter.b = sb.doc_id
+         |       WHERE c / (sa.n_sh + sb.n_sh - c) >= 0.8),
+         |nodes AS (SELECT a AS id FROM jp UNION SELECT b FROM jp),
+         |edges AS (SELECT a AS id, b AS nbr FROM jp UNION ALL SELECT b, a FROM jp),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.id, r.label FROM edges e JOIN reach r ON e.nbr = r.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |wl AS (SELECT cl.doc_id, cl.cluster_id, CAST(length(d.text) AS BIGINT) AS len
+         |       FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+         |rk AS (SELECT cluster_id, doc_id, len,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY len DESC, doc_id ASC) AS rn
+         |       FROM wl),
+         |cnt AS (SELECT cluster_id, count(*) AS n_members FROM wl GROUP BY 1)
+         |SELECT rk.cluster_id, rk.doc_id AS keeper_id, rk.len AS keeper_len,
+         |       cnt.n_members
+         |FROM rk JOIN cnt ON rk.cluster_id = cnt.cluster_id
+         |WHERE rk.rn = 1 ORDER BY rk.cluster_id""".stripMargin,
 
     "text_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

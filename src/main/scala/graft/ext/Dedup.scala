@@ -971,6 +971,31 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
+  /** [[keepers]] with the KEEP-MOST-COMPLETE rule: within each near-dup
+    * cluster the kept document is the LONGEST (character length), ties
+    * broken by min doc_id — the rule real pipelines use when a clone
+    * family is a truncation chain (syndicated copies cut at different
+    * paywall points, re-crawls that lost a tail): min-id keeps whichever
+    * copy happened to be crawled first, keep-longest keeps the most
+    * content. Emits the keeper's length next to the id so the consumer
+    * can audit the choice. Same scale shape as [[keepers]]: the
+    * row_number window and the member-count aggregation both ride the
+    * cluster_id partitioning — one shuffle past the closure. */
+  def keepersRanked(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val cl = minhashClusters(docs, threshold)
+    val withLen = cl.join(
+      docs.select(col("doc_id"), length(col("text")).cast("bigint").as("len")),
+      "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("len").desc, col("doc_id").asc)
+    withLen.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(max(when(col("rn") === 1, col("doc_id"))).as("keeper_id"),
+        max(when(col("rn") === 1, col("len"))).as("keeper_len"),
+        count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** [[keepers]]' twin on the EMBEDDING side — the semantic-dedup decision:
     * connected components over [[embeddingCosine]]'s near-parallel pairs
     * (same min-label propagation as [[clusters]]) collapsed to one row per

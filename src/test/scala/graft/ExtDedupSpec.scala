@@ -957,6 +957,25 @@ class ExtDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("keepersRanked: the longest copy wins a truncation family, equal lengths fall back to min id") {
+    val full = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val truncated = (1 to 46).map(i => s"tok$i").mkString(" ") // J = 44/48 ≈ 0.92
+    val twinA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val df = docsDf(
+      1L -> truncated, 2L -> full, // min-id would keep 1; ranked must keep 2
+      7L -> twinA, 8L -> twinA)    // equal length: tie -> min id
+    val out = Dedup.keepersRanked(df).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(out(1L).getAs[Long]("keeper_id") === 2L)
+    assert(out(1L).getAs[Long]("keeper_len") === full.length.toLong)
+    assert(out(1L).getAs[Long]("n_members") === 2L)
+    assert(out(7L).getAs[Long]("keeper_id") === 7L)
+    // the min-id rule genuinely differs here — the audit columns prove it
+    val minId = Dedup.keepers(df).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(minId(1L) === 1L)
+  }
+
   test("editDistanceClusters: copy edges collapse to one keeper, reorder pairs stay out") {
     val a = (1 to 50).map(i => s"alpha$i").mkString(" ")
     val b = (1 to 50).map(i => s"beta$i").mkString(" ")
