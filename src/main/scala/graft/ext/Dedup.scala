@@ -102,10 +102,15 @@ object Dedup {
     // index recompute across the four consumers is minor and persisting it
     // bought nothing. The expansion IS the exact algorithm's price — the
     // sub-quadratic path at scale is minhashLsh below, same verify core.
+    // r15: materialize the DF-capped index once — it feeds the size
+    // relation and BOTH sides of the pair join; unmaterialized, each of
+    // the three references re-ran the shingle explode + md5 hashing over
+    // the corpus.
     val sh = shingleIndex(docs, n)
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
       .select("doc_id", "shingle")
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("a", "shingle")
       .join(sh.toDF("b", "shingle"), "shingle")
@@ -140,10 +145,12 @@ object Dedup {
   def containment(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
                   maxDocFreq: Int = 50): DataFrame = {
     val w = Window.partitionBy("shingle")
+    // r15: same three-reference materialization as [[ngramJaccard]].
     val sh = shingleIndex(docs, n)
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
       .select("doc_id", "shingle")
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.toDF("a", "shingle")
       .join(sh.toDF("b", "shingle"), "shingle")
@@ -890,13 +897,73 @@ object Dedup {
         greatest(col("ca"), col("cb")).as("b"))
       .distinct()
       .localCheckpoint()
-    val cEdges = contracted.select(col("a").as("id"), col("b").as("nbr"))
-      .unionAll(contracted.select(col("b").as("id"), col("a").as("nbr")))
-    val cInit = cEdges
-      .select(col("id"), least(col("id"), col("nbr")).as("label"))
-      .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint()
-    val (inner, innerRounds) = propagateLoop(cEdges, cInit, shortcut = true)
+    // r15: FINISH SMALL REMAINDERS IN ONE TASK. After clique contraction
+    // the remainder of a near-dup graph is orders smaller than the corpus
+    // (sf0.1 capped simhash graph: 7,697 pairs → 508 contracted edges) but
+    // CHAIN-shaped, and on chain-shaped graphs with arbitrary id layout the
+    // label-pointer chains stay short, so pointer doubling degrades to
+    // one-hop frontier propagation: 8 distributed rounds of ~0.4 s each on
+    // 4 KB of data (measured; extra L(L(u)) jumps per round did not reduce
+    // the round count — ProfR15 comp2). The guide-§8 move is to use what
+    // the optimizer cannot know: the remainder is TINY, so its closure
+    // belongs in one bounded executor task (classic union-find, min-root
+    // merging — the same unique fixpoint), not in O(diameter) Spark jobs.
+    // Guarded by an edge-count ceiling (conf `spark.graft.clusters.maxLocalEdges`,
+    // default 4M edges ≈ tens of MB in one task); above it — a corpus whose
+    // CONTRACTED near-dup graph still has >4M inter-cluster edges — the
+    // distributed pointer-doubling loop below runs unchanged, so the 100 TB
+    // path needs no new memory assumption. Fingerprint-identical by spec
+    // and by the oracle suite (the fixpoint is unique).
+    val spark = pairs.sparkSession
+    val maxLocalEdges = spark.conf.getOption("spark.graft.clusters.maxLocalEdges")
+      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+    val nContracted = contracted.count()
+    val (inner, innerRounds) =
+      if (nContracted == 0L) {
+        (contracted.select(col("a").as("id"), col("a").as("label")), 0)
+      } else if (nContracted <= maxLocalEdges) {
+        import spark.implicits._
+        val localLabels = contracted.select(col("a"), col("b")).as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != r) {
+                val n = parent(c); parent(c) = r; c = n
+              }
+              r
+            }
+            it.foreach { case (a, b) =>
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) {
+                val lo = math.min(ra, rb); val hi = math.max(ra, rb)
+                parent(hi) = lo
+                if (!parent.contains(lo)) parent(lo) = lo
+              } else if (!parent.contains(ra)) parent(ra) = ra
+            }
+            // snapshot the key set BEFORE emitting: find() path-compresses
+            // (value writes) during the emit loop, and scala 2.13
+            // mutable.HashMap iteration is corrupted by concurrent value
+            // updates (observed: 35 of 47 keys yielded). An Array copy of
+            // the keys makes the emit loop immune.
+            val ks = parent.keysIterator.toArray
+            ks.iterator.map(k => (k, find(k)))
+          }
+          .toDF("id", "label")
+          .localCheckpoint()
+        (localLabels, 1)
+      } else {
+        val cEdges = contracted.select(col("a").as("id"), col("b").as("nbr"))
+          .unionAll(contracted.select(col("b").as("id"), col("a").as("nbr")))
+        val cInit = cEdges
+          .select(col("id"), least(col("id"), col("nbr")).as("label"))
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint()
+        propagateLoop(cEdges, cInit, shortcut = true)
+      }
     // compose: node → initial label → that label's closed component min.
     // A label absent from the contracted node set already IS its
     // component's minimum (its whole neighborhood contracted onto it).
@@ -1307,7 +1374,11 @@ object Dedup {
     * aggregate so an empty bar still reports (0, 0) — identical to the
     * oracle's LEFT JOIN, with no nested-loop join anywhere. */
   def simhashPrEval(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // r15: materialize the truth pair set once — it feeds both the
+    // candidate join and the n_truth total, and unmaterialized each
+    // reference re-ran the full MinHash-LSH pipeline.
     val truth = minhashLsh(docs).select(col("a"), col("b"), lit(1).as("is_true"))
+      .localCheckpoint()
     val joined = simhashPairs(docs, maxHamming)
       .join(truth, Seq("a", "b"), "left")
       .withColumn("is_true", coalesce(col("is_true"), lit(0)))

@@ -54,14 +54,23 @@ object Graph {
     * corners — the ones most likely to close (template-farm members),
     * so the cap sheds the least-likely wedges first. */
   def triangles(edges: DataFrame, maxOutDeg: Option[Int] = None): DataFrame = {
-    // NOT localCheckpoint'd: Catalyst already reuses the edge subtree's
-    // exchange across the plan's 4 references (measured: checkpointing is
-    // 1.4 s SLOWER at sf0.1). The wall cost here is the triangles
-    // themselves — the sf0.1 simhash graph is dense (166k edges / 2.6k
-    // nodes, 15M triangles), so ~9 s is the honest closure work.
-    val e = edges.select(col("a"), col("b"))
+    // r15: MATERIALIZE edges, degrees and the oriented relation
+    // (localCheckpoint). Two effects, both re-measured this round against
+    // the unmaterialized form (which r10 had measured faster under its
+    // then-plan): (1) the edge-generation subtree (for the registry
+    // queries: the full simhash band pipeline) ran once per REFERENCE —
+    // the unmaterialized physical plan carried 68 parquet scans / 84
+    // exchanges and AQE stage reuse recovered only part of that; (2) a
+    // checkpointed relation has a TRUE size, so the planner broadcasts
+    // the small sides (deg, and dir under the close join) instead of
+    // sort-merge-joining by estimate — scale-adaptive by construction
+    // (too-big sides at 100× stay SMJ). Measured sf0.1 min-of-2:
+    // 9.36 s → 6.49 s uncapped, 2.84 s → 1.69 s capped, fingerprints
+    // bit-identical (ProfR15 tri2).
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
     // orient every edge low→high under the (degree, id) total order; carry
     // the dst's order key for the wedge comparison below
     val dir = e
@@ -74,6 +83,7 @@ object Graph {
           .otherwise(col("a")).as("dst"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
           .otherwise(col("da")).as("ddeg"))
+      .localCheckpoint()
     // wedge budget: enumerate wedges only from each apex's k smallest
     // oriented out-edges; the window shuffles on src — the same key the
     // wedge self-join hashes on, so the exchange is reused, not added
@@ -131,10 +141,18 @@ object Graph {
   def pagerank(edges: DataFrame, iterations: Int = 3,
                checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1 && checkpointEvery >= 1)
-    val e = edges.select(col("a"), col("b"))
+    // r15: materialize the edge list and the degree relation once — each
+    // iteration references both, and unmaterialized the pair-generation
+    // subtree re-executed per reference (the physical plan carried 56
+    // parquet scans for 3 iterations). Measured sf0.1 min-of-2: 3.79 s →
+    // 1.69 s including the checkpoint cost, bit-identical (integer math is
+    // materialization-invariant). True sizes also let the planner broadcast
+    // the per-round rank relation instead of estimating.
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
     val und = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     val deg = und.groupBy("src").agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
     var pr = deg.select(col("src").as("id"), col("degree"), lit(1000000L).as("pr"))
     for (i <- 1 to iterations) {
       val contrib = pr.select(col("id").as("src"), expr("pr div degree").as("c"))
@@ -180,7 +198,11 @@ object Graph {
     * to 6 with the same literal shape in the oracle (every node has an
     * edge, so n_nodes ≥ 2 — no zero denominator). */
   def components(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+    // r15: materialize the edge list ONCE — it feeds both the closure and
+    // the per-component edge count below; unmaterialized, the nEdges join
+    // re-executed the whole pair-generation pipeline a second time
+    // (measured ~1.3 s of the query's 4.4 s at sf0.1).
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
     val labs = Dedup.clusters(e)
       .select(col("doc_id").as("id"), col("cluster_id").as("component_id"))
     val nEdges = e.join(labs.select(col("id").as("a"), col("component_id")), "a")
@@ -194,7 +216,11 @@ object Graph {
   }
 
   def degreeHist(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
+    // r15: materialize the edge list once — the two union branches each
+    // carried the full pair-generation subtree (two executions of the
+    // simhash band pipeline for one histogram).
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
     val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
     val tot = hist.agg(sum("n_nodes").cast("long").as("total_nodes"))

@@ -115,8 +115,12 @@ object LmFilter {
     // template/spam text built from doc-initial phrases). Counting all
     // positions restores bf ≤ count(prev at non-final positions) ≤ cf,
     // so every interpolated p stays in (0, 1].
+    // r15: materialize the unigram table — it is read three times per
+    // scoring plan (cf join, uf join, the totals fold below) and each
+    // reference re-ran the reference-slice token explode.
     val uni = ref.select(col("lang"), explode(col("w")).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).cast("long").as("uf"))
+      .localCheckpoint()
     val big = ref.filter(expr("size(w) >= 2"))
       .select(col("lang"), explode(expr(
         """transform(sequence(1, size(w) - 1), i ->
@@ -198,7 +202,14 @@ object LmFilter {
                        lambda: Double = 0.75): DataFrame = {
     require(refMod >= 2, "refMod < 2 would train on everything")
     val (uni, big, tots) = lmTables(docs, refMod)
+    // r15: materialize the scored relation — the tertile cutoffs and the
+    // bucketing both read it, and unmaterialized the cutoff aggregate
+    // re-derived the whole train+score subtree (the "~2 corpus passes"
+    // this COST NOTE used to document). One pass + a per-doc-sized
+    // executor-local materialization now; the skew-free shape is kept
+    // (no per-language window).
     val scored = scoreTerms(termRel(docs, refMod), uni, big, tots, lambda)
+      .localCheckpoint()
     bucketCols(scored.join(broadcast(tertileCuts(scored)), Seq("lang"), "left"))
       .orderBy("doc_id")
   }

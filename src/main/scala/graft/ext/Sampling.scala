@@ -202,7 +202,10 @@ object Sampling {
     * [[graft.ext.TextAnalysis.unigramCE]] precedent). */
   def dsirWeights(docs: DataFrame, targetMod: Int = 11,
                   dim: Int = 1024): DataFrame = {
-    val feats = dsirFeatures(docs, targetMod, dim)
+    // r15: materialize the feature relation — the log-ratio fit and the
+    // scoring tail both read it, and unmaterialized each reference re-ran
+    // the md5 feature explode over the corpus.
+    val feats = dsirFeatures(docs, targetMod, dim).localCheckpoint()
     // in-line: the log-ratio table is fit on the SAME corpus, so every
     // doc bucket is covered and the default never fires
     dsirScoreWith(feats, dsirLogRatios(feats, dim), lit(0d))
@@ -288,6 +291,10 @@ object Sampling {
       // unparseable literal "1.0E-4e0" — lit carries the exact double
       .withColumn("gumbel_key",
         col("weight") / lit(temperature) - expr("ln(0e0 - ln(u))"))
+      // r15: materialize the keyed relation — the threshold percentile and
+      // the selection projection both read it (two full weight pipelines
+      // otherwise; the quantile-threshold shape itself stays skew-free).
+      .localCheckpoint()
     val thr = keyed.agg(expr(s"percentile(gumbel_key, ${1 - frac}e0)").as("t"))
     keyed.crossJoin(broadcast(thr))
       .select(col("doc_id"), col("in_target"), col("weight"),

@@ -1362,6 +1362,10 @@ object Similarity {
     * set intersections are left-semi joins of nQueries·k-row results
     * (trivially broadcast), never anything corpus-sized. */
   def recallEval(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    // r15 NOTE: materializing `exact` was tried and REJECTED by in-run A/B
+    // (2.0 s vs 1.6 s at sf0.1): the brute-force side scores only nQueries
+    // rows against the corpus in one fused scan, so three lazy re-runs are
+    // cheaper than the checkpoint barrier they would remove.
     val exact = bruteForceTopK(embeddings, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
     val methods = Seq(

@@ -580,6 +580,10 @@ object TextAnalysis {
     val lam1 = s"${1 - lambda}e0"
     val w = Dedup.spread(docs).select(col("doc_id"), expr("split(text, ' ')").as("w"))
     val toks = w.select(col("doc_id"), explode(col("w")).as("token"))
+    // r15 NOTE: materializing `uni`/`big` was tried and REJECTED by in-run
+    // A/B (min 2.50 s vs 2.25 s at sf0.1): each aggregate over them fuses
+    // explode+partial-agg into one codegen stage, so lazy re-scans beat
+    // the checkpoint barrier.
     val uni = toks.groupBy("token").agg(count(lit(1)).as("uf"))
     val total = uni.agg(sum("uf").cast("long").as("total"))
     val big = w.filter(expr("size(w) >= 2"))
@@ -823,7 +827,11 @@ object TextAnalysis {
   def sourceDrift(docs: DataFrame): DataFrame = {
     val tok = Dedup.spread(docs)
       .select(col("source"), explode(expr("split(text, ' ')")).as("token"))
+    // r15: materialize the (source, token) counts — the source totals, the
+    // global counts and the present-term fold all read them; unmaterialized,
+    // each reference re-ran the token explode over the corpus.
     val src = tok.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
     val srcTot = src.groupBy("source").agg(
       sum("c_st").cast("long").as("n_tokens"),
       count(lit(1)).as("n_distinct"))
@@ -1133,7 +1141,10 @@ object TextAnalysis {
     * Gopher gate) and scores ANY corpus; [[qualityScore]] is the
     * assembled corpus-wide deployable filter. */
   def qualityModel(docs: DataFrame, dim: Int = 256): DataFrame = {
-    val lab = gopherLabels(docs)
+    // r15: materialize the labels once — the train fold filter and the
+    // held-out eval join both read them, and the Gopher gate behind them
+    // is a full regex/tokenize pass over the corpus.
+    val lab = gopherLabels(docs).localCheckpoint()
     val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
     qualityScoreWith(docs.filter(col("doc_id") % 5 === 0), weights, dim)
       .join(lab, "doc_id")
@@ -1247,6 +1258,9 @@ object TextAnalysis {
                          labels: Option[DataFrame] = None,
                          binWidth: Long = 1000L): DataFrame = {
     require(binWidth >= 1)
+    // r15 NOTE: materializing `lab` here was tried and REJECTED by in-run
+    // A/B (min 2.19 s vs 1.82 s at sf0.1) — unlike [[qualityModel]], whose
+    // held-out eval join reads the labels against a much smaller fold.
     val lab = labels.getOrElse(gopherLabels(docs))
     val weights = qualityTrain(docs, lab.filter(col("doc_id") % 5 =!= 0), dim)
     qualityScoreWith(docs, weights, dim)
@@ -1347,7 +1361,9 @@ object TextAnalysis {
     * held-out doc count, the label total, and the rate (diagonal =
     * per-class recall). */
   def qualityModelEval(docs: DataFrame, dim: Int = 256): DataFrame = {
-    val preds = qualityModel(docs, dim)
+    // r15: materialize the held-out predictions — cell counts and class
+    // totals both aggregate them (two full train+score runs otherwise).
+    val preds = qualityModel(docs, dim).localCheckpoint()
     val n = preds.groupBy("label", "pred").agg(count(lit(1)).cast("long").as("n"))
     val tot = preds.groupBy("label").agg(count(lit(1)).cast("long").as("n_label"))
     n.join(broadcast(tot), "label")
@@ -1357,6 +1373,12 @@ object TextAnalysis {
   }
 
   def langId(docs: DataFrame): DataFrame = {
+    // r15 NOTE: materializing `bg` here was tried and REJECTED by in-run
+    // A/B (2.6 s vs 1.8 s at sf0.1): the five aggregates over it each fuse
+    // explode+partial-agg into one codegen stage with map-side combine, so
+    // the re-scans are cheaper than writing/reading the token-level
+    // relation. Contrast [[langidConfusion]], where one checkpoint of the
+    // ≤-heldout-row predictions DOES pay (it saves a whole second train).
     val bg = docs
       .select(col("doc_id"), col("lang"), expr("split(text, ' ')").as("w"))
       .select(col("doc_id"), col("lang"),
@@ -1405,7 +1427,10 @@ object TextAnalysis {
     * aggs over ≤ langs² rows. Recall is one IEEE division of exact
     * counts. */
   def langidConfusion(docs: DataFrame): DataFrame = {
-    val preds = langId(docs)
+    // r15: materialize the per-doc predictions — both the cell counts and
+    // the class totals aggregate them, and unmaterialized each reference
+    // re-ran the whole langId train+score pipeline.
+    val preds = langId(docs).localCheckpoint()
     val n = preds.groupBy("actual", "pred_lang").agg(count(lit(1)).as("n"))
     val tot = preds.groupBy("actual").agg(count(lit(1)).as("n_actual"))
     n.join(broadcast(tot), "actual")

@@ -804,11 +804,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LM perplexity filter probes the model via equi-joins — never a fold, never a corpus-sized nested loop") {
-    for (q <- Seq("pipeline_perplexity_filter", "pipeline_perplexity_stored")) {
+    // the vocab²-bounded model tables meet the term relation as HASH
+    // equi-joins (broadcast at this scale; shuffle-keyed beyond) — a
+    // folded-literal model would show NO term-side joins at all. The
+    // serve paths carry the whole probe in one lazy plan:
+    for (q <- Seq("pipeline_perplexity_stored", "pipeline_perplexity_shard")) {
       val p = plan(q)
-      // the vocab²-bounded model tables meet the term relation as HASH
-      // equi-joins (broadcast at this scale; shuffle-keyed beyond) — a
-      // folded-literal model would show NO term-side joins at all
       assert(p.linesIterator.count(l =>
         l.contains("HashJoin") && !l.contains("Reused")) >= 3,
         s"$q: model joins missing — folded?\n$p")
@@ -816,6 +817,19 @@ class PlanSpec extends AnyFunSuite {
       // count aggregations combine map-side before their shuffles
       assert(p.contains("partial_"), s"$q: no map-side partial agg\n$p")
     }
+    // the in-line filter materializes its scored relation ONCE (r15: the
+    // tertile cutoffs and the bucketing both read it — one corpus pass
+    // instead of two), so its final plan starts at the checkpoint scan and
+    // shows only the broadcast cutoff join; the model-probe join shape
+    // itself is locked via the serve twins above, whose scoring tail is
+    // the same scoreTerms code path
+    val inline = plan("pipeline_perplexity_filter")
+    assert(inline.contains("ExistingRDD"),
+      s"in-line filter should score into a materialized relation\n$inline")
+    assert(inline.contains("BroadcastHashJoin"),
+      s"cutoff join should broadcast the ≤-langs cuts\n$inline")
+    assert(!inline.contains("CartesianProduct") &&
+      !inline.contains("SortMergeJoin"), inline)
     // the SERVE path's smoothing totals are meta literals — no 1-row
     // broadcast nested loop survives to the stored plan
     assert(!plan("pipeline_perplexity_stored").contains("BroadcastNestedLoopJoin"),
