@@ -627,6 +627,45 @@ object ProfR15 {
         }
         println("[prof] ab2 done")
 
+      case "ab3" =>
+        import org.apache.spark.sql.DataFrame
+        def spansOld(docs: DataFrame, k: Int = 8): DataFrame = {
+          graft.functions.GraftFunctions.register(docs.sparkSession)
+          val base = docs.repartition(32).select(col("doc_id"), col("text"))
+            .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+          val wins = base.filter(col("n_words") >= k)
+            .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+            .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+          val dup = wins.groupBy("h")
+            .agg(countDistinct(col("doc_id")).as("nd"))
+            .filter(col("nd") >= 2).select("h")
+          val hits = wins.join(dup, "h").select("doc_id", "pos")
+          val wo = Window.partitionBy("doc_id").orderBy("pos")
+          val spans = hits
+            .withColumn("new_span",
+              when(col("pos") - lag(col("pos"), 1).over(wo) <= k, 0).otherwise(1))
+            .withColumn("span_id", sum(col("new_span")).over(
+              wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .groupBy("doc_id", "span_id")
+            .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("nw"))
+          val per = spans.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_spans"), sum("nw").as("n_dup_windows"),
+              sum(col("hi") - col("lo") + k).as("n_dup_tokens"))
+          base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_words"),
+              coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+            .withColumn("dup_frac", expr("round(n_dup_tokens / n_words, 6)"))
+            .orderBy("doc_id")
+        }
+        time("warm")(noop(ext.Dedup.substringSpans(docs)))
+        for (r <- 1 to reps) {
+          time(s"rep$r spans OLD")(noop(spansOld(docs)))
+          time(s"rep$r spans NEW")(noop(ext.Dedup.substringSpans(docs)))
+        }
+        println("[prof] ab3 done")
+
       case "chain" =>
         import spark.implicits._
         val n = 5000

@@ -1481,6 +1481,10 @@ object Dedup {
     val wins = base.filter(col("n_words") >= k)
       .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+      // r15: materialize the window-hash relation — referenced by the
+      // duplicate/keeper agg and the hit join(s); each lazy reference
+      // re-ran the native window-hash explode over the corpus.
+      .localCheckpoint()
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
@@ -1523,10 +1527,13 @@ object Dedup {
     * pairs with a < b. */
   def spanOverlap(docs: DataFrame, k: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // r15: materialize the distinct (source, h) incidence set — the
+    // per-source totals and BOTH pair-join sides read it.
     val sh = spread(docs)
       .filter(expr("size(split(text, ' '))") >= k)
       .select(col("source"), explode(expr(s"shingle_hash60_pos(text, $k)")).as("h"))
       .distinct()
+      .localCheckpoint()
     val totals = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sh.toDF("a", "h")
       .join(sh.toDF("b", "h"), "h")
@@ -1594,6 +1601,10 @@ object Dedup {
     val wins = base.filter(col("n_words") >= k)
       .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+      // r15: materialize the window-hash relation — referenced by the
+      // duplicate/keeper agg and the hit join(s); each lazy reference
+      // re-ran the native window-hash explode over the corpus.
+      .localCheckpoint()
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
       .filter(col("nd") >= 2).select("h", "keeper")
@@ -1770,6 +1781,10 @@ object Dedup {
     val wins = base.filter(col("n_words") >= k)
       .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+      // r15: materialize the window-hash relation — referenced by the
+      // duplicate/keeper agg and the hit join(s); each lazy reference
+      // re-ran the native window-hash explode over the corpus.
+      .localCheckpoint()
     val histHits = wins.join(store, Seq("h"), "left_semi").select("doc_id", "pos")
     val fresh = wins.join(store, Seq("h"), "left_anti")
     val dupNew = fresh.groupBy("h")

@@ -273,6 +273,10 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("session_id"), col("event_type"))
       .distinct()
+      // r15: materialize the session-incidence relation — the session
+      // total, the per-type counts and BOTH pair-join sides read it, and
+      // each reference re-ran the sessionize window + distinct.
+      .localCheckpoint()
     val totals = st.select("user_id", "session_id").distinct()
       .agg(count(lit(1)).as("s_total"))
     val typeN = st.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -325,12 +329,18 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"), col("event_type"))
       .agg(min(tsMs).as("first_ms"))
+      // r15: same multi-reference materialization as [[cooccurrence]] —
+      // the uncapped totals and the capped relation both read st.
+      .localCheckpoint()
     val bySession = Window.partitionBy("user_id", "session_id")
       .orderBy(col("first_ms").asc, col("event_type").asc)
     val capped = st
       .withColumn("rk", row_number().over(bySession))
       .filter(col("rk") <= maxTypes)
       .select("user_id", "session_id", "event_type")
+      // ...and the per-type counts plus BOTH pair sides read the capped
+      // incidence set.
+      .localCheckpoint()
     val totals = st.select("user_id", "session_id").distinct()
       .agg(count(lit(1)).as("s_total"))
     val typeN = capped.groupBy("event_type").agg(count(lit(1)).as("n"))

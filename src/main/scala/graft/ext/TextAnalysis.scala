@@ -1526,8 +1526,13 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"), col("text"))
       .join(clusters, "doc_id")
       .select(col("cluster_id"), explode(split(col("text"), " ")).as("term"))
+    // r15: materialize the (cluster, term) tf relation — the cluster-df,
+    // the cluster count and the scoring join all read it, and each
+    // reference re-ran the assignment join + token explode (for the
+    // trained twin, the whole trained-quantizer assignment scan).
     val tf = toks.groupBy("cluster_id", "term")
       .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term")
       .agg(count(lit(1)).cast("long").as("df_clusters"))
     val nc = tf.select("cluster_id").distinct()

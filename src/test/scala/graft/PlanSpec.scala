@@ -292,12 +292,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_spans_stored")
     // historical side = the persisted winhashes store...
     assert(p.contains("graft_span_store"), p)
-    // ...and no more documents scans than plain dedup_spans needs for its
-    // own base+wins pair — i.e. the incoming slice's only, the historical
-    // corpus text never rescanned
+    // ...and no more documents scans than the incoming slice's own
+    // base+wins pair (2) — the historical corpus text never rescanned.
+    // (Fixed bound, not a compare against plain dedup_spans: r15
+    // checkpoints dedup_spans' wins relation, which hides its second
+    // scan from THAT plan and would invert the comparison.)
     def docScans(q: String) =
       q.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
-    assert(docScans(p) <= docScans(plan("dedup_spans")),
+    assert(docScans(p) <= 2,
       s"stored span probe rescans historical documents\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
