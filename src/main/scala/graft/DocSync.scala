@@ -83,12 +83,41 @@ object DocSync {
       else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
     }
     val (mvName, mvRatio) = ratios.last
+    // SECOND WITNESS (r16, VERDICT r15 #3/#5): the CPU-saturating anchor
+    // demonstrably anti-correlates with totals across same-code runs
+    // (BASELINE.md's 3-run study: anchors 0.666/0.425/0.624 against totals
+    // 257/272/286 s), because it over-responds to contention relative to
+    // the overhead-bound query class. A pinned set of trivial,
+    // long-untouched queries (narrow projections, store probes — code that
+    // "cannot regress by code") gives an independent box-rate estimate:
+    // their median raw ratio IS the box drift as the bench experiences it.
+    // Cross-round claims should cite BOTH normalizers; when they disagree,
+    // the witness median is the safer denominator for overhead-bound
+    // queries, the anchor for CPU-bound ones.
+    val witnessSet = Seq(
+      "text_normalize", "text_length_stats", "text_compress_ratio",
+      "text_quality", "soql_orderby_limit", "multimodal_frames",
+      "multimodal_features", "sample_stratified", "pipeline_pack",
+      "pipeline_pack_stats", "pipeline_snapshot_diff", "pipeline_corpus_stats",
+      "similarity_topk", "similarity_range_search", "events_ab_lift")
+    val witness = witnessSet.filter(k => qc.contains(k) && qp.contains(k))
+    val wMedian =
+      if (witness.isEmpty) Double.NaN
+      else {
+        val v = witness.map(k => qc(k) / qp(k)).sorted
+        if (v.length % 2 == 1) v(v.length / 2)
+        else (v(v.length / 2 - 1) + v(v.length / 2)) / 2
+      }
     f"""**Cross-round drift (generated; `BENCH_full.json` vs the `BENCH_prior.json`
        |snapshot): ${common.size} common queries — raw total $rawTotal%.3f×, median
        |$median%.3f×; calibration anchor $ap%.3f s → $ac%.3f s (box ratio $aRatio%.3f×);
        |anchor-normalized total ${rawTotal / aRatio}%.3f×, median ${median / aRatio}%.3f×; max mover
-       |`$mvName` $mvRatio%.2f× raw / ${mvRatio / aRatio}%.2f× normalized.** Adjudicate movers
-       |against the NORMALIZED ratio; roll the snapshot with `runMain graft.DocSync snapshot`.""".stripMargin
+       |`$mvName` $mvRatio%.2f× raw / ${mvRatio / aRatio}%.2f× normalized.
+       |Second witness — median raw ratio over ${witness.size} pinned untouched trivial
+       |queries: $wMedian%.3f× (witness-normalized total ${rawTotal / wMedian}%.3f×, median
+       |${median / wMedian}%.3f×).** Adjudicate movers against BOTH normalized ratios (the
+       |anchor anti-correlates with totals under contention — prefer the witness for
+       |overhead-bound queries); roll the snapshot with `runMain graft.DocSync snapshot`.""".stripMargin
   }
 
   /** BASELINE.md current-bench row, from BENCH_full.json (Bench.scala's

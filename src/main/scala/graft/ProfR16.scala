@@ -1,0 +1,379 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Optimization-round-16 targeted profiler (guide §1): in-run interleaved
+  * A/B — both variants execute inside ONE session, alternating per rep, so
+  * the ±15%/query cross-run box drift (r15 memory) cancels. Not part of
+  * the driver contract; plain stdout.
+  *
+  * Modes:
+  *  - `aqe [reps] [patterns]` — per-query interleaved A/B of the RUNTIME
+  *    configs deferred from r15 (guide §2.2/§6): AQE
+  *    coalescePartitions.parallelismFirst=false + advisoryPartitionSizeInBytes,
+  *    and spark.sql.files.maxPartitionBytes. All are SQLConf (settable per
+  *    query via spark.conf.set), so the A/B is genuinely in-run.
+  *  - `codec <lz4|zstd> [reps] [patterns]` — spark.io.compression.codec is
+  *    a STATIC core conf (fixed at SparkContext start), so this mode runs
+  *    one codec per JVM; an outer loop alternates JVMs (A/B/A/B) and the
+  *    min-per-codec comparison happens offline. Defaults to the
+  *    shuffle-heavy subset where the codec can matter at all.
+  *  - `spans [reps]` — re-adjudication of the r15 dedup_spans checkpoint
+  *    (VERDICT r15 #3): current (checkpointed) vs the same code WITHOUT
+  *    the window-hash localCheckpoint, ≥5 interleaved reps, plus
+  *    fingerprint equality.
+  *
+  * Usage: runMain graft.ProfR16 <sfDir> <mode> [args...]
+  */
+object ProfR16 {
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def fingerprint(df: DataFrame): (String, Long) = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val h = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      .agg(sum("h").as("s"), count(lit(1)).as("n")).head()
+    (String.valueOf(h.get(0)), h.getLong(1))
+  }
+
+  // same conditional repartition as Dedup.spread (private[ext] there)
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Current substringSpans WITHOUT the r15 wins localCheckpoint —
+    * byte-identical otherwise (spread, native shingle_hash60_pos, same
+    * span merge), so the A/B isolates exactly the checkpoint. */
+  private def spansNoCkpt(docs: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = spread(docs).select(col("doc_id"), col("text"))
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val hits = wins.join(dup, "h").select("doc_id", "pos")
+    val wo = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(wo) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("nw"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum("nw").as("n_dup_windows"),
+        sum(col("hi") - col("lo") + k).as("n_dup_tokens"))
+    base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_frac", expr("round(n_dup_tokens / n_words, 6)"))
+      .orderBy("doc_id")
+  }
+
+  /** Current spanDedupOnce WITHOUT the r15 wins localCheckpoint. */
+  private def dedupOnceNoCkpt(docs: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = spread(docs).select(col("doc_id"), col("text"))
+      .withColumn("n_words", expr("size(split(text, ' '))").cast("long"))
+    val wins = base.filter(col("n_words") >= k)
+      .select(col("doc_id"), posexplode(expr(s"shingle_hash60_pos(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2).select("h", "keeper")
+    val hits = wins.join(dup, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "pos")
+    val wo = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = hits
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(wo) <= k, 0).otherwise(1))
+      .withColumn("span_id", sum(col("new_span")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("nw"))
+    val per = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("hi") - col("lo") + k).as("n_cut"))
+    base.select("doc_id", "n_words").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut_tokens"))
+      .withColumn("cut_frac", expr("round(n_cut_tokens / n_words, 6)"))
+      .withColumn("action",
+        when(col("n_cut_tokens") * 2 > col("n_words"), "drop")
+          .when(col("n_cut_tokens") > 0, "cut")
+          .otherwise("keep"))
+      .withColumn("tokens_kept",
+        when(col("n_cut_tokens") * 2 > col("n_words"), lit(0L))
+          .otherwise(col("n_words") - col("n_cut_tokens")))
+      .orderBy("doc_id")
+  }
+
+  // shuffle-heavy representatives for the static-codec A/B: pair builds,
+  // closures, trained k-means, window sessionization — the query class
+  // whose exchanges carry enough bytes for the codec to matter at all
+  private val codecSubset = Seq(
+    "graph_triangles", "graph_components", "graph_pagerank",
+    "dedup_clusters", "dedup_keepers", "dedup_simhash_eval", "dedup_spans",
+    "dedup_embedding_keepers", "similarity_ivfpq_trained",
+    "similarity_knn_graph", "events_cooccurrence", "events_sessionize",
+    "pipeline_semdedup", "pipeline_near_dedup", "pipeline_perplexity_filter",
+    "text_bigram_ce", "text_bm25", "pipeline_dsir_sample")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val mode = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // codec mode: the static core conf under test, fixed for this JVM
+    if (mode == "codec")
+      builder.config("spark.io.compression.codec", args(2))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    mode match {
+      // advisory-size sweep: parallelismFirst=false serializes the handful
+      // of queries whose post-shuffle stage is CPU-heavy over 10-70 MB
+      // (containment tiles, global sorts) when the 64 MB advisory folds
+      // them to ONE partition; smaller advisory sizes keep those parallel
+      // while still collapsing the sub-MB shuffle tail to single tasks.
+      case "adv" =>
+        val reps = if (args.length > 2) args(2).toInt else 3
+        val names =
+          if (args.length > 3) {
+            val ps = args(3).split(',')
+            SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.contains))
+          } else SparkEntry.benchQueries
+        val variants: Seq[(String, Seq[(String, String)])] = Seq(
+          "base" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+            "spark.sql.files.maxPartitionBytes" -> "134217728"),
+          "adv64" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+            "spark.sql.files.maxPartitionBytes" -> "536870912"),
+          "adv16" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16777216",
+            "spark.sql.files.maxPartitionBytes" -> "536870912"),
+          "adv4" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4194304",
+            "spark.sql.files.maxPartitionBytes" -> "536870912"))
+          // optional env filter, e.g. SPARK_GRAFT_ADV_VARIANTS=base,adv4
+          .filter { case (n, _) =>
+            sys.env.get("SPARK_GRAFT_ADV_VARIANTS")
+              .forall(_.split(',').contains(n)) }
+        def withConfs(cs: Seq[(String, String)])(body: => Unit): Unit = {
+          cs.foreach { case (k, v) => spark.conf.set(k, v) }
+          try body finally variants.head._2.foreach { case (k, v) => spark.conf.set(k, v) }
+        }
+        Seq("extract_shape_lineitem", "dedup_incremental_stored").foreach { w =>
+          try noop(SparkEntry.queries(w)(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[prof] warmup $w: ${e.getMessage}") }
+        }
+        val times = scala.collection.mutable.Map.empty[(String, String), Double]
+        for (rep <- 1 to reps; name <- names; (vn, confs) <- variants) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try withConfs(confs)(noop(fn(spark, sfDir)))
+          catch { case e: Throwable =>
+            System.err.println(s"[prof] $name/$vn failed: ${e.getMessage}") }
+          val s = (System.nanoTime() - t0) / 1e9
+          val k = (name, vn)
+          times(k) = math.min(times.getOrElse(k, Double.MaxValue), s)
+        }
+        val vnames = variants.map(_._1)
+        println("query," + vnames.mkString(","))
+        names.foreach { n =>
+          println(n + "," + vnames.map(v => f"${times((n, v))}%.3f").mkString(","))
+        }
+        vnames.foreach { v =>
+          val tot = names.map(n => times((n, v))).sum
+          println(f"[prof] total $v%-10s $tot%8.2f s")
+        }
+
+      case "aqe" =>
+        val reps = if (args.length > 2) args(2).toInt else 3
+        val names =
+          if (args.length > 3) {
+            val ps = args(3).split(',')
+            SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.contains))
+          } else SparkEntry.benchQueries
+        // variant conf-sets; every key is a runtime SQLConf. "base" pins the
+        // session defaults EXPLICITLY so rep order can't leak configs.
+        val variants: Seq[(String, Seq[(String, String)])] = Seq(
+          "base" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+            "spark.sql.files.maxPartitionBytes" -> "134217728"),
+          "coal" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+            "spark.sql.files.maxPartitionBytes" -> "134217728"),
+          "coal_mpb" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+            "spark.sql.files.maxPartitionBytes" -> "536870912"))
+        def withConfs(cs: Seq[(String, String)])(body: => Unit): Unit = {
+          cs.foreach { case (k, v) => spark.conf.set(k, v) }
+          try body finally variants.head._2.foreach { case (k, v) => spark.conf.set(k, v) }
+        }
+        // warmup (same two as Bench)
+        Seq("extract_shape_lineitem", "dedup_incremental_stored").foreach { w =>
+          try noop(SparkEntry.queries(w)(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[prof] warmup $w: ${e.getMessage}") }
+        }
+        val times = scala.collection.mutable.Map.empty[(String, String), Double]
+        for (rep <- 1 to reps; name <- names; (vn, confs) <- variants) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try withConfs(confs)(noop(fn(spark, sfDir)))
+          catch { case e: Throwable =>
+            System.err.println(s"[prof] $name/$vn failed: ${e.getMessage}") }
+          val s = (System.nanoTime() - t0) / 1e9
+          val k = (name, vn)
+          times(k) = math.min(times.getOrElse(k, Double.MaxValue), s)
+        }
+        val vnames = variants.map(_._1)
+        println("query," + vnames.mkString(","))
+        names.foreach { n =>
+          println(n + "," + vnames.map(v => f"${times((n, v))}%.3f").mkString(","))
+        }
+        vnames.foreach { v =>
+          val tot = names.map(n => times((n, v))).sum
+          println(f"[prof] total $v%-10s $tot%8.2f s")
+        }
+        for (v <- vnames.drop(1)) {
+          val wins = names.count(n => times((n, v)) < times((n, "base")))
+          val big = names.count(n => times((n, v)) < 0.9 * times((n, "base")))
+          val lose = names.count(n => times((n, v)) > 1.1 * times((n, "base")))
+          println(s"[prof] $v vs base: faster on $wins/${names.size} (>10%: $big), slower>10%: $lose")
+        }
+
+      case "codec" =>
+        val reps = if (args.length > 3) args(3).toInt else 2
+        val names =
+          if (args.length > 4) {
+            val ps = args(4).split(',')
+            SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.contains))
+          } else codecSubset.filter(SparkEntry.queries.contains)
+        Seq("extract_shape_lineitem", "dedup_incremental_stored").foreach { w =>
+          try noop(SparkEntry.queries(w)(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[prof] warmup $w: ${e.getMessage}") }
+        }
+        val times = scala.collection.mutable.Map.empty[String, Double]
+        for (_ <- 1 to reps; name <- names) {
+          val t0 = System.nanoTime()
+          try noop(SparkEntry.queries(name)(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[prof] $name failed: ${e.getMessage}") }
+          val s = (System.nanoTime() - t0) / 1e9
+          times(name) = math.min(times.getOrElse(name, Double.MaxValue), s)
+        }
+        println(s"codec=${args(2)}")
+        names.foreach(n => println(f"$n,${times(n)}%.3f"))
+        println(f"[prof] total codec=${args(2)} ${names.map(times).sum}%8.2f s")
+
+      // old (r15) editDistanceVerified: no pair materialization, no
+      // DP-stage width floor — the A/B isolates exactly the r16 change
+      case "edit" =>
+        val reps = if (args.length > 2) args(2).toInt else 5
+        val docs = Tables.load(spark, sfDir, "documents")
+        def editOld(threshold: Double = 0.8, maxEdit: Int = 64): DataFrame = {
+          val pairs = ext.Dedup.minhashLsh(docs, threshold)
+          val t = docs.select(col("doc_id"), col("text"))
+          pairs
+            .join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+            .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+            .withColumn("edit_dist",
+              levenshtein(col("ta"), col("tb"), maxEdit).cast("bigint"))
+            .withColumn("max_len",
+              greatest(length(col("ta")), length(col("tb"))).cast("bigint"))
+            .withColumn("verdict",
+              when(col("edit_dist") >= 0 && col("edit_dist") * 5 <= col("max_len"),
+                lit("copy")).otherwise(lit("reorder")))
+            .select("a", "b", "jaccard", "edit_dist", "max_len", "verdict")
+            .orderBy("a", "b")
+        }
+        def clustersOld(): DataFrame =
+          ext.Dedup.clusters(editOld().filter(col("verdict") === "copy").select("a", "b"))
+            .groupBy("cluster_id")
+            .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_members"))
+            .orderBy("cluster_id")
+        def time(label: String)(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[prof] $label%-36s $s%8.3f s"); s
+        }
+        // run under the candidate configs (the regression only exists there)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4194304")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "536870912")
+        time("warm")(noop(ext.Dedup.editDistanceVerified(docs)))
+        val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+          .withDefaultValue(Nil)
+        for (r <- 1 to reps) {
+          acc("verified OLD") ::= time(s"rep$r verified OLD")(noop(editOld()))
+          acc("verified NEW") ::= time(s"rep$r verified NEW")(noop(ext.Dedup.editDistanceVerified(docs)))
+          acc("clusters OLD") ::= time(s"rep$r clusters OLD")(noop(clustersOld()))
+          acc("clusters NEW") ::= time(s"rep$r clusters NEW")(noop(ext.Dedup.editDistanceClusters(docs)))
+        }
+        acc.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+          println(f"[prof] MIN $k%-16s ${vs.min}%8.3f s (median ${vs.sorted.apply(vs.size / 2)}%.3f)")
+        }
+        val fo = fingerprint(editOld()); val fn = fingerprint(ext.Dedup.editDistanceVerified(docs))
+        val co = fingerprint(clustersOld()); val cn = fingerprint(ext.Dedup.editDistanceClusters(docs))
+        println(s"[prof] fp verified eq=${fo == fn} clusters eq=${co == cn}")
+
+      case "spans" =>
+        val reps = if (args.length > 2) args(2).toInt else 5
+        val docs = Tables.load(spark, sfDir, "documents")
+        // adjudicate under the r16 candidate configs — the regime the
+        // shipped bench will run under
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4194304")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "536870912")
+        def time(label: String)(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f
+          val s = (System.nanoTime() - t0) / 1e9
+          println(f"[prof] $label%-32s $s%8.3f s"); s
+        }
+        time("warm:substringSpans")(noop(ext.Dedup.substringSpans(docs)))
+        val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+          .withDefaultValue(Nil)
+        for (r <- 1 to reps) {
+          acc("spans OLD(no-ckpt)") ::= time(s"rep$r spans OLD(no-ckpt)")(noop(spansNoCkpt(docs)))
+          acc("spans NEW(ckpt)") ::= time(s"rep$r spans NEW(ckpt)")(noop(ext.Dedup.substringSpans(docs)))
+          acc("dedup_once OLD(no-ckpt)") ::= time(s"rep$r dedup_once OLD(no-ckpt)")(noop(dedupOnceNoCkpt(docs)))
+          acc("dedup_once NEW(ckpt)") ::= time(s"rep$r dedup_once NEW(ckpt)")(noop(ext.Dedup.spanDedupOnce(docs)))
+        }
+        acc.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+          println(f"[prof] MIN $k%-28s ${vs.min}%8.3f s   (median ${vs.sorted.apply(vs.size / 2)}%.3f)")
+        }
+        val f1 = fingerprint(spansNoCkpt(docs))
+        val f2 = fingerprint(ext.Dedup.substringSpans(docs))
+        val f3 = fingerprint(dedupOnceNoCkpt(docs))
+        val f4 = fingerprint(ext.Dedup.spanDedupOnce(docs))
+        println(s"[prof] fp spans old=$f1 new=$f2 eq=${f1 == f2}; dedup_once old=$f3 new=$f4 eq=${f3 == f4}")
+
+      case other =>
+        System.err.println(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

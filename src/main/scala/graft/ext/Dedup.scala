@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Materialize._
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2.8 E1):
   * exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
@@ -38,6 +39,27 @@ object Dedup {
   private[ext] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
+  /** Partition count for a COMPUTE-EXPANDING stage over a MATERIALIZED
+    * relation (r16, guide §2.5/§3): AQE's partition coalescing sizes each
+    * exchange by its INPUT bytes, but a df-capped pair self-join does Σ df²
+    * work per shingle and an edit-distance verify does an O(len·maxEdit)
+    * DP per row — orders beyond the input bytes — so under
+    * parallelismFirst=false a few-MB input folds to one partition and the
+    * compute serializes (measured: dedup_ngram_jaccard 1.74 → 2.29 s,
+    * dedup_edit_clusters 2.46 → 3.49 s at 8 cores). The optimizer cannot
+    * see the expansion; we can. Width derives from the relation's TRUE row
+    * count (one cheap count over the already-materialized blocks — NOT
+    * logical-plan stats, which for a checkpointed relation are the
+    * defaultSizeInBytes placeholder and once sized a 7k-row relation at
+    * 2²⁰ partitions) at a per-task row grain, with a cluster-cores floor
+    * and a 2¹⁴ cap — scale-adaptive in both directions: a 100 TB index
+    * gets rows/grain partitions, a tiny one still gets every core. */
+  private def explodingJoinParts(rel: DataFrame, rowsPerTask: Long): Int = {
+    val par = rel.sparkSession.sparkContext.defaultParallelism
+    val byRows = math.min(rel.count() / math.max(1L, rowsPerTask) + 1, 1L << 14).toInt
+    math.max(par, byRows)
   }
 
   /** Word n-gram shingles as a column expression (empty array when the doc
@@ -110,10 +132,16 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
       .select("doc_id", "shingle")
-      .localCheckpoint()
+      .materialize()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.toDF("a", "shingle")
-      .join(sh.toDF("b", "shingle"), "shingle")
+    // explicit parallelism floor on BOTH pair-join sides (see
+    // explodingJoinParts): user-specified repartition widths are exempt
+    // from AQE coalescing, and equal hash partitioning on the join key
+    // means the join adds no further exchange — same exchange count as
+    // the ENSURE_REQUIREMENTS plan, pinned width.
+    val np = explodingJoinParts(sh, rowsPerTask = 262144)
+    val inter = sh.toDF("a", "shingle").repartition(np, col("shingle"))
+      .join(sh.toDF("b", "shingle").repartition(np, col("shingle")), "shingle")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     inter
@@ -150,10 +178,12 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDocFreq)
       .select("doc_id", "shingle")
-      .localCheckpoint()
+      .materialize()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.toDF("a", "shingle")
-      .join(sh.toDF("b", "shingle"), "shingle")
+    // same exploding-join parallelism floor as [[ngramJaccard]]
+    val np = explodingJoinParts(sh, rowsPerTask = 262144)
+    val inter = sh.toDF("a", "shingle").repartition(np, col("shingle"))
+      .join(sh.toDF("b", "shingle").repartition(np, col("shingle")), "shingle")
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     // both directions from ONE pass over the intersection relation: a
@@ -398,14 +428,27 @@ object Dedup {
   def editDistanceVerified(docs: DataFrame, threshold: Double = 0.8,
                            maxEdit: Int = 64): DataFrame = {
     require(maxEdit >= 1, s"maxEdit $maxEdit must be >= 1")
-    val pairs = minhashLsh(docs, threshold)
+    // r16: materialize the LSH pair set (true size → the planner
+    // broadcasts it under the text joins instead of exchanging the corpus
+    // side twice by estimate) and pin the DP stage's width: the
+    // levenshtein pass is COMPUTE-heavy per row (O(len·maxEdit) DP),
+    // which AQE's byte-based coalescing cannot see — under
+    // parallelismFirst=false the few-MB pair relation folded to one
+    // partition and the DP serialized (measured at 8 cores: 2.46 → 3.49 s
+    // before this floor). Width derives from the pair relation's TRUE
+    // size at advisory granularity with a cores floor (explodingJoinParts
+    // — scale-adaptive in both directions).
+    val pairs = minhashLsh(docs, threshold).materialize()
+    val np = explodingJoinParts(pairs, rowsPerTask = 16384)
     val t = docs.select(col("doc_id"), col("text"))
-    // one co-partitioned equi-join per role: the LSH-bounded pair set is
-    // tiny relative to the corpus, so each text relation streams through
-    // once; the DP itself never crosses an exchange
+    // one equi-join per role: the LSH-bounded pair set is tiny relative
+    // to the corpus, so each text relation streams through once; the DP
+    // itself never crosses an exchange
     pairs
       .join(t.select(col("doc_id").as("a"), col("text").as("ta")), "a")
-      .join(t.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+      .repartition(np, col("b"))
+      .join(t.select(col("doc_id").as("b"), col("text").as("tb"))
+        .repartition(np, col("b")), "b")
       .withColumn("edit_dist",
         levenshtein(col("ta"), col("tb"), maxEdit).cast("bigint"))
       .withColumn("max_len",
@@ -793,7 +836,7 @@ object Dedup {
     // joins reuse it, instead of each re-running the Bloom probe over the
     // increment (three passes where one narrow one suffices)
     val probeKeys = probed.filter(col("bloom_hit")).select("k").distinct()
-      .localCheckpoint()
+      .materialize()
     val useBroadcast = probeKeys.count() <= maxBroadcastKeys
     def hinted(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     val hits = spark.read.parquet(s"$storeDir/keys")
@@ -855,7 +898,7 @@ object Dedup {
     // checkpoint each consumer would re-execute the whole upstream
     // pair-generation DAG (for minhashClusters: the full LSH pipeline).
     val p = pairs.select(col("a"), col("b"))
-      .localCheckpoint(true,
+      .materialize(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // per-node min-neighbor label in ONE scan of p: both directions
     // explode map-side and partial-min before the exchange, so the
@@ -865,7 +908,7 @@ object Dedup {
         struct(col("b").as("id"), col("a").as("nbr")))).as("e"))
       .select(col("e.id").as("id"), least(col("e.id"), col("e.nbr")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint()
+      .materialize()
     if (!shortcut) {
       // plain one-hop propagation, kept as the reference the shortcut
       // path is spec'd against (same unique fixpoint, ~diameter rounds)
@@ -896,7 +939,7 @@ object Dedup {
       .select(least(col("ca"), col("cb")).as("a"),
         greatest(col("ca"), col("cb")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .materialize()
     // r15: FINISH SMALL REMAINDERS IN ONE TASK. After clique contraction
     // the remainder of a near-dup graph is orders smaller than the corpus
     // (sf0.1 capped simhash graph: 7,697 pairs → 508 contracted edges) but
@@ -909,14 +952,26 @@ object Dedup {
     // belongs in one bounded executor task (classic union-find, min-root
     // merging — the same unique fixpoint), not in O(diameter) Spark jobs.
     // Guarded by an edge-count ceiling (conf `spark.graft.clusters.maxLocalEdges`,
-    // default 4M edges ≈ tens of MB in one task); above it — a corpus whose
-    // CONTRACTED near-dup graph still has >4M inter-cluster edges — the
-    // distributed pointer-doubling loop below runs unchanged, so the 100 TB
-    // path needs no new memory assumption. Fingerprint-identical by spec
-    // and by the oracle suite (the fixpoint is unique).
+    // default 4M edges). Honest footprint math (ADVICE r15): 4M edges reach
+    // ≤8M distinct nodes; the open-addressing primitive map below keeps a
+    // parent entry per node at 17 B/slot and ≤50% load — worst case ~270 MB
+    // in ONE executor task (plus the input partition), which fits ordinary
+    // 4 GB executors; lower the conf where they are smaller. Above the
+    // ceiling — a corpus whose CONTRACTED near-dup graph still has >4M
+    // inter-cluster edges — the distributed pointer-doubling loop below
+    // runs unchanged, so the 100 TB path needs no new memory assumption.
+    // Fingerprint-identical by spec and by the oracle suite (the fixpoint
+    // is unique).
     val spark = pairs.sparkSession
+    // malformed conf values fall back to the default LOUDLY rather than
+    // failing every clusters consumer with a bare NumberFormatException
     val maxLocalEdges = spark.conf.getOption("spark.graft.clusters.maxLocalEdges")
-      .map(_.toLong).getOrElse(4L * 1024 * 1024)
+      .flatMap { v =>
+        val p = scala.util.Try(v.trim.toLong).toOption
+        if (p.isEmpty) System.err.println(
+          s"[graft] ignoring malformed spark.graft.clusters.maxLocalEdges='$v' (want a long)")
+        p
+      }.getOrElse(4L * 1024 * 1024)
     val nContracted = contracted.count()
     val (inner, innerRounds) =
       if (nContracted == 0L) {
@@ -926,13 +981,16 @@ object Dedup {
         val localLabels = contracted.select(col("a"), col("b")).as[(Long, Long)]
           .coalesce(1)
           .mapPartitions { it =>
-            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            // primitive open-addressing long→long map (ADVICE r15): a boxed
+            // mutable.HashMap[Long,Long] costs ~80-100 B/entry; this is
+            // 17 B/slot at ≤50% load, so the documented ceiling math holds.
+            val parent = new LongLongMap()
             def find(x: Long): Long = {
               var r = x
-              while (parent.getOrElse(r, r) != r) r = parent(r)
+              while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
               var c = x
               while (parent.getOrElse(c, c) != r) {
-                val n = parent(c); parent(c) = r; c = n
+                val n = parent.getOrElse(c, c); parent.update(c, r); c = n
               }
               r
             }
@@ -940,20 +998,20 @@ object Dedup {
               val ra = find(a); val rb = find(b)
               if (ra != rb) {
                 val lo = math.min(ra, rb); val hi = math.max(ra, rb)
-                parent(hi) = lo
-                if (!parent.contains(lo)) parent(lo) = lo
-              } else if (!parent.contains(ra)) parent(ra) = ra
+                parent.update(hi, lo)
+                if (!parent.contains(lo)) parent.update(lo, lo)
+              } else if (!parent.contains(ra)) parent.update(ra, ra)
             }
             // snapshot the key set BEFORE emitting: find() path-compresses
-            // (value writes) during the emit loop, and scala 2.13
-            // mutable.HashMap iteration is corrupted by concurrent value
-            // updates (observed: 35 of 47 keys yielded). An Array copy of
-            // the keys makes the emit loop immune.
-            val ks = parent.keysIterator.toArray
+            // (value writes) during the emit loop; iterating a mutating map
+            // corrupted the scala HashMap version of this code (observed:
+            // 35 of 47 keys yielded). An Array copy of the keys makes the
+            // emit loop immune regardless of map implementation.
+            val ks = parent.keysSnapshot
             ks.iterator.map(k => (k, find(k)))
           }
           .toDF("id", "label")
-          .localCheckpoint()
+          .materialize()
         (localLabels, 1)
       } else {
         val cEdges = contracted.select(col("a").as("id"), col("b").as("nbr"))
@@ -961,7 +1019,7 @@ object Dedup {
         val cInit = cEdges
           .select(col("id"), least(col("id"), col("nbr")).as("label"))
           .groupBy("id").agg(min("label").as("label"))
-          .localCheckpoint()
+          .materialize()
         propagateLoop(cEdges, cInit, shortcut = true)
       }
     // compose: node → initial label → that label's closed component min.
@@ -1000,7 +1058,7 @@ object Dedup {
         .unionAll(labels)
         .groupBy("id").agg(min("label").as("label"))
       val next =
-        if (!shortcut) prop.localCheckpoint()
+        if (!shortcut) prop.materialize()
         else {
           // L(L(u)): every label IS a node id of the same component, so it
           // has its own label row; the left join + coalesce is defensive.
@@ -1009,7 +1067,7 @@ object Dedup {
               Seq("label"), "left")
             .select(col("id"),
               least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
-            .localCheckpoint()
+            .materialize()
         }
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
@@ -1378,7 +1436,7 @@ object Dedup {
     // candidate join and the n_truth total, and unmaterialized each
     // reference re-ran the full MinHash-LSH pipeline.
     val truth = minhashLsh(docs).select(col("a"), col("b"), lit(1).as("is_true"))
-      .localCheckpoint()
+      .materialize()
     val joined = simhashPairs(docs, maxHamming)
       .join(truth, Seq("a", "b"), "left")
       .withColumn("is_true", coalesce(col("is_true"), lit(0)))
@@ -1484,7 +1542,7 @@ object Dedup {
       // r15: materialize the window-hash relation — referenced by the
       // duplicate/keeper agg and the hit join(s); each lazy reference
       // re-ran the native window-hash explode over the corpus.
-      .localCheckpoint()
+      .materialize()
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("h")
@@ -1533,7 +1591,7 @@ object Dedup {
       .filter(expr("size(split(text, ' '))") >= k)
       .select(col("source"), explode(expr(s"shingle_hash60_pos(text, $k)")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .materialize()
     val totals = sh.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sh.toDF("a", "h")
       .join(sh.toDF("b", "h"), "h")
@@ -1604,7 +1662,7 @@ object Dedup {
       // r15: materialize the window-hash relation — referenced by the
       // duplicate/keeper agg and the hit join(s); each lazy reference
       // re-ran the native window-hash explode over the corpus.
-      .localCheckpoint()
+      .materialize()
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("keeper"))
       .filter(col("nd") >= 2).select("h", "keeper")
@@ -1784,7 +1842,7 @@ object Dedup {
       // r15: materialize the window-hash relation — referenced by the
       // duplicate/keeper agg and the hit join(s); each lazy reference
       // re-ran the native window-hash explode over the corpus.
-      .localCheckpoint()
+      .materialize()
     val histHits = wins.join(store, Seq("h"), "left_semi").select("doc_id", "pos")
     val fresh = wins.join(store, Seq("h"), "left_anti")
     val dupNew = fresh.groupBy("h")

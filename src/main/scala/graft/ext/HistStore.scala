@@ -219,7 +219,14 @@ object HistStore {
       .filter(col("day").between(lit(startDay).cast("date"), lit(endDay).cast("date")))
     val nd = h.agg(countDistinct(col("day")).as("n_days"))
     val g = h.groupBy("bin").agg(sum("cnt").as("cnt"))
-    val cum = Window.orderBy("bin")
+    // The cumulative fold is a GENUINE global prefix sum over the folded
+    // range histogram — at most O(bins) rows (store rows are (day, bin)
+    // with bounded bins; the groupBy above already collapsed days), never
+    // the raw event log, so one partition is the right plan, not a skew
+    // accident. The constant partition key states that intent and keeps
+    // WindowExec's unpartitioned-window warning out of every test/bench
+    // tail (r15 VERDICT #7) — same single partition, same result.
+    val cum = Window.partitionBy(lit(1)).orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = g.withColumn("cum", sum("cnt").over(cum))
       .withColumn("n", sum("cnt").over(Window.partitionBy(lit(1))))
@@ -241,7 +248,10 @@ object HistStore {
                     windowDays: Int = 7,
                     driftPct: Double = 0.05): DataFrame = {
     val rep = trailingQuantiles(spark, storeDir, windowDays)
-    val w = Window.orderBy("day")
+    // day-over-day lag needs a total order over the REPORT relation — one
+    // row per stored day, O(days), bounded by the store (never raw
+    // events); constant partition key as in rangeQuantiles above.
+    val w = Window.partitionBy(lit(1)).orderBy("day")
     rep.withColumn("prev_p50", lag(col("est_p50"), 1).over(w))
       .filter(col("prev_p50").isNotNull)
       .withColumn("shift",

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.Materialize._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY.md §2.8 E2).
@@ -696,7 +697,7 @@ object Similarity {
       // 8% — before; the rounds must scan the sample, not the corpus).
       // At 100 TB the same posture writes the slice out once and trains
       // on the materialized relation.
-      .localCheckpoint(true,
+      .materialize(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   }
 
@@ -1764,7 +1765,7 @@ object Similarity {
       // plans and runs ONCE — both the id collect and the join read the
       // checkpointed leaf. Batch queries keep full lineage (plan-locked).
       val probes =
-        if (materializeProbes) probesPlan.localCheckpoint() else probesPlan
+        if (materializeProbes) probesPlan.materialize() else probesPlan
       val probedIds = probes.select("list_id").distinct()
         .collect().map(_.getLong(0))
       val lists = spark.read.parquet(listsPath)

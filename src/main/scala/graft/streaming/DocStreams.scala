@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ext.Materialize._
 
 /** One document arriving on the ingest stream: the `documents` columns plus
   * the arrival timestamp that drives the dedup watermark. */
@@ -589,7 +590,7 @@ object DocStreams {
       .parquet(srcDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.select("doc_id", "text", "lang", "source").localCheckpoint()
+        val b = batch.select("doc_id", "text", "lang", "source").materialize()
         val hitStore = graft.ext.Dedup
           .incrementalStored(b.select("doc_id", "text"), storeDir, threshold)
           .select(col("inc_id").as("doc_id")).distinct()
@@ -600,7 +601,7 @@ object DocStreams {
         val accepted = b
           .join(hitStore, Seq("doc_id"), "left_anti")
           .join(nonKeep, Seq("doc_id"), "left_anti")
-          .localCheckpoint() // one materialization feeds both appends
+          .materialize() // one materialization feeds both appends
         accepted.write.mode("append").parquet(outDir)
         graft.ext.Dedup.appendToBandStore(accepted.select("doc_id", "text"), storeDir)
         ()
@@ -649,7 +650,7 @@ object DocStreams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // one materialization feeds both the probe and the store append
-        val b = batch.select("doc_id", "text").localCheckpoint()
+        val b = batch.select("doc_id", "text").materialize()
         graft.ext.Dedup.spanDedupOnceStored(b, storeDir, k)
           .write.mode("append").parquet(outDir)
         graft.ext.Dedup.appendToSpanStore(b, storeDir, k)
