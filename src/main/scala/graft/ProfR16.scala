@@ -145,6 +145,63 @@ object ProfR16 {
     spark.sparkContext.setLogLevel("ERROR")
 
     mode match {
+      // BENCH-SHAPED config A/B (the decisive form): alternating FULL
+      // PASSES over the query set per variant — pass1 base over all
+      // queries, pass2 candidate over all, repeated — min per
+      // (query, variant). The per-query-interleaved modes below are
+      // BIASED for config comparisons: a placebo run (three variant
+      // slots with IDENTICAL configs) measured slot1 ~1.5-2× slower
+      // than slots 2-3 on every rep — revisiting a query after other
+      // queries pays a recurring re-warm cost (JIT/code-cache churn)
+      // that immediately-consecutive repeats skip, so whatever variant
+      // runs first in a slot triple loses regardless of configs.
+      // Pass-blocks give every variant the same revisit pattern the
+      // real bench has.
+      case "benchab" =>
+        val passes = if (args.length > 2) args(2).toInt else 3 // per variant
+        val names =
+          if (args.length > 3) {
+            val ps = args(3).split(',')
+            SparkEntry.queries.keys.toSeq.sorted.filter(n => ps.exists(n.contains))
+          } else SparkEntry.benchQueries
+        val variants: Seq[(String, Seq[(String, String)])] = Seq(
+          "base" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "67108864",
+            "spark.sql.files.maxPartitionBytes" -> "134217728"),
+          "cand" -> Seq(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4194304",
+            "spark.sql.files.maxPartitionBytes" -> "536870912"))
+        Seq("extract_shape_lineitem", "dedup_incremental_stored").foreach { w =>
+          try noop(SparkEntry.queries(w)(spark, sfDir))
+          catch { case e: Throwable => System.err.println(s"[prof] warmup $w: ${e.getMessage}") }
+        }
+        val times = scala.collection.mutable.Map.empty[(String, String), Double]
+        for (pass <- 1 to passes; (vn, confs) <- variants) {
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          for (name <- names) {
+            val fn = SparkEntry.queries(name)
+            val t0 = System.nanoTime()
+            try noop(fn(spark, sfDir))
+            catch { case e: Throwable =>
+              System.err.println(s"[prof] $name/$vn failed: ${e.getMessage}") }
+            val s = (System.nanoTime() - t0) / 1e9
+            val k = (name, vn)
+            times(k) = math.min(times.getOrElse(k, Double.MaxValue), s)
+          }
+          println(f"[prof] pass $pass $vn done")
+        }
+        val vnames = variants.map(_._1)
+        println("query," + vnames.mkString(","))
+        names.foreach { n =>
+          println(n + "," + vnames.map(v => f"${times((n, v))}%.3f").mkString(","))
+        }
+        vnames.foreach { v =>
+          val tot = names.map(n => times((n, v))).sum
+          println(f"[prof] total $v%-10s $tot%8.2f s")
+        }
+
       // advisory-size sweep: parallelismFirst=false serializes the handful
       // of queries whose post-shuffle stage is CPU-heavy over 10-70 MB
       // (containment tiles, global sorts) when the 64 MB advisory folds
@@ -320,17 +377,15 @@ object ProfR16 {
           val s = (System.nanoTime() - t0) / 1e9
           println(f"[prof] $label%-36s $s%8.3f s"); s
         }
-        // run under the candidate configs (the regression only exists there)
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4194304")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "536870912")
+        // run under the session defaults — the shipped regime
         time("warm")(noop(ext.Dedup.editDistanceVerified(docs)))
         val acc = scala.collection.mutable.Map.empty[String, List[Double]]
           .withDefaultValue(Nil)
+        // block design — see the `spans`/`benchab` bias note
         for (r <- 1 to reps) {
           acc("verified OLD") ::= time(s"rep$r verified OLD")(noop(editOld()))
-          acc("verified NEW") ::= time(s"rep$r verified NEW")(noop(ext.Dedup.editDistanceVerified(docs)))
           acc("clusters OLD") ::= time(s"rep$r clusters OLD")(noop(clustersOld()))
+          acc("verified NEW") ::= time(s"rep$r verified NEW")(noop(ext.Dedup.editDistanceVerified(docs)))
           acc("clusters NEW") ::= time(s"rep$r clusters NEW")(noop(ext.Dedup.editDistanceClusters(docs)))
         }
         acc.toSeq.sortBy(_._1).foreach { case (k, vs) =>
@@ -343,23 +398,24 @@ object ProfR16 {
       case "spans" =>
         val reps = if (args.length > 2) args(2).toInt else 5
         val docs = Tables.load(spark, sfDir, "documents")
-        // adjudicate under the r16 candidate configs — the regime the
-        // shipped bench will run under
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4194304")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "536870912")
+        // adjudicate under the session defaults — the regime the shipped
+        // bench runs under (the r16 config A/B ended in Spark defaults)
         def time(label: String)(f: => Unit): Double = {
           val t0 = System.nanoTime(); f
           val s = (System.nanoTime() - t0) / 1e9
           println(f"[prof] $label%-32s $s%8.3f s"); s
         }
         time("warm:substringSpans")(noop(ext.Dedup.substringSpans(docs)))
+        // BLOCK design (see `benchab` comment): each variant runs as a
+        // block over the same query list, blocks alternate — the
+        // recurring revisit/re-warm cost lands symmetrically on both
+        // variants instead of on whichever ran first in a pair.
         val acc = scala.collection.mutable.Map.empty[String, List[Double]]
           .withDefaultValue(Nil)
         for (r <- 1 to reps) {
           acc("spans OLD(no-ckpt)") ::= time(s"rep$r spans OLD(no-ckpt)")(noop(spansNoCkpt(docs)))
-          acc("spans NEW(ckpt)") ::= time(s"rep$r spans NEW(ckpt)")(noop(ext.Dedup.substringSpans(docs)))
           acc("dedup_once OLD(no-ckpt)") ::= time(s"rep$r dedup_once OLD(no-ckpt)")(noop(dedupOnceNoCkpt(docs)))
+          acc("spans NEW(ckpt)") ::= time(s"rep$r spans NEW(ckpt)")(noop(ext.Dedup.substringSpans(docs)))
           acc("dedup_once NEW(ckpt)") ::= time(s"rep$r dedup_once NEW(ckpt)")(noop(ext.Dedup.spanDedupOnce(docs)))
         }
         acc.toSeq.sortBy(_._1).foreach { case (k, vs) =>
